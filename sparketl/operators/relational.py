@@ -1,0 +1,551 @@
+"""Relational operator library (SURVEY §2.2-§2.9).
+
+Every public ``q_*`` builder takes ``(spark, sf_dir)`` and returns a
+DataFrame; each has a matching ANSI-SQL oracle in ``sparketl.oracles``.
+Builders use the DataFrame API (not spark.sql) so this module
+demonstrates the engine's programmatic surface; the SQL pass-through
+tier is exercised separately via ``sparketl.engine``.
+
+Determinism rules (SURVEY §7.3 items 4-5):
+- SUM/AVG over money columns go through exact DECIMAL arithmetic
+  (the fixture doubles are 2-decimal values, so the decimal cast is
+  exact); decimal addition is associative, so Spark's partial
+  aggregation and DuckDB's serial sum produce bit-identical results —
+  no rounding heuristics needed. Final cast back to DOUBLE is a
+  deterministic IEEE conversion on both engines.
+- stddev/variance (inherently order-sensitive) are rounded to 4
+  decimals.
+- every top-k / limit has a total-order sort key.
+
+Scale notes inline per operator — common themes: aggregate before
+join, broadcast dimensions, let partial aggregation absorb fan-in,
+keep expressions JVM-side for whole-stage codegen.
+
+Reference citations: ``tool:NNN`` = reference file
+SQL_DATA_INTEGRATION_TOOL.py line NNN (see SURVEY.md).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+
+def _dec(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    """Exact decimal view of a 2-decimal money/ratio double column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast(f"decimal({prec},{scale})")
+
+
+def _dsum(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    """Order-independent exact SUM of a money double, returned as DOUBLE."""
+    return F.sum(_dec(col, prec, scale)).cast("double")
+
+
+def _davg(col: str | Column, prec: int = 12, scale: int = 2) -> Column:
+    """Exact-sum AVG: decimal sum cast to double, divided by count."""
+    return F.sum(_dec(col, prec, scale)).cast("double") / F.count(F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M0): TPC-H Q1-style pricing summary.
+# Reference surface: COUNT/AVG/GROUP BY/ORDER BY keywords (tool:391-392);
+# group-sum report path (tool:1261-1262).
+# Scale: one shuffle on two low-cardinality keys; map-side partial
+# aggregation makes the shuffle tiny regardless of input size.
+# ---------------------------------------------------------------------------
+def q_flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    price = _dec("l_extendedprice")
+    disc_price = price * (F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2))
+    charge = disc_price * (F.lit(1).cast("decimal(3,2)") + _dec("l_tax", 3, 2))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            (F.sum(_dec("l_discount", 3, 2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PRJ-01 — column projection (tool:159,177,189,204,228). Pruned at scan:
+# .explain shows ReadSchema with only the 3 columns.
+# ---------------------------------------------------------------------------
+def q_prj_01_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# PRJ-02 — mapping projection + rename; "Do not import" drops a column
+# (tool:591-614, 630). Mapping = {src: dst}; unmapped columns dropped.
+# ---------------------------------------------------------------------------
+def apply_column_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+    """Projection+rename exactly as the reference's import mapping."""
+    return df.select([F.col(s).alias(d) for s, d in mapping.items()])
+
+
+def q_prj_02_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    mapping = {"c_custkey": "id", "c_name": "customer_name", "c_acctbal": "balance"}
+    return apply_column_mapping(c, mapping).orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+# PRJ-03 — null normalization: pd.isnull(v) -> None (tool:648-649).
+# Fixtures have no NULLs, so we synthesize the condition the operator
+# handles: blank-like strings and NaN floats normalize to NULL.
+# ---------------------------------------------------------------------------
+def normalize_nulls(df: DataFrame) -> DataFrame:
+    cols = []
+    for f in df.schema.fields:
+        c = F.col(f.name)
+        if f.dataType.typeName() in ("double", "float"):
+            c = F.when(F.isnan(c), F.lit(None)).otherwise(c)
+        elif f.dataType.typeName() == "string":
+            c = F.when(F.trim(c) == "", F.lit(None)).otherwise(c)
+        cols.append(c.alias(f.name))
+    return df.select(cols)
+
+
+def q_prj_03_null_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    staged = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderstatus") == "F", F.lit("")).otherwise(
+            F.col("o_orderstatus")
+        ).alias("o_orderstatus"),
+    )
+    return normalize_nulls(staged).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# PRJ-04 — stringify for display: str(value) on every cell (tool:625,852).
+# ---------------------------------------------------------------------------
+def stringify_for_display(df: DataFrame) -> DataFrame:
+    return df.select([F.col(c).cast("string").alias(c) for c in df.columns])
+
+
+def q_prj_04_stringify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return stringify_for_display(
+        n.select("n_nationkey", "n_name", "n_regionkey")
+    ).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# FLT-01 — equality + AND conjunction (tool:191,206,232-234).
+# Pushed to parquet: .explain shows PushedFilters [EqualTo(...), ...].
+# ---------------------------------------------------------------------------
+def q_flt_01_eq_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"))
+        .select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLT-03 — NOT IN list predicate (tool:162: database_id NOT IN (1,2,3)).
+# ---------------------------------------------------------------------------
+def q_flt_03_not_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    return n.filter(~F.col("n_regionkey").isin(1, 2, 3)).orderBy("n_nationkey")
+
+
+# ---------------------------------------------------------------------------
+# FLT-04 — parameterized predicate [pk] = ? (tool:288).
+# ---------------------------------------------------------------------------
+def q_flt_04_param_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey") == F.lit(7))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# FLT-05 — value/range predicates (tool:177 value filter; Tier B/C range).
+# ---------------------------------------------------------------------------
+def q_flt_05_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 25)
+            & (F.col("l_quantity") <= 30)
+            & (F.col("l_discount") > 0.05)
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-01 — inner equi-join, the one join the tool emits itself
+# (tool:228-235: TABLE_CONSTRAINTS ⋈ KEY_COLUMN_USAGE).
+# Scale: customer is dimension-sized → broadcast hash join, no shuffle
+# of the fact side.
+# ---------------------------------------------------------------------------
+def q_join_01_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "inner")
+        .select("o_orderkey", "c_name", "c_mktsegment", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-02 — LEFT / FULL OUTER (declared keywords tool:388-389).
+# ---------------------------------------------------------------------------
+def q_join_02_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    agg = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum("o_totalprice").alias("total_spend"),
+    )
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("total_spend", F.lit(0.0)).alias("total_spend"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+def q_join_02_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    left = (
+        li.filter(F.col("l_returnflag") == "R")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_returned"))
+    )
+    right = (
+        li.filter(F.col("l_linestatus") == "O")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+    )
+    return (
+        left.join(right, "l_partkey", "full")
+        .select(
+            "l_partkey",
+            F.coalesce("n_returned", F.lit(0)).alias("n_returned"),
+            F.coalesce("n_open", F.lit(0)).alias("n_open"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JOIN-03 — multi-way star join through the pass-through tier (tool:273).
+# Scale: customer/nation/region broadcast; only lineitem⋈orders shuffles
+# (both huge at 100 TB — co-partitioned on orderkey; AQE handles skew).
+# ---------------------------------------------------------------------------
+def q_join_03_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    disc_price = _dec("l_extendedprice") * (
+        F.lit(1).cast("decimal(3,2)") - _dec("l_discount", 3, 2)
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(disc_price).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI (Tier C surface): customers with vs without
+    orders, counted per market segment."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (
+        with_orders.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_with_orders"))
+        .join(
+            without.groupBy("c_mktsegment").agg(
+                F.count(F.lit(1)).alias("n_without_orders")
+            ),
+            "c_mktsegment",
+            "full",
+        )
+        .select(
+            "c_mktsegment",
+            F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+            F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-01 — group-by SUM (pie chart data path, tool:1261-1262).
+# ---------------------------------------------------------------------------
+def q_agg_01_group_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(_dsum("o_totalprice").alias("total_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-02 — value counts: group-by COUNT sorted desc (tool:1263-1264).
+# Tie-break on the key for stable output (SURVEY §7.3 item 5).
+# ---------------------------------------------------------------------------
+def q_agg_02_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-03 — COUNT / AVG declared keywords (tool:392) + MIN/MAX.
+# ---------------------------------------------------------------------------
+def q_agg_03_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            _davg("c_acctbal").alias("avg_balance"),
+            F.min("c_acctbal").alias("min_balance"),
+            F.max("c_acctbal").alias("max_balance"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-04 — GROUP BY / HAVING / DISTINCT (tool:391).
+# ---------------------------------------------------------------------------
+def q_agg_04_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+        .filter(F.col("n_items") > 100)  # HAVING
+        .orderBy("l_suppkey")
+    )
+
+
+def q_agg_04_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderstatus", "o_orderpriority")
+        .distinct()
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# AGG-05 — arbitrary aggregates via pass-through: ROLLUP, stddev,
+# count-distinct (Tier C, tool:273).
+# ---------------------------------------------------------------------------
+def q_agg_05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_qty",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_agg_05_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SRT-01/02, LIM-01/02 — ORDER BY / LIMIT / OFFSET / top-k.
+# orderBy().limit(k) compiles to TakeOrderedAndProject: per-partition
+# k-heaps + driver merge — no global sort at scale.
+# ---------------------------------------------------------------------------
+def q_srt_01_order_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.orderBy(F.desc("s_acctbal"), "s_suppkey").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+
+
+def q_srt_02_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.orderBy("c_custkey").select("c_custkey", "c_name").offset(10).limit(20)
+
+
+def q_lim_01_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-row preview (tool:619,846) — limit pushed into the plan,
+    unlike the reference which materializes everything first (tool:274)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    )
+
+
+def q_lim_02_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SET operations (§2.7 — Tier C pass-through surface).
+# ---------------------------------------------------------------------------
+def q_set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .union(s.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    )
+
+
+def q_set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = c.intersect(s).withColumn("which", F.lit("both"))
+    only_c = c.subtract(s).withColumn("which", F.lit("customer_only"))
+    return both.union(only_c).orderBy("which", "nationkey")
+
+
+# ---------------------------------------------------------------------------
+# FN-01 — YEAR()/MONTH(), the only scalar functions in the declared
+# surface (tool:392).
+# ---------------------------------------------------------------------------
+def q_fn_01_year_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice").alias("total_price"),
+        )
+        .orderBy("order_year", "order_month")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (§2.5 — Tier C pass-through surface).
+# Scale: single shuffle on the partition key; no driver materialization.
+# ---------------------------------------------------------------------------
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per priority by totalprice via row_number."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue per supplier in ship-date order. Decimal sum
+    keeps the running values exact → identical to the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        li.filter(F.col("l_suppkey") <= 3)
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            F.sum(_dec("l_extendedprice")).over(w).cast("double").alias(
+                "running_revenue"
+            ),
+        )
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries (Tier C): scalar-subquery shape (customers above average
+# balance). The scalar aggregate broadcasts — no shuffle of the big side.
+# ---------------------------------------------------------------------------
+def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.agg(
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("a"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )

@@ -1,0 +1,105 @@
+"""Local stand-in for the driver's t2 correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at sf0.01, compares row count, sorted column names, and an
+order-insensitive value hash (exact string rendering; floats via repr).
+
+Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from sparketl.io import TABLE_NAMES, table_path  # noqa: E402
+
+
+def _canon(val) -> str:
+    import datetime
+    import math
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, float):
+        if math.isnan(val):
+            return "NaN"
+        return repr(val)
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        return val.isoformat()
+    return str(val)
+
+
+def frame_fingerprint(cols: list[str], rows: list[tuple]):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(_canon(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return sorted(cols), len(rows), h
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from sparketl.session import get_spark
+
+    spark = get_spark("verify_oracle")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(sf_dir, t)}')"
+        )
+
+    n_pass = n_fail = n_rows_only = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            srows = sdf.collect()
+            scols = sdf.columns
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        sc, sn, sh = frame_fingerprint(scols, [tuple(r) for r in srows])
+        dc, dn, dh = frame_fingerprint(dcols, drows)
+        if (sc, sn, sh) == (dc, dn, dh):
+            print(f"PASS  {name}: {sn} rows")
+            n_pass += 1
+        else:
+            print(f"FAIL  {name}: spark(cols={sc},n={sn},h={sh}) duckdb(cols={dc},n={dn},h={dh})")
+            if sn == dn and sc == dc:
+                for a, b in zip(
+                    sorted(map(tuple, srows)), sorted(map(tuple, drows))
+                ):
+                    if tuple(map(_canon, a)) != tuple(map(_canon, b)):
+                        print(f"      first diff:\n      spark : {a}\n      duckdb: {b}")
+                        break
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
