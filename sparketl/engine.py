@@ -1,0 +1,80 @@
+"""The engine facade: SQL execution, previews, saved queries.
+
+Rebuild of the reference's query lifecycle (SURVEY §3.1):
+``execute_sql_query → SQLManager.execute_query`` (tool:269-280,
+1088-1111) becomes ``Engine.execute`` — dialect shim → ``spark.sql``
+→ a *lazy* DataFrame (the reference materializes everything with
+fetchall, tool:274; we only materialize the 100-row preview).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparketl.catalog import Catalog
+from sparketl.dialect import transpile
+from sparketl.operators.relational import stringify_for_display
+
+PREVIEW_ROWS = 100  # tool:619, 846
+
+
+class QueryError(Exception):
+    pass
+
+
+class Engine:
+    """One engine instance per SparkSession (the reference's
+    SQLManager held one pyodbc connection, tool:108-138)."""
+
+    def __init__(self, spark: SparkSession, saved_queries_path: str | None = None):
+        self.spark = spark
+        self.catalog = Catalog(spark)
+        self.saved_queries_path = saved_queries_path or os.path.join(
+            os.getcwd(), "saved_queries.json"
+        )
+        self.last_result: DataFrame | None = None  # tool:427-428, 1106-1107
+
+    # -- Tier C pass-through (tool:269-280) ---------------------------------
+    def execute(self, sql: str, database: str | None = None) -> DataFrame:
+        """Run SQL (T-SQL spellings accepted via the dialect shim).
+
+        Empty-query guard mirrors tool:1093-1095. The result is a lazy
+        DataFrame — callers preview/aggregate/write it without a full
+        client-side materialization.
+        """
+        if not sql or not sql.strip():
+            raise QueryError("Query is empty")  # tool:1093-1095
+        if database:
+            self.catalog.use_database(database)  # tool:272 → 146-153
+        df = self.spark.sql(transpile(sql))
+        self.last_result = df
+        return df
+
+    # -- preview (tool:616-626, 843-853): first 100 rows, stringified ------
+    def preview(self, df: DataFrame | None = None, n: int = PREVIEW_ROWS):
+        df = df if df is not None else self.last_result
+        if df is None:
+            raise QueryError("No query has been executed")
+        return stringify_for_display(df.limit(n)).toPandas()
+
+    # -- saved-query store (SNK-05, tool:1379-1395) -------------------------
+    def load_saved_queries(self) -> dict[str, str]:
+        if os.path.exists(self.saved_queries_path):
+            with open(self.saved_queries_path, encoding="utf-8") as f:
+                return json.load(f)
+        return {}
+
+    def save_query(self, name: str, sql: str) -> None:
+        queries = self.load_saved_queries()
+        queries[name] = sql
+        with open(self.saved_queries_path, "w", encoding="utf-8") as f:
+            json.dump(queries, f, indent=2)
+
+    def delete_saved_query(self, name: str) -> None:
+        queries = self.load_saved_queries()
+        queries.pop(name, None)
+        with open(self.saved_queries_path, "w", encoding="utf-8") as f:
+            json.dump(queries, f, indent=2)

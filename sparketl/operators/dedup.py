@@ -1,0 +1,231 @@
+"""Deduplication operators (EXT-01/02 — SURVEY §2.12).
+
+Four tiers, from exact to fuzzy, all DataFrame-native:
+
+- exact: keyed dedup with deterministic keep-first (window row_number)
+- n-gram Jaccard: exact set-similarity on trigram shingles — the
+  oracle-checkable ground truth for near-dup detection
+- MinHash-LSH: the 100 TB scale path — candidate generation via
+  banded min-hashes (explode bands → bucket join), verified against
+  exact Jaccard only on candidates
+- SimHash: 64-bit fingerprints via xxhash64 bit-votes, computed as a
+  pure map (array fold, no shuffle)
+
+Scale design: the exact-Jaccard self-join is quadratic in per-shingle
+document frequency — fine for correctness at sf0.01, replaced by
+LSH banding at scale, where each document lands in O(bands) buckets
+and only bucket-mates pair up. Both paths share the shingling code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+# ---------------------------------------------------------------------------
+# EXT-01 — exact dedup with deterministic keep-first semantics.
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, keys: list[str], order_by: str) -> DataFrame:
+    """Keep exactly one row per key group — the one with the smallest
+    ``order_by`` value (deterministic, unlike dropDuplicates)."""
+    w = W.partitionBy(*keys).orderBy(order_by)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def q_ext_01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup events on (user_id, event_type), keeping the earliest
+    event_id; report the kept id and the group size."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("kept_event_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return counts.orderBy("user_id", "event_type")
+
+
+def q_ext_01_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact text dedup over documents (hash-groupBy formulation):
+    one surviving doc_id per distinct text."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = exact_dedup(d, ["text"], "doc_id")
+    return kept.select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Shingling shared by Jaccard / MinHash.
+# ---------------------------------------------------------------------------
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, sh: array<string>) — distinct word n-gram shingles.
+    Documents with fewer than ``n`` tokens are dropped (no shingle)."""
+    toks = F.split(F.col(text_col), " ")
+    df = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    parts = ", ".join(f"toks[i+{k}]" for k in range(n))
+    return df.select(
+        "doc_id",
+        F.expr(
+            f"array_distinct(transform(sequence(0, size(toks)-{n}), "
+            f"i -> concat_ws(' ', {parts})))"
+        ).alias("sh"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EXT-02a — exact n-gram Jaccard near-dup pairs (oracle-checkable).
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """All document pairs with trigram-shingle Jaccard ≥ threshold.
+
+    Plan: explode shingles → self equi-join on shingle (this is the
+    only shuffle; its cost is Σ df(shingle)²) → count common → join
+    per-doc sizes (broadcast-sized aggregate) → |A∩B| / (|A|+|B|-|A∩B|).
+    """
+    sh = shingles(docs, n=n).cache()
+    sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
+    tok = sh.select("doc_id", F.explode("sh").alias("tok"))
+    a = tok.alias("a")
+    b = tok.alias("b")
+    common = (
+        a.join(b, (F.col("a.tok") == F.col("b.tok")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def q_ext_02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, threshold=0.5).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# EXT-02b — MinHash + LSH banding: the scale path.
+# xxhash64 is Spark-stable (seeded), so results are deterministic but
+# engine-specific → rows-only driver check; pytest asserts the
+# candidate set is a superset of the exact-Jaccard pairs.
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
+    """(doc_id, sig: array<bigint>) — min over shingles of seeded
+    xxhash64, computed as a pure array fold (no explode, no shuffle)."""
+    mins = F.array(
+        *[
+            F.array_min(
+                F.expr(f"transform(sh, s -> xxhash64(s, {seed}))")
+            ).alias(f"h{seed}")
+            for seed in range(num_hashes)
+        ]
+    )
+    return sh.select("doc_id", mins.alias("sig"))
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Each doc emits ``bands`` (band_id, bucket_hash) keys; the only
+    shuffle is the groupBy on those keys. Bucket sizes stay small when
+    rows/band ≥ 4, so the within-bucket pairing is cheap.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(shingles(docs), num_hashes)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"named_struct('band', b, 'bucket', "
+                f"xxhash64(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band})))))"
+            )
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def q_ext_02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# EXT-02c — SimHash 64-bit fingerprints: pure map-side array fold.
+# ---------------------------------------------------------------------------
+
+
+def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) — sign-aggregated bit votes of token hashes.
+
+    Entirely JVM-side expression work (split → per-bit vote fold →
+    sign reduction); no shuffle at all, so it streams at scan speed.
+    """
+    votes = F.expr(
+        """
+        aggregate(
+          split(text, ' '),
+          array_repeat(0L, 64),
+          (acc, tok) -> zip_with(
+            acc,
+            transform(sequence(0, 63),
+                      i -> CASE WHEN (shiftright(xxhash64(tok), i) & 1L) = 1L
+                                THEN 1L ELSE -1L END),
+            (a, v) -> a + v)
+        )
+        """
+    )
+    fingerprint = F.expr(
+        """
+        aggregate(
+          transform(sequence(0, 63),
+                    i -> CASE WHEN votes[i] > 0 THEN shiftleft(1L, i) ELSE 0L END),
+          0L, (acc, b) -> acc | b)
+        """
+    )
+    return docs.select("doc_id", votes.alias("votes")).select(
+        "doc_id", fingerprint.alias("simhash")
+    )
+
+
+def q_ext_02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash(d).orderBy("doc_id")

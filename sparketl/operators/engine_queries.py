@@ -1,0 +1,94 @@
+"""Tier-C pass-through queries, driven through ``Engine.execute``.
+
+These prove the reference's flagship path (SURVEY §3.1): arbitrary SQL
+text — including T-SQL spellings — goes through the dialect shim into
+``spark.sql``. The oracle twin is plain ANSI SQL, so a hash match also
+proves the shim rewrites (brackets, TOP, ISNULL, LEN, CHARINDEX)
+preserve semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sparketl.engine import Engine
+from sparketl.io import load_tables
+
+
+def _run(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(sql)
+
+
+def q_tierc_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain Spark SQL through the engine (tool:273 equivalent)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_mktsegment,
+               YEAR(o_orderdate) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY c_mktsegment, YEAR(o_orderdate)
+        ORDER BY c_mktsegment, order_year
+        """,
+    )
+
+
+def q_tierc_tsql_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL spellings: TOP + bracket identifiers (tool:149, 246-248)."""
+    return _run(
+        spark,
+        sf_dir,
+        "SELECT TOP 25 [o_orderkey], [o_totalprice] FROM orders "
+        "ORDER BY [o_totalprice] DESC, [o_orderkey]",
+    )
+
+
+def q_tierc_tsql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL scalar functions via the shim: ISNULL/LEN/CHARINDEX."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT TOP 200 [o_orderkey],
+               ISNULL(NULLIF([o_orderstatus], 'F'), 'CLOSED') AS status_or_closed,
+               LEN([o_orderpriority]) AS pri_len,
+               CHARINDEX('-', [o_orderpriority]) AS dash_pos
+        FROM orders ORDER BY [o_orderkey]
+        """,
+    )
+
+
+ENGINE_QUERIES = {
+    "tierc_sql_passthrough": q_tierc_sql_passthrough,
+    "tierc_tsql_top": q_tierc_tsql_top,
+    "tierc_tsql_funcs": q_tierc_tsql_funcs,
+}
+
+ENGINE_ORACLES = {
+    "tierc_sql_passthrough": """
+        SELECT c_mktsegment,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderpriority = '1-URGENT'
+        GROUP BY c_mktsegment, YEAR(o_orderdate)
+        ORDER BY c_mktsegment, order_year
+    """,
+    "tierc_tsql_top": """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "tierc_tsql_funcs": """
+        SELECT o_orderkey,
+               COALESCE(NULLIF(o_orderstatus, 'F'), 'CLOSED') AS status_or_closed,
+               CAST(LENGTH(o_orderpriority) AS INT) AS pri_len,
+               CAST(POSITION('-' IN o_orderpriority) AS INT) AS dash_pos
+        FROM orders ORDER BY o_orderkey LIMIT 200
+    """,
+}

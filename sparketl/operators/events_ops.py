@@ -1,0 +1,99 @@
+"""Event-stream operators, batch form (EXT-05/06 — SURVEY §2.10/§2.12).
+
+- JSON property extraction from the ``props`` string column
+- tumbling time-window aggregation (F.window in batch mode — the same
+  expression the streaming variant uses, see sparketl.streaming)
+- sessionization: gap-based session assignment via lag + running sum
+
+Timestamps are surfaced as epoch-microsecond BIGINTs (the fixture's
+ns-precision ts is truncated to µs on load — matching DuckDB's
+CAST(ts AS TIMESTAMP); see FIXTURES.md precision note).
+
+Scale: window/session aggs shuffle once on (user/window) keys —
+exactly the Structured Streaming state layout, so the batch plan and
+the streaming plan scale the same way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+
+def q_ext_05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """get_json_object on the props column → per-type stats of $.k."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Tumbling event-time windows (batch form of the streaming agg)."""
+    return (
+        events.groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_ext_06_hourly_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return tumbling_window_agg(e, "1 hour").orderBy("window_start_us", "event_type")
+
+
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, user_col: str = "user_id"
+) -> DataFrame:
+    """Assign gap-based sessions per user: a new session starts when
+    the time since the previous event exceeds the gap. One shuffle on
+    the user key; the running sum is a per-partition scan."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    w = W.partitionBy(user_col).orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    prev = F.lag(ts_us).over(w)
+    is_new = F.when(prev.isNull() | ((ts_us - prev) > gap_us), 1).otherwise(0)
+    return events.withColumn(
+        "session_idx",
+        F.sum(is_new).over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+def q_ext_06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session summary: per (user, session) event count, value total,
+    and start time."""
+    e = load_table(spark, sf_dir, "events")
+    s = sessionize(e, gap_minutes=30)
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id", "session_idx")
+    )

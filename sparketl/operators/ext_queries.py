@@ -1,0 +1,245 @@
+"""Registry of [EXT] queries (SURVEY §2.12) + their DuckDB oracles.
+
+Queries whose Spark implementation depends on engine-specific hashes
+(xxhash64: minhash/simhash/LSH buckets) have no oracle → the driver
+records a rows-only check; pytest covers their semantics instead
+(candidate-set recall vs the exact formulations).
+"""
+
+from __future__ import annotations
+
+from sparketl.operators.dedup import (
+    q_ext_01_dedup_documents,
+    q_ext_01_exact_dedup,
+    q_ext_02_minhash_lsh,
+    q_ext_02_ngram_jaccard,
+    q_ext_02_simhash,
+)
+from sparketl.operators.events_ops import (
+    q_ext_05_json_extract,
+    q_ext_06_hourly_window,
+    q_ext_06_sessionize,
+)
+from sparketl.operators.multimodal import q_ext_mm_decode, q_ext_mm_frames
+from sparketl.operators.similarity import (
+    q_ext_03_ann_lsh,
+    q_ext_03_cosine_topk,
+    q_ext_03_embedding_near_dup,
+)
+from sparketl.operators.text import (
+    q_ext_04_fingerprint,
+    q_ext_04_lang_id,
+    q_ext_04_quality,
+    q_ext_04_text_stats,
+    q_ext_04_token_count_bpe,
+    q_ext_04_token_counts,
+)
+
+EXT_QUERIES = {
+    "ext_01_exact_dedup": q_ext_01_exact_dedup,
+    "ext_01_dedup_documents": q_ext_01_dedup_documents,
+    "ext_02_ngram_jaccard": q_ext_02_ngram_jaccard,
+    "ext_02_minhash_lsh": q_ext_02_minhash_lsh,
+    "ext_02_simhash": q_ext_02_simhash,
+    "ext_03_cosine_topk": q_ext_03_cosine_topk,
+    "ext_03_embedding_near_dup": q_ext_03_embedding_near_dup,
+    "ext_03_ann_lsh": q_ext_03_ann_lsh,
+    "ext_04_text_stats": q_ext_04_text_stats,
+    "ext_04_token_counts": q_ext_04_token_counts,
+    "ext_04_quality": q_ext_04_quality,
+    "ext_04_token_count_bpe": q_ext_04_token_count_bpe,
+    "ext_04_lang_id": q_ext_04_lang_id,
+    "ext_04_fingerprint": q_ext_04_fingerprint,
+    "ext_05_json_extract": q_ext_05_json_extract,
+    "ext_06_hourly_window": q_ext_06_hourly_window,
+    "ext_06_sessionize": q_ext_06_sessionize,
+    "ext_mm_decode": q_ext_mm_decode,
+    "ext_mm_frames": q_ext_mm_frames,
+}
+
+_LANG_CASE = """
+    CASE
+      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      WHEN s_fr >= s_zh THEN 'fr'
+      ELSE 'zh'
+    END
+"""
+
+EXT_ORACLES = {
+    "ext_01_exact_dedup": """
+        SELECT user_id, event_type,
+               MIN(event_id) AS kept_event_id,
+               COUNT(*) AS n_copies
+        FROM events GROUP BY user_id, event_type
+        ORDER BY user_id, event_type
+    """,
+    "ext_01_dedup_documents": """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn = 1 ORDER BY doc_id
+    """,
+    "ext_02_ngram_jaccard": """
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+          WHERE len(t) >= 3
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.sh, b.sh))
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+                 AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sh, b.sh))
+                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    "ext_03_cosine_topk": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+                   AS sim
+          FROM v q JOIN v c ON q.vec_id <> c.vec_id
+          WHERE q.vec_id < 8
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        ORDER BY query_id, rank
+    """,
+    "ext_03_embedding_near_dup": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))), 4)
+                 AS cosine
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.95
+        ORDER BY vec_a, vec_b
+    """,
+    "ext_04_text_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) * 1.0 / COUNT(*)
+                 AS avg_tokens
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "ext_04_token_counts": """
+        SELECT token, COUNT(*) AS freq FROM (
+          SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token ORDER BY freq DESC, token LIMIT 20
+    """,
+    "ext_04_quality": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                 CAST(len(list_filter(string_split(text, ' '),
+                                      x -> x IN ('the', 'a'))) AS INT) AS n_stop,
+                 length(text) AS n_chars
+          FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+               CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_word_len,
+               least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.4
+                 + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                 + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens) / 8.0, 1.0) * 0.3
+                 AS quality
+        FROM t ORDER BY doc_id
+    """,
+    "ext_04_token_count_bpe": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            w -> (length(w) + 3) // 4)) AS INT)
+                 AS subword_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_04_lang_id": f"""
+        WITH scored AS (
+          SELECT lang,
+                 len(list_filter(string_split(text,' '), x -> x IN ('the','a','data','table'))) AS s_en,
+                 len(list_filter(string_split(text,' '), x -> x IN ('row','column','value'))) AS s_es,
+                 len(list_filter(string_split(text,' '), x -> x IN ('hash','merge','sort'))) AS s_de,
+                 len(list_filter(string_split(text,' '), x -> x IN ('query','filter','join'))) AS s_fr,
+                 len(list_filter(string_split(text,' '), x -> x IN ('spark','stream','batch'))) AS s_zh
+          FROM documents
+        )
+        SELECT lang AS true_lang, {_LANG_CASE} AS predicted, COUNT(*) AS n_docs
+        FROM scored GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ext_04_fingerprint": """
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(CAST(7 AS BIGINT),
+                   list_transform(range(1, length(text) + 1),
+                                  i -> CAST(ascii(text[i]) AS BIGINT))),
+                 (acc, c) -> (acc * 31 + c) % 1000000000000000) AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_05_json_extract": """
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+               MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "ext_06_hourly_window": """
+        SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+                 AS window_start_us,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "ext_06_sessionize": """
+        WITH e AS (
+          SELECT user_id, event_id, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events
+        ), marked AS (
+          SELECT *,
+                 CASE WHEN lag(ts_us) OVER w IS NULL
+                        OR ts_us - lag(ts_us) OVER w > 30 * 60 * 1000000
+                      THEN 1 ELSE 0 END AS is_new
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), sessioned AS (
+          SELECT *,
+                 CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS session_idx
+          FROM marked
+        )
+        SELECT user_id, session_idx,
+               MIN(ts_us) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM sessioned GROUP BY user_id, session_idx
+        ORDER BY user_id, session_idx
+    """,
+    "ext_mm_decode": """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+               CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height,
+               3 AS channels
+        FROM documents ORDER BY doc_id
+    """,
+    "ext_mm_frames": """
+        SELECT doc_id,
+               CAST((octet_length(encode(text)) + 99) // 100 AS INT) AS n_frames
+        FROM documents ORDER BY doc_id
+    """,
+}

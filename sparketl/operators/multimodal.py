@@ -1,0 +1,120 @@
+"""Multimodal-column plumbing (north-star extension).
+
+Images/audio/video are opaque ``binary`` columns plus a typed metadata
+struct. The Spark-side plumbing — schema, Arrow batch transfer,
+mapInPandas signatures, partition-preserving transforms — is real and
+tested; the actual codec calls are stubbed (image/audio libraries are
+not in this container) behind ``_require_codec`` or replaced by the
+deterministic fake documented per function.
+
+Pattern at scale: binary payloads never pass through Python row-by-row
+— they move as Arrow batches into pandas UDFs (`mapInPandas`), and
+per-file work parallelizes across partitions, which is how
+`spark.read.format("binaryFile")` + decode pipelines are built.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+DECODED_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, channels int, format string"
+)
+
+FRAMES_SCHEMA = "doc_id long, n_frames int, frame_offsets array<int>"
+
+
+def _require_codec(name: str) -> None:
+    """Real decoders are not available in this environment."""
+    raise NotImplementedError(
+        f"codec '{name}' not available: install Pillow/av/soundfile to "
+        f"decode real payloads; tests use the deterministic fake path"
+    )
+
+
+def to_binary_column(docs: DataFrame, payload_col: str = "text") -> DataFrame:
+    """Attach a binary payload + typed metadata struct (the ingest
+    shape a real image/audio table would have)."""
+    payload = F.encode(F.col(payload_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.lit("fake/raw").alias("format"),
+            F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_images(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """'Decode' each binary payload into (width, height, channels).
+
+    fake=True → deterministic fake derived from the byte length
+    (width = n % 640 + 1, height = (n * 7) % 480 + 1, channels = 3) —
+    the Arrow/mapInPandas plumbing is identical to a real decoder.
+    fake=False → requires a real codec (NotImplementedError here).
+    """
+    if not fake:
+        _require_codec("image")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": n.astype("int32"),
+                    "width": (n % 640 + 1).astype("int32"),
+                    "height": (n * 7 % 480 + 1).astype("int32"),
+                    "channels": 3,
+                    "format": "fake/raw",
+                }
+            )
+
+    return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
+
+
+def sample_frames(binary_df: DataFrame, stride: int = 100, fake: bool = True) -> DataFrame:
+    """'Frame-sample' a video payload: emit byte offsets every
+    ``stride`` bytes (deterministic fake of keyframe extraction)."""
+    if not fake:
+        _require_codec("video")
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            offs = pdf["payload"].map(lambda b: list(range(0, len(b), stride)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": offs.map(len).astype("int32"),
+                    "frame_offsets": offs,
+                }
+            )
+
+    return binary_df.mapInPandas(sample, schema=FRAMES_SCHEMA)
+
+
+def q_ext_mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary→metadata decode over documents-as-payloads. Exercises
+    encode → Arrow batch → mapInPandas → decoded schema end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        decode_images(to_binary_column(d))
+        .select("doc_id", "n_bytes", "width", "height", "channels")
+        .orderBy("doc_id")
+    )
+
+
+def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        sample_frames(to_binary_column(d))
+        .select("doc_id", "n_frames")
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,198 @@
+"""Embedding similarity search (EXT-03 — SURVEY §2.12).
+
+- brute-force cosine top-k: the correctness baseline. Query vectors
+  broadcast against the (distributed) corpus; dot products are pure
+  JVM array folds; ranking via TakeOrderedAndProject-style window.
+- random-hyperplane LSH buckets: the scale path — each vector maps to
+  a bit-signature bucket; queries only score against bucket-mates
+  (probing neighboring buckets by flipping one bit).
+- embedding-cosine near-dup pairs: all pairs above a cosine threshold.
+
+All dot products fold in double precision in index order so results
+are reproducible; ties in ranking break on neighbor id (SURVEY §7.3
+items 5-6).
+
+At 100 TB the corpus side stays partitioned and only signatures +
+bucket ids shuffle; the brute-force path exists because at test scale
+it IS the oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
+
+
+def _dot(a: str, b: str) -> F.Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def with_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return df.withColumn("_norm", F.sqrt(_dot(vec_col, vec_col)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    ``queries`` must be small (it is broadcast); the corpus never
+    leaves its partitions until the final per-query top-k merge.
+    """
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+        )
+    )
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_ext_03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (part of the dedup suite).
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
+    """All (a, b) pairs with cosine ≥ threshold. Quadratic — correct
+    at test scale; the LSH bucket variant is the scale path."""
+    n = with_norm(emb).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("e"), F.col("_norm").alias("nrm")
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .withColumn(
+            "cosine",
+            _dot("a.e", "b.e") / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.id").alias("vec_a"),
+            F.col("b.id").alias("vec_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+    )
+
+
+def q_ext_03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, 0.95).orderBy("vec_a", "vec_b")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path (rows-only driver check; pytest
+# asserts recall ≥ 0.9 vs the brute-force baseline).
+# ---------------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def lsh_bucket(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"):
+    """Add a bit-signature bucket column from fixed random hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.expr(
+            _DOT.format(a=vec_col, b=f"array({', '.join(repr(float(x)) for x in p)})")
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        _ = arr
+    bucket = bits[0]
+    for b in bits[1:]:
+        bucket = bucket + b
+    return df.withColumn("bucket", bucket.cast("long"))
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's LSH bucket and
+    its 1-bit-flip neighbor buckets (multi-probe)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = lsh_bucket(with_norm(corpus), planes).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.col("_norm").alias("c_norm"),
+        "bucket",
+    )
+    q0 = lsh_bucket(with_norm(queries), planes).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.col("_norm").alias("q_norm"),
+        "bucket",
+    )
+    # multi-probe: original bucket + each 1-bit flip
+    probes = q0.select(
+        "query_id",
+        "q_vec",
+        "q_norm",
+        F.explode(
+            F.expr(
+                f"array_union(array(bucket), "
+                f"transform(sequence(0, {n_planes - 1}), "
+                f"i -> CAST(bucket ^ shiftleft(1L, i) AS LONG)))"
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
+        .select("query_id", "neighbor_id", "sim")
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_ext_03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")

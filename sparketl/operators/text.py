@@ -1,0 +1,159 @@
+"""Text-analysis operators (EXT-04 / north-star text suite).
+
+- corpus stats per language (token/char aggregates)
+- token frequency (top-k terms)
+- quality scoring: length / stopword-ratio / word-length composite
+- token counting: whitespace tokens + a BPE-ish subword estimate
+- language-ID: wordlist-hit scoring with deterministic arg-max
+  (the fixture corpus shares one vocabulary across langs, so accuracy
+  is near-chance — the operator contract is determinism, and the
+  output is the confusion matrix against the labeled column)
+- document fingerprinting: polynomial rolling hash over characters
+
+Everything is built from JVM-side expressions (split / filter /
+aggregate / transform array folds) — no Python UDFs — so the whole
+suite runs inside whole-stage codegen and scales with scan
+throughput; the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+STOPWORDS = ("the", "a")
+
+# Deterministic wordlists for the language-ID heuristic.
+LANG_WORDLISTS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "data", "table"),
+    "es": ("row", "column", "value"),
+    "de": ("hash", "merge", "sort"),
+    "fr": ("query", "filter", "join"),
+    "zh": ("spark", "stream", "batch"),
+}
+
+
+def q_ext_04_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        d.select("lang", "n_chars", F.size(toks).alias("n_tokens"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.col("n_tokens").cast("long")).alias("total_tokens"),
+            (F.sum(F.col("n_tokens").cast("long")).cast("double") / F.count(F.lit(1))).alias(
+                "avg_tokens"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ext_04_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global term frequency, top 20 (tie-broken on token)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length/stopword/word-length composite quality score per doc.
+
+    score = 0.4·min(n_tokens/100, 1) + 0.3·(1 − stopword_ratio)
+          + 0.3·min(avg_word_len/8, 1)
+    All double arithmetic in a fixed order → reproducible.
+    """
+    toks = F.split(F.col("text"), " ")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    n_tokens = F.size(toks).cast("double")
+    n_stop = F.expr(f"size(filter(split(text, ' '), x -> x IN ({sw})))").cast("double")
+    avg_word_len = (F.length("text") - (F.size(toks) - 1)).cast("double") / F.size(toks)
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        avg_word_len.alias("avg_word_len"),
+        (
+            F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * 0.4
+            + (F.lit(1.0) - n_stop / n_tokens) * 0.3
+            + F.least(avg_word_len / F.lit(8.0), F.lit(1.0)) * 0.3
+        ).alias("quality"),
+    )
+
+
+def q_ext_04_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return quality_score(d).orderBy("doc_id")
+
+
+def q_ext_04_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens and a BPE-ish subword estimate
+    (⌈len(word)/4⌉ per word, integer arithmetic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("ws_tokens"),
+        F.expr(
+            "aggregate(split(text, ' '), 0, (acc, w) -> acc + CAST((length(w) + 3) div 4 AS INT))"
+        ).alias("subword_tokens"),
+    ).orderBy("doc_id")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Predict language by wordlist hit count; deterministic arg-max
+    (max hits, ties broken by language code ascending)."""
+    scored = docs
+    for lang, words in LANG_WORDLISTS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        scored = scored.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter(split(text, ' '), x -> x IN ({wl})))"),
+        )
+    # min of (-score, lang) == max score with lexicographic tie-break
+    pairs = ", ".join(
+        f"named_struct('neg', -score_{lang}, 'lang', '{lang}')"
+        for lang in sorted(LANG_WORDLISTS)
+    )
+    return scored.withColumn(
+        "predicted", F.expr(f"array_min(array({pairs})).lang")
+    ).drop(*[f"score_{lang}" for lang in LANG_WORDLISTS])
+
+
+def q_ext_04_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the wordlist lang-ID against the labels."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        lang_id(d)
+        .groupBy(F.col("lang").alias("true_lang"), F.col("predicted"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("true_lang", "predicted")
+    )
+
+
+def fingerprint(docs: DataFrame, mod: int = 10**15, mult: int = 31, seed: int = 7) -> DataFrame:
+    """Polynomial rolling hash over the character stream — a
+    deterministic, engine-agnostic document fingerprint (unlike
+    xxhash64, this is reproducible in any SQL engine)."""
+    return docs.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(transform(sequence(1, length(text)), "
+            f"i -> ascii(substring(text, i, 1))), "
+            f"CAST({seed} AS BIGINT), (acc, c) -> (acc * {mult} + c) % {mod})"
+        ).alias("fingerprint"),
+    )
+
+
+def q_ext_04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return fingerprint(d).orderBy("doc_id")

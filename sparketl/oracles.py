@@ -248,9 +248,15 @@ RELATIONAL_ORACLES: dict[str, str] = {
 def all_oracles() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(RELATIONAL_ORACLES)
+    try:
+        from sparketl.operators.engine_queries import ENGINE_ORACLES
+
+        out.update(ENGINE_ORACLES)
+    except ImportError:
+        pass
     # extension-operator oracles are registered by their own modules
     try:
-        from sparketl.operators.ext_oracles import EXT_ORACLES
+        from sparketl.operators.ext_queries import EXT_ORACLES
 
         out.update(EXT_ORACLES)
     except ImportError:
