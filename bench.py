@@ -1,0 +1,80 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is forced to full materialization via the noop sink (no
+driver collect — measures the distributed plan, not toPandas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the flagship agg, the heaviest joins/windows, and the
+# LLM-pipeline operators (dedup, similarity, text, sessionization).
+HEADLINE = [
+    "flagship_pricing_summary",
+    "join_03_star",
+    "join_02_left",
+    "agg_04_having",
+    "window_rank",
+    "fn_01_year_month",
+    "tierc_sql_passthrough",
+    "ext_01_exact_dedup",
+    "ext_02_ngram_jaccard",
+    "ext_02_minhash_lsh",
+    "ext_02_simhash",
+    "ext_03_cosine_topk",
+    "ext_04_quality",
+    "ext_04_fingerprint",
+    "ext_05_json_extract",
+    "ext_06_sessionize",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from sparketl.session import get_spark
+
+    spark = get_spark("sparketl-bench")
+    qs = entrymod.queries()
+
+    # warm up the JVM + parquet footers once
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

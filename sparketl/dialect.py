@@ -66,6 +66,8 @@ def transpile(sql: str) -> str:
                 if j < len(tokens) and tokens[j].group().isdigit():
                     limit_from_top = tokens[j].group()
                     i = j + 1
+                    while i < len(tokens) and tokens[i].group().isspace():
+                        i += 1
                     continue
                 out.append(text)
             elif lower in _FUNC_MAP and _next_nonspace(tokens, i) == "(":

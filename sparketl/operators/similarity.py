@@ -125,20 +125,15 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.randn(n_planes, dim).tolist()
 
 
-def lsh_bucket(df: DataFrame, planes: list[list[float]], vec_col: str = "embedding"):
-    """Add a bit-signature bucket column from fixed random hyperplanes."""
-    bits = []
+def _bucket_expr(planes: list[list[float]], vec_col: str) -> F.Column:
+    """Bit-signature bucket from fixed hyperplanes (sign of each dot)."""
+    bucket = None
     for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        dot = F.expr(
-            _DOT.format(a=vec_col, b=f"array({', '.join(repr(float(x)) for x in p)})")
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        _ = arr
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.withColumn("bucket", bucket.cast("long"))
+        arr = f"array({', '.join(repr(float(x)) for x in p)})"
+        dot = F.expr(_DOT.format(a=vec_col, b=arr))
+        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
 
 
 def ann_lsh_topk(
@@ -146,43 +141,70 @@ def ann_lsh_topk(
     queries: DataFrame,
     k: int = 10,
     n_planes: int = 8,
+    n_tables: int = 8,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's LSH bucket and
-    its 1-bit-flip neighbor buckets (multi-probe)."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    c = lsh_bucket(with_norm(corpus), planes).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_vec"),
-        F.col("_norm").alias("c_norm"),
-        "bucket",
+    """Approximate top-k via multi-table random-hyperplane LSH.
+
+    OR-construction: ``n_tables`` independent signatures (AND over
+    ``n_planes`` bits each) + 1-bit multi-probe per table. A vector
+    lands in n_tables buckets; a query scores only bucket-mates, so
+    the scan fraction is ~n_tables·probes/2^n_planes of the corpus —
+    the knob that trades recall for cost at 100 TB (raise n_planes as
+    density grows to keep buckets small).
+    """
+    tb_structs_c = []
+    tb_structs_q = []
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        bc = _bucket_expr(planes, "embedding")
+        tb_structs_c.append(F.struct(F.lit(t).alias("t"), bc.alias("b")))
+        tb_structs_q.append(F.struct(F.lit(t).alias("t"), bc.alias("b")))
+
+    c = (
+        with_norm(corpus)
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("_norm").alias("c_norm"),
+            F.explode(F.array(*tb_structs_c)).alias("tb"),
+        )
+        .select("neighbor_id", "c_vec", "c_norm", "tb.t", "tb.b")
     )
-    q0 = lsh_bucket(with_norm(queries), planes).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_vec"),
-        F.col("_norm").alias("q_norm"),
-        "bucket",
-    )
-    # multi-probe: original bucket + each 1-bit flip
-    probes = q0.select(
-        "query_id",
-        "q_vec",
-        "q_norm",
-        F.explode(
-            F.expr(
-                f"array_union(array(bucket), "
-                f"transform(sequence(0, {n_planes - 1}), "
-                f"i -> CAST(bucket ^ shiftleft(1L, i) AS LONG)))"
-            )
-        ).alias("bucket"),
+    # queries: per table, probe the home bucket plus every 1-bit flip
+    q = (
+        with_norm(queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("_norm").alias("q_norm"),
+            F.explode(F.array(*tb_structs_q)).alias("tb"),
+        )
+        .select(
+            "query_id",
+            "q_vec",
+            "q_norm",
+            F.col("tb.t").alias("t"),
+            F.explode(
+                F.expr(
+                    f"array_union(array(tb.b), "
+                    f"transform(sequence(0, {n_planes - 1}), "
+                    f"i -> CAST(tb.b ^ shiftleft(1L, i) AS LONG)))"
+                )
+            ).alias("b"),
+        )
     )
     scored = (
-        c.join(F.broadcast(probes), "bucket")
+        c.join(F.broadcast(q), ["t", "b"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", _dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm")))
-        .select("query_id", "neighbor_id", "sim")
-        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot("q_vec", "c_vec") / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.first("sim").alias("sim"))  # dedup multi-table collisions
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (

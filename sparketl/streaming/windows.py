@@ -1,0 +1,92 @@
+"""Streaming event operators (SURVEY §2.10 [EXT]).
+
+The reference has no streaming at all; these are the Structured
+Streaming forms of the batch operators in ``operators.events_ops`` —
+the *same* ``F.window`` expression runs in both modes, which is what
+lets the DuckDB oracle validate the batch twin while pytest asserts
+stream ≡ batch.
+
+Watermarks bound state: at scale the hourly agg keeps only windows
+younger than the watermark; late events beyond it are dropped
+(documented, test-asserted behavior).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl.io import table_path
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events fixture (parquet-file source stands
+    in for Kafka; the transformations are source-agnostic).
+
+    The file source requires a *directory*; the fixture is a single
+    file, so it is staged (copied once) into a temp dir.
+    """
+    src_file = table_path(sf_dir, "events")
+    stage = os.path.join(
+        tempfile.gettempdir(), f"sparketl-stream-{hashlib.md5(src_file.encode()).hexdigest()[:8]}"
+    )
+    staged = os.path.join(stage, "events.parquet")
+    if not os.path.exists(staged):
+        os.makedirs(stage, exist_ok=True)
+        shutil.copyfile(src_file, staged + ".tmp")
+        os.replace(staged + ".tmp", staged)
+    batch = spark.read.parquet(staged)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long fixture
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def streaming_hourly_agg(
+    events: DataFrame, watermark: str = "2 hours", width: str = "1 hour"
+) -> DataFrame:
+    """Watermarked tumbling-window aggregate (same expression as the
+    batch ``tumbling_window_agg``)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_table(agg: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drive a streaming aggregate to completion against the finite
+    fixture and return the materialized result (memory sink)."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

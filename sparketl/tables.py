@@ -1,0 +1,214 @@
+"""Managed mutable tables: copy-on-write parquet with a manifest log.
+
+Spark parquet tables are immutable; the reference's INSERT/UPDATE/
+DELETE semantics (SNK-01/02, DML-01..03 — SURVEY §2.1/§3.2/§3.3) need
+transactions. Delta Lake is the production answer; its jars are not in
+this image, so this module implements the same core idea natively:
+
+- every table version is a JSON manifest listing immutable parquet
+  files (like a Delta log entry);
+- appends add files and write a new manifest — O(new data), no rewrite;
+- update/delete/overwrite write replacement files + a new manifest;
+- the active version is a single pointer file swapped with
+  ``os.replace`` (atomic on POSIX) — readers see old or new, never a
+  mix; a crashed writer leaves only orphaned data dirs, never a
+  corrupt table.
+
+At cluster scale the pointer/manifest lives on shared storage and the
+data files are written by distributed Spark jobs — the commit is still
+a single small-file swap, which is exactly Delta's design.
+
+Keyed-update semantics reproduce the reference's row loop
+(tool:282-312, SURVEY §3.3): null-identifier source rows are skipped
+(not fatal), unmatched target rows pass through, unmatched source rows
+are dropped (update-only, NOT upsert), and duplicate source keys
+resolve last-write-wins in source order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class TableError(Exception):
+    pass
+
+
+class ManagedTable:
+    """A versioned, mutable table rooted at a directory."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    # -- layout ------------------------------------------------------------
+    @property
+    def _manifest_dir(self) -> str:
+        return os.path.join(self.root, "_manifests")
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.root, "_LATEST")
+
+    def exists(self) -> bool:
+        return os.path.exists(self._pointer)
+
+    def _current_version(self) -> int:
+        with open(self._pointer, encoding="utf-8") as f:
+            return int(f.read().strip())
+
+    def _manifest(self, version: int | None = None) -> dict:
+        v = version if version is not None else self._current_version()
+        with open(
+            os.path.join(self._manifest_dir, f"v{v:06d}.json"), encoding="utf-8"
+        ) as f:
+            return json.load(f)
+
+    def _commit(self, files: list[str], schema_json: str, properties: dict) -> int:
+        new_v = (self._current_version() + 1) if self.exists() else 1
+        os.makedirs(self._manifest_dir, exist_ok=True)
+        manifest = {
+            "version": new_v,
+            "files": files,
+            "schema": schema_json,
+            "properties": properties,
+        }
+        path = os.path.join(self._manifest_dir, f"v{new_v:06d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, path)
+        ptr_tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
+        with open(ptr_tmp, "w", encoding="utf-8") as f:
+            f.write(str(new_v))
+        os.replace(ptr_tmp, self._pointer)  # the atomic commit point
+        return new_v
+
+    def _write_data(self, df: DataFrame) -> list[str]:
+        out = os.path.join(self.root, f"d-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(out)
+        return sorted(
+            os.path.join(out, f)
+            for f in os.listdir(out)
+            if f.endswith(".parquet")
+        )
+
+    # -- DDL ----------------------------------------------------------------
+    def create(self, schema: T.StructType, properties: dict | None = None) -> None:
+        if self.exists():
+            raise TableError(f"table already exists at {self.root}")
+        os.makedirs(self.root, exist_ok=True)
+        self._commit([], schema.json(), properties or {})
+
+    def drop(self) -> None:
+        import shutil
+
+        if os.path.exists(self.root):
+            shutil.rmtree(self.root)
+
+    # -- reads --------------------------------------------------------------
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._manifest()["schema"]))
+
+    def properties(self) -> dict:
+        return self._manifest()["properties"]
+
+    def primary_key(self) -> list[str]:
+        raw = self.properties().get("primary_key", "")
+        return [c for c in raw.split(",") if c]
+
+    def read(self, version: int | None = None) -> DataFrame:
+        m = self._manifest(version)
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if not m["files"]:
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.schema(schema).parquet(*m["files"])
+
+    def history(self) -> list[int]:
+        if not os.path.isdir(self._manifest_dir):
+            return []
+        return sorted(
+            int(f[1:7]) for f in os.listdir(self._manifest_dir) if f.endswith(".json")
+        )
+
+    # -- writes -------------------------------------------------------------
+    def append(self, df: DataFrame) -> int:
+        """SNK-01: atomic batch append — all rows or none (tool:241-267)."""
+        m = self._manifest()
+        target = T.StructType.fromJson(json.loads(m["schema"]))
+        aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
+        new_files = self._write_data(aligned)
+        return self._commit(m["files"] + new_files, m["schema"], m["properties"])
+
+    def overwrite(self, df: DataFrame) -> int:
+        m = self._manifest()
+        target = T.StructType.fromJson(json.loads(m["schema"]))
+        aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
+        new_files = self._write_data(aligned)
+        return self._commit(new_files, m["schema"], m["properties"])
+
+    def keyed_update(
+        self, source: DataFrame, key: str, set_columns: list[str] | None = None
+    ) -> int:
+        """SNK-02 (tool:282-312): MERGE-style keyed update.
+
+        - source rows with NULL ``key`` are skipped silently (tool:295-297)
+        - duplicate source keys resolve last-write-wins in source order
+          (the reference fires per-row UPDATEs sequentially, §3.3 item 4)
+        - target rows with no source match pass through unchanged
+        - source rows with no target match are dropped (update-only)
+        """
+        target = self.read()
+        if key not in target.columns:
+            raise TableError(f"identifier column '{key}' not in table")
+        set_columns = set_columns or [c for c in source.columns if c != key]
+        missing = [c for c in set_columns if c not in target.columns]
+        if missing:
+            raise TableError(f"unknown columns in update: {missing}")
+
+        # last-write-wins: keep the final source occurrence per key
+        ordered = source.withColumn("_src_order", F.monotonically_increasing_id())
+        w = W.partitionBy(key).orderBy(F.desc("_src_order"))
+        src = (
+            ordered.filter(F.col(key).isNotNull())  # skip-null semantics
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(key).alias("_k"),
+                *[F.col(c).alias(f"_set_{c}") for c in set_columns],
+            )
+        )
+        merged = target.join(
+            F.broadcast(src) if _is_small(src) else src,
+            target[key] == F.col("_k"),
+            "left",
+        )
+        out_cols = []
+        for c in target.columns:
+            if c in set_columns:
+                out_cols.append(
+                    F.when(F.col("_k").isNotNull(), F.col(f"_set_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+            else:
+                out_cols.append(F.col(c))
+        return self.overwrite(merged.select(out_cols))
+
+    def delete_where(self, predicate: str) -> int:
+        """DML-03: DELETE FROM t WHERE predicate."""
+        return self.overwrite(self.read().filter(f"NOT ({predicate})"))
+
+
+def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
+    """Heuristic broadcast gate for the update source (typically a
+    spreadsheet-sized batch)."""
+    n = df.limit(limit + 1).count()
+    return n <= limit

@@ -1,0 +1,80 @@
+"""Semantic checks for the hash-based ops the DuckDB oracle can't cover."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+from sparketl.operators.dedup import (
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from sparketl.operators.similarity import ann_lsh_topk, cosine_topk
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_SMOKE, "embeddings").cache()
+
+
+def test_minhash_candidates_cover_true_near_dups(spark, docs):
+    """LSH banding must recall (nearly) all true Jaccard≥0.5 pairs."""
+    truth = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    cand = {
+        (r["doc_a"], r["doc_b"]) for r in minhash_lsh_candidates(docs).collect()
+    }
+    assert truth, "fixture should contain near-dups"
+    recall = len(truth & cand) / len(truth)
+    assert recall >= 0.9, f"LSH recall too low: {recall} ({len(truth)} true pairs)"
+
+
+def test_simhash_near_dups_have_small_hamming(spark, docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    fp = simhash(docs)
+    joined = (
+        pairs.join(fp.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("simhash", "ha"), "doc_a")
+        .join(fp.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("simhash", "hb"), "doc_b")
+        .select(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("ham"))
+    )
+    stats = joined.agg(F.avg("ham").alias("avg")).collect()[0]
+    # near-dup docs: hamming well below the ~32 expectation for random pairs
+    assert stats["avg"] < 16, stats
+
+
+def test_simhash_deterministic(spark, docs):
+    a = {tuple(r) for r in simhash(docs).collect()}
+    b = {tuple(r) for r in simhash(docs).collect()}
+    assert a == b
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_lsh_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall}"  # multi-probe 1-bit, 8 planes
+
+
+def test_cosine_topk_excludes_self_and_ranks(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(emb, queries, k=5).collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in out)
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())

@@ -1,0 +1,49 @@
+import pytest
+
+from sparketl.engine import Engine, QueryError
+from sparketl.io import load_tables
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    load_tables(spark, SF_SMOKE)
+
+
+def test_execute_passthrough(spark):
+    df = Engine(spark).execute("SELECT COUNT(*) AS n FROM lineitem")
+    assert df.collect()[0]["n"] == 6000
+
+
+def test_execute_tsql(spark):
+    df = Engine(spark).execute(
+        "SELECT TOP 5 [o_orderkey] FROM orders ORDER BY [o_orderkey]"
+    )
+    assert [r["o_orderkey"] for r in df.collect()] == [0, 1, 2, 3, 4]
+
+
+def test_empty_query_guard(spark):
+    with pytest.raises(QueryError):
+        Engine(spark).execute("   ")
+
+
+def test_preview_caps_and_stringifies(spark):
+    eng = Engine(spark)
+    eng.execute("SELECT l_orderkey, l_quantity FROM lineitem")
+    pdf = eng.preview()
+    assert len(pdf) == 100  # tool:619 preview cap
+    assert all(isinstance(v, str) for v in pdf["l_quantity"])  # tool:625 str()
+
+
+def test_preview_without_query_raises(spark):
+    with pytest.raises(QueryError):
+        Engine(spark).preview()
+
+
+def test_saved_queries_roundtrip(spark, tmp_path):
+    eng = Engine(spark, saved_queries_path=str(tmp_path / "saved.json"))
+    eng.save_query("q1", "SELECT 1")
+    eng.save_query("q2", "SELECT 2")
+    assert eng.load_saved_queries() == {"q1": "SELECT 1", "q2": "SELECT 2"}
+    eng.delete_saved_query("q1")
+    assert eng.load_saved_queries() == {"q2": "SELECT 2"}

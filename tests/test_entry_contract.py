@@ -1,0 +1,34 @@
+"""The driver contract itself: entry/queries/oracle_sql shapes."""
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert df.columns[0] == "l_returnflag"
+
+
+def test_every_oracle_has_a_query():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 50
+
+
+def test_queries_run_at_smoke_scale(spark):
+    from tests.conftest import SF_SMOKE
+
+    qs = entrymod.queries()
+    # spot-run a representative subset end-to-end at sf0.001
+    for name in [
+        "flagship_pricing_summary",
+        "join_03_star",
+        "ext_02_ngram_jaccard",
+        "ext_03_cosine_topk",
+        "ext_06_sessionize",
+        "tierc_tsql_funcs",
+    ]:
+        df = qs[name](spark, SF_SMOKE)
+        assert df.count() > 0, name

@@ -1,0 +1,72 @@
+import pytest
+
+from sparketl.io import load_table
+from sparketl.operators.multimodal import (
+    decode_images,
+    sample_frames,
+    to_binary_column,
+)
+from sparketl.reports import ReportError, report_data
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def test_binary_column_schema(spark, docs):
+    b = to_binary_column(docs)
+    kinds = dict(b.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct")
+
+
+def test_decode_matches_payload_length(spark, docs):
+    b = to_binary_column(docs.limit(20))
+    out = decode_images(b).collect()
+    src = {r["doc_id"]: r["n_chars"] for r in docs.limit(20).collect()}
+    for r in out:
+        assert r["n_bytes"] == src[r["doc_id"]]  # ascii corpus: bytes == chars
+        assert 1 <= r["width"] <= 640 and 1 <= r["height"] <= 480
+        assert r["channels"] == 3
+
+
+def test_real_codec_is_stubbed(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_images(to_binary_column(docs), fake=False)
+    with pytest.raises(NotImplementedError):
+        sample_frames(to_binary_column(docs), fake=False)
+
+
+def test_frame_sampling(spark, docs):
+    out = sample_frames(to_binary_column(docs.limit(5)), stride=50).collect()
+    for r in out:
+        assert r["n_frames"] == len(r["frame_offsets"])
+        assert r["frame_offsets"][0] == 0
+
+
+def test_report_pie_group_sum(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    pdf = report_data(orders, "Pie Chart", "o_orderpriority", "o_totalprice")
+    assert len(pdf) == 5
+    assert pdf["o_totalprice"].min() > 0
+
+
+def test_report_value_counts_when_x_equals_y(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    pdf = report_data(orders, "Pie Chart", "o_orderstatus", "o_orderstatus")
+    assert set(pdf.columns) == {"o_orderstatus", "count"}
+    assert pdf["count"].sum() == orders.count()
+
+
+def test_report_rejects_non_numeric_y(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(ReportError, match="numeric"):
+        report_data(orders, "Bar Graph", "o_orderkey", "o_orderstatus")
+
+
+def test_report_rejects_unknown_column(spark):
+    orders = load_table(spark, SF_SMOKE, "orders")
+    with pytest.raises(ReportError, match="not found"):
+        report_data(orders, "Bar Graph", "nope", "o_totalprice")

@@ -1,0 +1,95 @@
+import pytest
+from pyspark.sql import types as T
+
+from sparketl.tables import ManagedTable, TableError
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("bal", T.DoubleType(), True),
+    ]
+)
+
+
+def _rows(table):
+    return sorted(tuple(r) for r in table.read().collect())
+
+
+def make(spark, root):
+    t = ManagedTable(spark, root)
+    t.create(SCHEMA, properties={"primary_key": "id"})
+    return t
+
+
+def test_create_read_empty(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    assert t.read().count() == 0
+    assert t.primary_key() == ["id"]
+
+
+def test_create_twice_fails(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    with pytest.raises(TableError):
+        t.create(SCHEMA)
+
+
+def test_append_accumulates_and_versions(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    df1 = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA)
+    df2 = spark.createDataFrame([(3, "c", 3.0)], SCHEMA)
+    v1 = t.append(df1)
+    v2 = t.append(df2)
+    assert v2 == v1 + 1
+    assert _rows(t) == [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)]
+    # time travel: previous version still readable
+    assert t.read(version=v1).count() == 2
+    assert t.history() == [1, v1, v2]
+
+
+def test_keyed_update_semantics(spark, tmp_table_root):
+    """The §3.3 contract: null-id skip, update-only, last-write-wins."""
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA))
+    src = spark.createDataFrame(
+        [
+            (1, "a1", 10.0),   # normal update
+            (None, "zz", 0.0), # null id -> silently skipped (tool:295-297)
+            (9, "no", 9.0),    # no target match -> dropped (update-only)
+            (2, "b1", 20.0),   # first write for id=2 ...
+            (2, "b2", 21.0),   # ... duplicate: LAST wins (source order)
+        ],
+        "id long, name string, bal double",
+    )
+    t.keyed_update(src, "id")
+    assert _rows(t) == [(1, "a1", 10.0), (2, "b2", 21.0), (3, "c", 3.0)]
+
+
+def test_keyed_update_unknown_column(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    src = spark.createDataFrame([(1, "x")], "id long, nope string")
+    with pytest.raises(TableError):
+        t.keyed_update(src, "id")
+
+
+def test_keyed_update_partial_columns(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    src = spark.createDataFrame([(1, 99.0)], "id long, bal double")
+    t.keyed_update(src, "id", ["bal"])
+    assert _rows(t) == [(1, "a", 99.0)]  # name untouched
+
+
+def test_delete_where(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))
+    t.delete_where("bal > 1.5")
+    assert _rows(t) == [(1, "a", 1.0)]
+
+
+def test_overwrite(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    t.overwrite(spark.createDataFrame([(5, "e", 5.0)], SCHEMA))
+    assert _rows(t) == [(5, "e", 5.0)]
