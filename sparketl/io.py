@@ -53,6 +53,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Ensure enough partitions for compute-heavy per-row operators.
+
+    Small fixture tables arrive as one parquet file → one partition →
+    one core. On a real cluster the input is thousands of files, so
+    parallelism is natural; locally this round-robin repartition stands
+    in for that. Only used ahead of expensive per-row work (hashing,
+    shingling, vector math) where the shuffle cost is trivially repaid.
+    """
+    if min_partitions is None:
+        min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= min_partitions:
+        return df
+    return df.repartition(min_partitions)
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

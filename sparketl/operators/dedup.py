@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sparketl.io import load_table
+from sparketl.io import load_table, spread
 
 # ---------------------------------------------------------------------------
 # EXT-01 — exact dedup with deterministic keep-first semantics.
@@ -69,7 +69,7 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     """(doc_id, sh: array<string>) — distinct word n-gram shingles.
     Documents with fewer than ``n`` tokens are dropped (no shingle)."""
     toks = F.split(F.col(text_col), " ")
-    df = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    df = spread(docs).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
     parts = ", ".join(f"toks[i+{k}]" for k in range(n))
     return df.select(
         "doc_id",
@@ -205,7 +205,7 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     from functools import reduce
 
-    tok = docs.select(
+    tok = spread(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     votes = tok.groupBy("doc_id").agg(

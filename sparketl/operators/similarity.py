@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sparketl.io import load_table
+from sparketl.io import load_table, spread
 
 _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 0D, (acc, v) -> acc + v)"
 
@@ -57,7 +57,7 @@ def cosine_topk(
             F.col("_norm").alias("q_norm"),
         )
     )
-    c = with_norm(corpus, vec_col).select(
+    c = with_norm(spread(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("_norm").alias("c_norm"),
@@ -89,7 +89,7 @@ def q_ext_03_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_near_dup_pairs(emb: DataFrame, threshold: float = 0.95) -> DataFrame:
     """All (a, b) pairs with cosine ≥ threshold. Quadratic — correct
     at test scale; the LSH bucket variant is the scale path."""
-    n = with_norm(emb).select(
+    n = with_norm(spread(emb)).select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("e"), F.col("_norm").alias("nrm")
     )
     a = n.alias("a")
@@ -163,7 +163,7 @@ def ann_lsh_topk(
         tb_structs_q.append(F.struct(F.lit(t).alias("t"), bc.alias("b")))
 
     c = (
-        with_norm(corpus)
+        with_norm(spread(corpus))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_vec"),
