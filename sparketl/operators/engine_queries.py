@@ -63,13 +63,78 @@ def q_tierc_tsql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tierc_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS — Catalyst rewrites both to
+    semi/anti joins (RewritePredicateSubquery), so this is two hash
+    joins, not a per-row probe."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+        ORDER BY c_custkey
+        """,
+    )
+
+
+def q_tierc_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — decorrelated into an aggregate +
+    left outer join (RewriteCorrelatedScalarSubquery)."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+               (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS max_item_price
+        FROM orders o
+        ORDER BY o_orderkey
+        """,
+    )
+
+
 ENGINE_QUERIES = {
     "tierc_sql_passthrough": q_tierc_sql_passthrough,
     "tierc_tsql_top": q_tierc_tsql_top,
     "tierc_tsql_funcs": q_tierc_tsql_funcs,
+    "tierc_exists_subquery": q_tierc_exists_subquery,
+    "tierc_scalar_subquery": q_tierc_scalar_subquery,
 }
 
 ENGINE_ORACLES = {
+    "tierc_exists_subquery": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000
+              )
+          AND NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+              )
+        ORDER BY c_custkey
+    """,
+    "tierc_scalar_subquery": """
+        SELECT o_orderkey, o_totalprice,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS n_items,
+               (SELECT CAST(MAX(l_extendedprice) AS DOUBLE) FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey) AS max_item_price
+        FROM orders o
+        ORDER BY o_orderkey
+    """,
     "tierc_sql_passthrough": """
         SELECT c_mktsegment,
                CAST(YEAR(o_orderdate) AS INT) AS order_year,

@@ -243,3 +243,10 @@ EXT_ORACLES = {
         FROM documents ORDER BY doc_id
     """,
 }
+
+
+# Temporal joins (as-of / range) — see sparketl.operators.temporal.
+from sparketl.operators.temporal import TEMPORAL_ORACLES, TEMPORAL_QUERIES  # noqa: E402
+
+EXT_QUERIES.update(TEMPORAL_QUERIES)
+EXT_ORACLES.update(TEMPORAL_ORACLES)

@@ -401,6 +401,59 @@ def q_agg_05_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_05_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all 4 grouping combinations
+    in one pass (Catalyst expands then aggregates once; at scale this
+    is one shuffle, same as the plain group-by)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n_rows",
+            "sum_price",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_agg_05_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (Tier C pass-through, tool:273): marginal
+    totals by returnflag and by linestatus plus the grand total."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag, l_linestatus
+        """
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_agg_06_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): per-user event counts, one column per event
+    type. Explicit pivot values → single pass, no extra distinct-scan
+    job; missing combinations backfilled to 0."""
+    e = load_table(spark, sf_dir, "events")
+    p = e.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return p.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES],
+    ).orderBy("user_id")
+
+
 def q_agg_05_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (

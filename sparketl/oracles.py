@@ -167,6 +167,33 @@ RELATIONAL_ORACLES: dict[str, str] = {
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
         ORDER BY 1, 2
     """,
+    "agg_05_cube": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY 1, 2
+    """,
+    "agg_05_grouping_sets": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+               COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY 1, 2
+    """,
+    "agg_06_pivot": """
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+               COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
+        FROM events GROUP BY user_id ORDER BY user_id
+    """,
     "agg_05_stats": """
         SELECT l_returnflag,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
