@@ -250,3 +250,18 @@ from sparketl.operators.temporal import TEMPORAL_ORACLES, TEMPORAL_QUERIES  # no
 
 EXT_QUERIES.update(TEMPORAL_QUERIES)
 EXT_ORACLES.update(TEMPORAL_ORACLES)
+
+
+def q_ext_06_sessionize_stateful(spark, sf_dir):
+    """Custom stateful streaming sessionizer (applyInPandasWithState)
+    driven to completion over the finite fixture — rows-only check
+    (streaming state machine is not SQL-expressible); pytest asserts
+    closed-session equivalence with the batch sessionizer."""
+    from sparketl.streaming.stateful import run_streaming_sessionize
+
+    return run_streaming_sessionize(spark, sf_dir).orderBy(
+        "user_id", "session_start_us"
+    )
+
+
+EXT_QUERIES["ext_06_sessionize_stateful"] = q_ext_06_sessionize_stateful

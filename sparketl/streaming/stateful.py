@@ -1,0 +1,203 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY §2.10/§2.11 [EXT]).
+
+The windowed aggs in ``streaming.windows`` are Spark built-ins; this is
+the genuinely custom stateful path — per-user session state carried
+across micro-batches, closed either by an in-data gap or by an
+event-time timeout once the watermark passes ``last_ts + gap``.
+
+Semantics (same contract as the batch ``events_ops.sessionize``):
+- events for a user belong to one session while consecutive gaps are
+  <= ``gap_minutes``; a larger gap starts a new session
+- a closed session emits exactly one row; sessions still open at the
+  watermark frontier remain in state (streaming never sees "end of
+  stream" — the timeout is the only closer)
+
+Scale: state is one small tuple per ACTIVE user (not per event) —
+the same state layout Structured Streaming uses for session_window —
+and the event-time timeout bounds it: idle users are flushed as the
+watermark advances, so state size tracks concurrent activity, not
+history. Value totals are summed in exact integer cents (matching the
+batch path's DECIMAL(12,2) arithmetic) so results are
+order-independent.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+from sparketl.io import load_table
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value_cents", LongType()),
+    ]
+)
+
+# state: session_start_us, last_ts_us, n_events, value_cents
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start_us", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_cents", LongType()),
+    ]
+)
+
+
+def _cents(v: float) -> int:
+    """Exact DECIMAL(12,2)-equivalent cents (HALF_UP, like Spark's
+    double→decimal cast)."""
+    return int(Decimal(repr(v)).quantize(Decimal("0.01"), rounding=ROUND_HALF_UP) * 100)
+
+
+def _sessionize_fn(gap_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, int, int]] = []
+
+        if state.exists:
+            start_us, last_us, n, cents = state.get
+        else:
+            start_us = last_us = n = cents = None  # type: ignore[assignment]
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap: the open session is closed
+            if state.exists:
+                closed.append((user_id, start_us, last_us, n, cents))
+                state.remove()
+        else:
+            rows: list[tuple[int, int]] = []  # (ts_us, cents)
+            for pdf in pdfs:
+                ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+                vals = pdf["value"].tolist()
+                rows.extend(zip(ts_us, map(_cents, vals)))
+            rows.sort()
+            for ts, c in rows:
+                if start_us is None:
+                    start_us, last_us, n, cents = ts, ts, 1, c
+                elif ts - last_us > gap_us:
+                    closed.append((user_id, start_us, last_us, n, cents))
+                    start_us, last_us, n, cents = ts, ts, 1, c
+                else:
+                    last_us, n, cents = ts, n + 1, cents + c
+            if start_us is not None:
+                state.update((start_us, last_us, n, cents))
+                # close the open session once the watermark passes
+                # last_ts + gap (must stay ahead of the current wm)
+                wm_ms = state.getCurrentWatermarkMs()
+                timeout_ms = max((last_us + gap_us) // 1000, wm_ms + 1)
+                state.setTimeoutTimestamp(timeout_ms)
+
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start_us",
+                    "session_end_us",
+                    "n_events",
+                    "total_value_cents",
+                ],
+            )
+
+    return fn
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Closed-session stream: one output row per completed session."""
+    gap_us = gap_minutes * 60 * 1_000_000
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_fn(gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def stage_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Split the (time-ordered) events fixture into n time-ordered
+    parquet files so maxFilesPerTrigger=1 yields real multi-batch
+    streaming with cross-batch state."""
+    stage = os.path.join(tempfile.gettempdir(), f"sparketl-chunks-{uuid.uuid4().hex[:8]}")
+    os.makedirs(stage, exist_ok=True)
+    pdf = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").toPandas()
+    size = (len(pdf) + n_chunks - 1) // n_chunks
+    for i in range(n_chunks):
+        chunk = pdf.iloc[i * size : (i + 1) * size]
+        if len(chunk):
+            path = os.path.join(stage, f"part-{i:04d}.parquet")
+            chunk.to_parquet(path, index=False)
+            # file source processes in mtime order
+            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    return stage
+
+
+def read_staged_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
+    files = sorted(os.listdir(stage_dir))
+    schema = spark.read.parquet(os.path.join(stage_dir, files[0])).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def run_streaming_sessionize(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, n_chunks: int = 4
+) -> DataFrame:
+    """Drive the stateful sessionizer over the finite fixture; returns
+    the closed sessions with total_value in dollars (double)."""
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        stream = read_staged_stream(spark, stage)
+        sessions = streaming_sessionize(stream, gap_minutes=gap_minutes)
+        name = f"sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT * FROM {name}").withColumn(
+            "total_value", (F.col("total_value_cents") / 100.0)
+        ).drop("total_value_cents")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

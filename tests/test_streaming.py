@@ -18,3 +18,54 @@ def test_streaming_hourly_equals_batch(spark):
     s = sorted(tuple(r) for r in got.collect())
     assert b == s
     assert len(b) > 0
+
+
+def test_stateful_sessionize_matches_batch(spark):
+    """applyInPandasWithState sessionizer ≡ batch sessionize for every
+    closed session; all non-final sessions must have closed."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.events_ops import sessionize
+    from sparketl.streaming.stateful import run_streaming_sessionize
+
+    streamed = run_streaming_sessionize(spark, SF_SMOKE, gap_minutes=30, n_chunks=4)
+    s_rows = {
+        (r.user_id, r.session_start_us): (r.session_end_us, r.n_events, r.total_value)
+        for r in streamed.collect()
+    }
+    assert len(s_rows) > 0
+
+    batch = (
+        sessionize(load_table(spark, SF_SMOKE, "events"), gap_minutes=30)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("session_start_us"),
+            F.max(F.unix_micros("ts")).alias("session_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            ).alias("total_value"),
+        )
+    )
+    b_rows = {}
+    max_session = {}
+    for r in batch.collect():
+        b_rows[(r.user_id, r.session_start_us)] = (
+            r.session_end_us,
+            r.n_events,
+            r.total_value,
+            r.session_idx,
+        )
+        max_session[r.user_id] = max(max_session.get(r.user_id, 0), r.session_idx)
+
+    # every streamed (closed) session is exactly its batch twin
+    for key, (end, n, val) in s_rows.items():
+        assert key in b_rows, f"streamed session {key} not in batch"
+        b_end, b_n, b_val, _ = b_rows[key]
+        assert (end, n) == (b_end, b_n), f"mismatch at {key}"
+        assert abs(val - b_val) < 1e-9, f"value mismatch at {key}"
+
+    # every non-final batch session (gap-closed by later data) streamed
+    for key, (_, _, _, idx) in b_rows.items():
+        if idx < max_session[key[0]]:
+            assert key in s_rows, f"non-final batch session {key} never closed"
