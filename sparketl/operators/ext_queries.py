@@ -265,3 +265,10 @@ def q_ext_06_sessionize_stateful(spark, sf_dir):
 
 
 EXT_QUERIES["ext_06_sessionize_stateful"] = q_ext_06_sessionize_stateful
+
+
+# IVF ANN (rows-only: centroid training is engine-side; pytest asserts
+# recall vs the oracle-checked brute-force cosine_topk).
+from sparketl.operators.similarity import q_ext_03_ann_ivf  # noqa: E402
+
+EXT_QUERIES["ext_03_ann_ivf"] = q_ext_03_ann_ivf

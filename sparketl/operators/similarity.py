@@ -218,3 +218,127 @@ def q_ext_03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return ann_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN — inverted-file index: spherical k-means coarse quantizer,
+# then search only the nprobe nearest cells (rows-only driver check;
+# pytest asserts recall vs the brute-force baseline).
+# ---------------------------------------------------------------------------
+
+
+def _unit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalized copy of the vector column (+ original norm)."""
+    return with_norm(df, vec_col).withColumn(
+        "_unit", F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE) / _norm)")
+    )
+
+
+def _nearest_cells_expr(centroids: list[list[float]], vec_col: str, n: int) -> F.Column:
+    """Indices of the n max-dot-product centroids for a unit vector.
+
+    Builds one JVM expression: per-centroid dot products → array of
+    (neg_dot, idx) structs → array_sort → first n indices. Ties break
+    on centroid index (deterministic)."""
+    structs = []
+    for i, cvec in enumerate(centroids):
+        arr = f"array({', '.join(repr(float(x)) for x in cvec)})"
+        dot = _DOT.format(a=vec_col, b=arr)
+        structs.append(f"named_struct('nd', -({dot}), 'i', {i})")
+    return F.expr(
+        f"slice(transform(array_sort(array({', '.join(structs)})), s -> s.i), 1, {n})"
+    )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic spherical k-means: init = the n_cells smallest-id
+    unit vectors, then Lloyd iterations with mean-then-renormalize.
+
+    Per iteration: one broadcast assignment pass + one (cell, dim)
+    aggregation — the posexplode shuffle is n·dim rows, linear in the
+    corpus, and the centroid table (k·dim doubles) always fits on the
+    driver. This is the standard distributed IVF training loop."""
+    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
+    init = u.orderBy(id_col).limit(n_cells).collect()
+    centroids = [list(r["_unit"]) for r in init]
+    for _ in range(n_iters):
+        assigned = u.select(
+            "_unit",
+            _nearest_cells_expr(centroids, "_unit", 1)[0].alias("cell"),
+        )
+        sums = (
+            assigned.select("cell", F.posexplode("_unit").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, list[float]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cell.setdefault(r["cell"], [0.0] * len(centroids[0]))[r["pos"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        new = []
+        for i, old in enumerate(centroids):
+            if i in by_cell and counts[i] > 0:
+                mean = [x / counts[i] for x in by_cell[i]]
+                nrm = sum(x * x for x in mean) ** 0.5
+                new.append([x / nrm for x in mean] if nrm > 0 else old)
+            else:  # empty cell keeps its previous centroid
+                new.append(old)
+        centroids = new
+    u.unpersist()
+    return centroids
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k cosine via IVF: corpus vectors live in their
+    nearest-centroid cell; a query scores only the nprobe nearest
+    cells, scanning ~nprobe/n_cells of the corpus. At 100 TB the cell
+    column is the partition key: each probe is a co-located scan, and
+    raising n_cells keeps per-cell size constant as the corpus grows."""
+    centroids = train_ivf_centroids(corpus, n_cells=n_cells)
+    c = _unit(spread(corpus), vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("_unit").alias("c_vec"),
+        _nearest_cells_expr(centroids, "_unit", 1)[0].alias("cell"),
+    )
+    q = _unit(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("_unit").alias("q_vec"),
+        F.explode(_nearest_cells_expr(centroids, "_unit", nprobe)).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _dot("q_vec", "c_vec").alias("sim"),  # unit vectors: dot = cosine
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ann_ivf_topk(emb, queries, k=10).orderBy("query_id", "rank")

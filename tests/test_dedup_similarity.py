@@ -78,3 +78,28 @@ def test_cosine_topk_excludes_self_and_ranks(spark, emb):
     for r in out:
         by_q.setdefault(r["query_id"], []).append(r["rank"])
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in by_q.values())
+
+
+def test_ann_ivf_recall_vs_bruteforce(spark, emb):
+    from sparketl.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ann_ivf_topk(emb, queries, k=10, n_cells=16, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+
+
+def test_ann_ivf_deterministic(spark, emb):
+    from sparketl.operators.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = sorted(tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect())
+    b = sorted(tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect())
+    assert a == b and len(a) > 0
