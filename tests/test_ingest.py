@@ -87,3 +87,106 @@ def test_ingest_update_end_to_end(spark, table):
     ingest_update(table, src, {"A": "id", "B": "name"}, identifier="id")
     rows = sorted(tuple(r) for r in table.read().collect())
     assert rows == [(1, "a2", 1), (2, "b", 2)]
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSONL sources feed the same mapping→normalize→cast→append
+# pipeline as Excel (source-agnostic ingest).
+# ---------------------------------------------------------------------------
+
+
+def test_csv_roundtrip_with_inference(spark, tmp_path):
+    from sparketl.sources.text_files import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,name,score\n1,alpha,1.5\n2,beta,2.5\n3,gamma,\n")
+    df = read_csv(spark, str(p))
+    assert [f.name for f in df.schema.fields] == ["id", "name", "score"]
+    rows = {r["id"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows[1] == ("alpha", 1.5) and rows[3][1] is None
+
+
+def test_jsonl_explicit_schema_and_corrupt_capture(spark, tmp_path):
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from sparketl.sources.text_files import CORRUPT_COL, corrupt_records, read_jsonl
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('{"id": 1, "name": "a"}\n{"id": 2, "name": "b"}\nnot-json\n')
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("name", StringType()),
+            StructField(CORRUPT_COL, StringType()),
+        ]
+    )
+    df = read_jsonl(spark, str(p), schema=schema).cache()
+    assert df.count() == 3
+    bad = corrupt_records(df).collect()
+    assert len(bad) == 1 and bad[0][CORRUPT_COL] == "not-json"
+
+
+def test_jsonl_failfast_aborts(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from sparketl.sources.text_files import read_jsonl
+
+    p = tmp_path / "bad.jsonl"
+    p.write_text('{"id": 1}\nnope\n')
+    schema = StructType([StructField("id", LongType())])
+    with _pytest.raises(Exception):
+        read_jsonl(spark, str(p), schema=schema, fail_fast=True).collect()
+
+
+def test_csv_ingest_append_pipeline(spark, tmp_path, tmp_table_root):
+    """CSV → mapping → normalize → cast → atomic append, end to end."""
+    from sparketl.ingest import ingest_append
+    from sparketl.sources.text_files import read_csv
+    from sparketl.tables import ManagedTable
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    p = tmp_path / "cust.csv"
+    p.write_text("cust,name,bal,junk\n10,x,5.5,z\n11,y,6.5,z\n")
+    src = read_csv(spark, str(p))
+    target = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("customer_name", StringType()),
+            StructField("balance", DoubleType()),
+        ]
+    )
+    tbl = ManagedTable(spark, tmp_table_root)
+    tbl.create(target)
+    ingest_append(
+        tbl, src, {"cust": "id", "name": "customer_name", "bal": "balance", "junk": ""}
+    )
+    got = {r["id"]: r["balance"] for r in tbl.read().collect()}
+    assert got == {10: 5.5, 11: 6.5}
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Partitioned sink → reading one partition scans one directory."""
+    from sparketl.io import load_table
+    from sparketl.sources.text_files import write_partitioned
+    from tests.conftest import SF_SMOKE
+
+    out = str(tmp_path / "lake")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    write_partitioned(orders, out, ["o_orderstatus"])
+    one = spark.read.parquet(out).where("o_orderstatus = 'F'")
+    assert one.count() == orders.where("o_orderstatus = 'F'").count()
+    # static partition pruning reaches the scan
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan
