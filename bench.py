@@ -38,6 +38,11 @@ HEADLINE = [
     "ext_04_fingerprint",
     "ext_05_json_extract",
     "ext_06_sessionize",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "agg_06_pivot",
+    "tierc_scalar_subquery",
+    "ext_03_ann_ivf",
 ]
 
 
