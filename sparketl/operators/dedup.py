@@ -227,3 +227,75 @@ def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def q_ext_02_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over the candidate-pair
+# graph → one keeper per duplicate cluster. The step after pairwise
+# near-dup detection in every training-data dedup pipeline.
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation.
+
+    ``pairs`` is an undirected edge list (doc_a, doc_b). Returns
+    (doc_id, cluster_id) where cluster_id = min doc_id reachable.
+    Converges in O(diameter) rounds — near-dup clusters are shallow
+    (dozens of docs), so this is a handful of small shuffles; each
+    round joins the label table (2 cols) with the edge list, both far
+    smaller than the corpus. Driver loop stops at a fixed point
+    (count of changed labels == 0), checkpoint-free because the label
+    table is tiny relative to the input.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .cache()
+    )
+    for _ in range(max_iters):
+        # neighbor's current label, then keep the min of (own, neighbors)
+        neighbor = (
+            edges.join(labels, edges.b == labels.doc_id)
+            .select(F.col("a").alias("doc_id"), F.col("cluster_id"))
+        )
+        new_labels = (
+            labels.select("doc_id", "cluster_id")
+            .union(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def q_ext_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster summary of Jaccard≥0.5 near-dup components: per cluster
+    the member count and kept (minimum) doc id."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    labels = dup_clusters(pairs)
+    return (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .orderBy("cluster_id")
+    )

@@ -272,3 +272,39 @@ EXT_QUERIES["ext_06_sessionize_stateful"] = q_ext_06_sessionize_stateful
 from sparketl.operators.similarity import q_ext_03_ann_ivf  # noqa: E402
 
 EXT_QUERIES["ext_03_ann_ivf"] = q_ext_03_ann_ivf
+
+
+# Near-dup clustering (connected components). Oracle: same Jaccard
+# pair graph + recursive-CTE transitive closure, cluster = min
+# reachable doc id.
+from sparketl.operators.dedup import q_ext_02_dup_clusters  # noqa: E402
+
+EXT_QUERIES["ext_02_dup_clusters"] = q_ext_02_dup_clusters
+EXT_ORACLES["ext_02_dup_clusters"] = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    )
+    SELECT cluster_id, COUNT(*) AS n_members FROM (
+      SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+    ) GROUP BY cluster_id ORDER BY cluster_id
+"""

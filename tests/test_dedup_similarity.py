@@ -103,3 +103,37 @@ def test_ann_ivf_deterministic(spark, emb):
     a = sorted(tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect())
     b = sorted(tuple(r) for r in ann_ivf_topk(emb, queries, k=5).collect())
     assert a == b and len(a) > 0
+
+
+def test_dup_clusters_equal_bfs_components(spark, docs):
+    """Label propagation must produce exactly the BFS connected
+    components of the candidate-pair graph."""
+    from collections import defaultdict
+
+    from sparketl.operators.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    edges = [(r["doc_a"], r["doc_b"]) for r in pairs.collect()]
+    assert edges, "fixture should contain near-dup pairs"
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    expected = {}
+    for start in sorted(adj):
+        if start in expected:
+            continue
+        stack, comp = [start], []
+        seen = {start}
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x] - seen:
+                seen.add(y)
+                stack.append(y)
+        root = min(comp)
+        for x in comp:
+            expected[x] = root
+
+    got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
+    assert got == expected
