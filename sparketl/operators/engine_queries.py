@@ -104,7 +104,57 @@ def q_tierc_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tierc_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: top unshipped-revenue orders for one segment.
+    Broadcast customer filter → lineitem⋈orders shuffle on orderkey →
+    TakeOrderedAndProject top-10."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        GROUP BY l_orderkey, YEAR(o_orderdate), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+    )
+
+
+def q_tierc_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: revenue by nation where supplier and customer
+    share the nation — two broadcast dims + one fact shuffle."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """,
+    )
+
+
 ENGINE_QUERIES = {
+    "tierc_shipping_priority": q_tierc_shipping_priority,
+    "tierc_local_supplier_volume": q_tierc_local_supplier_volume,
     "tierc_sql_passthrough": q_tierc_sql_passthrough,
     "tierc_tsql_top": q_tierc_tsql_top,
     "tierc_tsql_funcs": q_tierc_tsql_funcs,
@@ -113,6 +163,35 @@ ENGINE_QUERIES = {
 }
 
 ENGINE_ORACLES = {
+    "tierc_shipping_priority": """
+        SELECT l_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               o_orderpriority
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderstatus <> 'F'
+        GROUP BY l_orderkey, YEAR(o_orderdate), o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    "tierc_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
     "tierc_exists_subquery": """
         SELECT c_custkey, c_name, c_mktsegment
         FROM customer c

@@ -308,3 +308,14 @@ EXT_ORACLES["ext_02_dup_clusters"] = """
       SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
     ) GROUP BY cluster_id ORDER BY cluster_id
 """
+
+
+from sparketl.operators.text import q_ext_04_length_histogram  # noqa: E402
+
+EXT_QUERIES["ext_04_length_histogram"] = q_ext_04_length_histogram
+EXT_ORACLES["ext_04_length_histogram"] = """
+    SELECT n_chars // 100 AS bucket,
+           (n_chars // 100) * 100 AS bucket_lo,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2 ORDER BY bucket
+"""

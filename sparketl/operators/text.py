@@ -160,3 +160,20 @@ def fingerprint(docs: DataFrame, mod: int = 10**15, mult: int = 31, seed: int = 
 def q_ext_04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return fingerprint(d).orderBy("doc_id")
+
+
+def q_ext_04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram: fixed-width 100-char buckets.
+    Integer floor-div bucketing (deterministic, engine-agnostic);
+    single map-side-combined aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (F.col("n_chars") / 100).cast("bigint")
+    return (
+        d.select(
+            bucket.alias("bucket"),
+            (bucket * 100).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("bucket")
+    )
