@@ -201,3 +201,41 @@ def run_streaming_sessionize(
         ).drop("total_value_cents")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def stream_ingest_append(
+    stream: DataFrame, table, checkpoint_dir: str
+):
+    """Streaming ingest into a ManagedTable: each micro-batch lands
+    through the same atomic manifest commit as batch appends (SNK-01),
+    so readers always see a consistent version and a crashed batch
+    leaves no partial data. foreachBatch is the bridge: the batch
+    DataFrame reuses the whole mapping/cast/validation machinery.
+
+    Exactly-once caveat (documented): the file-source + checkpoint
+    gives at-least-once into foreachBatch; a re-delivered batch would
+    re-append. On a real lake this dedups on (batchId) via the
+    transaction log — here batch ids are recorded in the table
+    properties for idempotence.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        props = table.properties()
+        done = set(int(x) for x in str(props.get("stream_batches", "")).split(",") if x)
+        if batch_id in done:
+            return
+        done.add(batch_id)
+        # batch id lands in the SAME atomic commit as the data: a crash
+        # either persists both or neither, so re-delivery is idempotent
+        table.append(
+            batch_df,
+            properties_update={
+                "stream_batches": ",".join(str(i) for i in sorted(done))
+            },
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

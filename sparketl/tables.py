@@ -138,14 +138,24 @@ class ManagedTable:
             int(f[1:7]) for f in os.listdir(self._manifest_dir) if f.endswith(".json")
         )
 
+    def set_properties(self, updates: dict) -> int:
+        """Merge properties in a new (data-unchanged) version."""
+        m = self._manifest()
+        return self._commit(m["files"], m["schema"], {**m["properties"], **updates})
+
     # -- writes -------------------------------------------------------------
-    def append(self, df: DataFrame) -> int:
-        """SNK-01: atomic batch append — all rows or none (tool:241-267)."""
+    def append(self, df: DataFrame, properties_update: dict | None = None) -> int:
+        """SNK-01: atomic batch append — all rows or none (tool:241-267).
+
+        ``properties_update`` merges into the table properties in the
+        SAME commit — used by streaming ingest to record the batch id
+        atomically with its data (idempotent re-delivery)."""
         m = self._manifest()
         target = T.StructType.fromJson(json.loads(m["schema"]))
         aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
         new_files = self._write_data(aligned)
-        return self._commit(m["files"] + new_files, m["schema"], m["properties"])
+        props = {**m["properties"], **(properties_update or {})}
+        return self._commit(m["files"] + new_files, m["schema"], props)
 
     def overwrite(self, df: DataFrame) -> int:
         m = self._manifest()

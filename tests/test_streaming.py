@@ -69,3 +69,37 @@ def test_stateful_sessionize_matches_batch(spark):
     for key, (_, _, _, idx) in b_rows.items():
         if idx < max_session[key[0]]:
             assert key in s_rows, f"non-final batch session {key} never closed"
+
+
+def test_stream_ingest_append_to_managed_table(spark, tmp_path):
+    """File stream → foreachBatch → ManagedTable: final contents equal
+    the batch read, one atomic version per micro-batch, batch ids
+    recorded for idempotent re-delivery."""
+    from pyspark.sql import functions as F
+
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+        stream_ingest_append,
+    )
+    from sparketl.tables import ManagedTable
+
+    stage = stage_event_chunks(spark, SF_SMOKE, n_chunks=3)
+    stream = read_staged_stream(spark, stage)
+    batch = load_table(spark, SF_SMOKE, "events")
+
+    tbl = ManagedTable(spark, str(tmp_path / "events_tbl"))
+    tbl.create(stream.schema)
+    q = stream_ingest_append(stream, tbl, str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert tbl.read().count() == batch.count()
+    got = tbl.read().agg(F.sum("event_id")).first()[0]
+    want = batch.agg(F.sum("event_id")).first()[0]
+    assert got == want
+    # one data version per micro-batch (3 chunks) + the create
+    assert len(tbl.history()) == 4
+    assert tbl.properties()["stream_batches"] == "0,1,2"
