@@ -319,3 +319,20 @@ EXT_ORACLES["ext_04_length_histogram"] = """
            COUNT(*) AS n_docs
     FROM documents GROUP BY 1, 2 ORDER BY bucket
 """
+
+
+from sparketl.operators.multimodal import q_ext_mm_resize  # noqa: E402
+
+EXT_QUERIES["ext_mm_resize"] = q_ext_mm_resize
+EXT_ORACLES["ext_mm_resize"] = """
+    WITH decoded AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+             CAST((octet_length(encode(text)) * 7) % 480 + 1 AS INT) AS height
+      FROM documents
+    )
+    SELECT doc_id, width, height,
+           GREATEST(1, CAST(FLOOR(width * LEAST(1.0, 64.0 / width, 64.0 / height)) AS INT)) AS out_w,
+           GREATEST(1, CAST(FLOOR(height * LEAST(1.0, 64.0 / width, 64.0 / height)) AS INT)) AS out_h
+    FROM decoded ORDER BY doc_id
+"""

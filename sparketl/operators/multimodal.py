@@ -118,3 +118,58 @@ def q_ext_mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_frames")
         .orderBy("doc_id")
     )
+
+
+FEATURES_SCHEMA = "doc_id long, feature array<double>"
+
+
+def extract_features(binary_df: DataFrame, dim: int = 16, fake: bool = True) -> DataFrame:
+    """'Feature-extract' each payload into a fixed-dim vector.
+
+    Deterministic fake: L1-normalized histogram of byte values mod
+    ``dim`` — same Arrow/mapInPandas shape as a real CNN/audio
+    embedder, and the output plugs straight into the similarity
+    operators (cosine_topk / ANN) since it is an array<double> column.
+    """
+    if not fake:
+        _require_codec("feature-extractor")
+
+    import numpy as np
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
+
+    return binary_df.mapInPandas(extract, schema=FEATURES_SCHEMA)
+
+
+def resize_metadata(
+    decoded: DataFrame, max_w: int = 64, max_h: int = 64
+) -> DataFrame:
+    """Resize plan for decoded images: aspect-preserving scale into a
+    (max_w, max_h) box, never upscaling. Pure JVM arithmetic on the
+    metadata — the byte-level resample would live in the same
+    mapInPandas slot as decode_images."""
+    s = F.least(
+        F.lit(1.0),
+        F.lit(float(max_w)) / F.col("width"),
+        F.lit(float(max_h)) / F.col("height"),
+    )
+    return decoded.select(
+        "doc_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(F.col("width") * s).cast("int")).alias("out_w"),
+        F.greatest(F.lit(1), F.floor(F.col("height") * s).cast("int")).alias("out_h"),
+    )
+
+
+def q_ext_mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return resize_metadata(decode_images(to_binary_column(d))).orderBy("doc_id")

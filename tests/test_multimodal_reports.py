@@ -70,3 +70,31 @@ def test_report_rejects_unknown_column(spark):
     orders = load_table(spark, SF_SMOKE, "orders")
     with pytest.raises(ReportError, match="not found"):
         report_data(orders, "Bar Graph", "nope", "o_totalprice")
+
+
+def test_extract_features_unit_norm_and_feeds_similarity(spark):
+    """Fake feature extractor: L1-normalized, deterministic, and the
+    output column plugs into the cosine top-k operator unchanged."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.multimodal import extract_features, to_binary_column
+    from sparketl.operators.similarity import cosine_topk
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, SF_SMOKE, "documents").limit(50)
+    feats = extract_features(to_binary_column(d), dim=16).cache()
+    sums = feats.select(
+        F.aggregate("feature", F.lit(0.0), lambda a, x: a + x).alias("s")
+    )
+    assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums.collect())
+
+    topk = cosine_topk(
+        feats, feats.filter(F.col("doc_id") < 3), k=5,
+        vec_col="feature", id_col="doc_id",
+    )
+    rows = topk.collect()
+    assert len(rows) == 15 and all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+    a = sorted(tuple(r) for r in topk.collect())
+    assert a == sorted(tuple(r) for r in rows)
