@@ -602,3 +602,64 @@ def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+def q_agg_07_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles (median / p95) per group — Spark's
+    percentile() matches DuckDB quantile_cont bit-for-bit (verified).
+    At scale, swap for approx_percentile with a documented error bound;
+    the exact form is the oracle baseline."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
+            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_ext_08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 1-in-10 stratified sample per language: rank by
+    doc_id within each stratum, keep ranks ≡ 1 (mod 10). Reproducible
+    across engines (unlike seeded TABLESAMPLE) — the sampling pattern
+    a training-data pipeline needs for audits/holdouts. One shuffle on
+    the stratum key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") % 10) == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+def q_prof_01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of orders (null count, distinct count,
+    min/max as strings) — the profiling pass an integration tool runs
+    before ingest. One aggregation pass computes every column's stats
+    (no per-column scans); unpivoted via stack."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for f in o.schema.fields:
+        c = f.name
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("bigint").alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__ndv"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{f.name}', {f.name}__nulls, {f.name}__ndv, {f.name}__min, {f.name}__max"
+        for f in o.schema.fields
+    )
+    n = len(o.schema.fields)
+    return wide.select(
+        F.expr(
+            f"stack({n}, {stack_args}) AS (col_name, n_nulls, ndv, min_s, max_s)"
+        )
+    ).orderBy("col_name")

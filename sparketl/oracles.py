@@ -194,6 +194,51 @@ RELATIONAL_ORACLES: dict[str, str] = {
                COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view
         FROM events GROUP BY user_id ORDER BY user_id
     """,
+    "agg_07_quantiles": """
+        SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.5) AS median_price,
+               quantile_cont(l_extendedprice, 0.95) AS p95_price,
+               quantile_cont(l_quantity, 0.5) AS median_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "ext_08_stratified_sample": """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT doc_id, lang, source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+          FROM documents
+        ) WHERE rn % 10 = 1 ORDER BY doc_id
+    """,
+    "prof_01_table_profile": """
+        WITH w AS (
+          SELECT
+            SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k1n,
+            COUNT(DISTINCT o_orderkey) AS k1d,
+            MIN(CAST(o_orderkey AS VARCHAR)) AS k1mi, MAX(CAST(o_orderkey AS VARCHAR)) AS k1ma,
+            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k2n,
+            COUNT(DISTINCT o_custkey) AS k2d,
+            MIN(CAST(o_custkey AS VARCHAR)) AS k2mi, MAX(CAST(o_custkey AS VARCHAR)) AS k2ma,
+            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS k3n,
+            COUNT(DISTINCT o_orderstatus) AS k3d,
+            MIN(CAST(o_orderstatus AS VARCHAR)) AS k3mi, MAX(CAST(o_orderstatus AS VARCHAR)) AS k3ma,
+            SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS k4n,
+            COUNT(DISTINCT o_totalprice) AS k4d,
+            MIN(CAST(o_totalprice AS VARCHAR)) AS k4mi, MAX(CAST(o_totalprice AS VARCHAR)) AS k4ma,
+            SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS k5n,
+            COUNT(DISTINCT o_orderdate) AS k5d,
+            MIN(CAST(o_orderdate AS VARCHAR)) AS k5mi, MAX(CAST(o_orderdate AS VARCHAR)) AS k5ma,
+            SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS k6n,
+            COUNT(DISTINCT o_orderpriority) AS k6d,
+            MIN(CAST(o_orderpriority AS VARCHAR)) AS k6mi, MAX(CAST(o_orderpriority AS VARCHAR)) AS k6ma
+          FROM orders
+        )
+        SELECT 'o_orderkey' AS col_name, k1n AS n_nulls, k1d AS ndv, k1mi AS min_s, k1ma AS max_s FROM w
+        UNION ALL SELECT 'o_custkey', k2n, k2d, k2mi, k2ma FROM w
+        UNION ALL SELECT 'o_orderstatus', k3n, k3d, k3mi, k3ma FROM w
+        UNION ALL SELECT 'o_totalprice', k4n, k4d, k4mi, k4ma FROM w
+        UNION ALL SELECT 'o_orderdate', k5n, k5d, k5mi, k5ma FROM w
+        UNION ALL SELECT 'o_orderpriority', k6n, k6d, k6mi, k6ma FROM w
+        ORDER BY col_name
+    """,
     "agg_05_stats": """
         SELECT l_returnflag,
                ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
