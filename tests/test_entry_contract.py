@@ -10,11 +10,30 @@ def test_entry_returns_rows(spark):
     assert df.columns[0] == "l_returnflag"
 
 
+# Queries deliberately without a DuckDB oracle (engine-specific
+# hash/centroid/streaming-state formulations). Every one must carry a
+# pytest semantic check instead. Anything else missing an oracle is a
+# registration bug.
+ROWS_ONLY_ALLOWED = {
+    "ext_02_minhash_lsh",
+    "ext_02_simhash",
+    "ext_03_ann_lsh",
+    "ext_03_ann_ivf",
+    "ext_06_sessionize_stateful",
+}
+
+
 def test_every_oracle_has_a_query():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 50
+
+
+def test_rows_only_set_is_exactly_the_allowlist():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(qs) - set(oracles) == ROWS_ONLY_ALLOWED
 
 
 def test_queries_run_at_smoke_scale(spark):
