@@ -336,3 +336,8 @@ EXT_ORACLES["ext_mm_resize"] = """
            GREATEST(1, CAST(FLOOR(height * LEAST(1.0, 64.0 / width, 64.0 / height)) AS INT)) AS out_h
     FROM decoded ORDER BY doc_id
 """
+
+
+from sparketl.operators.text import q_ext_09_hll_ndv  # noqa: E402
+
+EXT_QUERIES["ext_09_hll_ndv"] = q_ext_09_hll_ndv

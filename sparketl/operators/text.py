@@ -177,3 +177,22 @@ def q_ext_04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("bucket")
     )
+
+
+def q_ext_09_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct-token count per language via HLL++
+    (approx_count_distinct) next to the exact NDV. The sketch is the
+    100 TB path: fixed-size state, map-side mergeable, no
+    shuffle-the-universe distinct. HLL merge is commutative/associative
+    → deterministic result regardless of partitioning (rows-only
+    driver check; pytest bounds the relative error vs exact)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.approx_count_distinct("token", rsd=0.02).alias("ndv_approx"),
+            F.countDistinct("token").alias("ndv_exact"),
+        )
+        .orderBy("lang")
+    )

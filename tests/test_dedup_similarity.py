@@ -137,3 +137,16 @@ def test_dup_clusters_equal_bfs_components(spark, docs):
 
     got = {r["doc_id"]: r["cluster_id"] for r in dup_clusters(pairs).collect()}
     assert got == expected
+
+
+def test_hll_ndv_error_bound_and_determinism(spark, docs):
+    from sparketl.operators.text import q_ext_09_hll_ndv
+    from tests.conftest import SF_SMOKE
+
+    a = {r["lang"]: (r["ndv_approx"], r["ndv_exact"])
+         for r in q_ext_09_hll_ndv(spark, SF_SMOKE).collect()}
+    b = {r["lang"]: (r["ndv_approx"], r["ndv_exact"])
+         for r in q_ext_09_hll_ndv(spark, SF_SMOKE).collect()}
+    assert a == b and len(a) == 5
+    for lang, (approx, exact) in a.items():
+        assert abs(approx - exact) / exact < 0.1, (lang, approx, exact)

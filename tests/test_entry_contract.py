@@ -20,6 +20,7 @@ ROWS_ONLY_ALLOWED = {
     "ext_03_ann_lsh",
     "ext_03_ann_ivf",
     "ext_06_sessionize_stateful",
+    "ext_09_hll_ndv",
 }
 
 
