@@ -97,3 +97,24 @@ def q_ext_06_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_idx")
     )
+
+
+def q_ext_05_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON parsing: from_json into a typed struct
+    (vs the path-probe get_json_object of ext_05_json_extract).
+    One parse per row yields every field at once — the right call
+    when extracting multiple properties at scale."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "p", F.from_json("props", "k INT")
+    )
+    return (
+        parsed.select("user_id", F.col("p.k").alias("k"))
+        .where(F.col("k").isNotNull() & (F.col("k") % 7 == 0))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_k7"),
+            F.sum(F.col("k").cast("long")).alias("sum_k7"),
+        )
+        .orderBy("user_id")
+    )

@@ -341,3 +341,17 @@ EXT_ORACLES["ext_mm_resize"] = """
 from sparketl.operators.text import q_ext_09_hll_ndv  # noqa: E402
 
 EXT_QUERIES["ext_09_hll_ndv"] = q_ext_09_hll_ndv
+
+
+from sparketl.operators.events_ops import q_ext_05_from_json_struct  # noqa: E402
+
+EXT_QUERIES["ext_05_from_json_struct"] = q_ext_05_from_json_struct
+EXT_ORACLES["ext_05_from_json_struct"] = """
+    SELECT user_id,
+           COUNT(*) AS n_k7,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k7
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
+      AND CAST(json_extract(props, '$.k') AS INT) % 7 = 0
+    GROUP BY user_id ORDER BY user_id
+"""
