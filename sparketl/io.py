@@ -43,6 +43,12 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS), which a vanilla Spark 4
+    # session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy conf is
+    # runtime-settable, so set it here rather than in the session
+    # factory: every entry point (including an externally constructed
+    # SparkSession handed to queries()) must be self-sufficient.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     # events.ts is parquet TIMESTAMP(NANOS): with
     # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-ns long;

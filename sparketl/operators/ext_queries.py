@@ -349,7 +349,7 @@ EXT_QUERIES["ext_05_from_json_struct"] = q_ext_05_from_json_struct
 EXT_ORACLES["ext_05_from_json_struct"] = """
     SELECT user_id,
            COUNT(*) AS n_k7,
-           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k7
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k7
     FROM events
     WHERE CAST(json_extract(props, '$.k') AS INT) IS NOT NULL
       AND CAST(json_extract(props, '$.k') AS INT) % 7 = 0

@@ -211,22 +211,22 @@ RELATIONAL_ORACLES: dict[str, str] = {
     "prof_01_table_profile": """
         WITH w AS (
           SELECT
-            SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS k1n,
+            CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k1n,
             COUNT(DISTINCT o_orderkey) AS k1d,
             MIN(CAST(o_orderkey AS VARCHAR)) AS k1mi, MAX(CAST(o_orderkey AS VARCHAR)) AS k1ma,
-            SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS k2n,
+            CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k2n,
             COUNT(DISTINCT o_custkey) AS k2d,
             MIN(CAST(o_custkey AS VARCHAR)) AS k2mi, MAX(CAST(o_custkey AS VARCHAR)) AS k2ma,
-            SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS k3n,
+            CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k3n,
             COUNT(DISTINCT o_orderstatus) AS k3d,
             MIN(CAST(o_orderstatus AS VARCHAR)) AS k3mi, MAX(CAST(o_orderstatus AS VARCHAR)) AS k3ma,
-            SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS k4n,
+            CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k4n,
             COUNT(DISTINCT o_totalprice) AS k4d,
             MIN(CAST(o_totalprice AS VARCHAR)) AS k4mi, MAX(CAST(o_totalprice AS VARCHAR)) AS k4ma,
-            SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS k5n,
+            CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k5n,
             COUNT(DISTINCT o_orderdate) AS k5d,
             MIN(CAST(o_orderdate AS VARCHAR)) AS k5mi, MAX(CAST(o_orderdate AS VARCHAR)) AS k5ma,
-            SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS k6n,
+            CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k6n,
             COUNT(DISTINCT o_orderpriority) AS k6d,
             MIN(CAST(o_orderpriority AS VARCHAR)) AS k6mi, MAX(CAST(o_orderpriority AS VARCHAR)) AS k6ma
           FROM orders
