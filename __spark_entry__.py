@@ -31,6 +31,7 @@ _FRONT = [
     "tierc_sql_passthrough",
     "tierc_tsql_top",
     "tierc_tsql_funcs",
+    "tierc_tsql_concat",
     "tierc_exists_subquery",
     "tierc_scalar_subquery",
     "ext_05_json_extract",

@@ -63,6 +63,19 @@ def q_tierc_tsql_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tierc_tsql_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL ``+`` string concatenation and ``DISTINCT TOP (n)`` via the
+    shim — the pass-through surface's most common T-SQL-isms after
+    brackets (tool:273; SURVEY §4.3 item 1)."""
+    return _run(
+        spark,
+        sf_dir,
+        "SELECT DISTINCT TOP (50) "
+        "[o_orderpriority] + ' / ' + [o_orderstatus] AS pri_status "
+        "FROM orders ORDER BY pri_status",
+    )
+
+
 def q_tierc_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS / NOT EXISTS — Catalyst rewrites both to
     semi/anti joins (RewritePredicateSubquery), so this is two hash
@@ -158,6 +171,7 @@ ENGINE_QUERIES = {
     "tierc_sql_passthrough": q_tierc_sql_passthrough,
     "tierc_tsql_top": q_tierc_tsql_top,
     "tierc_tsql_funcs": q_tierc_tsql_funcs,
+    "tierc_tsql_concat": q_tierc_tsql_concat,
     "tierc_exists_subquery": q_tierc_exists_subquery,
     "tierc_scalar_subquery": q_tierc_scalar_subquery,
 }
@@ -227,6 +241,10 @@ ENGINE_ORACLES = {
     "tierc_tsql_top": """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "tierc_tsql_concat": """
+        SELECT DISTINCT o_orderpriority || ' / ' || o_orderstatus AS pri_status
+        FROM orders ORDER BY pri_status LIMIT 50
     """,
     "tierc_tsql_funcs": """
         SELECT o_orderkey,

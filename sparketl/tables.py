@@ -165,13 +165,22 @@ class ManagedTable:
         return self._commit(new_files, m["schema"], m["properties"])
 
     def keyed_update(
-        self, source: DataFrame, key: str, set_columns: list[str] | None = None
+        self,
+        source: DataFrame,
+        key: str,
+        set_columns: list[str] | None = None,
+        order_by: str | None = None,
     ) -> int:
         """SNK-02 (tool:282-312): MERGE-style keyed update.
 
         - source rows with NULL ``key`` are skipped silently (tool:295-297)
         - duplicate source keys resolve last-write-wins in source order
-          (the reference fires per-row UPDATEs sequentially, §3.3 item 4)
+          (the reference fires per-row UPDATEs sequentially, §3.3 item 4).
+          "Source order" is the order an ``order_by`` column gives, when
+          provided; without one it falls back to the physical row order
+          (monotonically_increasing_id), which is only deterministic for
+          a freshly read/created source — a shuffled source should pass
+          an explicit ``order_by``.
         - target rows with no source match pass through unchanged
         - source rows with no target match are dropped (update-only)
         """
@@ -184,7 +193,14 @@ class ManagedTable:
             raise TableError(f"unknown columns in update: {missing}")
 
         # last-write-wins: keep the final source occurrence per key
-        ordered = source.withColumn("_src_order", F.monotonically_increasing_id())
+        if order_by is not None:
+            if order_by not in source.columns:
+                raise TableError(f"order column '{order_by}' not in source")
+            ordered = source.withColumn("_src_order", F.col(order_by))
+        else:
+            ordered = source.withColumn(
+                "_src_order", F.monotonically_increasing_id()
+            )
         w = W.partitionBy(key).orderBy(F.desc("_src_order"))
         src = (
             ordered.filter(F.col(key).isNotNull())  # skip-null semantics
@@ -213,8 +229,16 @@ class ManagedTable:
         return self.overwrite(merged.select(out_cols))
 
     def delete_where(self, predicate: str) -> int:
-        """DML-03: DELETE FROM t WHERE predicate."""
-        return self.overwrite(self.read().filter(f"NOT ({predicate})"))
+        """DML-03: DELETE FROM t WHERE predicate.
+
+        SQL DELETE removes only rows where the predicate is TRUE; rows
+        where it evaluates to NULL must survive. A bare
+        ``NOT (predicate)`` would drop them (NOT NULL is NULL → filtered
+        out), so keep rows where the predicate is not-true instead.
+        """
+        return self.overwrite(
+            self.read().filter(F.expr(f"NOT coalesce(({predicate}), false)"))
+        )
 
 
 def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:

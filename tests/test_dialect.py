@@ -39,3 +39,52 @@ def test_trailing_semicolon_with_top():
 def test_isnull_not_renamed_without_call():
     # bare word (e.g. column named isnull) survives
     assert transpile("SELECT isnull FROM t") == "SELECT isnull FROM t"
+
+
+def test_top_parenthesized():
+    assert transpile("SELECT TOP (7) a FROM t") == "SELECT a FROM t LIMIT 7"
+
+
+def test_distinct_top():
+    assert (
+        transpile("SELECT DISTINCT TOP 3 a FROM t ORDER BY a")
+        == "SELECT DISTINCT a FROM t ORDER BY a LIMIT 3"
+    )
+
+
+def test_top_in_subquery_raises():
+    import pytest
+
+    from sparketl.dialect import DialectError
+
+    with pytest.raises(DialectError, match="subquery"):
+        transpile("SELECT * FROM (SELECT TOP 3 a FROM t) s JOIN u ON s.a = u.a")
+
+
+def test_repeated_top_raises():
+    import pytest
+
+    from sparketl.dialect import DialectError
+
+    with pytest.raises(DialectError, match="multiple TOP"):
+        transpile("SELECT TOP 3 a FROM t UNION ALL SELECT TOP 4 b FROM u")
+
+
+def test_plus_string_concat():
+    assert (
+        transpile("SELECT a + ' / ' + b FROM t")
+        == "SELECT a || ' / ' || b FROM t"
+    )
+    assert transpile("SELECT 'x' + a FROM t") == "SELECT 'x' || a FROM t"
+
+
+def test_plus_numeric_untouched():
+    assert transpile("SELECT a + b, 1 + 2 FROM t") == "SELECT a + b, 1 + 2 FROM t"
+
+
+def test_top_as_identifier_after_select_distinct():
+    # COUNT(DISTINCT top): 'top' here is a column, not the TOP keyword
+    assert (
+        transpile("SELECT COUNT(DISTINCT top) FROM t")
+        == "SELECT COUNT(DISTINCT top) FROM t"
+    )

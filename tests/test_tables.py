@@ -93,3 +93,33 @@ def test_overwrite(spark, tmp_table_root):
     t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
     t.overwrite(spark.createDataFrame([(5, "e", 5.0)], SCHEMA))
     assert _rows(t) == [(5, "e", 5.0)]
+
+
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_table_root):
+    # SQL DELETE only removes rows where the predicate is TRUE; a NULL
+    # predicate (here: bal IS NULL) must leave the row in place.
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", None), (3, "c", 9.0)], SCHEMA))
+    t.delete_where("bal > 1.5")
+    assert _rows(t) == [(1, "a", 1.0), (2, "b", None)]
+
+
+def test_keyed_update_explicit_order(spark, tmp_table_root):
+    # With an explicit order column, last-write-wins follows it even if
+    # the physical row order disagrees (e.g. after a shuffle).
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    src = spark.createDataFrame(
+        [(1, "late", 9.0, 2), (1, "early", 5.0, 1)],
+        "id long, name string, bal double, seq long",
+    )
+    t.keyed_update(src, "id", ["name", "bal"], order_by="seq")
+    assert _rows(t) == [(1, "late", 9.0)]
+
+
+def test_keyed_update_order_column_missing(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    src = spark.createDataFrame([(1, "x", 2.0)], SCHEMA)
+    with pytest.raises(TableError):
+        t.keyed_update(src, "id", order_by="nope")
