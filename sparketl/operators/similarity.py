@@ -263,22 +263,18 @@ def _assign_cells(
     )
 
 
-def train_ivf_centroids(
-    corpus: DataFrame,
-    n_cells: int = 16,
-    n_iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
+def _train_ivf(
+    u: DataFrame, n_cells: int, n_iters: int, id_col: str
 ) -> list[list[float]]:
-    """Deterministic spherical k-means: init = the n_cells smallest-id
-    unit vectors, then Lloyd iterations with mean-then-renormalize.
+    """Deterministic spherical k-means over a cached unit-vector DF
+    (columns: id_col, _unit): init = the n_cells smallest-id unit
+    vectors, then Lloyd iterations with mean-then-renormalize.
 
     Per iteration: one broadcast assignment pass + one (cell, dim)
     aggregation — the posexplode shuffle is n·dim rows, linear in the
     corpus, and the centroid table (k·dim doubles) always fits on the
     driver. This is the standard distributed IVF training loop."""
-    spark = corpus.sparkSession
-    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
+    spark = u.sparkSession
     init = u.orderBy(id_col).limit(n_cells).collect()
     centroids = [list(r["_unit"]) for r in init]
     for _ in range(n_iters):
@@ -305,8 +301,22 @@ def train_ivf_centroids(
             else:  # empty cell keeps its previous centroid
                 new.append(old)
         centroids = new
-    u.unpersist()
     return centroids
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Standalone training entry point (see _train_ivf)."""
+    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
+    try:
+        return _train_ivf(u, n_cells, n_iters, id_col)
+    finally:
+        u.unpersist()
 
 
 def ann_ivf_topk(
@@ -323,15 +333,18 @@ def ann_ivf_topk(
     nearest-centroid cell; a query scores only the nprobe nearest
     cells, scanning ~nprobe/n_cells of the corpus. At 100 TB the cell
     column is the partition key: each probe is a co-located scan, and
-    raising n_cells keeps per-cell size constant as the corpus grows."""
+    raising n_cells keeps per-cell size constant as the corpus grows.
+
+    The unit-normalized corpus is computed ONCE and cached: training
+    iterates over it, and the same cached DF feeds the final index
+    assignment — no second normalize+spread pass over the corpus. (At
+    cluster scale the final assignment would be written out partitioned
+    by cell instead of cached; the single-pass structure is the same.)"""
     spark = corpus.sparkSession
-    cents = _centroids_df(
-        spark, train_ivf_centroids(corpus, n_cells=n_cells, n_iters=n_iters)
-    )
+    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
+    cents = _centroids_df(spark, _train_ivf(u, n_cells, n_iters, id_col))
     c = _assign_cells(
-        _unit(spread(corpus), vec_col).select(
-            F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("c_vec")
-        ),
+        u.select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("c_vec")),
         cents,
         "c_vec",
         "neighbor_id",
