@@ -150,18 +150,31 @@ def streaming_sessionize(
 def stage_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Split the (time-ordered) events fixture into n time-ordered
     parquet files so maxFilesPerTrigger=1 yields real multi-batch
-    streaming with cross-batch state."""
+    streaming with cross-batch state.
+
+    Fully distributed: repartitionByRange on ts makes partition index ==
+    time-range order, so the executor-written part files ARE the chunks
+    — no driver-side materialization (the previous toPandas version was
+    a driver-memory bottleneck on a large events table). Files are then
+    renamed/mtime-stamped in range order because the file source
+    processes oldest-mtime first."""
     stage = os.path.join(tempfile.gettempdir(), f"sparketl-chunks-{uuid.uuid4().hex[:8]}")
+    raw = stage + "-raw"
+    (
+        load_table(spark, sf_dir, "events")
+        .repartitionByRange(n_chunks, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(raw)
+    )
     os.makedirs(stage, exist_ok=True)
-    pdf = load_table(spark, sf_dir, "events").orderBy("ts", "event_id").toPandas()
-    size = (len(pdf) + n_chunks - 1) // n_chunks
-    for i in range(n_chunks):
-        chunk = pdf.iloc[i * size : (i + 1) * size]
-        if len(chunk):
-            path = os.path.join(stage, f"part-{i:04d}.parquet")
-            chunk.to_parquet(path, index=False)
-            # file source processes in mtime order
-            os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+    # part-NNNNN index == repartitionByRange partition index == ts order
+    parts = sorted(f for f in os.listdir(raw) if f.endswith(".parquet"))
+    for i, fname in enumerate(parts):
+        dst = os.path.join(stage, f"part-{i:04d}.parquet")
+        shutil.move(os.path.join(raw, fname), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+    shutil.rmtree(raw, ignore_errors=True)
     return stage
 
 
