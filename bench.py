@@ -73,16 +73,28 @@ def main() -> None:
         .save()
     )
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        t0 = time.monotonic()
-        df = fn(spark, SF_DIR)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    # Median of 3 interleaved rounds per query: single-run totals vary
+    # ±30% under load, which makes round-over-round comparisons (and a
+    # 2× regression gate) noise-prone. Interleaving spreads transient
+    # machine load across all queries instead of one.
+    n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+    samples: dict[str, list[float]] = {}
+    for _ in range(n_rounds):
+        for name in HEADLINE:
+            fn = qs.get(name)
+            if fn is None:
+                continue
+            t0 = time.monotonic()
+            df = fn(spark, SF_DIR)
+            df.write.mode("overwrite").format("noop").save()
+            samples.setdefault(name, []).append(time.monotonic() - t0)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        mid = len(s) // 2
+        return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
+
+    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
