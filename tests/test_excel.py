@@ -1,0 +1,120 @@
+"""SRC-01 end-to-end: the Excel parse path actually executes.
+
+openpyxl is absent in this image, so these tests exercise the built-in
+minimal .xlsx reader on a hand-rolled workbook (xlsx is just zipped
+XML) — covering sheet enumeration, typed cells (shared strings, inline
+strings, numbers, booleans, blanks), the parallel binaryFile +
+mapInPandas path, and the source-agnostic mapping/cast pipeline on top
+(tool:555-577 parity).
+"""
+
+import zipfile
+
+import pytest
+
+from sparketl.sources.excel import list_sheets, read_excel, read_excel_many
+
+_WORKBOOK = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+ <sheets>
+  <sheet name="People" sheetId="1" r:id="rId1"/>
+  <sheet name="Empty" sheetId="2" r:id="rId2"/>
+ </sheets>
+</workbook>"""
+
+_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+ <Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>
+</Relationships>"""
+
+_SHARED = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+ <si><t>id</t></si><si><t>name</t></si><si><t>bal</t></si><si><t>alice</t></si>
+</sst>"""
+
+# header row from shared strings; data rows mix shared strings, an
+# inline string, ints, floats, a boolean, and a missing (sparse) cell
+_SHEET1 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData>
+  <row r="1">
+   <c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="s"><v>2</v></c>
+  </row>
+  <row r="2">
+   <c r="A2"><v>1</v></c><c r="B2" t="s"><v>3</v></c><c r="C2"><v>10.5</v></c>
+  </row>
+  <row r="3">
+   <c r="A3"><v>2</v></c><c r="B3" t="inlineStr"><is><t>bob</t></is></c><c r="C3"><v>20</v></c>
+  </row>
+  <row r="4">
+   <c r="A4"><v>3</v></c><c r="C4"><v>30</v></c>
+  </row>
+ </sheetData>
+</worksheet>"""
+
+_SHEET2 = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+ <sheetData/>
+</worksheet>"""
+
+
+def _write_xlsx(path):
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("xl/workbook.xml", _WORKBOOK)
+        zf.writestr("xl/_rels/workbook.xml.rels", _RELS)
+        zf.writestr("xl/sharedStrings.xml", _SHARED)
+        zf.writestr("xl/worksheets/sheet1.xml", _SHEET1)
+        zf.writestr("xl/worksheets/sheet2.xml", _SHEET2)
+    return str(path)
+
+
+@pytest.fixture()
+def xlsx(tmp_path):
+    return _write_xlsx(tmp_path / "book.xlsx")
+
+
+def test_list_sheets(xlsx):
+    assert list_sheets(xlsx) == ["People", "Empty"]
+
+
+def test_read_excel_typed_cells(spark, xlsx):
+    df = read_excel(spark, xlsx, sheet="People")
+    assert df.columns == ["id", "name", "bal"]
+    rows = {r["id"]: (r["name"], r["bal"]) for r in df.collect()}
+    assert rows[1] == ("alice", 10.5)
+    assert rows[2] == ("bob", 20.0)
+    assert rows[3] == (None, 30.0)  # sparse cell → null
+
+
+def test_read_excel_by_index(spark, xlsx):
+    assert read_excel(spark, xlsx, sheet=0).count() == 3
+
+
+def test_read_excel_many_parallel(spark, tmp_path):
+    for i in range(3):
+        _write_xlsx(tmp_path / f"book{i}.xlsx")
+    df = read_excel_many(spark, str(tmp_path / "*.xlsx"), sheet="People")
+    assert df.columns[0] == "_source_file"
+    assert df.count() == 9
+    assert df.select("_source_file").distinct().count() == 3
+
+
+def test_excel_into_mapping_pipeline(spark, xlsx):
+    # the reference's ingest flow: parse sheet → column mapping/rename →
+    # cast to target types (tool:555-577 then the SNK-01 path)
+    from pyspark.sql import functions as F
+
+    df = read_excel(spark, xlsx, sheet="People")
+    mapped = df.select(
+        F.col("id").cast("long").alias("person_id"),
+        F.col("name").cast("string").alias("person_name"),
+        F.col("bal").cast("decimal(12,2)").alias("balance"),
+    )
+    assert [f.simpleString() for f in mapped.schema.fields] == [
+        "person_id:bigint",
+        "person_name:string",
+        "balance:decimal(12,2)",
+    ]
+    assert mapped.count() == 3
