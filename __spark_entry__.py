@@ -46,6 +46,10 @@ _FRONT = [
     "ext_04_fingerprint",
     "ext_04_length_histogram",
     "ext_09_hll_ndv",
+    "ext_10_tfidf_topk",
+    "ext_04_gopher_flags",
+    "ext_11_rolling_7d",
+    "ext_12_decontaminate",
     "ext_mm_decode",
     "ext_mm_frames",
     "ext_mm_resize",

@@ -43,6 +43,9 @@ HEADLINE = [
     "agg_06_pivot",
     "tierc_scalar_subquery",
     "ext_03_ann_ivf",
+    "ext_10_tfidf_topk",
+    "ext_11_rolling_7d",
+    "ext_12_decontaminate",
 ]
 
 

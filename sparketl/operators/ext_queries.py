@@ -20,6 +20,12 @@ from sparketl.operators.events_ops import (
     q_ext_06_hourly_window,
     q_ext_06_sessionize,
 )
+from sparketl.operators.corpus import (
+    q_ext_04_gopher_flags,
+    q_ext_10_tfidf_topk,
+    q_ext_11_rolling_7d,
+    q_ext_12_decontaminate,
+)
 from sparketl.operators.multimodal import q_ext_mm_decode, q_ext_mm_frames
 from sparketl.operators.similarity import (
     q_ext_03_ann_lsh,
@@ -50,9 +56,13 @@ EXT_QUERIES = {
     "ext_04_token_count_bpe": q_ext_04_token_count_bpe,
     "ext_04_lang_id": q_ext_04_lang_id,
     "ext_04_fingerprint": q_ext_04_fingerprint,
+    "ext_04_gopher_flags": q_ext_04_gopher_flags,
     "ext_05_json_extract": q_ext_05_json_extract,
     "ext_06_hourly_window": q_ext_06_hourly_window,
     "ext_06_sessionize": q_ext_06_sessionize,
+    "ext_10_tfidf_topk": q_ext_10_tfidf_topk,
+    "ext_11_rolling_7d": q_ext_11_rolling_7d,
+    "ext_12_decontaminate": q_ext_12_decontaminate,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -68,6 +78,85 @@ _LANG_CASE = """
 """
 
 EXT_ORACLES = {
+    "ext_10_tfidf_topk": """
+        WITH toks AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), dfreq AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+          FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token
+        ), tf AS (
+          SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM toks WHERE doc_id < 50 GROUP BY doc_id, token
+        ), scored AS (
+          SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+                 CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+                   / dfreq.df AS score
+          FROM tf JOIN dfreq USING (token)
+        ), ranked AS (
+          SELECT doc_id,
+                 CAST(row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, token) AS INT)
+                   AS "rank",
+                 token, tf, df, score
+          FROM scored
+        )
+        SELECT doc_id, "rank", token, tf, df, score FROM ranked
+        WHERE "rank" <= 3 ORDER BY doc_id, "rank"
+    """,
+    "ext_04_gopher_flags": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 len(string_split(text, ' ')) AS n_tokens,
+                 CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS mean_wl,
+                 len(list_filter(string_split(text, ' '),
+                     x -> x = 'the' OR x = 'a')) AS n_stop
+          FROM documents
+        )
+        SELECT doc_id, lang,
+               (n_tokens >= 10 AND n_tokens <= 500) AS flag_len,
+               (mean_wl >= 3.0 AND mean_wl <= 10.0) AS flag_word_len,
+               (CAST(n_stop AS DOUBLE) / n_tokens >= 0.01) AS flag_stopwords,
+               ((n_tokens >= 10 AND n_tokens <= 500)
+                AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
+                AND (CAST(n_stop AS DOUBLE) / n_tokens >= 0.01)) AS passes
+        FROM t ORDER BY doc_id
+    """,
+    "ext_11_rolling_7d": """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS ts_s,
+                 CAST(value AS DECIMAL(12,2)) AS v
+          FROM events
+        )
+        SELECT event_id, user_id, ts_us,
+               CAST(COUNT(*) OVER w AS BIGINT) AS roll_n,
+               CAST(SUM(v) OVER w AS DOUBLE) AS roll_value
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+                     RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts_us, event_id
+    """,
+    "ext_12_decontaminate": """
+        WITH s AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents)
+          WHERE len(t) >= 3
+        ), t_side AS (
+          SELECT doc_id AS train_doc_id, unnest(sh) AS shingle
+          FROM s WHERE source <> 'src0'
+        ), e_side AS (
+          SELECT doc_id AS eval_doc_id, unnest(sh) AS shingle
+          FROM s WHERE source = 'src0'
+        )
+        SELECT train_doc_id, eval_doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM t_side JOIN e_side USING (shingle)
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        ORDER BY train_doc_id, eval_doc_id
+    """,
     "ext_01_exact_dedup": """
         SELECT user_id, event_type,
                MIN(event_id) AS kept_event_id,

@@ -1,0 +1,87 @@
+"""Semantic tests for the corpus operators (tfidf / gopher / rolling /
+decontamination) on hand-built frames with known answers."""
+
+from pyspark.sql import functions as F
+
+from sparketl.operators.corpus import (
+    decontaminate_overlap,
+    gopher_flags,
+    rolling_window,
+    tfidf_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    d = _docs(
+        spark,
+        [
+            "common common rare",
+            "common other words",
+            "common filler text",
+        ],
+    )
+    top = {
+        r["doc_id"]: r["token"]
+        for r in tfidf_topk(d, k=1).collect()
+    }
+    # 'common' appears in every doc (df=3) → idf-weight 1; doc 0's top
+    # term must be the unique 'rare' (tf=1, df=1 → score 3)
+    assert top[0] == "rare"
+
+
+def test_tfidf_score_is_rational(spark):
+    d = _docs(spark, ["a a b", "b c d"])
+    rows = {(r["doc_id"], r["token"]): r for r in tfidf_topk(d, k=3).collect()}
+    r = rows[(0, "a")]
+    assert (r["tf"], r["df"]) == (2, 1)
+    assert r["score"] == 2 * 2 / 1  # tf * N / df
+
+
+def test_gopher_flags_boundaries(spark):
+    d = _docs(
+        spark,
+        [
+            "tiny doc",  # n_tokens=2 → fails length gate
+            "the " * 9 + "the",  # 10 tokens, all stopwords, mean_wl 3.0
+        ],
+    )
+    flags = {r["doc_id"]: r for r in gopher_flags(d).collect()}
+    assert not flags[0]["flag_len"]
+    f1 = flags[1]
+    assert f1["flag_len"] and f1["flag_word_len"] and f1["flag_stopwords"]
+    assert f1["passes"]
+
+
+def test_rolling_window_counts(spark):
+    day = 86400 * 1_000_000
+    rows = [
+        (1, 10, 0 * day, 1.0),
+        (2, 10, 3 * day, 1.0),
+        (3, 10, 9 * day, 1.0),  # 9d after e1: outside 7d of e1, inside of e2
+        (4, 20, 0 * day, 1.0),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, user_id long, us long, value double")
+    e = e.select("event_id", "user_id", F.timestamp_micros("us").alias("ts"), "value")
+    out = {r["event_id"]: r["roll_n"] for r in rolling_window(e, days=7).collect()}
+    assert out == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_decontaminate_planted_overlap(spark):
+    train = _docs(spark, ["alpha beta gamma delta epsilon", "unrelated words here now"])
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta zeta", "en", "eval", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # train doc 0 shares 3-grams: 'alpha beta gamma', 'beta gamma delta'
+    out = decontaminate_overlap(train, ev, n=3, min_shared=2).collect()
+    assert [(r["train_doc_id"], r["eval_doc_id"], r["n_shared"]) for r in out] == [
+        (0, 100, 2)
+    ]
+    assert decontaminate_overlap(train, ev, n=3, min_shared=3).count() == 0
