@@ -75,6 +75,25 @@ def streaming_hourly_agg(
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: first occurrence per key wins, duplicate
+    re-deliveries within the watermark horizon are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it, so state size tracks the dedup horizon (the
+    at-least-once redelivery window), not the whole stream history —
+    the standard exactly-once-ification of an at-least-once source. The
+    batch twin is ``dropDuplicates`` on the same keys (EXT-01 exact
+    dedup); pytest asserts stream ≡ batch on the fixture."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def run_stream_to_table(agg: DataFrame, spark: SparkSession) -> DataFrame:
     """Drive a streaming aggregate to completion against the finite
     fixture and return the materialized result (memory sink)."""

@@ -103,3 +103,46 @@ def test_stream_ingest_append_to_managed_table(spark, tmp_path):
     # one data version per micro-batch (3 chunks) + the create
     assert len(tbl.history()) == 4
     assert tbl.properties()["stream_batches"] == "0,1,2"
+
+
+def test_streaming_dedup_drops_redelivered_batch(spark):
+    """A re-delivered chunk (at-least-once source) is fully deduped:
+    stream output ≡ batch dropDuplicates on event_id."""
+    import os
+    import shutil
+
+    from sparketl.streaming.stateful import read_staged_stream, stage_event_chunks
+    from sparketl.streaming.windows import run_stream_to_table, streaming_dedup
+
+    stage = stage_event_chunks(spark, SF_SMOKE, n_chunks=3)
+    try:
+        # simulate redelivery: chunk 0 arrives again after chunk 2
+        dup = os.path.join(stage, "part-9999.parquet")
+        shutil.copyfile(os.path.join(stage, "part-0000.parquet"), dup)
+        os.utime(dup, (1_700_000_100, 1_700_000_100))
+
+        stream = read_staged_stream(spark, stage)
+        # horizon longer than the fixture's time span → nothing expires
+        deduped = streaming_dedup(stream, watermark="3650 days")
+        got = run_stream_to_table_append(deduped, spark)
+
+        batch = load_table(spark, SF_SMOKE, "events")
+        assert got.count() == batch.count()
+        assert (
+            got.select("event_id").distinct().count()
+            == batch.select("event_id").distinct().count()
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_stream_to_table_append(df, spark):
+    import uuid as _uuid
+
+    name = f"stream_out_{_uuid.uuid4().hex[:8]}"
+    q = df.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
