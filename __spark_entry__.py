@@ -48,6 +48,7 @@ _FRONT = [
     "ext_09_hll_ndv",
     "ext_10_tfidf_topk",
     "ext_04_gopher_flags",
+    "ext_04_repetition",
     "ext_11_rolling_7d",
     "ext_12_decontaminate",
     "ext_mm_decode",

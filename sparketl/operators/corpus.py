@@ -107,6 +107,35 @@ def q_ext_04_gopher_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_flags(d).orderBy("doc_id")
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition: duplicate 2-gram fraction (the
+    Gopher repetition rules' core signal). Pure array expressions —
+    map-only, codegen, no shuffle. Docs under 2 tokens are dropped
+    (no 2-gram exists)."""
+    tk = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    grams = F.expr(
+        "transform(sequence(0, size(tk) - 2),"
+        " i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2)))"
+    )
+    g = base.select("doc_id", grams.alias("grams"))
+    n_total = F.size("grams").cast("long")
+    n_distinct = F.size(F.array_distinct("grams")).cast("long")
+    dup_frac = F.lit(1.0) - n_distinct.cast("double") / n_total.cast("double")
+    return g.select(
+        "doc_id",
+        n_total.alias("n_2grams"),
+        n_distinct.alias("n_distinct"),
+        dup_frac.alias("dup_frac"),
+        (dup_frac <= 0.9).alias("flag_repetition"),
+    )
+
+
+def q_ext_04_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_stats(d).orderBy("doc_id")
+
+
 # ------------------------------------------------------- rolling window
 
 

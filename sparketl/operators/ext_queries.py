@@ -22,6 +22,7 @@ from sparketl.operators.events_ops import (
 )
 from sparketl.operators.corpus import (
     q_ext_04_gopher_flags,
+    q_ext_04_repetition,
     q_ext_10_tfidf_topk,
     q_ext_11_rolling_7d,
     q_ext_12_decontaminate,
@@ -57,6 +58,7 @@ EXT_QUERIES = {
     "ext_04_lang_id": q_ext_04_lang_id,
     "ext_04_fingerprint": q_ext_04_fingerprint,
     "ext_04_gopher_flags": q_ext_04_gopher_flags,
+    "ext_04_repetition": q_ext_04_repetition,
     "ext_05_json_extract": q_ext_05_json_extract,
     "ext_06_hourly_window": q_ext_06_hourly_window,
     "ext_06_sessionize": q_ext_06_sessionize,
@@ -121,6 +123,24 @@ EXT_ORACLES = {
                 AND (mean_wl >= 3.0 AND mean_wl <= 10.0)
                 AND (CAST(n_stop AS DOUBLE) / n_tokens >= 0.01)) AS passes
         FROM t ORDER BY doc_id
+    """,
+    "ext_04_repetition": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_transform(range(1, len(tk)),
+                    i -> tk[i] || ' ' || tk[i+1]) AS grams
+          FROM t WHERE len(tk) >= 2
+        )
+        SELECT doc_id,
+               CAST(len(grams) AS BIGINT) AS n_2grams,
+               CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+               1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE) AS dup_frac,
+               (1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE)) <= 0.9 AS flag_repetition
+        FROM g ORDER BY doc_id
     """,
     "ext_11_rolling_7d": """
         WITH e AS (

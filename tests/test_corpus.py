@@ -85,3 +85,21 @@ def test_decontaminate_planted_overlap(spark):
         (0, 100, 2)
     ]
     assert decontaminate_overlap(train, ev, n=3, min_shared=3).count() == 0
+
+
+def test_repetition_stats(spark):
+    from sparketl.operators.corpus import repetition_stats
+
+    d = _docs(
+        spark,
+        [
+            "a b a b a b",  # 5 bigrams, 2 distinct → dup_frac 0.6
+            "w x y z q",    # 4 bigrams, all distinct → dup_frac 0.0
+            "solo",         # <2 tokens → dropped
+        ],
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(d).collect()}
+    assert set(rows) == {0, 1}
+    assert (rows[0]["n_2grams"], rows[0]["n_distinct"]) == (5, 2)
+    assert abs(rows[0]["dup_frac"] - 0.6) < 1e-12
+    assert rows[1]["dup_frac"] == 0.0 and rows[1]["flag_repetition"]
