@@ -42,6 +42,7 @@ _FRONT = [
     "ext_07_asof_join",
     "ext_07_range_join",
     "ext_02_dup_clusters",
+    "ext_02_canonical_docs",
     "ext_03_ann_ivf",
     "ext_04_fingerprint",
     "ext_04_length_histogram",
@@ -51,6 +52,7 @@ _FRONT = [
     "ext_04_repetition",
     "ext_11_rolling_7d",
     "ext_12_decontaminate",
+    "ext_13_pii_scrub",
     "ext_mm_decode",
     "ext_mm_frames",
     "ext_mm_resize",

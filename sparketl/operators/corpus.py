@@ -172,6 +172,47 @@ def q_ext_11_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_window(e, days=7).orderBy("user_id", "ts_us", "event_id")
 
 
+# PII patterns kept to syntax shared by Java regex (Spark) and RE2
+# (DuckDB) so the oracle comparison is engine-exact.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN = r"\d{3}-\d{2}-\d{4}"
+PII_PHONE = r"\d{3}[-.]\d{3}[-.]\d{4}"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc PII counts + redacted text (emails / SSNs / phones →
+    typed placeholders). Map-only regexp work inside codegen — at
+    100 TB this is a scan-speed pass, the standard pre-training scrub.
+    SSN redacts before phone: the two number shapes must not overlap."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), PII_EMAIL, "[EMAIL]"),
+            PII_SSN,
+            "[SSN]",
+        ),
+        PII_PHONE,
+        "[PHONE]",
+    )
+    n_emails = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL))
+    n_ssns = F.regexp_count(F.col(text_col), F.lit(PII_SSN))
+    n_phones = F.regexp_count(
+        F.regexp_replace(F.col(text_col), PII_SSN, "[SSN]"), F.lit(PII_PHONE)
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_ssns.cast("long").alias("n_ssns"),
+        n_phones.cast("long").alias("n_phones"),
+        ((n_emails + n_ssns + n_phones) > 0).alias("has_pii"),
+        F.length(redacted).cast("long").alias("redacted_len"),
+    )
+
+
+def q_ext_13_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pii_scrub(d).orderBy("doc_id")
+
+
 # ----------------------------------------------------- decontamination
 
 

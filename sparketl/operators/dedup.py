@@ -288,6 +288,40 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     return labels
 
 
+def canonical_docs(labels: DataFrame, quality: DataFrame) -> DataFrame:
+    """Per cluster, the member to KEEP: highest quality score, ties →
+    smallest doc_id — the 'which copy survives' step a dedup pipeline
+    runs after clustering. The label table is 2 columns (tiny next to
+    the corpus), so the join + per-cluster window is one small shuffle."""
+    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    return (
+        labels.join(quality, "doc_id")
+        .withColumn("_rn", F.row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.max(F.when(F.col("_rn") == 1, F.col("quality"))).alias(
+                "canonical_quality"
+            ),
+        )
+    )
+
+
+def q_ext_02_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters (Jaccard ≥ 0.5) reduced to their canonical
+    member by quality score."""
+    from sparketl.operators.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    labels = dup_clusters(pairs)
+    q = quality_score(d).select("doc_id", "quality")
+    return canonical_docs(labels, q).orderBy("cluster_id")
+
+
 def q_ext_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster summary of Jaccard≥0.5 near-dup components: per cluster
     the member count and kept (minimum) doc id."""

@@ -26,6 +26,7 @@ from sparketl.operators.corpus import (
     q_ext_10_tfidf_topk,
     q_ext_11_rolling_7d,
     q_ext_12_decontaminate,
+    q_ext_13_pii_scrub,
 )
 from sparketl.operators.multimodal import q_ext_mm_decode, q_ext_mm_frames
 from sparketl.operators.similarity import (
@@ -65,6 +66,7 @@ EXT_QUERIES = {
     "ext_10_tfidf_topk": q_ext_10_tfidf_topk,
     "ext_11_rolling_7d": q_ext_11_rolling_7d,
     "ext_12_decontaminate": q_ext_12_decontaminate,
+    "ext_13_pii_scrub": q_ext_13_pii_scrub,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -157,6 +159,35 @@ EXT_ORACLES = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ts_us, event_id
+    """,
+    "ext_13_pii_scrub": """
+        WITH t AS (
+          SELECT doc_id, text,
+                 CAST(len(regexp_extract_all(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+                   AS n_emails,
+                 CAST(len(regexp_extract_all(text,
+                   '\\d{3}-\\d{2}-\\d{4}')) AS BIGINT) AS n_ssns,
+                 regexp_replace(text, '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g')
+                   AS no_ssn
+          FROM documents
+        )
+        SELECT doc_id, n_emails, n_ssns,
+               CAST(len(regexp_extract_all(no_ssn,
+                 '\\d{3}[-.]\\d{3}[-.]\\d{4}')) AS BIGINT) AS n_phones,
+               (n_emails + n_ssns
+                + len(regexp_extract_all(no_ssn,
+                    '\\d{3}[-.]\\d{3}[-.]\\d{4}'))) > 0 AS has_pii,
+               CAST(length(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\\d{3}-\\d{2}-\\d{4}', '[SSN]', 'g'),
+                   '\\d{3}[-.]\\d{3}[-.]\\d{4}', '[PHONE]', 'g')
+               ) AS BIGINT) AS redacted_len
+        FROM t ORDER BY doc_id
     """,
     "ext_12_decontaminate": """
         WITH s AS (
@@ -416,6 +447,60 @@ EXT_ORACLES["ext_02_dup_clusters"] = """
     SELECT cluster_id, COUNT(*) AS n_members FROM (
       SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
     ) GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+from sparketl.operators.dedup import q_ext_02_canonical_docs  # noqa: E402
+
+EXT_QUERIES["ext_02_canonical_docs"] = q_ext_02_canonical_docs
+EXT_ORACLES["ext_02_canonical_docs"] = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+    ),
+    quality AS (
+      SELECT doc_id,
+             least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) * 0.4
+               + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                        x -> x IN ('the', 'a'))) AS DOUBLE)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+               + least((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                        AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0) * 0.3
+               AS quality
+      FROM documents
+    ),
+    ranked AS (
+      SELECT l.cluster_id, l.doc_id, q.quality,
+             row_number() OVER (PARTITION BY l.cluster_id
+                                ORDER BY q.quality DESC, l.doc_id) AS rn
+      FROM labels l JOIN quality q USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MAX(CASE WHEN rn = 1 THEN doc_id END) AS canonical_doc_id,
+           MAX(CASE WHEN rn = 1 THEN quality END) AS canonical_quality
+    FROM ranked GROUP BY cluster_id ORDER BY cluster_id
 """
 
 

@@ -103,3 +103,21 @@ def test_repetition_stats(spark):
     assert (rows[0]["n_2grams"], rows[0]["n_distinct"]) == (5, 2)
     assert abs(rows[0]["dup_frac"] - 0.6) < 1e-12
     assert rows[1]["dup_frac"] == 0.0 and rows[1]["flag_repetition"]
+
+
+def test_pii_scrub_planted(spark):
+    from sparketl.operators.corpus import pii_scrub
+
+    d = _docs(
+        spark,
+        [
+            "contact me at jo.doe@example.com or 555-123-4567 thanks",
+            "ssn is 123-45-6789 ok",
+            "nothing sensitive here",
+        ],
+    )
+    rows = {r["doc_id"]: r for r in pii_scrub(d).collect()}
+    assert (rows[0]["n_emails"], rows[0]["n_phones"], rows[0]["n_ssns"]) == (1, 1, 0)
+    assert (rows[1]["n_ssns"], rows[1]["n_phones"]) == (1, 0)  # SSN not double-counted as phone
+    assert rows[0]["has_pii"] and rows[1]["has_pii"] and not rows[2]["has_pii"]
+    assert rows[2]["redacted_len"] == len("nothing sensitive here")

@@ -123,3 +123,25 @@ def test_keyed_update_order_column_missing(spark, tmp_table_root):
     src = spark.createDataFrame([(1, "x", 2.0)], SCHEMA)
     with pytest.raises(TableError):
         t.keyed_update(src, "id", order_by="nope")
+
+
+def test_diff_append_only_inserts(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)  # v1: empty
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))  # v2
+    t.append(spark.createDataFrame([(2, "b", 2.0)], SCHEMA))  # v3
+    d = t.diff(2, 3).collect()
+    assert [(r["id"], r["_change"]) for r in d] == [(2, "insert")]
+    # full-history diff sees both appends
+    assert sorted((r["id"], r["_change"]) for r in t.diff(1).collect()) == [
+        (1, "insert"),
+        (2, "insert"),
+    ]
+
+
+def test_diff_update_is_delete_plus_insert(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))  # v2
+    src = spark.createDataFrame([(1, "a2", 9.0)], SCHEMA)
+    t.keyed_update(src, "id")  # v3: rewrite
+    d = sorted((r["id"], r["name"], r["_change"]) for r in t.diff(2, 3).collect())
+    assert d == [(1, "a", "delete"), (1, "a2", "insert")]
