@@ -244,10 +244,41 @@ def decontaminate_overlap(
     )
 
 
+def decontaminate_by_flag(
+    docs: DataFrame,
+    flag_col: str = "_is_eval",
+    n: int = 3,
+    min_shared: int = 3,
+) -> DataFrame:
+    """Single-scan variant of :func:`decontaminate_overlap`: shingle the
+    whole corpus ONCE (the eval flag rides along), cache the exploded
+    shingles, and split train/eval from the cache — halves the scan +
+    shingle work versus filtering the corpus twice. At cluster scale the
+    cached intermediate would be a persisted shingle table partitioned
+    by shingle hash."""
+    sh = (
+        shingles(docs, n=n, keep=(flag_col,))
+        .select("doc_id", flag_col, F.explode("sh").alias("shingle"))
+        .cache()
+    )
+    t = sh.filter(~F.col(flag_col)).select(
+        F.col("doc_id").alias("train_doc_id"), "shingle"
+    )
+    e = sh.filter(F.col(flag_col)).select(
+        F.col("doc_id").alias("eval_doc_id"), "shingle"
+    )
+    return (
+        t.join(F.broadcast(e), "shingle")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def q_ext_12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    eval_docs = d.filter(F.col("source") == "src0")
-    train = d.filter(F.col("source") != "src0")
-    return decontaminate_overlap(train, eval_docs, n=3, min_shared=3).orderBy(
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "_is_eval", F.col("source") == "src0"
+    )
+    return decontaminate_by_flag(d, "_is_eval", n=3, min_shared=3).orderBy(
         "train_doc_id", "eval_doc_id"
     )

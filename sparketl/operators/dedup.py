@@ -65,14 +65,27 @@ def q_ext_01_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, sh: array<string>) — distinct word n-gram shingles.
-    Documents with fewer than ``n`` tokens are dropped (no shingle)."""
+def shingles(
+    docs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id, *keep, sh: array<string>) — distinct word n-gram
+    shingles. Documents with fewer than ``n`` tokens are dropped (no
+    shingle). ``keep`` carries extra columns through (e.g. a
+    train/eval flag) so callers can shingle a corpus in ONE scan and
+    split afterwards."""
     toks = F.split(F.col(text_col), " ")
-    df = spread(docs).select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    df = (
+        spread(docs)
+        .select("doc_id", *keep, toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+    )
     parts = ", ".join(f"toks[i+{k}]" for k in range(n))
     return df.select(
         "doc_id",
+        *keep,
         F.expr(
             f"array_distinct(transform(sequence(0, size(toks)-{n}), "
             f"i -> concat_ws(' ', {parts})))"
