@@ -44,6 +44,7 @@ _FRONT = [
     "ext_02_dup_clusters",
     "ext_02_canonical_docs",
     "ext_03_ann_ivf",
+    "ext_03_label_centroids",
     "ext_04_fingerprint",
     "ext_04_length_histogram",
     "ext_09_hll_ndv",

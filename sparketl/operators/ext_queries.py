@@ -33,6 +33,7 @@ from sparketl.operators.similarity import (
     q_ext_03_ann_lsh,
     q_ext_03_cosine_topk,
     q_ext_03_embedding_near_dup,
+    q_ext_03_label_centroids,
 )
 from sparketl.operators.text import (
     q_ext_04_fingerprint,
@@ -52,6 +53,7 @@ EXT_QUERIES = {
     "ext_03_cosine_topk": q_ext_03_cosine_topk,
     "ext_03_embedding_near_dup": q_ext_03_embedding_near_dup,
     "ext_03_ann_lsh": q_ext_03_ann_lsh,
+    "ext_03_label_centroids": q_ext_03_label_centroids,
     "ext_04_text_stats": q_ext_04_text_stats,
     "ext_04_token_counts": q_ext_04_token_counts,
     "ext_04_quality": q_ext_04_quality,
@@ -159,6 +161,19 @@ EXT_ORACLES = {
         WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
                      RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
         ORDER BY user_id, ts_us, event_id
+    """,
+    "ext_03_label_centroids": """
+        WITH e AS (
+          SELECT label,
+                 unnest(range(0, len(embedding))) AS pos,
+                 unnest(embedding) AS v
+          FROM embeddings
+        )
+        SELECT label, CAST(pos AS INT) AS pos,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               list_reduce(list_sort(LIST(CAST(v AS DOUBLE))),
+                           (acc, x) -> acc + x) / COUNT(*) AS mean_v
+        FROM e GROUP BY label, pos ORDER BY label, pos
     """,
     "ext_13_pii_scrub": """
         WITH t AS (

@@ -376,6 +376,40 @@ def ann_ivf_topk(
     )
 
 
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean embedding as (label, pos, n, mean_v) rows.
+
+    Float addition is not associative, so a partition-order sum is not
+    reproducible across engines (and DuckDB's FLOAT→DECIMAL cast is
+    itself lossy) — the component sum here folds the values in SORTED
+    order, which is bit-identical everywhere. That costs a per-group
+    collect_list (no map-side combine); at cluster scale you would use
+    a plain F.sum(v) (map-combined, fp-tolerant) — the canonical-order
+    fold is the oracle-exact formulation of the same mean."""
+    e = spread(emb).select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    ordered_sum = F.expr(
+        "aggregate(array_sort(collect_list(CAST(v AS DOUBLE))), 0D,"
+        " (acc, x) -> acc + x)"
+    )
+    return (
+        e.groupBy(label_col, "pos")
+        .agg(F.count(F.lit(1)).alias("n"), ordered_sum.alias("s"))
+        .select(
+            label_col,
+            "pos",
+            "n",
+            (F.col("s") / F.col("n")).alias("mean_v"),
+        )
+    )
+
+
+def q_ext_03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb).orderBy("label", "pos")
+
+
 def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)

@@ -150,3 +150,16 @@ def test_hll_ndv_error_bound_and_determinism(spark, docs):
     assert a == b and len(a) == 5
     for lang, (approx, exact) in a.items():
         assert abs(approx - exact) / exact < 0.1, (lang, approx, exact)
+
+
+def test_label_centroids_known_mean(spark):
+    from sparketl.operators.similarity import label_centroids
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 7), (2, [3.0, 2.0], 7), (3, [10.0, 10.0], 8)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {(r["label"], r["pos"]): (r["n"], r["mean_v"]) for r in label_centroids(emb).collect()}
+    assert rows[(7, 0)] == (2, 2.0)
+    assert rows[(7, 1)] == (2, 1.0)
+    assert rows[(8, 0)] == (1, 10.0)
