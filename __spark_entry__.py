@@ -57,6 +57,12 @@ _FRONT = [
     "ext_mm_decode",
     "ext_mm_frames",
     "ext_mm_resize",
+    "ext_14_passage_dedup",
+    "ext_15_pack_positions",
+    "ext_15_chunk_stats",
+    "ext_16_heavy_hitters",
+    "ext_17_quantize",
+    "ext_18_mix_sources",
 ]
 
 

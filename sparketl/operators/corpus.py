@@ -282,3 +282,209 @@ def q_ext_12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_by_flag(d, "_is_eval", n=3, min_shared=3).orderBy(
         "train_doc_id", "eval_doc_id"
     )
+
+
+# ---------------------------------------------------- passage-level dedup
+
+
+def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
+    """Passage-level exact dedup (CCNet / RefinedWeb line-dedup shape):
+    split each document into consecutive ``block``-token passages, keep
+    the corpus-wide FIRST occurrence of each distinct passage (by
+    doc_id, then position), and report per-doc how much survives.
+
+    Plan shape: map-only block split (codegen array expressions), one
+    shuffle partitioned by the passage string for the first-occurrence
+    window, one groupBy doc_id. At 100 TB you would key the window on
+    xxhash64(passage) instead of the string — same plan, 8-byte keys;
+    the string key here keeps the oracle engine-exact. Passage-frequency
+    skew (boilerplate appearing millions of times) is the scale risk:
+    AQE skew handling splits those partitions, and only (hash, doc_id,
+    pos) triples ever shuffle — never the text twice."""
+    tk = F.split(F.col("text"), " ")
+    base = spread(docs).select("doc_id", tk.alias("tk"))
+    blocks = F.expr(
+        f"transform(sequence(0, CAST(ceil(size(tk) / {block}.0) AS INT) - 1),"
+        f" i -> concat_ws(' ', slice(tk, i * {block} + 1, {block})))"
+    )
+    b = base.select("doc_id", F.posexplode(blocks).alias("pos", "passage"))
+    w = W.partitionBy("passage").orderBy("doc_id", "pos")
+    marked = b.withColumn("rn", F.row_number().over(w))
+    kept_tokens = F.sum(
+        F.when(F.col("rn") == 1, F.size(F.split("passage", " "))).otherwise(0)
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_passages"),
+        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_removed"),
+        kept_tokens.cast("long").alias("kept_tokens"),
+    )
+
+
+def q_ext_14_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return passage_dedup(d, block=20).orderBy("doc_id")
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def pack_positions(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard LLM pre-training
+    layout): documents are concatenated in doc_id order into one token
+    stream and cut into fixed ``chunk``-token training sequences;
+    returns each document's placement (start offset, first chunk, chunk
+    span).
+
+    The global running offset is computed WITHOUT a single-partition
+    window over the corpus: per-bucket local cumulative sums (window
+    partitioned by ``doc_id div bucket``) plus a prefix-sum of the tiny
+    per-bucket totals broadcast back — the classic two-phase scan. The
+    only single-partition window runs over n_buckets rows (corpus /
+    bucket), never the corpus itself; integer sums make the two-phase
+    result bit-identical to a global cumsum."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select(
+        "doc_id", n_tok.alias("n_tokens"), F.expr(f"doc_id div {bucket}").alias("b")
+    )
+    wl = W.partitionBy("b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    local = base.withColumn("local_end", F.sum("n_tokens").over(wl))
+    totals = base.groupBy("b").agg(F.sum("n_tokens").alias("btot"))
+    wt = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    offsets = totals.select(
+        "b", F.coalesce(F.sum("btot").over(wt), F.lit(0)).alias("b_off")
+    )
+    placed = local.join(F.broadcast(offsets), "b").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("b_off") + F.col("local_end") - F.col("n_tokens")).alias("start_off"),
+    )
+    first = F.expr(f"start_off div {chunk}")
+    last = F.expr(f"(start_off + n_tokens - 1) div {chunk}")
+    return placed.select(
+        "doc_id",
+        "n_tokens",
+        "start_off",
+        first.alias("first_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )
+
+
+def chunk_stats(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataFrame:
+    """Per-training-sequence stats for the packed layout: how many
+    documents touch each chunk, how many cross its left boundary, and
+    the filled token count. Explodes each doc into the chunks it spans
+    (cheap: spans are n_tokens/chunk + 1) and aggregates — one extra
+    shuffle on chunk_id after :func:`pack_positions`."""
+    p = pack_positions(docs, chunk=chunk, bucket=bucket)
+    spans = p.select(
+        "doc_id",
+        "start_off",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.col("first_chunk"), F.col("first_chunk") + F.col("n_chunks") - 1
+            )
+        ).alias("chunk_id"),
+    )
+    lo = F.col("chunk_id") * chunk
+    filled = F.least(F.col("start_off") + F.col("n_tokens"), lo + chunk) - F.greatest(
+        F.col("start_off"), lo
+    )
+    return spans.groupBy("chunk_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("start_off") < lo).cast("long")).alias("n_boundary_docs"),
+        F.sum(filled).alias("n_tokens_filled"),
+    )
+
+
+def q_ext_15_pack_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pack_positions(d, chunk=512).orderBy("doc_id")
+
+
+def q_ext_15_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_stats(d, chunk=512).orderBy("chunk_id")
+
+
+# ------------------------------------------------------- source mixing
+
+
+def mix_sources(docs: DataFrame) -> DataFrame:
+    """Deterministic weighted downsampling by source (data mixing): each
+    source gets a sampling rate from its mixture weight, and a document
+    survives iff a Knuth multiplicative hash of its doc_id falls under
+    the rate — reproducible across engines and runs, no RNG state.
+
+    Map-only + one per-source aggregate; at 100 TB the keep decision is
+    a codegen'd integer multiply per row at scan speed, and re-running
+    the pipeline yields the identical subset (the property that matters
+    for training-data lineage)."""
+    src_num = F.regexp_replace("source", "[^0-9]", "").cast("int")
+    rate = (
+        F.when(src_num % 4 == 0, F.lit(1.0))
+        .when(src_num % 4 == 1, F.lit(0.5))
+        .when(src_num % 4 == 2, F.lit(0.25))
+        .otherwise(F.lit(0.1))
+    )
+    u = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    keep = u.cast("double") < rate * F.lit(4294967296.0)
+    return (
+        docs.select("source", rate.alias("rate"), keep.alias("keep"))
+        .groupBy("source", "rate")
+        .agg(
+            F.count(F.lit(1)).alias("n_in"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )
+
+
+def q_ext_18_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return mix_sources(d).orderBy("source")
+
+
+# ------------------------------------------------------- heavy hitters
+
+
+def heavy_hitters_mg(docs: DataFrame, k: int = 40) -> DataFrame:
+    """Approximate heavy hitters over the token stream via per-partition
+    Misra-Gries summaries merged by summation — the sketch answer to
+    "top tokens" when the vocabulary itself is too large to shuffle.
+
+    Each partition keeps at most ``k`` counters (Arrow-batched
+    mapInPandas; the decrement step is the vectorized MG merge: add the
+    batch's counts, then subtract the (k+1)-th largest and drop ≤0).
+    Only n_partitions×k (token, est) rows ever shuffle — versus the full
+    distinct-token set for the exact groupBy. Estimates are
+    underestimates; every token with true frequency > N/(k+1) is
+    guaranteed present (pytest asserts this against the exact counts).
+    Final output is partitioning-dependent → rows-only driver check."""
+    toks = spread(docs).select(F.explode(F.split("text", " ")).alias("token"))
+
+    def summarize(batches):
+        import pandas as pd
+
+        acc = pd.Series(dtype="int64")
+        for pdf in batches:
+            acc = acc.add(pdf["token"].value_counts(), fill_value=0)
+            if len(acc) > k:
+                kth = acc.nlargest(k + 1).iloc[-1]
+                acc = acc - kth
+                acc = acc[acc > 0]
+        yield pd.DataFrame(
+            {"token": acc.index.astype(str), "est": acc.astype("int64").values}
+        )
+
+    summaries = toks.mapInPandas(summarize, "token string, est long")
+    return (
+        summaries.groupBy("token")
+        .agg(F.sum("est").alias("est_count"))
+        .orderBy(F.desc("est_count"), "token")
+        .limit(k)
+    )
+
+
+def q_ext_16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return heavy_hitters_mg(d, k=40)

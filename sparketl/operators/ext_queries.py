@@ -27,6 +27,11 @@ from sparketl.operators.corpus import (
     q_ext_11_rolling_7d,
     q_ext_12_decontaminate,
     q_ext_13_pii_scrub,
+    q_ext_14_passage_dedup,
+    q_ext_15_chunk_stats,
+    q_ext_15_pack_positions,
+    q_ext_16_heavy_hitters,
+    q_ext_18_mix_sources,
 )
 from sparketl.operators.multimodal import q_ext_mm_decode, q_ext_mm_frames
 from sparketl.operators.similarity import (
@@ -34,6 +39,7 @@ from sparketl.operators.similarity import (
     q_ext_03_cosine_topk,
     q_ext_03_embedding_near_dup,
     q_ext_03_label_centroids,
+    q_ext_17_quantize,
 )
 from sparketl.operators.text import (
     q_ext_04_fingerprint,
@@ -69,6 +75,12 @@ EXT_QUERIES = {
     "ext_11_rolling_7d": q_ext_11_rolling_7d,
     "ext_12_decontaminate": q_ext_12_decontaminate,
     "ext_13_pii_scrub": q_ext_13_pii_scrub,
+    "ext_14_passage_dedup": q_ext_14_passage_dedup,
+    "ext_15_pack_positions": q_ext_15_pack_positions,
+    "ext_15_chunk_stats": q_ext_15_chunk_stats,
+    "ext_16_heavy_hitters": q_ext_16_heavy_hitters,
+    "ext_17_quantize": q_ext_17_quantize,
+    "ext_18_mix_sources": q_ext_18_mix_sources,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -222,6 +234,99 @@ EXT_ORACLES = {
         FROM t_side JOIN e_side USING (shingle)
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
         ORDER BY train_doc_id, eval_doc_id
+    """,
+    "ext_14_passage_dedup": """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        b AS (
+          SELECT doc_id,
+                 unnest(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT))) AS pos,
+                 unnest(list_transform(range(0, CAST(ceil(len(tk) / 20.0) AS BIGINT)),
+                        i -> array_to_string(
+                          tk[CAST(i * 20 + 1 AS INT):CAST(i * 20 + 20 AS INT)], ' ')))
+                   AS passage
+          FROM t
+        ), marked AS (
+          SELECT doc_id, pos, passage,
+                 row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos) AS rn
+          FROM b
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_passages,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_removed,
+               CAST(SUM(CASE WHEN rn = 1 THEN len(string_split(passage, ' '))
+                        ELSE 0 END) AS BIGINT) AS kept_tokens
+        FROM marked GROUP BY doc_id ORDER BY doc_id
+    """,
+    "ext_15_pack_positions": """
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), placed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS BIGINT) AS start_off
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start_off,
+               start_off // 512 AS first_chunk,
+               ((start_off + n_tokens - 1) // 512) - (start_off // 512) + 1 AS n_chunks
+        FROM placed ORDER BY doc_id
+    """,
+    "ext_15_chunk_stats": """
+        WITH t AS (
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), placed AS (
+          SELECT doc_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_tokens AS BIGINT) AS start_off
+          FROM t
+        ), spans AS (
+          SELECT doc_id, start_off, n_tokens,
+                 unnest(range(start_off // 512,
+                              (start_off + n_tokens - 1) // 512 + 1)) AS chunk_id
+          FROM placed
+        )
+        SELECT chunk_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN start_off < chunk_id * 512 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boundary_docs,
+               CAST(SUM(LEAST(start_off + n_tokens, (chunk_id + 1) * 512)
+                        - GREATEST(start_off, chunk_id * 512)) AS BIGINT)
+                 AS n_tokens_filled
+        FROM spans GROUP BY chunk_id ORDER BY chunk_id
+    """,
+    "ext_17_quantize": """
+        WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        s AS (
+          SELECT vec_id, v,
+                 CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+          FROM (SELECT vec_id, v,
+                       list_max(list_transform(v, x -> abs(x))) AS m FROM v)
+        )
+        SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
+               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q,
+               list_max(list_transform(v,
+                 x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_err
+        FROM s ORDER BY vec_id
+    """,
+    "ext_18_mix_sources": """
+        WITH t AS (
+          SELECT source,
+                 CAST(CASE CAST(regexp_replace(source, '[^0-9]', '', 'g') AS INT) % 4
+                   WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+                   ELSE 0.1 END AS DOUBLE) AS rate,
+                 doc_id
+          FROM documents
+        )
+        SELECT source, rate,
+               CAST(COUNT(*) AS BIGINT) AS n_in,
+               CAST(SUM(CASE WHEN CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+                               < rate * 4294967296.0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM t GROUP BY source, rate ORDER BY source
     """,
     "ext_01_exact_dedup": """
         SELECT user_id, event_type,

@@ -410,6 +410,35 @@ def q_ext_03_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(emb).orderBy("label", "pos")
 
 
+def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Symmetric int8 quantization per vector (max-abs scaling): the
+    standard 4× shrink before shipping an embedding corpus to an ANN
+    index or a training job.
+
+    Map-only array expressions inside codegen — no shuffle, runs at
+    scan speed at any scale. Rounding is floor(x/scale + 0.5) (half-up
+    toward +inf) rather than round(): round() half-even vs half-away
+    differs across engines, floor(+0.5) is IEEE-identical everywhere.
+    Zero vectors get scale 1.0 so the division is always defined."""
+    v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
+    base = spread(emb).select("vec_id", v.alias("v"))
+    maxabs = F.array_max(F.expr("transform(v, x -> abs(x))"))
+    scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
+    scaled = base.select("vec_id", "v", scale.alias("scale"))
+    q = F.expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))")
+    max_err = F.expr(
+        "array_max(transform(v, x -> abs(x - floor(x / scale + 0.5D) * scale)))"
+    )
+    return scaled.select(
+        "vec_id", "scale", q.alias("q"), max_err.alias("max_err")
+    )
+
+
+def q_ext_17_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_embeddings(emb).orderBy("vec_id")
+
+
 def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)

@@ -121,3 +121,79 @@ def test_pii_scrub_planted(spark):
     assert (rows[1]["n_ssns"], rows[1]["n_phones"]) == (1, 0)  # SSN not double-counted as phone
     assert rows[0]["has_pii"] and rows[1]["has_pii"] and not rows[2]["has_pii"]
     assert rows[2]["redacted_len"] == len("nothing sensitive here")
+
+
+def test_passage_dedup_shared_block(spark):
+    from sparketl.operators.corpus import passage_dedup
+
+    d = _docs(
+        spark,
+        [
+            "a b c d e f",  # passages (block=3): "a b c", "d e f"
+            "a b c x y z",  # "a b c" duplicates doc0's first passage
+            "a b c",        # duplicate again
+        ],
+    )
+    rows = {r["doc_id"]: r for r in passage_dedup(d, block=3).collect()}
+    assert (rows[0]["n_passages"], rows[0]["n_dup_removed"], rows[0]["kept_tokens"]) == (2, 0, 6)
+    assert (rows[1]["n_passages"], rows[1]["n_dup_removed"], rows[1]["kept_tokens"]) == (2, 1, 3)
+    assert (rows[2]["n_passages"], rows[2]["n_dup_removed"], rows[2]["kept_tokens"]) == (1, 1, 0)
+
+
+def test_pack_positions_and_chunk_stats(spark):
+    from sparketl.operators.corpus import chunk_stats, pack_positions
+
+    d = _docs(spark, ["a b c", "d e f g", "h i j k l"])  # 3, 4, 5 tokens
+    # bucket=2 forces the two-phase path (2 buckets, nontrivial offsets)
+    pos = {r["doc_id"]: r for r in pack_positions(d, chunk=4, bucket=2).collect()}
+    assert (pos[0]["start_off"], pos[0]["first_chunk"], pos[0]["n_chunks"]) == (0, 0, 1)
+    assert (pos[1]["start_off"], pos[1]["first_chunk"], pos[1]["n_chunks"]) == (3, 0, 2)
+    assert (pos[2]["start_off"], pos[2]["first_chunk"], pos[2]["n_chunks"]) == (7, 1, 2)
+    ch = {r["chunk_id"]: r for r in chunk_stats(d, chunk=4, bucket=2).collect()}
+    assert (ch[0]["n_docs"], ch[0]["n_boundary_docs"], ch[0]["n_tokens_filled"]) == (2, 0, 4)
+    assert (ch[1]["n_docs"], ch[1]["n_boundary_docs"], ch[1]["n_tokens_filled"]) == (2, 1, 4)
+    assert (ch[2]["n_docs"], ch[2]["n_boundary_docs"], ch[2]["n_tokens_filled"]) == (1, 1, 4)
+    # every token lands in exactly one chunk
+    assert sum(r["n_tokens_filled"] for r in ch.values()) == 12
+
+
+def test_heavy_hitters_guarantee(spark):
+    from sparketl.operators.corpus import heavy_hitters_mg
+
+    # 30 copies of "hh" + 20 singleton tokens: N=50, k=3 → any token with
+    # true freq > N/(k+1)=12.5 must survive the per-partition MG merge.
+    texts = ["hh " * 10] * 3 + [f"u{i}" for i in range(20)]
+    d = _docs(spark, [t.strip() for t in texts]).repartition(6)
+    out = {r["token"]: r["est_count"] for r in heavy_hitters_mg(d, k=3).collect()}
+    assert "hh" in out
+    assert 0 < out["hh"] <= 30  # MG estimates never overestimate
+
+
+def test_quantize_embeddings_known_and_bounded(spark):
+    from sparketl.operators.similarity import quantize_embeddings
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.0], 0), (2, [0.0, 0.0, 0.0], 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
+    assert rows[1]["q"] == [127, -63, 0]
+    assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
+    assert rows[1]["max_err"] <= rows[1]["scale"] / 2 + 1e-12
+    assert rows[2]["scale"] == 1.0 and rows[2]["q"] == [0, 0, 0] and rows[2]["max_err"] == 0.0
+
+
+def test_mix_sources_rates_and_determinism(spark):
+    from sparketl.operators.corpus import mix_sources
+
+    d = spark.createDataFrame(
+        [(i, "t", "en", f"src{i % 4}", 1) for i in range(400)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    a = {r["source"]: r for r in mix_sources(d).collect()}
+    b = {r["source"]: r for r in mix_sources(d).collect()}
+    assert a.keys() == b.keys() == {"src0", "src1", "src2", "src3"}
+    for s in a:
+        assert (a[s]["n_kept"], a[s]["rate"]) == (b[s]["n_kept"], b[s]["rate"])
+    assert a["src0"]["rate"] == 1.0 and a["src0"]["n_kept"] == a["src0"]["n_in"]
+    assert a["src3"]["rate"] == 0.1 and a["src3"]["n_kept"] < a["src3"]["n_in"]
