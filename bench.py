@@ -46,6 +46,9 @@ HEADLINE = [
     "ext_10_tfidf_topk",
     "ext_11_rolling_7d",
     "ext_12_decontaminate",
+    "ext_14_passage_dedup",
+    "ext_15_chunk_stats",
+    "ext_17_quantize",
 ]
 
 
