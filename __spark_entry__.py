@@ -63,6 +63,8 @@ _FRONT = [
     "ext_16_heavy_hitters",
     "ext_17_quantize",
     "ext_18_mix_sources",
+    "ext_19_scd2",
+    "ext_09_approx_quantiles",
 ]
 
 

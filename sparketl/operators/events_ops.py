@@ -118,3 +118,55 @@ def q_ext_05_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def scd2_intervals(events: DataFrame) -> DataFrame:
+    """SCD Type-2 interval construction: collapse each user's event
+    stream into contiguous same-state intervals with validity bounds —
+    the standard dimension-history build in a warehouse ETL.
+
+    Two windows over ONE shuffle on user_id (lag → change marker →
+    running-sum group id, then lead for the closing bound share the
+    same (user_id, ts) sort), plus one groupBy on (user_id, grp) that
+    AQE plans shuffle-free after the window's partitioning. Per-user
+    event counts bound the window state — the same layout Structured
+    Streaming would use for this at 100 TB.
+
+    Open intervals carry the SCD2 "high date" sentinel (9999-12-31 in
+    epoch-µs) rather than NULL: the warehouse convention, and it keeps
+    valid_to_us a non-null int64 through any pandas-mediated comparison
+    (nullable ints decay to float64 there)."""
+    HIGH_DATE_US = 253402300799999999  # 9999-12-31 23:59:59.999999
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    e = events.select(
+        "user_id",
+        "event_id",
+        F.col("event_type").alias("state"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    prev = F.lag("state").over(w)
+    marked = e.withColumn(
+        "chg", (prev.isNull() | (prev != F.col("state"))).cast("long")
+    )
+    grp = marked.withColumn(
+        "grp", F.sum("chg").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    iv = grp.groupBy("user_id", "grp", "state").agg(
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wi = W.partitionBy("user_id").orderBy("valid_from_us")
+    nxt = F.lead("valid_from_us").over(wi)
+    return iv.select(
+        "user_id",
+        "state",
+        "valid_from_us",
+        F.coalesce(nxt, F.lit(HIGH_DATE_US)).alias("valid_to_us"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
+    )
+
+
+def q_ext_19_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return scd2_intervals(e).orderBy("user_id", "valid_from_us")

@@ -19,6 +19,7 @@ from sparketl.operators.events_ops import (
     q_ext_05_json_extract,
     q_ext_06_hourly_window,
     q_ext_06_sessionize,
+    q_ext_19_scd2,
 )
 from sparketl.operators.corpus import (
     q_ext_04_gopher_flags,
@@ -81,6 +82,7 @@ EXT_QUERIES = {
     "ext_16_heavy_hitters": q_ext_16_heavy_hitters,
     "ext_17_quantize": q_ext_17_quantize,
     "ext_18_mix_sources": q_ext_18_mix_sources,
+    "ext_19_scd2": q_ext_19_scd2,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -327,6 +329,37 @@ EXT_ORACLES = {
                                < rate * 4294967296.0
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM t GROUP BY source, rate ORDER BY source
+    """,
+    "ext_19_scd2": """
+        WITH e AS (
+          SELECT user_id, event_id, event_type AS state,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+          FROM events
+        ), marked AS (
+          SELECT *,
+                 CASE WHEN lag(state) OVER w IS NULL
+                        OR lag(state) OVER w <> state
+                      THEN 1 ELSE 0 END AS chg
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        ), grouped AS (
+          SELECT *,
+                 SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS grp
+          FROM marked
+        ), iv AS (
+          SELECT user_id, grp, state,
+                 MIN(ts_us) AS valid_from_us,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM grouped GROUP BY user_id, grp, state
+        )
+        SELECT user_id, state, valid_from_us,
+               COALESCE(lead(valid_from_us) OVER wu,
+                        253402300799999999) AS valid_to_us,
+               n_events,
+               lead(valid_from_us) OVER wu IS NULL AS is_current
+        FROM iv WINDOW wu AS (PARTITION BY user_id ORDER BY valid_from_us)
+        ORDER BY user_id, valid_from_us
     """,
     "ext_01_exact_dedup": """
         SELECT user_id, event_type,

@@ -663,3 +663,27 @@ def q_prof_01_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({n}, {stack_args}) AS (col_name, n_nulls, ndv, min_s, max_s)"
         )
     ).orderBy("col_name")
+
+
+def q_ext_09_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna style sketch) next to the
+    exact percentile — the fixed-memory quantile path at 100 TB
+    (mergeable per-partition summaries; never sorts or collects the
+    column). Sketch merge results depend on partition layout →
+    rows-only driver check; pytest bounds the error vs the exact
+    percentile (rank error ≤ n/accuracy)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+                "approx_median"
+            ),
+            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias(
+                "approx_p95"
+            ),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
+            F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
+        )
+        .orderBy("l_returnflag")
+    )

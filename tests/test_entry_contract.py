@@ -21,6 +21,7 @@ ROWS_ONLY_ALLOWED = {
     "ext_03_ann_ivf",
     "ext_06_sessionize_stateful",
     "ext_09_hll_ndv",
+    "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
 }
 

@@ -146,3 +146,45 @@ def run_stream_to_table_append(df, spark):
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_scd2_intervals_known_history(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.events_ops import scd2_intervals
+
+    rows = [
+        (1, 10, "A", 1_000_000),
+        (2, 10, "A", 2_000_000),
+        (3, 10, "B", 3_000_000),
+        (4, 10, "A", 4_000_000),
+        (5, 20, "C", 1_500_000),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+    out = [
+        (r["user_id"], r["state"], r["valid_from_us"], r["valid_to_us"],
+         r["n_events"], r["is_current"])
+        for r in scd2_intervals(e).orderBy("user_id", "valid_from_us").collect()
+    ]
+    high = 253402300799999999  # SCD2 high-date sentinel (9999-12-31 µs)
+    assert out == [
+        (10, "A", 1_000_000, 3_000_000, 2, False),
+        (10, "B", 3_000_000, 4_000_000, 1, False),
+        (10, "A", 4_000_000, high, 1, True),
+        (20, "C", 1_500_000, high, 1, True),
+    ]
+
+
+def test_approx_quantiles_bounded(spark):
+    import __spark_entry__ as entrymod
+    from tests.conftest import SF_SMOKE
+
+    fn = entrymod.queries()["ext_09_approx_quantiles"]
+    for r in fn(spark, SF_SMOKE).collect():
+        assert abs(r["approx_median"] - r["exact_median"]) <= 0.01 * r["exact_median"]
+        assert abs(r["approx_p95"] - r["exact_p95"]) <= 0.01 * r["exact_p95"]
