@@ -254,6 +254,73 @@ class ManagedTable:
                 out_cols.append(F.col(c))
         return self.overwrite(merged.select(out_cols))
 
+    def compact(
+        self,
+        target_partitions: int | None = None,
+        sort_by: list[str] | None = None,
+    ) -> int:
+        """OPTIMIZE-style small-file compaction: rewrite the current
+        snapshot into ``target_partitions`` files, optionally
+        range-sorted by ``sort_by`` so parquet footer min/max stats
+        prune scans on those keys — committed as one atomic version
+        (readers see the old layout or the new, never a mix), with data
+        unchanged and prior versions still readable.
+
+        Append-heavy ingest (the reference's batch ingest pattern,
+        tool:241-267) accretes one file per batch; at 100 TB the
+        resulting tiny-file scans are task-scheduling-bound. Production
+        systems compact per partition directory and only files under a
+        size threshold; the commit path — rewrite + atomic manifest
+        swap — is identical."""
+        df = self.read()
+        if target_partitions is None:
+            target_partitions = max(
+                1, df.sparkSession.sparkContext.defaultParallelism
+            )
+        if sort_by:
+            df = df.repartitionByRange(
+                target_partitions, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.coalesce(target_partitions)
+        return self.overwrite(df)
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Remove data files (and manifests) no longer referenced by the
+        newest ``keep_versions`` versions — the storage-reclaim half of
+        compaction. Returns the number of data files deleted.
+
+        Safe by construction: the live pointer is never touched, kept
+        manifests keep every file they reference, and deleting an
+        orphan is idempotent (a crashed vacuum just leaves orphans for
+        the next run) — the same contract as Delta's VACUUM."""
+        if keep_versions < 1:
+            raise TableError("keep_versions must be >= 1")
+        versions = self.history()
+        keep = set(versions[-keep_versions:])
+        keep.add(self._current_version())
+        referenced: set[str] = set()
+        for v in keep:
+            referenced.update(self._manifest(v)["files"])
+        removed = 0
+        for d in os.listdir(self.root):
+            dpath = os.path.join(self.root, d)
+            if not (d.startswith("d-") and os.path.isdir(dpath)):
+                continue
+            for f in os.listdir(dpath):
+                fpath = os.path.join(dpath, f)
+                if f.endswith(".parquet") and fpath not in referenced:
+                    os.remove(fpath)
+                    removed += 1
+            if not any(f.endswith(".parquet") for f in os.listdir(dpath)):
+                import shutil
+
+                shutil.rmtree(dpath)
+        for v in versions:
+            if v not in keep:
+                os.remove(os.path.join(self._manifest_dir, f"v{v:06d}.json"))
+        return removed
+
     def delete_where(self, predicate: str) -> int:
         """DML-03: DELETE FROM t WHERE predicate.
 

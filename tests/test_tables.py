@@ -145,3 +145,69 @@ def test_diff_update_is_delete_plus_insert(spark, tmp_table_root):
     t.keyed_update(src, "id")  # v3: rewrite
     d = sorted((r["id"], r["name"], r["_change"]) for r in t.diff(2, 3).collect())
     assert d == [(1, "a", "delete"), (1, "a2", "insert")]
+
+
+def _n_files(table):
+    return len(table._manifest()["files"])
+
+
+def test_compact_reduces_files_keeps_data(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    for i in range(6):
+        t.append(spark.createDataFrame([(i, f"n{i}", float(i))], SCHEMA))
+    before = _rows(t)
+    assert _n_files(t) >= 6
+    v_pre = t._current_version()
+    t.compact(target_partitions=2)
+    assert _n_files(t) <= 2
+    assert _rows(t) == before
+    # time travel: the pre-compaction snapshot is still readable
+    assert sorted(tuple(r) for r in t.read(v_pre).collect()) == before
+
+
+def test_compact_sorted_layout_is_range_disjoint(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    import random
+
+    ids = list(range(40))
+    random.Random(7).shuffle(ids)
+    for chunk in (ids[:20], ids[20:]):
+        t.append(
+            spark.createDataFrame([(i, "x", 0.0) for i in chunk], SCHEMA)
+        )
+    t.compact(target_partitions=4, sort_by=["id"])
+    files = t._manifest()["files"]
+    assert len(files) <= 4
+    spans = []
+    for f in files:
+        vals = [r["id"] for r in spark.read.schema(SCHEMA).parquet(f).collect()]
+        if vals:
+            spans.append((min(vals), max(vals)))
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi < lo  # ranges disjoint → footer stats prune id filters
+    assert _rows(t) == sorted((i, "x", 0.0) for i in range(40))
+
+
+def test_vacuum_reclaims_unreferenced_files(spark, tmp_table_root):
+    import os
+
+    t = make(spark, tmp_table_root)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i, "a", 1.0)], SCHEMA))
+    before = _rows(t)
+    t.compact(target_partitions=1)
+    removed = t.vacuum(keep_versions=1)
+    assert removed >= 4
+    assert _rows(t) == before  # live snapshot untouched
+    assert t.history() == [t._current_version()]
+    # every file the live manifest references still exists
+    assert all(os.path.exists(f) for f in t._manifest()["files"])
+    with pytest.raises(FileNotFoundError):
+        t.read(1)
+
+
+def test_vacuum_requires_keep(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    with pytest.raises(TableError):
+        t.vacuum(keep_versions=0)
