@@ -65,6 +65,8 @@ _FRONT = [
     "ext_18_mix_sources",
     "ext_19_scd2",
     "ext_09_approx_quantiles",
+    "ext_08_reservoir_per_group",
+    "ext_20_winsorize",
 ]
 
 

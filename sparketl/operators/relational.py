@@ -687,3 +687,58 @@ def q_ext_09_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q_ext_08_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group uniform sample ("pseudo-reservoir"):
+    rank documents inside each language by a multiplicative hash of
+    doc_id and keep the k smallest. Statistically uniform like a
+    reservoir sample but reproducible across engines, runs, and
+    partitionings — no RNG state to carry. One shuffle on the group
+    key; the window never holds more than a group in memory."""
+    d = load_table(spark, sf_dir, "documents")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang", "source", h.alias("h"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "lang", "source", "rank")
+        .orderBy("lang", "rank")
+    )
+
+
+def q_ext_20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized outlier stats per group: exact p05/p95 bounds
+    (percentile ≡ DuckDB quantile_cont bit-for-bit) plus how many rows
+    each side would clip — the standard feature-cleaning pre-pass.
+
+    Two-phase plan: a per-group percentile aggregate (3 groups → rows
+    fit anywhere), broadcast back onto the fact scan for the clip
+    counts — the fact table shuffles once for the first agg and the
+    second pass is map-side only. Counts, not clipped sums, are the
+    output: clipping mixes interpolated doubles into the sum, whose
+    addition order is engine-defined — counts are exact everywhere."""
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
+        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(bounds), "l_returnflag"
+    )
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.sum((F.col("l_extendedprice") < F.col("p05")).cast("long")).alias(
+                "n_clip_lo"
+            ),
+            F.sum((F.col("l_extendedprice") > F.col("p95")).cast("long")).alias(
+                "n_clip_hi"
+            ),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -314,6 +314,33 @@ RELATIONAL_ORACLES: dict[str, str] = {
         )
         ORDER BY c_custkey
     """,
+    "ext_08_reservoir_per_group": """
+        SELECT doc_id, lang, source, rank FROM (
+          SELECT doc_id, lang, source,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS INT)
+                   AS rank
+          FROM documents
+        ) WHERE rank <= 5 ORDER BY lang, rank
+    """,
+    "ext_20_winsorize": """
+        WITH b AS (
+          SELECT l_returnflag,
+                 quantile_cont(l_extendedprice, 0.05) AS p05,
+                 quantile_cont(l_extendedprice, 0.95) AS p95
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT li.l_returnflag,
+               MIN(b.p05) AS p05, MIN(b.p95) AS p95,
+               CAST(SUM(CASE WHEN li.l_extendedprice < b.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_lo,
+               CAST(SUM(CASE WHEN li.l_extendedprice > b.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clip_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM lineitem li JOIN b USING (l_returnflag)
+        GROUP BY li.l_returnflag ORDER BY li.l_returnflag
+    """,
 }
 
 

@@ -188,3 +188,36 @@ def test_approx_quantiles_bounded(spark):
     for r in fn(spark, SF_SMOKE).collect():
         assert abs(r["approx_median"] - r["exact_median"]) <= 0.01 * r["exact_median"]
         assert abs(r["approx_p95"] - r["exact_p95"]) <= 0.01 * r["exact_p95"]
+
+
+def test_stream_static_enrich_equals_batch(spark):
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sparketl.streaming.windows import streaming_enrich
+
+    ev_batch = load_table(spark, SF_SMOKE, "events")
+    dim = (
+        ev_batch.select("user_id").distinct()
+        .withColumn("grp", (F.col("user_id") % 5).cast("int"))
+    )
+    batch = streaming_enrich(ev_batch, dim)
+
+    stream = streaming_enrich(read_event_stream(spark, SF_SMOKE), dim)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")  # join: no agg state
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql(f"SELECT * FROM {name}")
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in got.collect())
+    assert b == s and len(b) > 0
+    assert all(r[-1] is not None for r in s)  # user_grp enriched everywhere
