@@ -67,6 +67,9 @@ _FRONT = [
     "ext_09_approx_quantiles",
     "ext_08_reservoir_per_group",
     "ext_20_winsorize",
+    "tierc_nation_volume",
+    "tierc_line_status",
+    "tierc_promo_revenue",
 ]
 
 

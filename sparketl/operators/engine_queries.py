@@ -176,7 +176,124 @@ ENGINE_QUERIES = {
     "tierc_scalar_subquery": q_tierc_scalar_subquery,
 }
 
+
+def q_tierc_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: bilateral shipping volume between two nations by
+    year. The nation dim joins twice (supplier side + customer side) —
+    both broadcast; the only shuffle is the lineitem⋈orders equi-join,
+    and the IN filters reach the dim scans before broadcast."""
+    return _run(spark, sf_dir, """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS volume
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_0', 'NATION_1')
+          AND nc.n_name IN ('NATION_0', 'NATION_1')
+          AND ns.n_name <> nc.n_name
+        GROUP BY ns.n_name, nc.n_name, YEAR(o_orderdate)
+        ORDER BY supp_nation, cust_nation, order_year
+""")
+
+
+def q_tierc_line_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-style: conditional counts per order priority (adapted
+    to the fixture's columns). Single fact shuffle + map-side CASE
+    aggregation; the date filter pushes to the parquet scan."""
+    return _run(spark, sf_dir, """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+""")
+
+
+def q_tierc_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style: promo revenue share by ship year. Broadcast the
+    part dim onto the fact scan; exact decimal sums, one final
+    IEEE-exact double division per group."""
+    return _run(spark, sf_dir, """
+        SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+               CAST(100.0 AS DOUBLE)
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                        ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY YEAR(l_shipdate)
+        ORDER BY ship_year
+""")
+
+
+ENGINE_QUERIES.update({
+    "tierc_nation_volume": q_tierc_nation_volume,
+    "tierc_line_status": q_tierc_line_status,
+    "tierc_promo_revenue": q_tierc_promo_revenue,
+})
+
+
 ENGINE_ORACLES = {
+    "tierc_nation_volume": """
+        SELECT ns.n_name AS supp_nation,
+               nc.n_name AS cust_nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS volume
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ns ON s_nationkey = ns.n_nationkey
+          JOIN nation nc ON c_nationkey = nc.n_nationkey
+        WHERE ns.n_name IN ('NATION_0', 'NATION_1')
+          AND nc.n_name IN ('NATION_0', 'NATION_1')
+          AND ns.n_name <> nc.n_name
+        GROUP BY ns.n_name, nc.n_name, YEAR(o_orderdate)
+        ORDER BY supp_nation, cust_nation, order_year
+""",
+    "tierc_line_status": """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_lines,
+               CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returned,
+               CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_finished
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+""",
+    "tierc_promo_revenue": """
+        SELECT CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+               CAST(100.0 AS DOUBLE)
+                 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                             * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                        ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS promo_revenue_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY YEAR(l_shipdate)
+        ORDER BY ship_year
+""",
     "tierc_shipping_priority": """
         SELECT l_orderkey,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
