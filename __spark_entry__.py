@@ -70,6 +70,7 @@ _FRONT = [
     "tierc_nation_volume",
     "tierc_line_status",
     "tierc_promo_revenue",
+    "ext_21_collocations",
 ]
 
 

@@ -488,3 +488,55 @@ def heavy_hitters_mg(docs: DataFrame, k: int = 40) -> DataFrame:
 def q_ext_16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return heavy_hitters_mg(d, k=40)
+
+
+# ------------------------------------------------------- collocations
+
+
+def bigram_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 30
+) -> DataFrame:
+    """Top-k bigram collocations by a PMI-style association score —
+    the phrase-mining pass behind tokenizer vocab building.
+
+    Score is the rational PMI argument c(ab)·N / (c(a)·c(b)) rather
+    than its log: log() differs across engines in the last ulp while
+    one integer-product division is correctly rounded everywhere, and
+    the ranking is identical (log is monotone). Plan shape: one
+    bigram-count shuffle (corpus-sized keys) + one unigram aggregate
+    (vocab-sized, map-side combined) joined back twice as broadcasts —
+    at 100 TB the vocabulary stays MBs while only (w1, w2) pairs ever
+    shuffle."""
+    tk = F.split(F.col("text"), " ")
+    base = spread(docs).select(tk.alias("tk")).filter(F.size("tk") >= 2)
+    grams = F.expr(
+        "transform(sequence(0, size(tk) - 2),"
+        " i -> struct(element_at(tk, i + 1) AS w1, element_at(tk, i + 2) AS w2))"
+    )
+    bg = base.select(F.explode(grams).alias("g")).select("g.w1", "g.w2")
+    c_ab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    toks = spread(docs).select(F.explode(F.split("text", " ")).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    n_total = toks.count()
+    a = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    b = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        c_ab.join(F.broadcast(a), "w1")
+        .join(F.broadcast(b), "w2")
+        .withColumn(
+            "score",
+            (F.col("c_ab") * F.lit(n_total)).cast("double")
+            / (F.col("c_a") * F.col("c_b")),
+        )
+    )
+    return (
+        scored.filter(F.col("c_ab") >= min_count)
+        .select("w1", "w2", "c_ab", "c_a", "c_b", "score")
+        .orderBy(F.desc("score"), "w1", "w2")
+        .limit(k)
+    )
+
+
+def q_ext_21_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_collocations(d, min_count=5, k=30)

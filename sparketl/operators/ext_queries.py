@@ -33,6 +33,7 @@ from sparketl.operators.corpus import (
     q_ext_15_pack_positions,
     q_ext_16_heavy_hitters,
     q_ext_18_mix_sources,
+    q_ext_21_collocations,
 )
 from sparketl.operators.multimodal import q_ext_mm_decode, q_ext_mm_frames
 from sparketl.operators.similarity import (
@@ -83,6 +84,7 @@ EXT_QUERIES = {
     "ext_17_quantize": q_ext_17_quantize,
     "ext_18_mix_sources": q_ext_18_mix_sources,
     "ext_19_scd2": q_ext_19_scd2,
+    "ext_21_collocations": q_ext_21_collocations,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -329,6 +331,28 @@ EXT_ORACLES = {
                                < rate * 4294967296.0
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM t GROUP BY source, rate ORDER BY source
+    """,
+    "ext_21_collocations": """
+        WITH t AS (
+          SELECT string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 2
+        ), bg AS (
+          SELECT unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+                 unnest(list_transform(range(1, len(tk)), i -> tk[i + 1])) AS w2
+          FROM t
+        ), cab AS (
+          SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY w1, w2
+        ), toks AS (
+          SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ), uni AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w
+        )
+        SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+               CAST(c_ab * (SELECT COUNT(*) FROM toks) AS DOUBLE)
+                 / (a.c * b.c) AS score
+        FROM cab JOIN uni a ON w1 = a.w JOIN uni b ON w2 = b.w
+        WHERE c_ab >= 5
+        ORDER BY score DESC, w1, w2 LIMIT 30
     """,
     "ext_19_scd2": """
         WITH e AS (

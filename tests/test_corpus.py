@@ -197,3 +197,19 @@ def test_mix_sources_rates_and_determinism(spark):
         assert (a[s]["n_kept"], a[s]["rate"]) == (b[s]["n_kept"], b[s]["rate"])
     assert a["src0"]["rate"] == 1.0 and a["src0"]["n_kept"] == a["src0"]["n_in"]
     assert a["src3"]["rate"] == 0.1 and a["src3"]["n_kept"] < a["src3"]["n_in"]
+
+
+def test_bigram_collocations_known_pair(spark):
+    from sparketl.operators.corpus import bigram_collocations
+
+    # "new york" always adjacent (5×); "data" and "base" frequent but
+    # never adjacent to each other more than chance.
+    texts = ["new york data base"] * 5 + ["data x base y"] * 5
+    d = _docs(spark, texts)
+    out = bigram_collocations(d, min_count=5, k=5).collect()
+    assert out, "no collocations returned"
+    top = out[0]
+    assert (top["w1"], top["w2"]) == ("new", "york")
+    assert top["c_ab"] == 5 and top["c_a"] == 5 and top["c_b"] == 5
+    # score = c_ab * N / (c_a * c_b) with N = 40 tokens
+    assert top["score"] == 5 * 40 / 25
