@@ -339,3 +339,55 @@ def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
     spreadsheet-sized batch)."""
     n = df.limit(limit + 1).count()
     return n <= limit
+
+
+def incremental_agg(
+    table: ManagedTable,
+    prev_agg: DataFrame,
+    v_from: int,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    sum_expr: str | None = None,
+) -> DataFrame:
+    """Maintain a grouped count/sum aggregate incrementally from the
+    table's change feed: ``new_agg = prev_agg ⊎ agg(diff)``, where
+    inserts contribute +1/+x and deletes −1/−x.
+
+    Cost is O(changed data) — ``diff`` reads only files not shared by
+    the two manifests — versus O(table) for a full recompute: the
+    materialized-view maintenance pattern that keeps a 100 TB rollup
+    fresh after each ingest batch. Counts/sums are the self-maintainable
+    aggregates (min/max are not: a delete of the current extremum needs
+    a rescan of its group).
+
+    ``sum_expr`` is a SQL expression evaluated per changed row (cast to
+    an exact decimal inside to keep merge order irrelevant); the output
+    sum column is named ``sum_col``."""
+    delta = table.diff(v_from)
+    sign = F.when(F.col("_change") == F.lit("insert"), F.lit(1)).otherwise(
+        F.lit(-1)
+    )
+    aggs = [F.sum(sign).alias(count_col)]
+    cols = [*group_cols, count_col]
+    if sum_col is not None:
+        expr = sum_expr if sum_expr is not None else sum_col
+        aggs.append(
+            F.sum(sign.cast("decimal(20,2)") * F.expr(expr).cast("decimal(20,2)"))
+            .alias(sum_col)
+        )
+        cols.append(sum_col)
+    d_agg = delta.groupBy(*group_cols).agg(*aggs)
+    prev = prev_agg.select(*cols)
+    merged = (
+        prev.unionByName(d_agg.select(*cols))
+        .groupBy(*group_cols)
+        .agg(
+            *(
+                [F.sum(count_col).alias(count_col)]
+                + ([F.sum(sum_col).alias(sum_col)] if sum_col else [])
+            )
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return merged

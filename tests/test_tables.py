@@ -211,3 +211,52 @@ def test_vacuum_requires_keep(spark, tmp_table_root):
     t = make(spark, tmp_table_root)
     with pytest.raises(TableError):
         t.vacuum(keep_versions=0)
+
+
+def test_incremental_agg_matches_full_recompute(spark, tmp_table_root):
+    from pyspark.sql import functions as F
+
+    from sparketl.tables import incremental_agg
+
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)], SCHEMA
+        )
+    )
+    v0 = t._current_version()
+
+    def full(df):
+        return df.groupBy("name").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("bal").cast("decimal(20,2)")).alias("bal_sum"),
+        )
+
+    prev = full(t.read())
+
+    # mutate: append to 'a', delete one 'a' row, update the 'b' row
+    t.append(spark.createDataFrame([(4, "a", 40.0)], SCHEMA))
+    t.delete_where("id = 2")
+    t.keyed_update(spark.createDataFrame([(3, "b", 7.5)], SCHEMA), "id")
+
+    got = incremental_agg(
+        t, prev, v0, ["name"], count_col="n", sum_col="bal_sum", sum_expr="bal"
+    )
+    want = full(t.read())
+    g = sorted((r["name"], r["n"], float(r["bal_sum"])) for r in got.collect())
+    w = sorted((r["name"], r["n"], float(r["bal_sum"])) for r in want.collect())
+    assert g == w == [("a", 2, 50.0), ("b", 1, 7.5)]
+
+
+def test_incremental_agg_group_disappears(spark, tmp_table_root):
+    from pyspark.sql import functions as F
+
+    from sparketl.tables import incremental_agg
+
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "solo", 1.0)], SCHEMA))
+    v0 = t._current_version()
+    prev = t.read().groupBy("name").agg(F.count(F.lit(1)).alias("n"))
+    t.delete_where("id = 1")
+    got = incremental_agg(t, prev, v0, ["name"], count_col="n")
+    assert got.collect() == []  # zero-count groups are dropped
