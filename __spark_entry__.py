@@ -71,6 +71,7 @@ _FRONT = [
     "tierc_line_status",
     "tierc_promo_revenue",
     "ext_21_collocations",
+    "tierc_tsql_dates",
 ]
 
 

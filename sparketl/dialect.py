@@ -23,6 +23,21 @@ Rewrites (applied outside string literals and comments only):
                          only when a string literal is adjacent so the
                          rewrite is unambiguous; ``col + col`` on string
                          columns is out of scope (no type info here).
+- ``DATEDIFF(day|month|year, a, b)``
+                         → boundary-crossing count (datediff /
+                         year·12+month arithmetic — T-SQL semantics, not
+                         elapsed-time); sub-day parts raise
+                         ``DialectError`` (timestampdiff counts full
+                         units, which is NOT what T-SQL returns).
+- ``DATEADD(day|month|year, n, d)``
+                         → ``date_add`` / ``add_months`` (date-typed
+                         result).
+- ``CONVERT(type, x)``   → ``CAST(x AS type)`` with the T-SQL type
+                         names mapped (VARCHAR→STRING, DATETIME→
+                         TIMESTAMP, ...); ``VARCHAR(n)`` keeps T-SQL's
+                         truncate-to-n via substr. The 3-argument style
+                         form raises ``DialectError`` (style codes have
+                         no Spark equivalent).
 
 The lexer honors the reference's literal syntax: single-quoted
 strings (tool:399-402) and ``--`` line comments (tool:405-408).
@@ -101,6 +116,13 @@ def transpile(sql: str) -> str:
                         i += 1
                     continue
                 out.append(text)
+            elif lower in ("dateadd", "datediff", "convert") and (
+                _next_nonspace(tokens, i) == "("
+            ):
+                args, next_i = _parse_call_args(sql, tokens, i)
+                out.append(_rewrite_call(lower, args))
+                i = next_i
+                continue
             elif lower in _FUNC_MAP and _next_nonspace(tokens, i) == "(":
                 out.append(_FUNC_MAP[lower])
             else:
@@ -110,6 +132,106 @@ def transpile(sql: str) -> str:
     if limit_from_top is not None:
         result = f"{result} LIMIT {limit_from_top}"
     return result
+
+
+def _parse_call_args(sql: str, tokens, i: int) -> tuple[list[str], int]:
+    """Collect the top-level comma-separated argument texts of the call
+    whose function-name token is *i*. Returns (raw_arg_texts,
+    index_after_closing_paren). Commas/parens inside string literals or
+    brackets are already opaque tokens, so only structural ones count."""
+    depth = 0
+    args: list[str] = []
+    start = None
+    k = i + 1
+    while k < len(tokens):
+        t = tokens[k]
+        g = t.group()
+        if t.lastgroup == "other":
+            if g == "(":
+                depth += 1
+                if depth == 1:
+                    start = t.end()
+            elif g == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append(sql[start : t.start()])
+                    return args, k + 1
+            elif g == "," and depth == 1:
+                args.append(sql[start : t.start()])
+                start = t.end()
+        k += 1
+    raise DialectError("unbalanced parentheses in function call")
+
+
+_CONVERT_TYPES = {
+    "int": "INT",
+    "bigint": "BIGINT",
+    "smallint": "SMALLINT",
+    "tinyint": "TINYINT",
+    "float": "DOUBLE",
+    "real": "FLOAT",
+    "varchar": "STRING",
+    "nvarchar": "STRING",
+    "char": "STRING",
+    "nchar": "STRING",
+    "text": "STRING",
+    "date": "DATE",
+    "datetime": "TIMESTAMP",
+    "datetime2": "TIMESTAMP",
+    "bit": "BOOLEAN",
+    "decimal": "DECIMAL",
+    "numeric": "DECIMAL",
+}
+
+
+def _rewrite_call(name: str, raw_args: list[str]) -> str:
+    args = [transpile(a).strip() for a in raw_args]
+    if name == "datediff":
+        if len(args) != 3:
+            raise DialectError("DATEDIFF takes (datepart, start, end)")
+        part, a, b = args[0].lower(), args[1], args[2]
+        if part in ("day", "dd", "d"):
+            return f"datediff({b}, {a})"
+        if part in ("month", "mm", "m"):
+            return (
+                f"((year({b}) * 12 + month({b}))"
+                f" - (year({a}) * 12 + month({a})))"
+            )
+        if part in ("year", "yyyy", "yy"):
+            return f"(year({b}) - year({a}))"
+        raise DialectError(
+            f"DATEDIFF({part}, ...) is not supported: T-SQL counts "
+            "boundary crossings, which has no faithful sub-day Spark rewrite"
+        )
+    if name == "dateadd":
+        if len(args) != 3:
+            raise DialectError("DATEADD takes (datepart, n, date)")
+        part, n, d = args[0].lower(), args[1], args[2]
+        if part in ("day", "dd", "d"):
+            return f"date_add({d}, {n})"
+        if part in ("month", "mm", "m"):
+            return f"add_months({d}, {n})"
+        if part in ("year", "yyyy", "yy"):
+            return f"add_months({d}, (({n}) * 12))"
+        raise DialectError(f"DATEADD({part}, ...) is not supported")
+    # CONVERT
+    if len(args) != 2:
+        raise DialectError(
+            "CONVERT with a style argument is not supported (style codes "
+            "have no Spark equivalent) — use the 2-argument form"
+        )
+    ty, expr = args[0].strip().lower(), args[1]
+    m = re.match(r"([a-z0-9_]+)\s*(?:\(\s*([0-9]+(?:\s*,\s*[0-9]+)?)\s*\))?$", ty)
+    if not m or m.group(1) not in _CONVERT_TYPES:
+        raise DialectError(f"CONVERT type '{args[0]}' is not supported")
+    base, param = m.group(1), m.group(2)
+    target = _CONVERT_TYPES[base]
+    if target == "STRING" and param and "," not in param:
+        # VARCHAR(n) truncates to n characters in T-SQL
+        return f"substr(CAST({expr} AS STRING), 1, {param})"
+    if target == "DECIMAL" and param:
+        return f"CAST({expr} AS DECIMAL({param}))"
+    return f"CAST({expr} AS {target})"
 
 
 def _parse_top_count(tokens, i: int) -> tuple[str | None, int]:

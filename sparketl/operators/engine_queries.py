@@ -241,14 +241,43 @@ def q_tierc_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 
 
+
+def q_tierc_tsql_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL date functions through the shim: DATEDIFF (boundary-count
+    semantics), DATEADD, CONVERT(VARCHAR(n), ...) truncation."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT TOP 100 [o_orderkey],
+               DATEDIFF(day, [o_orderdate], DATE '1998-08-01') AS days_old,
+               DATEDIFF(month, [o_orderdate], DATE '1998-08-01') AS months_old,
+               DATEADD(month, 3, [o_orderdate]) AS follow_up,
+               CONVERT(VARCHAR(5), [o_orderpriority]) AS pri5
+        FROM orders ORDER BY [o_orderkey]
+        """,
+    )
+
+
 ENGINE_QUERIES.update({
     "tierc_nation_volume": q_tierc_nation_volume,
     "tierc_line_status": q_tierc_line_status,
     "tierc_promo_revenue": q_tierc_promo_revenue,
+    "tierc_tsql_dates": q_tierc_tsql_dates,
 })
 
 
 ENGINE_ORACLES = {
+    "tierc_tsql_dates": """
+        SELECT o_orderkey,
+               CAST(DATEDIFF('day', o_orderdate, DATE '1998-08-01') AS INT)
+                 AS days_old,
+               CAST(DATEDIFF('month', o_orderdate, DATE '1998-08-01') AS INT)
+                 AS months_old,
+               CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS follow_up,
+               substr(CAST(o_orderpriority AS VARCHAR), 1, 5) AS pri5
+        FROM orders ORDER BY o_orderkey LIMIT 100
+    """,
     "tierc_nation_volume": """
         SELECT ns.n_name AS supp_nation,
                nc.n_name AS cust_nation,

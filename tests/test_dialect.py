@@ -1,4 +1,6 @@
-from sparketl.dialect import transpile
+import pytest
+
+from sparketl.dialect import DialectError, transpile
 
 
 def test_brackets():
@@ -87,4 +89,58 @@ def test_top_as_identifier_after_select_distinct():
     assert (
         transpile("SELECT COUNT(DISTINCT top) FROM t")
         == "SELECT COUNT(DISTINCT top) FROM t"
+    )
+
+
+def test_datediff_rewrites():
+    assert (
+        transpile("SELECT DATEDIFF(day, a, b) FROM t")
+        == "SELECT datediff(b, a) FROM t"
+    )
+    assert "year(b) - year(a)" in transpile("SELECT DATEDIFF(year, a, b) FROM t")
+    assert "year(b) * 12 + month(b)" in transpile(
+        "SELECT DATEDIFF(month, a, b) FROM t"
+    )
+    with pytest.raises(DialectError):
+        transpile("SELECT DATEDIFF(hour, a, b) FROM t")
+
+
+def test_dateadd_rewrites():
+    assert (
+        transpile("SELECT DATEADD(day, 7, d) FROM t")
+        == "SELECT date_add(d, 7) FROM t"
+    )
+    assert (
+        transpile("SELECT DATEADD(month, n + 1, d) FROM t")
+        == "SELECT add_months(d, n + 1) FROM t"
+    )
+    assert "((2) * 12)" in transpile("SELECT DATEADD(year, 2, d) FROM t")
+
+
+def test_convert_rewrites():
+    assert (
+        transpile("SELECT CONVERT(INT, x) FROM t")
+        == "SELECT CAST(x AS INT) FROM t"
+    )
+    assert (
+        transpile("SELECT CONVERT(VARCHAR(3), x) FROM t")
+        == "SELECT substr(CAST(x AS STRING), 1, 3) FROM t"
+    )
+    assert (
+        transpile("SELECT CONVERT(DECIMAL(10, 2), x) FROM t")
+        == "SELECT CAST(x AS DECIMAL(10, 2)) FROM t"
+    )
+    with pytest.raises(DialectError):
+        transpile("SELECT CONVERT(VARCHAR, x, 101) FROM t")
+    with pytest.raises(DialectError):
+        transpile("SELECT CONVERT(blob, x) FROM t")
+
+
+def test_date_funcs_nest_with_other_rewrites():
+    out = transpile(
+        "SELECT DATEDIFF(day, DATEADD(day, 1, [d]), ISNULL(e, GETDATE())) FROM t"
+    )
+    assert out == (
+        "SELECT datediff(coalesce(e, current_timestamp()),"
+        " date_add(`d`, 1)) FROM t"
     )
