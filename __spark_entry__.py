@@ -72,6 +72,7 @@ _FRONT = [
     "tierc_promo_revenue",
     "ext_21_collocations",
     "tierc_tsql_dates",
+    "ext_15_pack_bins",
 ]
 
 

@@ -540,3 +540,65 @@ def bigram_collocations(
 def q_ext_21_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return bigram_collocations(d, min_count=5, k=30)
+
+
+# --------------------------------------------------- greedy bin packing
+
+
+def pack_bins_greedy(
+    docs: DataFrame, budget: int = 512, bucket: int = 64
+) -> DataFrame:
+    """Whole-document greedy next-fit packing (the no-splitting variant
+    of :func:`pack_positions`, the SFT-example layout): documents are
+    assigned whole, in doc_id order, to bins holding at most ``budget``
+    tokens; a doc that does not fit opens a new bin (an oversized doc
+    gets a singleton bin).
+
+    Next-fit is inherently sequential, so the corpus is range-blocked
+    on doc_id (``doc_id div bucket``) and each block packs
+    independently inside one applyInPandas group — Arrow-batched, with
+    bin ids globally unique as block·2^32 + local. The only deviation
+    from a serial pass is one possibly-underfull bin per block boundary
+    (< budget tokens waste per block, the standard distributed-packing
+    trade). Deterministic for a fixed bucket size regardless of input
+    partitioning — the DuckDB oracle replays the same greedy recurrence
+    with a recursive CTE."""
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
+    base = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.expr(f"doc_id div {bucket}").alias("block"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        bins, fills = [], 0
+        bin_local, fill = 0, None
+        for n in pdf["n_tokens"]:
+            if fill is None:
+                fill = n
+            elif fill + n <= budget:
+                fill += n
+            else:
+                bin_local += 1
+                fill = n
+            bins.append(bin_local)
+        block = int(pdf["block"].iloc[0])
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "n_tokens": pdf["n_tokens"].values,
+                "bin_id": [block * 4294967296 + b for b in bins],
+            }
+        )
+
+    return base.groupBy("block").applyInPandas(
+        pack, "doc_id long, n_tokens long, bin_id long"
+    )
+
+
+def q_ext_15_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return pack_bins_greedy(d, budget=512).orderBy("doc_id")

@@ -31,6 +31,7 @@ from sparketl.operators.corpus import (
     q_ext_14_passage_dedup,
     q_ext_15_chunk_stats,
     q_ext_15_pack_positions,
+    q_ext_15_pack_bins,
     q_ext_16_heavy_hitters,
     q_ext_18_mix_sources,
     q_ext_21_collocations,
@@ -80,6 +81,7 @@ EXT_QUERIES = {
     "ext_14_passage_dedup": q_ext_14_passage_dedup,
     "ext_15_pack_positions": q_ext_15_pack_positions,
     "ext_15_chunk_stats": q_ext_15_chunk_stats,
+    "ext_15_pack_bins": q_ext_15_pack_bins,
     "ext_16_heavy_hitters": q_ext_16_heavy_hitters,
     "ext_17_quantize": q_ext_17_quantize,
     "ext_18_mix_sources": q_ext_18_mix_sources,
@@ -301,6 +303,29 @@ EXT_ORACLES = {
                         - GREATEST(start_off, chunk_id * 512)) AS BIGINT)
                  AS n_tokens_filled
         FROM spans GROUP BY chunk_id ORDER BY chunk_id
+    """,
+    "ext_15_pack_bins": """
+        WITH RECURSIVE d AS (
+          SELECT doc_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                 doc_id // 64 AS block,
+                 row_number() OVER (PARTITION BY doc_id // 64 ORDER BY doc_id)
+                   AS rn
+          FROM documents
+        ), step(block, rn, doc_id, n_tokens, bin_local, fill) AS (
+          SELECT block, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+          FROM d WHERE rn = 1
+          UNION ALL
+          SELECT d.block, d.rn, d.doc_id, d.n_tokens,
+                 CASE WHEN s.fill + d.n_tokens <= 512 THEN s.bin_local
+                      ELSE s.bin_local + 1 END,
+                 CASE WHEN s.fill + d.n_tokens <= 512 THEN s.fill + d.n_tokens
+                      ELSE d.n_tokens END
+          FROM step s JOIN d ON d.block = s.block AND d.rn = s.rn + 1
+        )
+        SELECT doc_id, n_tokens,
+               CAST(block * 4294967296 + bin_local AS BIGINT) AS bin_id
+        FROM step ORDER BY doc_id
     """,
     "ext_17_quantize": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

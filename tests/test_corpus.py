@@ -213,3 +213,32 @@ def test_bigram_collocations_known_pair(spark):
     assert top["c_ab"] == 5 and top["c_a"] == 5 and top["c_b"] == 5
     # score = c_ab * N / (c_a * c_b) with N = 40 tokens
     assert top["score"] == 5 * 40 / 25
+
+
+def test_pack_bins_greedy_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.corpus import pack_bins_greedy
+
+    # tokens: 3, 4, 5, 6, 20(oversized), 2 → budget 10, bucket 100 (one block)
+    texts = ["w " * n for n in (3, 4, 5, 6, 20, 2)]
+    d = _docs(spark, [t.strip() for t in texts])
+    out = pack_bins_greedy(d, budget=10, bucket=100).orderBy("doc_id").collect()
+    # greedy next-fit: 3+4 fit; 5 opens bin1; 6 overflows (5+6>10) →
+    # bin2; 20 oversized singleton bin3; 2 can't join (20+2>10) → bin4
+    assert [r["bin_id"] for r in out] == [0, 0, 1, 2, 3, 4]
+    # every doc appears exactly once
+    assert [r["doc_id"] for r in out] == [0, 1, 2, 3, 4, 5]
+    # no bin over budget except the oversized singleton
+    fills = {}
+    for r in out:
+        fills[r["bin_id"]] = fills.get(r["bin_id"], 0) + r["n_tokens"]
+    for b, f in fills.items():
+        assert f <= 10 or (f == 20 and b == 3)
+    # determinism under different input partitioning
+    again = (
+        pack_bins_greedy(d.repartition(5), budget=10, bucket=100)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
