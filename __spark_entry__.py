@@ -73,6 +73,8 @@ _FRONT = [
     "ext_21_collocations",
     "tierc_tsql_dates",
     "ext_15_pack_bins",
+    "ext_22_funnel",
+    "ext_23_retention",
 ]
 
 

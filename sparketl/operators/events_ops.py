@@ -170,3 +170,85 @@ def scd2_intervals(events: DataFrame) -> DataFrame:
 def q_ext_19_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return scd2_intervals(e).orderBy("user_id", "valid_from_us")
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, str, str] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel conversion: how many users did step1, then step2
+    strictly after it, then step3 after that — the classic product-
+    analytics query, expressed as ONE shuffle on user_id.
+
+    Each user's events collapse to a sorted (ts, type) array
+    (collect_list + array_sort inside the user aggregate), and the
+    step timestamps fall out of three chained array filters — all JVM
+    array expressions, no UDF, no re-join per step. Per-user event
+    counts bound the array (app-domain bounded here; for pathological
+    hot users the equivalent 3-phase co-partitioned join formulation
+    trades 2 extra same-key shuffles for O(1) row width)."""
+    s1, s2, s3 = steps
+    per_user = (
+        events.select(
+            "user_id",
+            F.struct(F.unix_micros("ts").alias("ts_us"), "event_type").alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(F.array_sort(F.collect_list("e")).alias("arr"))
+    )
+    t1 = F.expr(
+        f"array_min(transform(filter(arr, x -> x.event_type = '{s1}'),"
+        " x -> x.ts_us))"
+    )
+    with_t1 = per_user.select("user_id", "arr", t1.alias("t1"))
+    t2 = F.expr(
+        f"array_min(transform(filter(arr, x -> x.event_type = '{s2}'"
+        " AND x.ts_us > t1), x -> x.ts_us))"
+    )
+    with_t2 = with_t1.select("user_id", "arr", "t1", t2.alias("t2"))
+    t3 = F.expr(
+        f"array_min(transform(filter(arr, x -> x.event_type = '{s3}'"
+        " AND x.ts_us > t2), x -> x.ts_us))"
+    )
+    flags = with_t2.select("user_id", "t1", "t2", t3.alias("t3"))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("t1").isNotNull().cast("long")).alias("n_step1"),
+        F.sum(F.col("t2").isNotNull().cast("long")).alias("n_step2"),
+        F.sum(F.col("t3").isNotNull().cast("long")).alias("n_step3"),
+    )
+
+
+def q_ext_22_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return funnel_counts(e)
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Day-N retention by signup cohort: users grouped by their first
+    active day, counted again on each later day they return.
+
+    Two aggregates that share the user_id key (first-day per user,
+    distinct user-days) and one co-partitioned join — no window over
+    the whole stream, no per-user state. At 100 TB both aggregates are
+    map-side combinable and the join keys are already co-partitioned
+    from the first shuffle; the output is cohort×offset sized
+    (days², tiny)."""
+    days = events.select(
+        "user_id", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).distinct()
+    first_day = days.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        days.join(first_day, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def q_ext_23_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return retention_cohorts(e).orderBy("cohort_day", "day_offset")

@@ -221,3 +221,52 @@ def test_stream_static_enrich_equals_batch(spark):
     s = sorted(tuple(r) for r in got.collect())
     assert b == s and len(b) > 0
     assert all(r[-1] is not None for r in s)  # user_grp enriched everywhere
+
+
+def test_funnel_order_matters(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.events_ops import funnel_counts
+
+    rows = [
+        # u1: full funnel in order
+        (1, 1, "view", 1), (2, 1, "click", 2), (3, 1, "purchase", 3),
+        # u2: click BEFORE view → stops at step1
+        (4, 2, "click", 1), (5, 2, "view", 2),
+        # u3: view+click, purchase before click → stops at step2
+        (6, 3, "view", 1), (7, 3, "purchase", 2), (8, 3, "click", 3),
+        # u4: never views
+        (9, 4, "signup", 1),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_s long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros(F.col("ts_s") * 1_000_000).alias("ts"),
+    )
+    r = funnel_counts(e).collect()[0]
+    assert (r["n_users"], r["n_step1"], r["n_step2"], r["n_step3"]) == (4, 3, 2, 1)
+
+
+def test_retention_known_cohorts(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.events_ops import retention_cohorts
+
+    day = 86_400_000_000
+    rows = [
+        (1, 1, "view", 0), (2, 1, "view", 2 * day),       # u1: day0 cohort, back day2
+        (3, 2, "view", 0),                                 # u2: day0 cohort only
+        (4, 3, "view", day), (5, 3, "view", 2 * day),      # u3: day1 cohort, back day2
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    ).select(
+        "event_id", "user_id", "event_type",
+        F.timestamp_micros("ts_us").alias("ts"),
+    )
+    got = {
+        (r["cohort_day"], r["day_offset"]): r["n_users"]
+        for r in retention_cohorts(e).collect()
+    }
+    assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
