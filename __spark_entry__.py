@@ -75,6 +75,14 @@ _FRONT = [
     "ext_15_pack_bins",
     "ext_22_funnel",
     "ext_23_retention",
+    "ext_24_salted_join",
+    "ext_25_gapfill",
+    "ext_26_merge_intervals",
+    "ext_27_transitions",
+    "ext_28_cdf",
+    "ext_29_fuzzy_join",
+    "ext_30_top_paths",
+    "ext_31_outliers",
 ]
 
 

@@ -1,0 +1,309 @@
+"""Event/relational analytics operators beyond the reference surface:
+skew-salted joins, time-series gap fill, interval merging, Markov
+transitions, distribution CDFs, fuzzy (edit-distance) joins, session
+path mining, and quantile-threshold outlier detection.
+
+The reference tool ships raw SQL to its server (SQL_DATA_INTEGRATION_
+TOOL.py:273), so any of these *could* be written as Tier-C pass-through
+SQL; they are first-class operators here because each one has a
+physical-plan story that matters at 100 TB — salting a hot key,
+bounding a calendar spine, keeping window sorts to one shuffle — that
+a naive SQL translation would miss.
+
+Engine-exactness notes (oracle hashing): day indices and interval
+bounds are epoch-µs/day-index bigints, never raw timestamps; float
+outputs are either exact pass-throughs (cume_dist, integer-ratio
+division — IEEE-deterministic in both engines) or decimal sums cast
+to double; window orderings always include a unique tiebreaker
+(event_id / key) so Spark and DuckDB sort identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+from sparketl.operators.scale import salted_join
+
+# ---------------------------------------------------------------------------
+# ext_24: skew-salted join (scale.salted_join driven end-to-end)
+# ---------------------------------------------------------------------------
+
+
+def q_ext_24_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-volume rollup through an explicitly salted join.
+
+    Result is identical to a plain lineitem⋈supplier equi-join; the
+    salt splits each supplier key 8 ways before the shuffle, so one
+    pathological hot supplier lands on 8 partitions instead of 1.
+    The supplier side replicates 8× — it is dimension-sized, so the
+    replication is noise. This is the manual fallback for skew AQE
+    can't fix (single-key skew inside one stage).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = salted_join(li, sup, "l_suppkey", "s_suppkey", n_salts=8)
+    return (
+        j.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(20,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_25: time-series gap fill over a generated day spine
+# ---------------------------------------------------------------------------
+
+
+def gapfill_daily_counts(events: DataFrame) -> DataFrame:
+    """Daily event counts per type with missing days filled as 0.
+
+    The spine comes from ``sequence(min_day, max_day)`` per key — it is
+    calendar-bounded (years × 365 rows per key), so exploding it is
+    always tiny next to the fact table, and it never round-trips to the
+    driver. The fill join runs spine-side small → broadcast; the only
+    real shuffle is the counting aggregate.
+    """
+    daily = events.groupBy(
+        "event_type", F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    spine = (
+        daily.groupBy("event_type")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select("event_type", F.explode(F.sequence("d0", "d1")).alias("day"))
+    )
+    return (
+        spine.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def q_ext_25_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gapfill_daily_counts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_26: merge overlapping intervals (islands)
+# ---------------------------------------------------------------------------
+
+
+def merge_intervals(
+    events: DataFrame, length_us: int = 600_000_000
+) -> DataFrame:
+    """Give each event a fixed-length interval and merge overlaps per
+    user into islands (classic gaps-and-islands).
+
+    One shuffle on user_id feeds both window passes (running max of
+    prior interval end → new-island flag → running island counter) and
+    the final per-island aggregate — Spark reuses the partitioning, so
+    the whole operator is a single exchange regardless of scale.
+    """
+    w = Window.partitionBy("user_id").orderBy("start_us", "end_us", "event_id")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("start_us"),
+        (F.unix_micros("ts") + F.lit(length_us)).alias("end_us"),
+    )
+    prev_max = F.max("end_us").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.withColumn(
+        "new_island",
+        (F.col("start_us") > F.coalesce(prev_max, F.lit(-1))).cast("long"),
+    )
+    islands = flagged.withColumn(
+        "island",
+        F.sum("new_island").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("user_id", "island")
+        .agg(
+            F.min("start_us").alias("island_start_us"),
+            F.max("end_us").alias("island_end_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id", "island")
+    )
+
+
+def q_ext_26_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merge_intervals(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_27: Markov transition matrix of event types
+# ---------------------------------------------------------------------------
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """(prev_type → next_type) counts and row-normalized probabilities
+    over each user's time-ordered event stream.
+
+    lag() needs one shuffle on user_id; the pair count is a map-side
+    combinable aggregate on a key space of |types|² (tiny). The
+    probability is bigint÷bigint — IEEE division, bit-identical in any
+    engine, so it hashes cleanly against the oracle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / total.cast("double")).alias("p"),
+    ).orderBy("prev_type", "next_type")
+
+
+def q_ext_27_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return event_transitions(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_28: empirical CDF (cume_dist) per group
+# ---------------------------------------------------------------------------
+
+
+def q_ext_28_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile position of every order's total price within its
+    priority class. cume_dist = rank-count ÷ partition-count — both
+    integers, so the double is exact and engine-portable. One shuffle
+    on the partition key; the sort rides the same exchange.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.cume_dist().over(w).alias("cdf"),
+    ).orderBy("o_orderpriority", "o_totalprice", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# ext_29: fuzzy (edit-distance) self-join with blocking
+# ---------------------------------------------------------------------------
+
+
+def fuzzy_name_pairs(part: DataFrame, max_dist: int = 4) -> DataFrame:
+    """Near-identical part-name pairs via Levenshtein ≤ max_dist.
+
+    The O(n²) all-pairs comparison is cut down by a blocking key (last
+    token of the name): candidates must share it, turning the
+    self-join into an equi-join whose cost is Σ block² instead of n².
+    At 100 TB the blocking key is the partition key — each block
+    compares locally, no cross-block traffic. levenshtein() is a JVM
+    builtin, so the comparator stays inside codegen.
+    """
+    names = part.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.element_at(F.split("p_name", " "), -1).alias("block")
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    return (
+        a.join(b, "block")
+        .where(F.col("a.p_name") < F.col("b.p_name"))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+        )
+        .where(F.col("dist") <= max_dist)
+        .orderBy("name_a", "name_b")
+    )
+
+
+def q_ext_29_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fuzzy_name_pairs(load_table(spark, sf_dir, "part"))
+
+
+# ---------------------------------------------------------------------------
+# ext_30: top event paths (session path mining)
+# ---------------------------------------------------------------------------
+
+
+def top_paths(events: DataFrame, depth: int = 5, k: int = 20) -> DataFrame:
+    """Most common first-``depth`` event-type sequences across users.
+
+    Each user's stream collapses to one sorted array in a single
+    user_id aggregate (struct sort keyed on (ts, event_id) — unique,
+    so both engines order identically); slicing to ``depth`` bounds
+    row width before anything shuffles again. The path count is a
+    map-combinable aggregate over at most |types|^depth keys.
+    """
+    per_user = (
+        events.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("ts_us"), "event_id", "event_type"
+            ).alias("e"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list("e")), 1, depth),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_user.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(k)
+    )
+
+
+def q_ext_30_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_paths(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_31: quantile-threshold outlier detection
+# ---------------------------------------------------------------------------
+
+
+def quantile_outliers(events: DataFrame, q: float = 0.99) -> DataFrame:
+    """Count of events whose value exceeds the per-type q-quantile.
+
+    Two passes over the fact table (quantile, then threshold filter),
+    but the quantile result is |types| rows → broadcast join, so the
+    second pass is scan+filter with no shuffle beyond the final tiny
+    aggregate. Spark's percentile() matches DuckDB's quantile_cont
+    bit-for-bit, keeping the double threshold oracle-hashable.
+    """
+    thresholds = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(q)).alias("p99")
+    )
+    return (
+        events.join(F.broadcast(thresholds), "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .groupBy("event_type", "p99")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+        .orderBy("event_type")
+    )
+
+
+def q_ext_31_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_outliers(load_table(spark, sf_dir, "events"))

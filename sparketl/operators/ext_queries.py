@@ -8,6 +8,16 @@ records a rows-only check; pytest covers their semantics instead
 
 from __future__ import annotations
 
+from sparketl.operators.analytics import (
+    q_ext_24_salted_join,
+    q_ext_25_gapfill,
+    q_ext_26_merge_intervals,
+    q_ext_27_transitions,
+    q_ext_28_cdf,
+    q_ext_29_fuzzy_join,
+    q_ext_30_top_paths,
+    q_ext_31_outliers,
+)
 from sparketl.operators.dedup import (
     q_ext_01_dedup_documents,
     q_ext_01_exact_dedup,
@@ -91,6 +101,14 @@ EXT_QUERIES = {
     "ext_21_collocations": q_ext_21_collocations,
     "ext_22_funnel": q_ext_22_funnel,
     "ext_23_retention": q_ext_23_retention,
+    "ext_24_salted_join": q_ext_24_salted_join,
+    "ext_25_gapfill": q_ext_25_gapfill,
+    "ext_26_merge_intervals": q_ext_26_merge_intervals,
+    "ext_27_transitions": q_ext_27_transitions,
+    "ext_28_cdf": q_ext_28_cdf,
+    "ext_29_fuzzy_join": q_ext_29_fuzzy_join,
+    "ext_30_top_paths": q_ext_30_top_paths,
+    "ext_31_outliers": q_ext_31_outliers,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -398,6 +416,115 @@ EXT_ORACLES = {
         FROM days JOIN fd USING (user_id)
         GROUP BY cohort_day, day - cohort_day
         ORDER BY cohort_day, day_offset
+    """,
+    "ext_24_salted_join": """
+        SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_nationkey ORDER BY s_nationkey
+    """,
+    "ext_25_gapfill": """
+        WITH daily AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), b AS (
+          SELECT event_type, MIN(day) AS d0, MAX(day) AS d1
+          FROM daily GROUP BY 1
+        ), spine AS (
+          SELECT event_type, UNNEST(generate_series(d0, d1)) AS day FROM b
+        )
+        SELECT s.event_type, s.day,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+        FROM spine s LEFT JOIN daily d USING (event_type, day)
+        ORDER BY s.event_type, s.day
+    """,
+    "ext_26_merge_intervals": """
+        WITH iv AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS start_us,
+                 epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS end_us
+          FROM events
+        ), flag AS (
+          SELECT *, CASE WHEN start_us > COALESCE(
+                   MAX(end_us) OVER (PARTITION BY user_id
+                     ORDER BY start_us, end_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                 THEN 1 ELSE 0 END AS new_island
+          FROM iv
+        ), isl AS (
+          SELECT *, SUM(new_island) OVER (PARTITION BY user_id
+                   ORDER BY start_us, end_us, event_id
+                   ROWS UNBOUNDED PRECEDING) AS island
+          FROM flag
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island,
+               MIN(start_us) AS island_start_us,
+               MAX(end_us) AS island_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM isl GROUP BY user_id, island
+        ORDER BY user_id, island
+    """,
+    "ext_27_transitions": """
+        WITH pairs AS (
+          SELECT LAG(event_type) OVER (PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+                   AS prev_type,
+                 event_type AS next_type
+          FROM events
+        ), counts AS (
+          SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, next_type
+        )
+        SELECT prev_type, next_type, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY prev_type)
+                 AS DOUBLE) AS p
+        FROM counts ORDER BY prev_type, next_type
+    """,
+    "ext_28_cdf": """
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CUME_DIST() OVER (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice) AS cdf
+        FROM orders
+        ORDER BY o_orderpriority, o_totalprice, o_orderkey
+    """,
+    "ext_29_fuzzy_join": """
+        WITH names AS (
+          SELECT DISTINCT p_name,
+                 string_split(p_name, ' ')[-1] AS block
+          FROM part
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        FROM names a JOIN names b USING (block)
+        WHERE a.p_name < b.p_name
+          AND levenshtein(a.p_name, b.p_name) <= 4
+        ORDER BY name_a, name_b
+    """,
+    "ext_30_top_paths": """
+        WITH p AS (
+          SELECT user_id,
+                 array_to_string(list_slice(
+                   list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+                        event_id), 1, 5), '>') AS path
+          FROM events GROUP BY user_id
+        )
+        SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM p GROUP BY path
+        ORDER BY n_users DESC, path LIMIT 20
+    """,
+    "ext_31_outliers": """
+        WITH q AS (
+          SELECT event_type, quantile_cont(value, 0.99) AS p99
+          FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, q.p99, CAST(COUNT(*) AS BIGINT) AS n_outliers
+        FROM events e JOIN q USING (event_type)
+        WHERE e.value > q.p99
+        GROUP BY e.event_type, q.p99
+        ORDER BY e.event_type
     """,
     "ext_21_collocations": """
         WITH t AS (

@@ -1,0 +1,143 @@
+"""Semantics tests for the analytics operators (sparketl.operators.
+analytics): salted join ≡ plain join, gap fill, interval islands,
+transitions, fuzzy blocking, path mining, quantile outliers."""
+
+from pyspark.sql import functions as F
+
+from sparketl.operators.analytics import (
+    event_transitions,
+    fuzzy_name_pairs,
+    gapfill_daily_counts,
+    merge_intervals,
+    quantile_outliers,
+    top_paths,
+)
+from sparketl.operators.scale import salted_join
+
+DAY = 86_400_000_000
+
+
+def _events(spark, rows):
+    """rows: (event_id, user_id, event_type, ts_us[, value])."""
+    has_value = rows and len(rows[0]) == 5
+    schema = "event_id long, user_id long, event_type string, ts_us long"
+    if has_value:
+        schema += ", value double"
+    df = spark.createDataFrame(rows, schema)
+    return df.withColumn("ts", F.timestamp_micros("ts_us")).drop("ts_us")
+
+
+def test_salted_join_equals_plain_join(spark):
+    fact = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0), (3, 7.0), (1, 1.0)], "k long, v double"
+    )
+    dim = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], "dk long, grp string")
+    got = sorted(
+        tuple(r) for r in salted_join(fact, dim, "k", "dk", n_salts=4).collect()
+    )
+    want = sorted(tuple(r) for r in fact.join(dim, fact.k == dim.dk).collect())
+    assert got == want and len(got) == 4
+
+
+def test_gapfill_fills_missing_days_with_zero(spark):
+    e = _events(
+        spark,
+        [(1, 1, "view", 0), (2, 1, "view", 3 * DAY), (3, 1, "click", DAY)],
+    )
+    got = {
+        (r["event_type"], r["day"]): r["n_events"]
+        for r in gapfill_daily_counts(e).collect()
+    }
+    # view spans days 0..3 with gaps at 1, 2; click is a single day.
+    assert got == {
+        ("view", 0): 1,
+        ("view", 1): 0,
+        ("view", 2): 0,
+        ("view", 3): 1,
+        ("click", 1): 1,
+    }
+
+
+def test_merge_intervals_islands(spark):
+    m = 60_000_000  # one minute in µs
+    e = _events(
+        spark,
+        [
+            # u1: two events 5 min apart (overlap at 10-min length) then
+            # one 30 min later → two islands.
+            (1, 1, "a", 0),
+            (2, 1, "a", 5 * m),
+            (3, 1, "a", 45 * m),
+            # u2: single event → one island.
+            (4, 2, "a", 0),
+        ],
+    )
+    rows = merge_intervals(e, length_us=10 * m).collect()
+    got = [
+        (r["user_id"], r["island"], r["island_start_us"], r["island_end_us"], r["n_events"])
+        for r in rows
+    ]
+    assert got == [
+        (1, 1, 0, 15 * m, 2),
+        (1, 2, 45 * m, 55 * m, 1),
+        (2, 1, 0, 10 * m, 1),
+    ]
+
+
+def test_transitions_counts_and_probs(spark):
+    e = _events(
+        spark,
+        [
+            (1, 1, "view", 1), (2, 1, "click", 2), (3, 1, "view", 3),
+            (4, 2, "view", 1), (5, 2, "view", 2),
+        ],
+    )
+    got = {
+        (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+        for r in event_transitions(e).collect()
+    }
+    # u1: view→click, click→view; u2: view→view. Row-normalized over
+    # each prev_type.
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_fuzzy_pairs_respect_block_and_threshold(spark):
+    part = spark.createDataFrame(
+        [("red ring",), ("red wing",), ("blue ring",), ("red gear",)],
+        "p_name string",
+    )
+    rows = fuzzy_name_pairs(part, max_dist=4).collect()
+    got = {(r["name_a"], r["name_b"]): r["dist"] for r in rows}
+    # "red wing" blocks under "wing" — never compared to the rings;
+    # "red gear" blocks under "gear". blue ring↔red ring dist 4 ≤ 4.
+    assert got == {("blue ring", "red ring"): 4}
+
+
+def test_top_paths_orders_and_slices(spark):
+    e = _events(
+        spark,
+        [
+            (1, 1, "a", 1), (2, 1, "b", 2),
+            (3, 2, "a", 1), (4, 2, "b", 2),
+            (5, 3, "b", 1), (6, 3, "a", 2), (7, 3, "c", 3),
+            (8, 3, "c", 4), (9, 3, "c", 5), (10, 3, "c", 6),  # 6th event dropped
+        ],
+    )
+    rows = top_paths(e, depth=5, k=10).collect()
+    assert [(r["path"], r["n_users"]) for r in rows] == [
+        ("a>b", 2),
+        ("b>a>c>c>c", 1),
+    ]
+
+
+def test_quantile_outliers_simple(spark):
+    # 100 values 1..100 of one type: p50 = 50.5 → 50 rows above it.
+    rows = [(i, 1, "x", i, float(i)) for i in range(1, 101)]
+    e = _events(spark, rows)
+    r = quantile_outliers(e, q=0.5).collect()
+    assert len(r) == 1
+    assert r[0]["p99"] == 50.5 and r[0]["n_outliers"] == 50
