@@ -83,6 +83,13 @@ _FRONT = [
     "ext_29_fuzzy_join",
     "ext_30_top_paths",
     "ext_31_outliers",
+    "ext_32_unpivot",
+    "ext_33_props_numbers",
+    "ext_34_trigram_lm",
+    "ext_35_chunk_overlap",
+    "ext_36_bag_dedup",
+    "ext_37_containment",
+    "ext_38_chisq",
 ]
 
 

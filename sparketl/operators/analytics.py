@@ -307,3 +307,102 @@ def quantile_outliers(events: DataFrame, q: float = 0.99) -> DataFrame:
 
 def q_ext_31_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_outliers(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_32: unpivot / melt (wide → long reshape)
+# ---------------------------------------------------------------------------
+
+
+def q_ext_32_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Melt the part metrics into (metric, value) long form via the
+    native ``unpivot`` — Catalyst expands it to an Expand node (one
+    output row per metric per input row, map-only, no shuffle), which
+    is the layout feature-store exports and per-metric aggregations
+    start from. Values unify to double (the common supertype).
+    """
+    p = load_table(spark, sf_dir, "part")
+    wide = p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    )
+    return wide.unpivot(
+        "p_partkey", ["size", "retailprice"], "metric", "value"
+    ).orderBy("p_partkey", "metric")
+
+
+# ---------------------------------------------------------------------------
+# ext_33: regex extraction over the raw props payload
+# ---------------------------------------------------------------------------
+
+
+def props_number_counts(events: DataFrame, k: int = 50) -> DataFrame:
+    """Frequency of numeric literals appearing anywhere in the raw
+    ``props`` JSON string — the log-mining shape (scrape IDs/status
+    codes out of semi-structured payloads without parsing them).
+
+    ``regexp_extract_all`` + explode is map-only; the count aggregate
+    is map-side combinable over the literal vocabulary, and the final
+    top-k is a TakeOrderedAndProject (no full sort). The pattern uses
+    only character-class syntax shared by Java regex and RE2, so both
+    engines tokenize identically.
+    """
+    nums = events.select(
+        F.explode(F.expr("regexp_extract_all(props, '[0-9]+', 0)")).alias("num")
+    )
+    return (
+        nums.groupBy("num")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "num")
+        .limit(k)
+    )
+
+
+def q_ext_33_props_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return props_number_counts(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_38: chi-square contingency cells (event_type × day-of-week)
+# ---------------------------------------------------------------------------
+
+
+def chisq_cells(events: DataFrame) -> DataFrame:
+    """Observed/expected counts and per-cell chi-square contributions
+    for the event_type × day-of-week contingency table (independence
+    screening between a category and a time bucket).
+
+    One fact-table aggregate produces the |types|×7 contingency table;
+    the marginals are window sums over that tiny table, so the
+    statistic costs nothing beyond the first groupBy. The day bucket
+    is epoch-day mod 7 (pure integer arithmetic — portable, unlike
+    engine day-of-week numbering). Per-cell contributions are emitted
+    instead of their float sum, keeping every double a fixed
+    expression tree over bigints (engine-exact); the driver-side χ²
+    is just sum(contrib).
+    """
+    obs = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    row_t = F.sum("n_obs").over(Window.partitionBy("event_type"))
+    col_t = F.sum("n_obs").over(Window.partitionBy("dow"))
+    # Grand total as a constant-keyed window: the frame is the already
+    # aggregated |types|×7 table, so one partition is the point (and
+    # the constant key avoids the unpartitioned-window warning).
+    tot = F.sum("n_obs").over(Window.partitionBy(F.lit(0)))
+    expected = row_t.cast("double") * col_t.cast("double") / tot.cast("double")
+    with_e = obs.withColumn("expected", expected)
+    diff = F.col("n_obs").cast("double") - F.col("expected")
+    return with_e.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        "expected",
+        (diff * diff / F.col("expected")).alias("contrib"),
+    ).orderBy("event_type", "dow")
+
+
+def q_ext_38_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chisq_cells(load_table(spark, sf_dir, "events"))

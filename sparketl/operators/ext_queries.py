@@ -17,6 +17,15 @@ from sparketl.operators.analytics import (
     q_ext_29_fuzzy_join,
     q_ext_30_top_paths,
     q_ext_31_outliers,
+    q_ext_32_unpivot,
+    q_ext_33_props_numbers,
+    q_ext_38_chisq,
+)
+from sparketl.operators.textmine import (
+    q_ext_34_trigram_lm,
+    q_ext_35_chunk_overlap,
+    q_ext_36_bag_dedup,
+    q_ext_37_containment,
 )
 from sparketl.operators.dedup import (
     q_ext_01_dedup_documents,
@@ -109,6 +118,13 @@ EXT_QUERIES = {
     "ext_29_fuzzy_join": q_ext_29_fuzzy_join,
     "ext_30_top_paths": q_ext_30_top_paths,
     "ext_31_outliers": q_ext_31_outliers,
+    "ext_32_unpivot": q_ext_32_unpivot,
+    "ext_33_props_numbers": q_ext_33_props_numbers,
+    "ext_34_trigram_lm": q_ext_34_trigram_lm,
+    "ext_35_chunk_overlap": q_ext_35_chunk_overlap,
+    "ext_36_bag_dedup": q_ext_36_bag_dedup,
+    "ext_37_containment": q_ext_37_containment,
+    "ext_38_chisq": q_ext_38_chisq,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -525,6 +541,107 @@ EXT_ORACLES = {
         WHERE e.value > q.p99
         GROUP BY e.event_type, q.p99
         ORDER BY e.event_type
+    """,
+    "ext_32_unpivot": """
+        SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+        FROM part
+        ORDER BY p_partkey, metric
+    """,
+    "ext_33_props_numbers": """
+        WITH x AS (
+          SELECT UNNEST(regexp_extract_all(props, '[0-9]+')) AS num FROM events
+        )
+        SELECT num, CAST(COUNT(*) AS BIGINT) AS n
+        FROM x GROUP BY num ORDER BY n DESC, num LIMIT 50
+    """,
+    "ext_34_trigram_lm": """
+        WITH t AS (
+          SELECT string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), tri AS (
+          SELECT UNNEST(list_transform(range(1, len(tk) - 1),
+                   i -> {'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}),
+                 recursive := true)
+          FROM t
+        ), counts AS (
+          SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+          FROM tri GROUP BY w1, w2, w3
+        )
+        SELECT w1, w2, w3, n3,
+               CAST(SUM(n3) OVER (PARTITION BY w1, w2) AS BIGINT) AS n2,
+               CAST(n3 AS DOUBLE) /
+                 CAST(SUM(n3) OVER (PARTITION BY w1, w2) AS DOUBLE) AS p
+        FROM counts QUALIFY n3 >= 3
+        ORDER BY w1, w2, w3
+    """,
+    "ext_35_chunk_overlap": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), c AS (
+          SELECT doc_id, tk,
+                 UNNEST(range(0, GREATEST(len(tk) - 1, 0) + 1, 24)) AS start
+          FROM t
+        )
+        SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_idx,
+               CAST(start AS BIGINT) AS start_tok,
+               CAST(len(list_slice(tk, start + 1, start + 32)) AS BIGINT)
+                 AS n_tokens,
+               array_to_string(list_slice(tk, start + 1, start + 32), ' ')
+                 AS chunk_text
+        FROM c ORDER BY doc_id, chunk_idx
+    """,
+    "ext_36_bag_dedup": """
+        WITH f AS (
+          SELECT doc_id,
+                 array_to_string(list_sort(string_split(text, ' ')), ' ') AS bag
+          FROM documents
+        )
+        SELECT MIN(doc_id) AS keep_doc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+        FROM f GROUP BY bag ORDER BY keep_doc_id
+    """,
+    "ext_37_containment": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), sh AS (
+          SELECT doc_id,
+                 UNNEST(list_distinct(list_transform(range(1, len(tk) - 1),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))) AS shingle
+          FROM t
+        ), sizes AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_shared
+          FROM sh a JOIN sh b USING (shingle)
+          WHERE a.doc_id <> b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, n_shared, s.n_sh AS n_sh_a,
+               CAST(n_shared AS DOUBLE) / CAST(s.n_sh AS DOUBLE) AS containment
+        FROM inter JOIN sizes s ON s.doc_id = doc_a
+        ORDER BY containment DESC, doc_a, doc_b LIMIT 20
+    """,
+    "ext_38_chisq": """
+        WITH obs AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM events GROUP BY 1, 2
+        ), m AS (
+          SELECT event_type, CAST(dow AS BIGINT) AS dow, n_obs,
+                 CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS DOUBLE) *
+                 CAST(SUM(n_obs) OVER (PARTITION BY dow) AS DOUBLE) /
+                 CAST(SUM(n_obs) OVER () AS DOUBLE) AS expected
+          FROM obs
+        )
+        SELECT event_type, dow, n_obs, expected,
+               (CAST(n_obs AS DOUBLE) - expected) *
+               (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
+        FROM m ORDER BY event_type, dow
     """,
     "ext_21_collocations": """
         WITH t AS (

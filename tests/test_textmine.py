@@ -1,0 +1,102 @@
+"""Semantics tests for sparketl.operators.textmine (trigram LM,
+overlap chunking, bag dedup, shingle containment) and the reshape /
+regex / chi-square extras in analytics."""
+
+from pyspark.sql import functions as F
+
+from sparketl.operators.analytics import chisq_cells, props_number_counts
+from sparketl.operators.textmine import (
+    bag_dedup,
+    chunk_with_overlap,
+    shingle_containment_topk,
+    trigram_lm,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_trigram_lm_conditional_probs(spark):
+    # "a b c" ×2 and "a b d" ×1 → P(c|a b)=2/3, P(d|a b)=1/3.
+    d = _docs(spark, ["a b c", "a b c", "a b d"])
+    got = {
+        (r["w1"], r["w2"], r["w3"]): (r["n3"], r["n2"], r["p"])
+        for r in trigram_lm(d, min_count=1).collect()
+    }
+    assert got == {
+        ("a", "b", "c"): (2, 3, 2 / 3),
+        ("a", "b", "d"): (1, 3, 1 / 3),
+    }
+
+
+def test_trigram_min_count_filters_after_denominator(spark):
+    d = _docs(spark, ["a b c", "a b c", "a b d"])
+    rows = trigram_lm(d, min_count=2).collect()
+    # d-trigram dropped, but the surviving probability still uses the
+    # full denominator 3.
+    assert [(r["w3"], r["n2"], r["p"]) for r in rows] == [("c", 3, 2 / 3)]
+
+
+def test_chunk_overlap_boundaries(spark):
+    # 10 tokens, chunk 4, stride 3 → starts 0,3,6,9; last chunk short.
+    d = _docs(spark, [" ".join(f"t{i}" for i in range(10))])
+    rows = chunk_with_overlap(d, chunk=4, stride=3).collect()
+    assert [(r["chunk_idx"], r["start_tok"], r["n_tokens"]) for r in rows] == [
+        (0, 0, 4),
+        (1, 3, 4),
+        (2, 6, 4),
+        (3, 9, 1),
+    ]
+    assert rows[1]["chunk_text"] == "t3 t4 t5 t6"
+    # overlap: chunk 0 ends at t3, chunk 1 starts at t3.
+    assert rows[0]["chunk_text"].split(" ")[-1] == rows[1]["chunk_text"].split(" ")[0]
+
+
+def test_bag_dedup_groups_word_shuffles(spark):
+    d = _docs(spark, ["x y z", "z y x", "x y y"])
+    rows = bag_dedup(d).collect()
+    assert [(r["keep_doc_id"], r["n_members"]) for r in rows] == [(0, 2), (2, 1)]
+
+
+def test_containment_detects_doc_in_doc(spark):
+    # doc 1 is a contiguous slice of doc 0: containment(1→0) = 1.0,
+    # while containment(0→1) < 1.
+    big = "a b c d e f g h"
+    small = "c d e f"
+    d = _docs(spark, [big, small])
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_shared"], r["n_sh_a"], r["containment"])
+        for r in shingle_containment_topk(d, n=3, k=10).collect()
+    }
+    assert got[(1, 0)] == (2, 2, 1.0)
+    assert got[(0, 1)] == (2, 6, 2 / 6)
+
+
+def test_props_numbers_counts_all_matches(spark):
+    e = spark.createDataFrame(
+        [(1, '{"a": 12, "b": "x12"}'), (2, '{"a": 7}')],
+        "event_id long, props string",
+    )
+    got = {r["num"]: r["n"] for r in props_number_counts(e).collect()}
+    assert got == {"12": 2, "7": 1}
+
+
+def test_chisq_uniform_table_has_zero_contrib(spark):
+    # 2 types × 2 buckets, perfectly balanced → expected == observed.
+    day_us = 86_400_000_000
+    rows = []
+    eid = 0
+    for ty in ("a", "b"):
+        for day in (0, 1):
+            for _ in range(5):
+                rows.append((eid, ty, day * day_us))
+                eid += 1
+    e = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_us long"
+    ).select("event_id", "event_type", F.timestamp_micros("ts_us").alias("ts"))
+    out = chisq_cells(e).collect()
+    assert len(out) == 4
+    assert all(r["expected"] == 5.0 and r["contrib"] == 0.0 for r in out)
