@@ -1,0 +1,54 @@
+"""Third Tier-C pass-through batch (TPC-H Q4/Q16/Q17/Q18/Q19/Q22
+shapes) — smoke-scale runs plus a semantic cross-check that the
+semi-join count equals its DataFrame-side recomputation. The oracle
+hash equivalence is covered by tools/verify_oracle.py."""
+
+import __spark_entry__ as entrymod
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+from tests.conftest import SF_SMOKE
+
+NEW_TIERC = [
+    "tierc_priority_semijoin",
+    "tierc_supplier_cnt",
+    "tierc_small_qty_revenue",
+    "tierc_volume_customers",
+    "tierc_disjunctive_revenue",
+    "tierc_acct_screening",
+]
+
+
+def test_new_tierc_queries_run_nonempty(spark):
+    qs = entrymod.queries()
+    for name in NEW_TIERC:
+        assert qs[name](spark, SF_SMOKE).count() > 0, name
+
+
+def test_priority_semijoin_matches_dataframe_form(spark):
+    qs = entrymod.queries()
+    got = {
+        r["o_orderpriority"]: r["n_orders"]
+        for r in qs["tierc_priority_semijoin"](spark, SF_SMOKE).collect()
+    }
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lines = load_table(spark, SF_SMOKE, "lineitem")
+    big = lines.where(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    want = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.where(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_volume_customers_threshold_holds(spark):
+    qs = entrymod.queries()
+    rows = qs["tierc_volume_customers"](spark, SF_SMOKE).collect()
+    assert all(r["total_qty"] > 250 for r in rows)
