@@ -90,6 +90,9 @@ _FRONT = [
     "ext_36_bag_dedup",
     "ext_37_containment",
     "ext_38_chisq",
+    "ext_39_bloom_join",
+    "ext_40_hash_sample",
+    "ext_41_pagerank",
 ]
 
 

@@ -21,6 +21,11 @@ from sparketl.operators.analytics import (
     q_ext_33_props_numbers,
     q_ext_38_chisq,
 )
+from sparketl.operators.scaleops import (
+    q_ext_39_bloom_join,
+    q_ext_40_hash_sample,
+    q_ext_41_pagerank,
+)
 from sparketl.operators.textmine import (
     q_ext_34_trigram_lm,
     q_ext_35_chunk_overlap,
@@ -125,6 +130,9 @@ EXT_QUERIES = {
     "ext_36_bag_dedup": q_ext_36_bag_dedup,
     "ext_37_containment": q_ext_37_containment,
     "ext_38_chisq": q_ext_38_chisq,
+    "ext_39_bloom_join": q_ext_39_bloom_join,
+    "ext_40_hash_sample": q_ext_40_hash_sample,
+    "ext_41_pagerank": q_ext_41_pagerank,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -642,6 +650,64 @@ EXT_ORACLES = {
                (CAST(n_obs AS DOUBLE) - expected) *
                (CAST(n_obs AS DOUBLE) - expected) / expected AS contrib
         FROM m ORDER BY event_type, dow
+    """,
+    "ext_39_bloom_join": """
+        SELECT p_brand, COUNT(*) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_size >= 48
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "ext_40_hash_sample": """
+        WITH s AS (
+          SELECT * FROM orders
+          WHERE ((o_orderkey * 2654435761) % 4294967296) * 100
+                < CASE o_orderpriority WHEN '1-URGENT' THEN 20
+                                       WHEN '5-LOW' THEN 5
+                                       ELSE 10 END * 4294967296
+        )
+        SELECT o_orderpriority, COUNT(*) AS n_sampled,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_price,
+               MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        FROM s GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "ext_41_pagerank": """
+        WITH pairs AS (
+          SELECT DISTINCT o_custkey * 2 AS c_node, l_suppkey * 2 + 1 AS s_node
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), edges AS (
+          SELECT c_node AS src, s_node AS dst FROM pairs
+          UNION ALL
+          SELECT s_node AS src, c_node AS dst FROM pairs
+        ), outdeg AS (
+          SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), r0 AS (
+          SELECT node, CAST(1000000000000 AS BIGINT) AS rank FROM nodes
+        ), i1 AS (
+          SELECT e.dst, SUM(r.rank // o.outdeg) AS inflow
+          FROM edges e JOIN r0 r ON e.src = r.node
+                       JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst
+        ), r1 AS (
+          SELECT n.node,
+                 150000000000 + (85 * COALESCE(i.inflow, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN i1 i ON n.node = i.dst
+        ), i2 AS (
+          SELECT e.dst, SUM(r.rank // o.outdeg) AS inflow
+          FROM edges e JOIN r1 r ON e.src = r.node
+                       JOIN outdeg o ON e.src = o.src
+          GROUP BY e.dst
+        ), r2 AS (
+          SELECT n.node,
+                 150000000000 + (85 * COALESCE(i.inflow, 0)) // 100 AS rank
+          FROM nodes n LEFT JOIN i2 i ON n.node = i.dst
+        )
+        SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 50
     """,
     "ext_21_collocations": """
         WITH t AS (

@@ -1,0 +1,227 @@
+"""Scale-technique operators (EXT suite): relational Bloom-filter join
+pruning, deterministic hash-based stratified sampling, and
+fixed-iteration integer-exact PageRank.
+
+These go beyond the reference's query surface (the reference ships raw
+SQL to SQL Server, SQL_DATA_INTEGRATION_TOOL.py:273); they are the
+shuffle-volume and reproducibility techniques a 100 TB pipeline leans
+on daily, expressed as pure JVM DataFrame plans.
+
+Engine-exactness (oracle hashing): the Bloom path's false positives
+are removed by the final exact join, so the result is identical to the
+plain join regardless of hash behavior; the sampler uses the Knuth
+multiplicative hash ``(key * 2654435761) % 2**32`` (portable bigint
+arithmetic — same trick as corpus.mix_sources); PageRank runs entirely
+in bigint fixed-point (rank × 10^12, integer DIV) so every iteration
+is bit-identical in Spark and DuckDB with no float accumulation order
+to worry about.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+
+# ---------------------------------------------------------------------------
+# ext_39: Bloom-filter join pruning, expressed relationally
+# ---------------------------------------------------------------------------
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 2,
+) -> DataFrame:
+    """Equi-join with a Bloom pre-filter on the big side.
+
+    Spark's own runtime row-level filtering (`bloom_filter_agg` /
+    `might_contain`) is not exposed to public SQL, so the same idea is
+    built from relational parts: for each of ``n_hashes`` seeds, the
+    small side's keys hash into a DISTINCT bucket set (≤ min(|keys|,
+    n_bits) longs — broadcast-sized even when the raw small side is
+    not), and the big side keeps only rows whose bucket appears in
+    every set (broadcast left-semi joins — map-side, no shuffle of the
+    big side). That IS a Bloom filter with k hash functions; bucket
+    collisions are the false positives, and the final exact equi-join
+    removes them, so the operator's output is bit-identical to the
+    plain join.
+
+    At 100 TB this is the shuffle-volume saver for joins whose dim is
+    too big to broadcast raw but whose key set fits a few MB of
+    buckets: the probe side shrinks BEFORE the sort-merge exchange.
+    The pre-filter is pure map work against broadcast sets, so the
+    only cost is n_hashes hash evaluations per probe row.
+    """
+    filtered = big
+    for seed in range(n_hashes):
+        buckets = (
+            small.select(
+                F.pmod(F.xxhash64(F.col(small_key), F.lit(seed)), F.lit(n_bits)).alias(
+                    "__bucket"
+                )
+            )
+            .distinct()
+        )
+        probe = F.pmod(F.xxhash64(F.col(big_key), F.lit(seed)), F.lit(n_bits))
+        filtered = filtered.join(
+            F.broadcast(buckets), probe == F.col("__bucket"), "left_semi"
+        )
+    return filtered.join(small, F.col(big_key) == F.col(small_key))
+
+
+def q_ext_39_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per brand for large parts, through the Bloom pre-filter
+    path. The part subset (p_size >= 48 → ~6% of parts) stands in for
+    a non-broadcastable dim; lineitem rows for other parts are dropped
+    map-side before the exact join."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    big_parts = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 48)
+    j = bloom_prefilter_join(li, big_parts, "l_partkey", "p_partkey")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (1 - F.col("l_discount").cast("decimal(3,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_40: deterministic hash-based stratified sampling
+# ---------------------------------------------------------------------------
+
+
+def hash_stratified_sample(
+    orders: DataFrame, rates: dict[str, int], default_pct: int = 10
+) -> DataFrame:
+    """Per-stratum deterministic sample: an order survives iff its
+    Knuth multiplicative hash lands under the stratum's percentage.
+
+    ``sample()``/``sampleBy()`` are seed-dependent AND
+    partitioning-dependent — rerunning after a repartition changes the
+    sample, which poisons incremental pipelines. Keying the decision
+    on a hash of the row's own key makes the sample a pure function of
+    the data: stable across runs, cluster sizes, and engines, and it
+    needs no shuffle at all (the predicate evaluates map-side and
+    pushes into the scan). Stratum rates are a CASE over the strata
+    column — one pass, no per-stratum scans.
+    """
+    u = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
+    rate = reduce(
+        lambda acc, kv: F.when(F.col("o_orderpriority") == kv[0], F.lit(kv[1])).otherwise(
+            acc
+        ),
+        rates.items(),
+        F.lit(default_pct),
+    )
+    # u/2^32 < rate/100  ⇔  u·100 < rate·2^32 — pure bigint compare, no
+    # float rounding to diverge between engines.
+    return orders.where(u * 100 < rate * F.lit(4294967296))
+
+
+def q_ext_40_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample summary: 20% of URGENT, 5% of LOW, 10%
+    otherwise — grouped back to per-priority counts/sums so the output
+    is compact and the sampled-set membership is fully exercised."""
+    o = load_table(spark, sf_dir, "orders")
+    s = hash_stratified_sample(o, {"1-URGENT": 20, "5-LOW": 5})
+    return (
+        s.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_41: fixed-iteration PageRank in bigint fixed-point
+# ---------------------------------------------------------------------------
+
+_SCALE = 1_000_000_000_000  # rank unit: 10^12 per node
+
+
+def pagerank_fixed(edges: DataFrame, n_iters: int = 2, top_k: int = 50) -> DataFrame:
+    """PageRank with damping 0.85 over an explicit edge list, run for
+    a fixed number of iterations in bigint fixed-point.
+
+    Iterative graph algorithms on Spark are a sequence of
+    (contrib = rank DIV outdeg) → groupBy(dst) sums — one shuffle per
+    iteration, each over at most |edges| rows keyed by dst. The rank
+    state lives in ``(node, rank)`` DataFrames, never on the driver.
+
+    Fixed-point instead of doubles: contributions are
+    ``rank div outdeg`` and the damping step is
+    ``0.15·SCALE + (85 · Σcontrib) div 100`` — all bigint, so the
+    result is independent of partitioning/summation order and
+    bit-identical across engines (a float PageRank would hash-mismatch
+    on accumulation order alone). The truncation error per node per
+    iteration is < outdeg / SCALE — irrelevant at rank scale 10^12.
+    """
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    rank = nodes.withColumn("rank", F.lit(_SCALE))
+    base = int(0.15 * _SCALE)
+    for _ in range(n_iters):
+        contribs = (
+            edges.join(rank, edges.src == rank.node)
+            .join(out_deg, "src")
+            .select(
+                F.col("dst"), F.expr("rank div outdeg").alias("contrib")
+            )
+        )
+        inflow = contribs.groupBy("dst").agg(F.sum("contrib").alias("inflow"))
+        rank = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+            "node",
+            (
+                F.lit(base)
+                + F.expr("85 * coalesce(inflow, 0L) div 100")
+            ).alias("rank"),
+        )
+    return rank.orderBy(F.desc("rank"), "node").limit(top_k)
+
+
+def q_ext_41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (distinct
+    trading pairs from orders⋈lineitem, both directions so rank flows
+    back and forth). Node ids are namespaced as 2·custkey /
+    2·suppkey+1. Two iterations — enough to rank hubs, and each extra
+    iteration is just one more shuffle at scale."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("c_node"),
+            (F.col("l_suppkey") * 2 + 1).alias("s_node"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c_node").alias("src"), F.col("s_node").alias("dst")
+    ).union(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
+    return pagerank_fixed(edges, n_iters=2, top_k=50)
