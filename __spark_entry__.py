@@ -93,6 +93,8 @@ _FRONT = [
     "ext_39_bloom_join",
     "ext_40_hash_sample",
     "ext_41_pagerank",
+    "ext_42_window_suite",
+    "ext_43_moment_stats",
 ]
 
 

@@ -406,3 +406,97 @@ def chisq_cells(events: DataFrame) -> DataFrame:
 
 def q_ext_38_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chisq_cells(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_42: ranking/frame window-function suite
+# ---------------------------------------------------------------------------
+
+
+def window_suite(orders: DataFrame) -> DataFrame:
+    """The full ranking + analytic window surface in one pass:
+    row_number / ntile / percent_rank / cume_dist / lag / lead /
+    first_value, a ROWS frame, and an integer RANGE frame — all over
+    one (priority, orderkey) sort, so Spark plans a single window
+    exchange and evaluates every function in the same WindowExec.
+
+    percent_rank and cume_dist are single divisions of identical
+    integers in any engine — IEEE-identical; the frame sums aggregate
+    exact decimals and cast once. Ordering key is the unique
+    o_orderkey, so every function is deterministic.
+    """
+    sub = orders.where(F.col("o_orderkey") % 10 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    price = F.col("o_totalprice").cast("decimal(12,2)")
+    rows_frame = w.rowsBetween(-3, 0)
+    range_frame = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_orderkey")
+    ).rangeBetween(-1000, 0)
+    return sub.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
+        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.sum(price).over(rows_frame).cast("double").alias("sum_last4"),
+        F.sum(price).over(range_frame).cast("double").alias("sum_range1k"),
+    ).orderBy("o_orderpriority", "o_orderkey")
+
+
+def q_ext_42_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return window_suite(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_43: second-moment statistics from explicit exact sums
+# ---------------------------------------------------------------------------
+
+
+def moment_stats(lineitem: DataFrame) -> DataFrame:
+    """Sample stddev, covariance, and Pearson correlation of
+    (quantity, extendedprice) per return flag — computed from explicit
+    decimal power sums, NOT the built-in corr/stddev.
+
+    The built-ins use incremental co-moment updates whose float
+    rounding depends on partitioning and differs between engines. The
+    five power sums (Σx, Σy, Σx², Σy², Σxy) are exact decimals —
+    map-side combinable, one shuffle — and the statistics are then one
+    fixed double expression tree over them, so the result is
+    bit-identical on any engine and any partitioning. This is also the
+    100 TB formulation: the shuffle carries five decimals per group,
+    never row data.
+    """
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    var_x = (n * sxx - sx * sx) / (n * (n - F.lit(1.0)))
+    covar = (n * sxy - sx * sy) / (n * (n - F.lit(1.0)))
+    corr = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return agg.select(
+        "l_returnflag",
+        "n",
+        F.sqrt(var_x).alias("stddev_qty"),
+        covar.alias("covar_qty_price"),
+        corr.alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+def q_ext_43_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return moment_stats(load_table(spark, sf_dir, "lineitem"))

@@ -20,6 +20,8 @@ from sparketl.operators.analytics import (
     q_ext_32_unpivot,
     q_ext_33_props_numbers,
     q_ext_38_chisq,
+    q_ext_42_window_suite,
+    q_ext_43_moment_stats,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -133,6 +135,8 @@ EXT_QUERIES = {
     "ext_39_bloom_join": q_ext_39_bloom_join,
     "ext_40_hash_sample": q_ext_40_hash_sample,
     "ext_41_pagerank": q_ext_41_pagerank,
+    "ext_42_window_suite": q_ext_42_window_suite,
+    "ext_43_moment_stats": q_ext_43_moment_stats,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -708,6 +712,59 @@ EXT_ORACLES = {
           FROM nodes n LEFT JOIN i2 i ON n.node = i.dst
         )
         SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 50
+    """,
+    "ext_42_window_suite": """
+        WITH sub AS (
+          SELECT o_orderkey, o_orderpriority, o_totalprice
+          FROM orders WHERE o_orderkey % 10 = 0
+        )
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ROW_NUMBER() OVER w AS INT) AS rn,
+               CAST(NTILE(4) OVER w AS INT) AS quartile,
+               CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
+               CAST(CUME_DIST() OVER w AS DOUBLE) AS cd,
+               LAG(o_orderkey, 1) OVER w AS prev_key,
+               LEAD(o_orderkey, 1) OVER w AS next_key,
+               FIRST_VALUE(o_orderkey) OVER w AS first_key,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+                    (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS sum_last4,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+                    (PARTITION BY o_orderpriority ORDER BY o_orderkey
+                     RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS sum_range1k
+        FROM sub
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+        ORDER BY o_orderpriority, o_orderkey
+    """,
+    "ext_43_moment_stats": """
+        WITH agg AS (
+          SELECT l_returnflag,
+                 COUNT(*) AS n,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+                 SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                     * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+                 SUM(CAST(l_quantity AS DECIMAL(12,2))
+                     * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+          FROM lineitem GROUP BY l_returnflag
+        ), d AS (
+          SELECT l_returnflag, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+                 CAST(syy AS DOUBLE) AS syyd, CAST(sxy AS DOUBLE) AS sxyd
+          FROM agg
+        )
+        SELECT l_returnflag, n,
+               sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - 1.0))) AS stddev_qty,
+               (nd * sxyd - sxd * syd) / (nd * (nd - 1.0)) AS covar_qty_price,
+               (nd * sxyd - sxd * syd)
+                 / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
+                 AS corr_qty_price
+        FROM d ORDER BY l_returnflag
     """,
     "ext_21_collocations": """
         WITH t AS (

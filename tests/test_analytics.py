@@ -13,6 +13,7 @@ from sparketl.operators.analytics import (
     top_paths,
 )
 from sparketl.operators.scale import salted_join
+from tests.conftest import SF_SMOKE
 
 DAY = 86_400_000_000
 
@@ -141,3 +142,44 @@ def test_quantile_outliers_simple(spark):
     r = quantile_outliers(e, q=0.5).collect()
     assert len(r) == 1
     assert r[0]["p99"] == 50.5 and r[0]["n_outliers"] == 50
+
+
+def test_window_suite_rank_invariants(spark):
+    from sparketl.operators.analytics import window_suite
+    from sparketl.io import load_table
+
+    df = window_suite(load_table(spark, SF_SMOKE, "orders"))
+    rows = df.collect()
+    assert rows, "window suite empty at smoke scale"
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["o_orderpriority"], []).append(r)
+    for part_rows in by_part.values():
+        assert [r["rn"] for r in part_rows] == list(range(1, len(part_rows) + 1))
+        assert all(1 <= r["quartile"] <= 4 for r in part_rows)
+        assert part_rows[0]["prev_key"] is None
+        assert part_rows[-1]["next_key"] is None
+        assert all(r["first_key"] == part_rows[0]["o_orderkey"] for r in part_rows)
+        assert abs(part_rows[-1]["cd"] - 1.0) < 1e-12
+
+
+def test_moment_stats_matches_builtin_corr(spark):
+    from sparketl.operators.analytics import moment_stats
+    from sparketl.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    got = {r["l_returnflag"]: r for r in moment_stats(li).collect()}
+    ref = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.corr("l_quantity", "l_extendedprice").alias("c"),
+            F.stddev_samp("l_quantity").alias("s"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("v"),
+        )
+        .collect()
+    }
+    for flag, r in got.items():
+        assert abs(r["corr_qty_price"] - ref[flag]["c"]) < 1e-9
+        assert abs(r["stddev_qty"] - ref[flag]["s"]) < 1e-9
+        assert abs(r["covar_qty_price"] - ref[flag]["v"]) < 1e-6 * abs(ref[flag]["v"])
