@@ -95,6 +95,10 @@ _FRONT = [
     "ext_41_pagerank",
     "ext_42_window_suite",
     "ext_43_moment_stats",
+    "ext_44_exact_percentiles",
+    "ext_45_histogram",
+    "ext_46_orphan_audit",
+    "ext_47_dow_entropy",
 ]
 
 

@@ -500,3 +500,178 @@ def moment_stats(lineitem: DataFrame) -> DataFrame:
 
 def q_ext_43_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moment_stats(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_44: exact multi-percentile profile per group
+# ---------------------------------------------------------------------------
+
+
+def exact_percentiles(events: DataFrame) -> DataFrame:
+    """Exact p25/p50/p75/p95/p99 of ``value`` per event type.
+
+    ``percentile()`` is Spark's exact (sort-based) quantile with linear
+    interpolation — the same definition as DuckDB's quantile_cont, so
+    the doubles match bit-for-bit. Exact percentiles shuffle the full
+    value column per group; that is the point of this operator as the
+    small-group profiler — the sketch sibling (ext_09_approx_quantiles,
+    KLL-style bounded state) is the 100 TB default when groups are
+    fact-table sized.
+    """
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(
+                "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D, 0.99D))"
+            ).alias("q"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.col("q")[0].alias("p25"),
+            F.col("q")[1].alias("p50"),
+            F.col("q")[2].alias("p75"),
+            F.col("q")[3].alias("p95"),
+            F.col("q")[4].alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ext_44_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_percentiles(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_45: fixed-width histogram (width_bucket-style binning)
+# ---------------------------------------------------------------------------
+
+
+def price_histogram(orders: DataFrame, width: float = 25_000.0) -> DataFrame:
+    """Fixed-width bins over o_totalprice: bin id, count, bin bounds
+    observed. ``floor(x / width)`` is one IEEE division + floor —
+    identical in every engine — and the aggregate is a plain map-side
+    combinable groupBy on a dense integer key, so the histogram costs
+    one scan + one tiny shuffle at any scale."""
+    bin_col = F.floor(F.col("o_totalprice") / F.lit(width)).alias("bin")
+    return (
+        orders.select(bin_col, "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+def q_ext_45_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return price_histogram(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_46: referential-integrity orphan audit
+# ---------------------------------------------------------------------------
+
+
+def orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan-count audit across every FK edge of the star schema:
+    child rows whose key has no parent. Each relation is one left-anti
+    join — Catalyst broadcasts the parent key set when it is dim-sized
+    and falls back to a shuffled anti-join for fact-sized parents, so
+    the audit runs in O(scan) per edge. The output is one row per
+    edge, so downstream alerting is trivial."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    edges = [
+        ("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        (
+            "lineitem.l_partkey->part",
+            li,
+            "l_partkey",
+            load_table(spark, sf_dir, "part"),
+            "p_partkey",
+        ),
+        (
+            "lineitem.l_suppkey->supplier",
+            li,
+            "l_suppkey",
+            load_table(spark, sf_dir, "supplier"),
+            "s_suppkey",
+        ),
+        (
+            "orders.o_custkey->customer",
+            o,
+            "o_custkey",
+            load_table(spark, sf_dir, "customer"),
+            "c_custkey",
+        ),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        orphans = child.join(
+            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        )
+        parts.append(
+            child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
+                orphans.agg(F.count(F.lit(1)).alias("n_orphan"))
+            ).select(F.lit(name).alias("relation"), "n_child", "n_orphan")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out.orderBy("relation")
+
+
+def q_ext_46_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return orphan_audit(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# ext_47: categorical entropy per group (ordered float fold)
+# ---------------------------------------------------------------------------
+
+
+def dow_entropy(events: DataFrame) -> DataFrame:
+    """Shannon entropy (nats) of each event type's day-of-week
+    distribution — the screening stat for "is this event type
+    uniformly spread or bursty?".
+
+    The inner aggregate reduces the fact table to |types|×7 rows; each
+    entropy term -(p·ln p) is a fixed expression over two bigints, and
+    the per-type sum folds the ≤7 terms in SORTED order
+    (array_sort + aggregate) so the float result is independent of
+    partitioning. Unlike sqrt/division, ``ln`` is NOT IEEE
+    correctly-rounded — JVM Math.log and libm disagree by an ulp on
+    some inputs — so the output quantizes to 12 decimals via
+    floor(x·1e12 + 0.5)/1e12 (all exact IEEE ops, identical in any
+    engine; round() itself is not portable).
+    """
+    obs = events.groupBy(
+        "event_type",
+        F.expr("unix_micros(ts) div 86400000000 % 7").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = F.sum("n_obs").over(Window.partitionBy("event_type"))
+    term = -(
+        F.col("n_obs").cast("double") / F.col("tot").cast("double")
+    ) * F.log(F.col("n_obs").cast("double") / F.col("tot").cast("double"))
+    return (
+        obs.withColumn("tot", tot)
+        .withColumn("term", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("tot").alias("n"),
+            F.expr(
+                "floor(aggregate(array_sort(collect_list(term)), 0D,"
+                " (acc, x) -> acc + x) * 1e12 + 0.5D) / 1e12"
+            ).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ext_47_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dow_entropy(load_table(spark, sf_dir, "events"))

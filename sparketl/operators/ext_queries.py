@@ -22,6 +22,10 @@ from sparketl.operators.analytics import (
     q_ext_38_chisq,
     q_ext_42_window_suite,
     q_ext_43_moment_stats,
+    q_ext_44_exact_percentiles,
+    q_ext_45_histogram,
+    q_ext_46_orphan_audit,
+    q_ext_47_dow_entropy,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -137,6 +141,10 @@ EXT_QUERIES = {
     "ext_41_pagerank": q_ext_41_pagerank,
     "ext_42_window_suite": q_ext_42_window_suite,
     "ext_43_moment_stats": q_ext_43_moment_stats,
+    "ext_44_exact_percentiles": q_ext_44_exact_percentiles,
+    "ext_45_histogram": q_ext_45_histogram,
+    "ext_46_orphan_audit": q_ext_46_orphan_audit,
+    "ext_47_dow_entropy": q_ext_47_dow_entropy,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -765,6 +773,69 @@ EXT_ORACLES = {
                  / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
                  AS corr_qty_price
         FROM d ORDER BY l_returnflag
+    """,
+    "ext_44_exact_percentiles": """
+        SELECT event_type, COUNT(*) AS n,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "ext_45_histogram": """
+        SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+        FROM orders GROUP BY 1 ORDER BY bin
+    """,
+    "ext_46_orphan_audit": """
+        SELECT 'lineitem.l_orderkey->orders' AS relation,
+               (SELECT COUNT(*) FROM lineitem) AS n_child,
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) AS n_orphan
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM part p
+                                  WHERE p.p_partkey = l.l_partkey))
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               (SELECT COUNT(*) FROM lineitem),
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                  WHERE s.s_suppkey = l.l_suppkey))
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT COUNT(*) FROM orders),
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey))
+        ORDER BY relation
+    """,
+    "ext_47_dow_entropy": """
+        WITH obs AS (
+          SELECT event_type,
+                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 % 7 AS dow,
+                 CAST(COUNT(*) AS BIGINT) AS n_obs
+          FROM events GROUP BY 1, 2
+        ), t AS (
+          SELECT event_type, n_obs,
+                 SUM(n_obs) OVER (PARTITION BY event_type) AS tot
+          FROM obs
+        ), terms AS (
+          SELECT event_type, tot,
+                 -(CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE))
+                   * ln(CAST(n_obs AS DOUBLE) / CAST(tot AS DOUBLE)) AS term
+          FROM t
+        )
+        SELECT event_type, CAST(MAX(tot) AS BIGINT) AS n,
+               floor(list_reduce(list_sort(LIST(term)), (acc, x) -> acc + x)
+                     * 1e12 + 0.5) / 1e12 AS entropy_nats,
+               COUNT(*) AS n_buckets
+        FROM terms GROUP BY event_type ORDER BY event_type
     """,
     "ext_21_collocations": """
         WITH t AS (

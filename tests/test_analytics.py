@@ -183,3 +183,56 @@ def test_moment_stats_matches_builtin_corr(spark):
         assert abs(r["corr_qty_price"] - ref[flag]["c"]) < 1e-9
         assert abs(r["stddev_qty"] - ref[flag]["s"]) < 1e-9
         assert abs(r["covar_qty_price"] - ref[flag]["v"]) < 1e-6 * abs(ref[flag]["v"])
+
+
+def test_exact_percentiles_monotone(spark):
+    from sparketl.operators.analytics import exact_percentiles
+    from sparketl.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for r in exact_percentiles(ev).collect():
+        assert r["p25"] <= r["p50"] <= r["p75"] <= r["p95"] <= r["p99"]
+
+
+def test_histogram_partitions_all_rows(spark):
+    from sparketl.operators.analytics import price_histogram
+    from sparketl.io import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = price_histogram(o).collect()
+    assert sum(r["n"] for r in rows) == o.count()
+    for r in rows:
+        assert r["bin"] * 25_000.0 <= r["lo"] <= r["hi"] < (r["bin"] + 1) * 25_000.0
+
+
+def test_orphan_audit_clean_fixture_and_detects_injection(spark):
+    from sparketl.operators.analytics import orphan_audit
+    from sparketl.operators.analytics import q_ext_46_orphan_audit
+
+    rows = q_ext_46_orphan_audit(spark, SF_SMOKE).collect()
+    assert len(rows) == 4
+    assert all(r["n_orphan"] == 0 for r in rows)
+    # injection: a child key with no parent must be counted
+    from sparketl.io import load_table
+    from pyspark.sql import functions as F
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    bad = li.limit(1).withColumn("l_orderkey", F.lit(-999))
+    orphans = bad.union(li).join(
+        load_table(spark, SF_SMOKE, "orders").select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    )
+    assert orphans.count() == 1
+
+
+def test_dow_entropy_bounded_by_uniform(spark):
+    import math
+
+    from sparketl.operators.analytics import dow_entropy
+    from sparketl.io import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    for r in dow_entropy(ev).collect():
+        assert 0.0 <= r["entropy_nats"] <= math.log(7) + 1e-9
+        assert r["n_buckets"] <= 7
