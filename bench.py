@@ -49,6 +49,12 @@ HEADLINE = [
     "ext_14_passage_dedup",
     "ext_15_chunk_stats",
     "ext_17_quantize",
+    "ext_34_trigram_lm",
+    "ext_39_bloom_join",
+    "ext_41_pagerank",
+    "ext_42_window_suite",
+    "ext_43_moment_stats",
+    "tierc_volume_customers",
 ]
 
 

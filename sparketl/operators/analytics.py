@@ -611,12 +611,18 @@ def orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for name, child, ck, parent, pk in edges:
-        orphans = child.join(
-            parent.select(pk), child[ck] == parent[pk], "left_anti"
+        # one pass: left-join the deduped parent key set and count
+        # misses — no second scan, no cross join of the two counts.
+        hits = parent.select(F.col(pk).alias("__pk")).distinct()
+        joined = child.select(F.col(ck).alias("__ck")).join(
+            hits, F.col("__ck") == F.col("__pk"), "left"
         )
         parts.append(
-            child.agg(F.count(F.lit(1)).alias("n_child")).crossJoin(
-                orphans.agg(F.count(F.lit(1)).alias("n_orphan"))
+            joined.agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(
+                    F.when(F.col("__pk").isNull(), 1).otherwise(0)
+                ).cast("bigint").alias("n_orphan"),
             ).select(F.lit(name).alias("relation"), "n_child", "n_orphan")
         )
     out = parts[0]
