@@ -99,6 +99,7 @@ _FRONT = [
     "ext_45_histogram",
     "ext_46_orphan_audit",
     "ext_47_dow_entropy",
+    "ext_48_lm_score",
 ]
 
 

@@ -37,6 +37,7 @@ from sparketl.operators.textmine import (
     q_ext_35_chunk_overlap,
     q_ext_36_bag_dedup,
     q_ext_37_containment,
+    q_ext_48_lm_score,
 )
 from sparketl.operators.dedup import (
     q_ext_01_dedup_documents,
@@ -145,6 +146,7 @@ EXT_QUERIES = {
     "ext_45_histogram": q_ext_45_histogram,
     "ext_46_orphan_audit": q_ext_46_orphan_audit,
     "ext_47_dow_entropy": q_ext_47_dow_entropy,
+    "ext_48_lm_score": q_ext_48_lm_score,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -773,6 +775,32 @@ EXT_ORACLES = {
                  / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd))
                  AS corr_qty_price
         FROM d ORDER BY l_returnflag
+    """,
+    "ext_48_lm_score": """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+          WHERE len(string_split(text, ' ')) >= 3
+        ), tri AS (
+          SELECT doc_id,
+                 UNNEST(list_transform(range(1, len(tk) - 1),
+                   i -> {'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}),
+                 recursive := true)
+          FROM t
+        ), counts AS (
+          SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+          FROM tri GROUP BY w1, w2, w3
+        ), probs AS (
+          SELECT w1, w2, w3, n3,
+                 CAST(SUM(n3) OVER (PARTITION BY w1, w2) AS BIGINT) AS n2
+          FROM counts
+        )
+        SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+               CAST(SUM((p.n3 * 1000000000) // p.n2) AS BIGINT) AS score_nano,
+               CAST(SUM((p.n3 * 1000000000) // p.n2) AS DOUBLE) / 1e9
+                 / CAST(COUNT(*) AS DOUBLE) AS mean_p
+        FROM tri JOIN probs p
+          ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+        GROUP BY tri.doc_id ORDER BY tri.doc_id
     """,
     "ext_44_exact_percentiles": """
         SELECT event_type, COUNT(*) AS n,

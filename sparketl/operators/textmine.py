@@ -198,3 +198,65 @@ def shingle_containment_topk(
 
 def q_ext_37_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shingle_containment_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_48: language-model document quality score
+# ---------------------------------------------------------------------------
+
+
+def lm_doc_score(docs: DataFrame) -> DataFrame:
+    """Per-document fluency score under the corpus's own trigram LM —
+    the KenLM-style quality filter of a pretraining pipeline (docs
+    whose trigrams are improbable under the corpus distribution are
+    boilerplate/garbled candidates).
+
+    One explode produces (doc_id, w1, w2, w3); the trigram/bigram
+    counts aggregate from that same relation (self-join — vocabulary-
+    sized, ≪ corpus), and each document's score is the sum of its
+    trigrams' conditional probabilities P(w3|w1,w2) = n3/n2 in NANO
+    units: ``(n3 · 10⁹) div n2`` — pure bigint, so the aggregate is
+    map-side combinable, independent of summation order, and
+    bit-identical in any engine. The standard log-space score is the
+    same plan with ln(n3/n2) — deliberately not used for the oracle
+    because ln is not correctly rounded across libms (JVM vs DuckDB
+    diverge by an ulp, which crosses quantization boundaries at
+    corpus scale). At 100 TB, hash (w1,w2,w3) to a 64-bit key before
+    the join to shrink the shuffle.
+    """
+    tri = (
+        docs.select("doc_id", F.split("text", " ").alias("tk"))
+        .where(F.size("tk") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(tk) - 3),"
+                    " i -> struct(tk[i] AS w1, tk[i+1] AS w2, tk[i+2] AS w3))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "g.*")
+    )
+    counts = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("n3"))
+    n2 = F.sum("n3").over(Window.partitionBy("w1", "w2"))
+    probs = counts.withColumn("n2", n2)
+    scored = tri.join(probs, ["w1", "w2", "w3"])
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(F.expr("n3 * 1000000000 div n2")).alias("score_nano"),
+        )
+        .withColumn(
+            "mean_p",
+            F.col("score_nano").cast("double")
+            / F.lit(1e9)
+            / F.col("n_trigrams").cast("double"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_ext_48_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_doc_score(load_table(spark, sf_dir, "documents"))

@@ -100,3 +100,30 @@ def test_chisq_uniform_table_has_zero_contrib(spark):
     out = chisq_cells(e).collect()
     assert len(out) == 4
     assert all(r["expected"] == 5.0 and r["contrib"] == 0.0 for r in out)
+
+
+def test_lm_score_hand_corpus(spark):
+    from sparketl.operators.textmine import lm_doc_score
+
+    # Two docs sharing the trigram "a b c"; doc 2 also has "b c d".
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_doc_score(docs).collect()}
+    # trigrams: doc1: (a,b,c); doc2: (a,b,c), (b,c,d)
+    # counts: (a,b,c)->2 with n2[(a,b)]=2 → p=1; (b,c,d)->1, n2[(b,c)]=1 → p=1
+    assert rows[1]["n_trigrams"] == 1 and rows[1]["score_nano"] == 1_000_000_000
+    assert rows[2]["n_trigrams"] == 2 and rows[2]["score_nano"] == 2_000_000_000
+    assert abs(rows[2]["mean_p"] - 1.0) < 1e-12
+
+
+def test_lm_score_prefers_repeated_patterns(spark):
+    from sparketl.operators.textmine import lm_doc_score
+
+    # "x y z" appears twice after (x,y); "x y q" once → p(z|x,y)=2/3.
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y q")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in lm_doc_score(docs).collect()}
+    assert rows[1]["score_nano"] == rows[2]["score_nano"] == 666_666_666
+    assert rows[3]["score_nano"] == 333_333_333
