@@ -100,6 +100,7 @@ _FRONT = [
     "ext_46_orphan_audit",
     "ext_47_dow_entropy",
     "ext_48_lm_score",
+    "tierc_tsql_pagination",
 ]
 
 

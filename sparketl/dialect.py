@@ -32,6 +32,11 @@ Rewrites (applied outside string literals and comments only):
 - ``DATEADD(day|month|year, n, d)``
                          → ``date_add`` / ``add_months`` (date-typed
                          result).
+- ``OFFSET n ROWS [FETCH NEXT|FIRST m ROWS ONLY]``
+                         → ``LIMIT m OFFSET n`` (or bare ``OFFSET n``),
+                         rewritten in place — valid at any nesting depth
+                         because Spark's LIMIT/OFFSET clauses sit exactly
+                         where T-SQL's pagination clause did.
 - ``CONVERT(type, x)``   → ``CAST(x AS type)`` with the T-SQL type
                          names mapped (VARCHAR→STRING, DATETIME→
                          TIMESTAMP, ...); ``VARCHAR(n)`` keeps T-SQL's
@@ -114,6 +119,18 @@ def transpile(sql: str) -> str:
                     i = next_i
                     while i < len(tokens) and tokens[i].group().isspace():
                         i += 1
+                    continue
+                out.append(text)
+            elif lower == "offset":
+                parsed = _parse_offset_fetch(tokens, i)
+                if parsed is not None:
+                    n_off, m_fetch, next_i = parsed
+                    out.append(
+                        f"LIMIT {m_fetch} OFFSET {n_off}"
+                        if m_fetch is not None
+                        else f"OFFSET {n_off}"
+                    )
+                    i = next_i
                     continue
                 out.append(text)
             elif lower in ("dateadd", "datediff", "convert") and (
@@ -300,3 +317,40 @@ def _next_nonspace(tokens, i: int) -> str | None:
         if not t.isspace():
             return t
     return None
+
+
+def _parse_offset_fetch(tokens, i: int):
+    """``tokens[i]`` is an OFFSET word. Match the T-SQL pagination form
+    ``OFFSET <n> ROW[S] [FETCH NEXT|FIRST <m> ROW[S] ONLY]``. Returns
+    ``(n, m_or_None, index_after_clause)``, or None when this OFFSET is
+    not the T-SQL form (e.g. ANSI ``OFFSET n`` — already Spark SQL)."""
+
+    def skip_ws(j: int) -> int:
+        while j < len(tokens) and tokens[j].group().isspace():
+            j += 1
+        return j
+
+    j = skip_ws(i + 1)
+    if j >= len(tokens) or tokens[j].lastgroup != "number":
+        return None
+    n = tokens[j].group()
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].group().lower() not in ("row", "rows"):
+        return None
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].group().lower() != "fetch":
+        return n, None, j
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].group().lower() not in ("next", "first"):
+        raise DialectError("malformed FETCH clause after OFFSET")
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].lastgroup != "number":
+        raise DialectError("FETCH requires a literal row count")
+    m_cnt = tokens[j].group()
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].group().lower() not in ("row", "rows"):
+        raise DialectError("malformed FETCH clause after OFFSET")
+    j = skip_ws(j + 1)
+    if j >= len(tokens) or tokens[j].group().lower() != "only":
+        raise DialectError("FETCH clause must end with ONLY")
+    return n, m_cnt, j + 1

@@ -642,3 +642,23 @@ ENGINE_ORACLES.update({
         ORDER BY bucket
 """,
 })
+
+
+def q_tierc_tsql_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL OFFSET…FETCH pagination through the shim — the reference's
+    users page result grids constantly; Spark executes this as a
+    GlobalLimit(offset+fetch) + per-partition LocalLimit, so the scan
+    never materializes past the page end."""
+    return _run(
+        spark,
+        sf_dir,
+        "SELECT [o_orderkey], [o_totalprice] FROM orders "
+        "ORDER BY [o_orderkey] OFFSET 100 ROWS FETCH NEXT 50 ROWS ONLY",
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_pagination"] = q_tierc_tsql_pagination
+ENGINE_ORACLES["tierc_tsql_pagination"] = """
+        SELECT o_orderkey, o_totalprice FROM orders
+        ORDER BY o_orderkey LIMIT 50 OFFSET 100
+"""

@@ -144,3 +144,33 @@ def test_date_funcs_nest_with_other_rewrites():
         "SELECT datediff(coalesce(e, current_timestamp()),"
         " date_add(`d`, 1)) FROM t"
     )
+
+
+def test_offset_fetch_rewrites():
+    assert (
+        transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT 5 ROWS ONLY")
+        == "SELECT a FROM t ORDER BY a LIMIT 5 OFFSET 10"
+    )
+    assert (
+        transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS")
+        == "SELECT a FROM t ORDER BY a OFFSET 10"
+    )
+    # in-place rewrite is depth-safe
+    assert (
+        transpile(
+            "SELECT * FROM (SELECT a FROM t ORDER BY a "
+            "OFFSET 3 ROWS FETCH FIRST 4 ROW ONLY) s"
+        )
+        == "SELECT * FROM (SELECT a FROM t ORDER BY a LIMIT 4 OFFSET 3) s"
+    )
+    # ANSI OFFSET without ROWS passes through untouched
+    assert transpile("SELECT a FROM t OFFSET 5") == "SELECT a FROM t OFFSET 5"
+
+
+def test_offset_fetch_malformed_raises():
+    import pytest
+
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT x ROWS ONLY")
+    with pytest.raises(DialectError):
+        transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT 5 ROWS")
