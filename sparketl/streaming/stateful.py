@@ -252,3 +252,36 @@ def stream_ingest_append(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def stream_ingest_upsert(
+    stream: DataFrame, table, key: str, checkpoint_dir: str
+):
+    """Streaming CDC apply: each micro-batch MERGEs into a ManagedTable
+    (update matched keys, insert new ones) through one atomic manifest
+    commit — the foreachBatch bridge to ManagedTable.upsert, with the
+    same batch-id ledger as stream_ingest_append to skip re-delivered
+    batches. Unlike append, MERGE is naturally idempotent (re-applying
+    an identical batch reproduces the same table state), so the ledger
+    landing in a separate properties commit is safe — a crash between
+    the two commits merely re-applies one batch. Within a batch,
+    duplicate keys resolve last-write-wins in batch order (upsert's
+    monotonic-id tiebreak — micro-batch frames are freshly read, so
+    physical order IS arrival order)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        props = table.properties()
+        done = set(int(x) for x in str(props.get("stream_batches", "")).split(",") if x)
+        if batch_id in done:
+            return
+        done.add(batch_id)
+        table.upsert(batch_df.select(*table.read().columns), key)
+        table.set_properties(
+            {"stream_batches": ",".join(str(i) for i in sorted(done))}
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

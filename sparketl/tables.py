@@ -254,6 +254,54 @@ class ManagedTable:
                 out_cols.append(F.col(c))
         return self.overwrite(merged.select(out_cols))
 
+    def upsert(
+        self,
+        source: DataFrame,
+        key: str,
+        order_by: str | None = None,
+    ) -> int:
+        """MERGE upsert: matched target rows take the source's values,
+        unmatched source rows insert, unmatched target rows pass
+        through — one atomic version commit. Source must carry the full
+        table schema (inserts need every column). NULL-key source rows
+        are skipped and duplicate source keys resolve last-write-wins,
+        matching keyed_update (SNK-02, tool:282-312); the insert side
+        is the same left-anti + append shape as SNK-01.
+        """
+        target = self.read()
+        if key not in target.columns:
+            raise TableError(f"identifier column '{key}' not in table")
+        missing = [c for c in target.columns if c not in source.columns]
+        if missing:
+            raise TableError(f"upsert source lacks table columns: {missing}")
+
+        if order_by is not None:
+            if order_by not in source.columns:
+                raise TableError(f"order column '{order_by}' not in source")
+            ordered = source.withColumn("_src_order", F.col(order_by))
+        else:
+            ordered = source.withColumn(
+                "_src_order", F.monotonically_increasing_id()
+            )
+        w = W.partitionBy(key).orderBy(F.desc("_src_order"))
+        src = (
+            ordered.filter(F.col(key).isNotNull())
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*[F.col(c).alias(f"_s_{c}") for c in target.columns])
+        )
+        src = F.broadcast(src) if _is_small(src) else src
+        merged = target.join(src, target[key] == F.col(f"_s_{key}"), "full")
+        # source-present ⇔ _s_<key> non-null (null keys were dropped) —
+        # a matched row takes the source value even when that value is
+        # NULL (coalesce would silently keep the stale target value)
+        matched = F.col(f"_s_{key}").isNotNull()
+        out_cols = [
+            F.when(matched, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+            for c in target.columns
+        ]
+        return self.overwrite(merged.select(out_cols))
+
     def compact(
         self,
         target_partitions: int | None = None,

@@ -270,3 +270,85 @@ def test_retention_known_cohorts(spark):
         for r in retention_cohorts(e).collect()
     }
     assert got == {(0, 0): 2, (0, 2): 1, (1, 0): 1, (1, 1): 1}
+
+
+def test_table_upsert_merge_semantics(spark, tmp_path):
+    """ManagedTable.upsert: update matched, insert new, keep unmatched;
+    NULL keys skipped; duplicate source keys last-write-wins; a source
+    NULL value overwrites (MERGE semantics, not coalesce)."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    tbl.create(base.schema)
+    tbl.append(base)
+    src = spark.createDataFrame(
+        [
+            (2, "b2-old", 21.0),
+            (2, "b2", 22.0),        # duplicate key: later row wins
+            (4, "d", 40.0),         # new key: insert
+            (None, "skip", 0.0),    # null key: skipped
+            (3, None, 31.0),        # null value overwrites
+        ],
+        "id long, name string, v double",
+    )
+    tbl.upsert(src, "id")
+    got = {r["id"]: (r["name"], r["v"]) for r in tbl.read().collect()}
+    assert got == {
+        1: ("a", 10.0),
+        2: ("b2", 22.0),
+        3: (None, 31.0),
+        4: ("d", 40.0),
+    }
+
+
+def test_stream_ingest_upsert_cdc_apply(spark, tmp_path):
+    """File stream of keyed change rows → foreachBatch MERGE: the final
+    table equals the last-write-wins collapse of the full change
+    stream."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window
+
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+        stream_ingest_upsert,
+    )
+    from sparketl.tables import ManagedTable
+
+    stage = stage_event_chunks(spark, SF_SMOKE, n_chunks=3)
+    stream = read_staged_stream(spark, stage)
+    batch = load_table(spark, SF_SMOKE, "events")
+
+    # key on user_id: each user's LAST event (by ts, event_id tiebreak)
+    # must be the surviving row.
+    tbl = ManagedTable(spark, str(tmp_path / "users_tbl"))
+    tbl.create(stream.schema)
+    q = stream_ingest_upsert(stream, tbl, "user_id", str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = tbl.read().count()
+    assert got == batch.select("user_id").distinct().count()
+    # spot-check: surviving event_id per user is the one from the last
+    # chunk (stage order = ts order per stage_event_chunks contract)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    finals = (
+        batch.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "event_id")
+    )
+    tbl_rows = {r["user_id"]: r["event_id"] for r in tbl.read().select("user_id", "event_id").collect()}
+    mismatches = [
+        (r["user_id"], r["event_id"], tbl_rows[r["user_id"]])
+        for r in finals.collect()
+        if tbl_rows[r["user_id"]] != r["event_id"]
+    ]
+    # within-chunk order is physical file order, which stage_event_chunks
+    # writes sorted by ts — so the final event per user must win exactly.
+    assert not mismatches, mismatches[:5]
