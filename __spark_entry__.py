@@ -101,6 +101,10 @@ _FRONT = [
     "ext_47_dow_entropy",
     "ext_48_lm_score",
     "tierc_tsql_pagination",
+    "tierc_min_cost_supplier",
+    "tierc_top_revenue_supplier",
+    "tierc_waiting_orders",
+    "ext_49_rfm",
 ]
 
 

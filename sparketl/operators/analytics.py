@@ -681,3 +681,62 @@ def dow_entropy(events: DataFrame) -> DataFrame:
 
 def q_ext_47_dow_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dow_entropy(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_49: RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def rfm_segments(orders: DataFrame) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: per-customer metrics →
+    quintile scores → segment-level rollup.
+
+    One orders scan builds the per-customer aggregate (recency in
+    whole days versus the corpus max day — pure bigint epoch-day
+    arithmetic); the three ntile(5) scores share one window sort each
+    over the customer-sized aggregate (≪ fact table), with c_custkey
+    as the tiebreak so quintile boundaries are deterministic. The
+    final rollup is segment-count sized. Monetary sums are exact
+    decimals cast once.
+    """
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max(
+            F.expr("unix_micros(cast(o_orderdate AS timestamp)) div 86400000000")
+        ).alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary_dec"),
+    )
+    max_day = per_cust.agg(F.max("last_day").alias("max_day"))
+    m = per_cust.join(F.broadcast(max_day)).select(
+        "o_custkey",
+        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        F.col("monetary_dec").cast("double").alias("monetary"),
+    )
+    r_w = Window.orderBy("recency_days", "o_custkey")
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
+    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
+    scored = m.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(5).over(r_w).alias("r_score"),
+        F.ntile(5).over(f_w).alias("f_score"),
+        F.ntile(5).over(m_w).alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("monetary").cast("decimal(14,2)"))
+            .cast("double")
+            .alias("segment_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def q_ext_49_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rfm_segments(load_table(spark, sf_dir, "orders"))

@@ -662,3 +662,139 @@ ENGINE_ORACLES["tierc_tsql_pagination"] = """
         SELECT o_orderkey, o_totalprice FROM orders
         ORDER BY o_orderkey LIMIT 50 OFFSET 100
 """
+
+
+def q_tierc_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style: for each part (subset), the supplier(s) whose
+    average sale price for that part is the minimum. The correlated
+    MIN subquery decorrelates into one extra aggregate joined back on
+    partkey — Catalyst plans both aggregates over the same
+    (partkey, suppkey) shuffle. lineitem is the part↔supplier bridge
+    (fixture has no partsupp)."""
+    return _run(spark, sf_dir, """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, p_brand, s_name, c.avg_price
+        FROM cost c
+          JOIN part ON p_partkey = c.l_partkey
+          JOIN supplier ON s_suppkey = c.l_suppkey
+        WHERE p_size >= 45
+          AND c.avg_price = (SELECT MIN(c2.avg_price) FROM cost c2
+                             WHERE c2.l_partkey = c.l_partkey)
+        ORDER BY p_partkey, s_name
+""")
+
+
+def q_tierc_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style: suppliers achieving the global maximum
+    quarterly revenue. The revenue view aggregates once; the scalar
+    MAX reuses it (self-reference — Spark computes the tiny aggregate
+    twice, DuckDB materializes the CTE; identical results)."""
+    return _run(spark, sf_dir, """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1995-01-01'
+            AND l_shipdate < DATE '1995-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, r.total_rev
+        FROM supplier JOIN revenue r ON s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+""")
+
+
+def q_tierc_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style: suppliers whose item was the ONLY late one in a
+    multi-supplier order — EXISTS (another supplier in the order) and
+    NOT EXISTS (another late supplier) against the same fact table;
+    Catalyst turns the pair into one semi- and one anti-join over the
+    same orderkey shuffle. 'Late' adapts to the fixture's columns as
+    shipped ≥ 60 days after the order date."""
+    return _run(spark, sf_dir, """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate >= o_orderdate + INTERVAL 60 DAYS
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAYS)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+""")
+
+
+ENGINE_QUERIES.update({
+    "tierc_min_cost_supplier": q_tierc_min_cost_supplier,
+    "tierc_top_revenue_supplier": q_tierc_top_revenue_supplier,
+    "tierc_waiting_orders": q_tierc_waiting_orders,
+})
+
+
+ENGINE_ORACLES.update({
+    "tierc_min_cost_supplier": """
+        WITH cost AS (
+          SELECT l_partkey, l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS avg_price
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT p_partkey, p_brand, s_name, c.avg_price
+        FROM cost c
+          JOIN part ON p_partkey = c.l_partkey
+          JOIN supplier ON s_suppkey = c.l_suppkey
+        WHERE p_size >= 45
+          AND c.avg_price = (SELECT MIN(c2.avg_price) FROM cost c2
+                             WHERE c2.l_partkey = c.l_partkey)
+        ORDER BY p_partkey, s_name
+""",
+    "tierc_top_revenue_supplier": """
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                          * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= DATE '1995-01-01'
+            AND l_shipdate < DATE '1995-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, r.total_rev
+        FROM supplier JOIN revenue r ON s_suppkey = r.l_suppkey
+        WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+        ORDER BY s_suppkey
+""",
+    "tierc_waiting_orders": """
+        SELECT s_name, COUNT(*) AS numwait
+        FROM lineitem l1
+          JOIN orders ON o_orderkey = l1.l_orderkey
+          JOIN supplier ON s_suppkey = l1.l_suppkey
+        WHERE o_orderstatus = 'F'
+          AND l1.l_shipdate >= o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate >= o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100
+""",
+})

@@ -26,6 +26,7 @@ from sparketl.operators.analytics import (
     q_ext_45_histogram,
     q_ext_46_orphan_audit,
     q_ext_47_dow_entropy,
+    q_ext_49_rfm,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -147,6 +148,7 @@ EXT_QUERIES = {
     "ext_46_orphan_audit": q_ext_46_orphan_audit,
     "ext_47_dow_entropy": q_ext_47_dow_entropy,
     "ext_48_lm_score": q_ext_48_lm_score,
+    "ext_49_rfm": q_ext_49_rfm,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -801,6 +803,37 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_49_rfm": """
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+                   AS last_day,
+                 COUNT(*) AS frequency,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS monetary_dec
+          FROM orders GROUP BY o_custkey
+        ), m AS (
+          SELECT o_custkey,
+                 (SELECT MAX(last_day) FROM per_cust) - last_day
+                   AS recency_days,
+                 frequency,
+                 CAST(monetary_dec AS DOUBLE) AS monetary
+          FROM per_cust
+        ), scored AS (
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
+                   AS r_score,
+                 CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
+                   AS f_score,
+                 CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
+                   AS m_score
+          FROM m
+        )
+        SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(monetary AS DECIMAL(14,2))) AS DOUBLE)
+                 AS segment_monetary
+        FROM scored GROUP BY r_score, f_score, m_score
+        ORDER BY r_score, f_score, m_score
     """,
     "ext_44_exact_percentiles": """
         SELECT event_type, COUNT(*) AS n,

@@ -236,3 +236,16 @@ def test_dow_entropy_bounded_by_uniform(spark):
     for r in dow_entropy(ev).collect():
         assert 0.0 <= r["entropy_nats"] <= math.log(7) + 1e-9
         assert r["n_buckets"] <= 7
+
+
+def test_rfm_segments_cover_all_customers(spark):
+    from sparketl.operators.analytics import rfm_segments
+    from sparketl.io import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    rows = rfm_segments(o).collect()
+    assert sum(r["n_customers"] for r in rows) == o.select("o_custkey").distinct().count()
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5

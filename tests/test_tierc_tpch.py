@@ -52,3 +52,24 @@ def test_volume_customers_threshold_holds(spark):
     qs = entrymod.queries()
     rows = qs["tierc_volume_customers"](spark, SF_SMOKE).collect()
     assert all(r["total_qty"] > 250 for r in rows)
+
+
+def test_q2_q15_q21_shapes_run(spark):
+    qs = entrymod.queries()
+    for name in [
+        "tierc_min_cost_supplier",
+        "tierc_top_revenue_supplier",
+        "tierc_waiting_orders",
+        "tierc_tsql_pagination",
+    ]:
+        assert qs[name](spark, SF_SMOKE).count() > 0, name
+
+
+def test_min_cost_supplier_is_minimal(spark):
+    qs = entrymod.queries()
+    rows = qs["tierc_min_cost_supplier"](spark, SF_SMOKE).collect()
+    by_part = {}
+    for r in rows:
+        by_part.setdefault(r["p_partkey"], []).append(r["avg_price"])
+    for prices in by_part.values():
+        assert len(set(prices)) == 1  # all winners tie at the minimum
