@@ -105,6 +105,7 @@ _FRONT = [
     "tierc_top_revenue_supplier",
     "tierc_waiting_orders",
     "ext_49_rfm",
+    "ext_50_skew_report",
 ]
 
 

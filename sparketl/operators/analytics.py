@@ -740,3 +740,44 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
 def q_ext_49_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rfm_segments(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_50: join-key skew report
+# ---------------------------------------------------------------------------
+
+
+def skew_report(lineitem: DataFrame, key: str = "l_suppkey", k: int = 20) -> DataFrame:
+    """The pre-join skew diagnostic: hottest ``key`` values with their
+    row share and hot-ratio versus a perfectly uniform key.
+
+    This is what you run BEFORE choosing a join strategy at 100 TB —
+    a hot-ratio ≫ 1 on the probe key says the shuffle will straggle
+    and the join wants salting (ext_24) or AQE skew splitting. One
+    map-combinable count per key, then the totals ride along as window
+    sums over the already-aggregated key table; every float is a fixed
+    expression over bigints (IEEE-identical in the oracle).
+    """
+    counts = lineitem.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy(F.lit(0))
+    total = F.sum("n_rows").over(w)
+    n_keys = F.count(F.lit(1)).over(w)
+    return (
+        counts.select(
+            F.col(key).alias("key"),
+            "n_rows",
+            (F.col("n_rows").cast("double") * 100.0 / total.cast("double")).alias(
+                "pct_of_total"
+            ),
+            (
+                F.col("n_rows").cast("double")
+                / (total.cast("double") / n_keys.cast("double"))
+            ).alias("hot_ratio"),
+        )
+        .orderBy(F.desc("n_rows"), "key")
+        .limit(k)
+    )
+
+
+def q_ext_50_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skew_report(load_table(spark, sf_dir, "lineitem"))

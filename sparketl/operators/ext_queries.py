@@ -27,6 +27,7 @@ from sparketl.operators.analytics import (
     q_ext_46_orphan_audit,
     q_ext_47_dow_entropy,
     q_ext_49_rfm,
+    q_ext_50_skew_report,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -149,6 +150,7 @@ EXT_QUERIES = {
     "ext_47_dow_entropy": q_ext_47_dow_entropy,
     "ext_48_lm_score": q_ext_48_lm_score,
     "ext_49_rfm": q_ext_49_rfm,
+    "ext_50_skew_report": q_ext_50_skew_report,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -803,6 +805,24 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_50_skew_report": """
+        WITH counts AS (
+          SELECT l_suppkey AS key, COUNT(*) AS n_rows
+          FROM lineitem GROUP BY l_suppkey
+        ), t AS (
+          SELECT key, n_rows,
+                 CAST(SUM(n_rows) OVER () AS BIGINT) AS total,
+                 CAST(COUNT(*) OVER () AS BIGINT) AS n_keys
+          FROM counts
+        )
+        SELECT key, n_rows,
+               CAST(n_rows AS DOUBLE) * 100.0 / CAST(total AS DOUBLE)
+                 AS pct_of_total,
+               CAST(n_rows AS DOUBLE)
+                 / (CAST(total AS DOUBLE) / CAST(n_keys AS DOUBLE))
+                 AS hot_ratio
+        FROM t ORDER BY n_rows DESC, key LIMIT 20
     """,
     "ext_49_rfm": """
         WITH per_cust AS (

@@ -131,3 +131,57 @@ def streaming_enrich(
         "event_type",
         dim["grp"].alias("user_grp"),
     )
+
+
+def streaming_view_purchase_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase pairs with the same
+    user's view events from the preceding ``horizon_s`` seconds — the
+    conversion-attribution join, with BOTH sides unbounded.
+
+    Both streams carry watermarks and the join condition bounds the
+    event-time distance, so Spark can expire buffered state: a view is
+    held only until the watermark guarantees no in-horizon purchase
+    can still arrive (state ∝ rate × horizon, not stream history).
+    This is the canonical scalable formulation — an unbounded-range
+    stream-stream join would accumulate state forever. The batch twin
+    is the identical join expression on the batch frame (pytest
+    asserts stream ≡ batch on the finite fixture).
+    """
+    v = (
+        views.where(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", watermark)
+    )
+    p = (
+        purchases.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")),
+    )
+    return joined.select(
+        "purchase_id",
+        "view_id",
+        F.col("p_user").alias("user_id"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "amount",
+    )

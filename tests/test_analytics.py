@@ -249,3 +249,21 @@ def test_rfm_segments_cover_all_customers(spark):
         assert 1 <= r["r_score"] <= 5
         assert 1 <= r["f_score"] <= 5
         assert 1 <= r["m_score"] <= 5
+
+
+def test_skew_report_hot_ratio_consistency(spark):
+    from sparketl.operators.analytics import skew_report
+    from sparketl.io import load_table
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = skew_report(li, k=10).collect()
+    assert len(rows) == 10
+    total = li.count()
+    n_keys = li.select("l_suppkey").distinct().count()
+    for r in rows:
+        assert abs(r["pct_of_total"] - r["n_rows"] * 100.0 / total) < 1e-9
+        assert abs(r["hot_ratio"] - r["n_rows"] / (total / n_keys)) < 1e-9
+    # descending by count
+    assert [r["n_rows"] for r in rows] == sorted(
+        (r["n_rows"] for r in rows), reverse=True
+    )

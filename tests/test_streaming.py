@@ -1,5 +1,7 @@
 """Stream ≡ batch equivalence for the windowed aggregate."""
 
+from pyspark.sql import functions as F
+
 from sparketl.io import load_table
 from sparketl.operators.events_ops import tumbling_window_agg
 from sparketl.streaming.windows import (
@@ -352,3 +354,50 @@ def test_stream_ingest_upsert_cdc_apply(spark, tmp_path):
     # within-chunk order is physical file order, which stage_event_chunks
     # writes sorted by ts — so the final event per user must win exactly.
     assert not mismatches, mismatches[:5]
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Stream-stream conversion join ≡ the same join on the batch
+    frame (append-mode memory sink, finite fixture)."""
+    import uuid
+
+    from sparketl.streaming.windows import (
+        read_event_stream,
+        streaming_view_purchase_join,
+    )
+
+    stream = read_event_stream(spark, SF_SMOKE)
+    got_df = streaming_view_purchase_join(stream, stream)
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        got_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["purchase_id"], r["view_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    v = batch.where("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS v_ts"
+    )
+    p = batch.where("event_type = 'purchase'").selectExpr(
+        "event_id AS purchase_id", "user_id AS p_user", "ts AS p_ts"
+    )
+    want = {
+        (r["purchase_id"], r["view_id"])
+        for r in v.join(
+            p,
+            (v.v_user == p.p_user)
+            & (v.v_ts <= p.p_ts)
+            & (p.p_ts <= F.expr("v_ts + INTERVAL 3600 SECONDS")),
+        ).collect()
+    }
+    assert got == want and len(want) > 0
