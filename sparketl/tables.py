@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -39,6 +40,58 @@ from pyspark.sql import types as T
 
 class TableError(Exception):
     pass
+
+
+def _collect_file_stats(path: str) -> dict:
+    """Per-file numeric column min/max from the parquet FOOTER (row-group
+    statistics — no data scan). Only int/float columns are recorded;
+    columns without footer stats are simply absent, which the pruner
+    treats as 'cannot prune' (always safe)."""
+    import pyarrow.parquet as pq
+
+    cols: dict[str, list] = {}
+    md = pq.ParquetFile(path).metadata
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            c = row.column(ci)
+            st = c.statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bool) or not isinstance(mn, (int, float)):
+                continue
+            name = ".".join(c.path_in_schema.split("."))
+            if name in cols:
+                cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+            else:
+                cols[name] = [mn, mx]
+    return cols
+
+
+# `col op numeric-literal` conjunct, the only form the pruner handles;
+# anything else in the predicate disables pruning for that conjunct.
+_PRUNABLE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+
+
+def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
+    """Conservative: True unless the file's [min,max] interval proves no
+    row can satisfy ``col op lit``. NULL rows never satisfy a
+    comparison, so dropping a file on its non-null min/max is sound."""
+    if col not in stats:
+        return True
+    mn, mx = stats[col]
+    if op == ">":
+        return mx > lit
+    if op == ">=":
+        return mx >= lit
+    if op == "<":
+        return mn < lit
+    if op == "<=":
+        return mn <= lit
+    return mn <= lit <= mx  # = / ==
 
 
 class ManagedTable:
@@ -74,11 +127,20 @@ class ManagedTable:
     def _commit(self, files: list[str], schema_json: str, properties: dict) -> int:
         new_v = (self._current_version() + 1) if self.exists() else 1
         os.makedirs(self._manifest_dir, exist_ok=True)
+        # footer min/max stats ride in the manifest (Delta-style data
+        # skipping); retained files carry their stats forward, only the
+        # newly written files get a footer read — O(new files) metadata
+        # work per commit, no data scan ever.
+        prev_stats = self._manifest().get("file_stats", {}) if self.exists() else {}
+        file_stats = {
+            f: prev_stats.get(f) or _collect_file_stats(f) for f in files
+        }
         manifest = {
             "version": new_v,
             "files": files,
             "schema": schema_json,
             "properties": properties,
+            "file_stats": file_stats,
         }
         path = os.path.join(self._manifest_dir, f"v{new_v:06d}.json")
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -124,12 +186,45 @@ class ManagedTable:
         raw = self.properties().get("primary_key", "")
         return [c for c in raw.split(",") if c]
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None, where: str | None = None) -> DataFrame:
+        """Read a version (default: latest). With ``where``, files whose
+        footer min/max prove no match are skipped BEFORE Spark ever
+        lists them (manifest-level data skipping, the Delta pattern);
+        the predicate is then still applied to the surviving files, so
+        the result is exactly ``read().filter(where)`` — pruning only
+        changes how much is scanned. At 100 TB this is the difference
+        between touching 3 files and 30 000."""
         m = self._manifest(version)
         schema = T.StructType.fromJson(json.loads(m["schema"]))
-        if not m["files"]:
-            return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(*m["files"])
+        files = self.candidate_files(where, version) if where else m["files"]
+        if not files:
+            df = self.spark.createDataFrame([], schema)
+            return df.filter(where) if where else df
+        df = self.spark.read.schema(schema).parquet(*files)
+        return df.filter(where) if where else df
+
+    def candidate_files(self, where: str | None, version: int | None = None) -> list[str]:
+        """Manifest files that might contain rows matching ``where`` —
+        AND-of-comparisons prune on footer stats; any conjunct the
+        pruner cannot parse is ignored (never prunes), so the result is
+        always a superset of the matching files."""
+        m = self._manifest(version)
+        if not where:
+            return list(m["files"])
+        stats = m.get("file_stats", {})
+        conjuncts = [
+            _PRUNABLE.match(c) for c in re.split(r"(?i)\bAND\b", where)
+        ]
+        keep = []
+        for f in m["files"]:
+            fs = stats.get(f, {})
+            if all(
+                pm is None
+                or _file_might_match(fs, pm.group(1), pm.group(2), float(pm.group(3)))
+                for pm in conjuncts
+            ):
+                keep.append(f)
+        return keep
 
     def history(self) -> list[int]:
         if not os.path.isdir(self._manifest_dir):

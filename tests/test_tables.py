@@ -260,3 +260,50 @@ def test_incremental_agg_group_disappears(spark, tmp_table_root):
     t.delete_where("id = 1")
     got = incremental_agg(t, prev, v0, ["name"], count_col="n")
     assert got.collect() == []  # zero-count groups are dropped
+
+
+def test_file_skipping_prunes_and_matches_full_filter(spark, tmp_path):
+    """Four sorted appends → four disjoint-range files; a range
+    predicate must skip non-matching files at the manifest level while
+    returning exactly filter()'s rows."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    first = spark.createDataFrame(
+        [(i, float(i)) for i in range(25)], "id long, v double"
+    ).coalesce(1)
+    tbl.create(first.schema)
+    for lo in range(0, 100, 25):
+        batch = spark.createDataFrame(
+            [(i, float(i)) for i in range(lo, lo + 25)], "id long, v double"
+        ).coalesce(1)
+        tbl.append(batch)
+
+    all_files = tbl.candidate_files(None)
+    assert len(all_files) == 4
+    cand = tbl.candidate_files("v >= 80")
+    assert len(cand) == 1  # only the 75..99 file can match
+    got = sorted(r["id"] for r in tbl.read(where="v >= 80").collect())
+    want = sorted(r["id"] for r in tbl.read().filter("v >= 80").collect())
+    assert got == want == list(range(80, 100))
+    # conjunction narrows further; equality hits one file
+    assert len(tbl.candidate_files("v >= 30 AND v < 40")) == 1
+    assert len(tbl.candidate_files("id = 50")) == 1
+    # unparsable conjunct disables pruning for that conjunct only
+    assert len(tbl.candidate_files("v >= 80 AND id % 2 = 0")) == 1
+    assert len(tbl.candidate_files("id % 2 = 0")) == 4
+    # predicate with no possible file → empty frame, correct schema
+    assert tbl.read(where="v > 1000").count() == 0
+
+
+def test_file_skipping_never_drops_matching_rows_with_nulls(spark, tmp_path):
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame([(1, None), (2, 5.0)], "id long, v double").coalesce(1)
+    b = spark.createDataFrame([(3, 50.0)], "id long, v double").coalesce(1)
+    tbl.create(a.schema)
+    tbl.append(a)
+    tbl.append(b)
+    assert {r["id"] for r in tbl.read(where="v > 10").collect()} == {3}
+    assert {r["id"] for r in tbl.read(where="v <= 10").collect()} == {2}
