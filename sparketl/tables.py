@@ -397,10 +397,52 @@ class ManagedTable:
         ]
         return self.overwrite(merged.select(out_cols))
 
+    @staticmethod
+    def _zorder_col(df: DataFrame, cols: list[str]):
+        """Morton (Z-order) key over exactly two numeric columns: each
+        value min-max-scales to a 16-bit rank, then the bits interleave
+        via the standard mask-spreading closed form — five bitwise ops
+        per operand, all inside whole-stage codegen (no per-row loop).
+        Scaling bounds come from one tiny aggregate broadcast onto the
+        scan."""
+        if len(cols) != 2:
+            raise TableError("zorder_by takes exactly two columns")
+        x, y = cols
+        bounds = df.agg(
+            F.min(F.col(x).cast("double")).alias("__xmn"),
+            F.max(F.col(x).cast("double")).alias("__xmx"),
+            F.min(F.col(y).cast("double")).alias("__ymn"),
+            F.max(F.col(y).cast("double")).alias("__ymx"),
+        )
+
+        def rank16(col, mn, mx):
+            span = F.when(F.col(mx) > F.col(mn), F.col(mx) - F.col(mn)).otherwise(
+                F.lit(1.0)
+            )
+            return F.floor(
+                (F.col(col).cast("double") - F.col(mn)) * 65535.0 / span
+            ).cast("long")
+
+        def spread16(c):
+            c = c.bitwiseOR(F.shiftleft(c, 8)).bitwiseAND(F.lit(0x00FF00FF))
+            c = c.bitwiseOR(F.shiftleft(c, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
+            c = c.bitwiseOR(F.shiftleft(c, 2)).bitwiseAND(F.lit(0x33333333))
+            c = c.bitwiseOR(F.shiftleft(c, 1)).bitwiseAND(F.lit(0x55555555))
+            return c
+
+        with_z = df.join(F.broadcast(bounds)).withColumn(
+            "__zorder",
+            spread16(rank16(x, "__xmn", "__xmx")).bitwiseOR(
+                F.shiftleft(spread16(rank16(y, "__ymn", "__ymx")), 1)
+            ),
+        )
+        return with_z.drop("__xmn", "__xmx", "__ymn", "__ymx")
+
     def compact(
         self,
         target_partitions: int | None = None,
         sort_by: list[str] | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int:
         """OPTIMIZE-style small-file compaction: rewrite the current
         snapshot into ``target_partitions`` files, optionally
@@ -420,7 +462,19 @@ class ManagedTable:
             target_partitions = max(
                 1, df.sparkSession.sparkContext.defaultParallelism
             )
-        if sort_by:
+        if zorder_by:
+            # Z-order: range-partition + sort on the interleaved key so
+            # every file covers a small 2-D tile — footer min/max then
+            # prunes on BOTH columns (a linear sort prunes only its
+            # leading column; the trailing column's stats span every
+            # file).
+            df = (
+                self._zorder_col(df, zorder_by)
+                .repartitionByRange(target_partitions, "__zorder")
+                .sortWithinPartitions("__zorder")
+                .drop("__zorder")
+            )
+        elif sort_by:
             df = df.repartitionByRange(
                 target_partitions, *sort_by
             ).sortWithinPartitions(*sort_by)

@@ -307,3 +307,50 @@ def test_file_skipping_never_drops_matching_rows_with_nulls(spark, tmp_path):
     tbl.append(b)
     assert {r["id"] for r in tbl.read(where="v > 10").collect()} == {3}
     assert {r["id"] for r in tbl.read(where="v <= 10").collect()} == {2}
+
+
+def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
+    """After zorder compaction, range predicates on EITHER column skip
+    most files; after a linear x-sort, y predicates skip nothing."""
+    import random
+
+    from sparketl.tables import ManagedTable
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(1000), rng.randrange(1000)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, x long, y long")
+
+    lin = ManagedTable(spark, str(tmp_path / "linear"))
+    lin.create(df.schema)
+    lin.append(df)
+    lin.compact(target_partitions=16, sort_by=["x"])
+
+    zo = ManagedTable(spark, str(tmp_path / "zorder"))
+    zo.create(df.schema)
+    zo.append(df)
+    zo.compact(target_partitions=16, zorder_by=["x", "y"])
+
+    pred = "y >= 0 AND y < 100"
+    lin_cand = len(lin.candidate_files(pred))
+    zo_cand = len(zo.candidate_files(pred))
+    assert lin_cand == 16          # x-sort spreads y across every file
+    assert zo_cand < 16 // 2       # z-order confines the y range
+    # x predicates must still prune under z-order too
+    assert len(zo.candidate_files("x >= 0 AND x < 100")) < 16 // 2
+    # correctness: pruned read ≡ full filter on both layouts
+    want = sorted(r["id"] for r in df.filter(pred).collect())
+    assert sorted(r["id"] for r in zo.read(where=pred).collect()) == want
+    assert sorted(r["id"] for r in lin.read(where=pred).collect()) == want
+
+
+def test_zorder_requires_two_columns(spark, tmp_path):
+    import pytest
+
+    from sparketl.tables import ManagedTable, TableError
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    tbl.create(df.schema)
+    tbl.append(df)
+    with pytest.raises(TableError):
+        tbl.compact(zorder_by=["a"])
