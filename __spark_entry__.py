@@ -106,6 +106,8 @@ _FRONT = [
     "tierc_waiting_orders",
     "ext_49_rfm",
     "ext_50_skew_report",
+    "ext_51_trend",
+    "ext_52_prefix_jaccard",
 ]
 
 

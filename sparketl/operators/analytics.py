@@ -781,3 +781,52 @@ def skew_report(lineitem: DataFrame, key: str = "l_suppkey", k: int = 20) -> Dat
 
 def q_ext_50_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_report(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_51: linear trend (regression slope) per group
+# ---------------------------------------------------------------------------
+
+
+def revenue_trend(orders: DataFrame) -> DataFrame:
+    """Least-squares slope + intercept of daily revenue over time, per
+    order priority — "is this segment growing?" as one number.
+
+    Two map-side-combinable aggregates: days roll up per (priority,
+    day) with exact decimal revenue, then the regression reduces each
+    priority to five power sums (n, Σx, Σy, Σxy, Σx²) — the shuffle
+    carries five numbers per group, the classic distributed-regression
+    layout (same shape as ext_43 moment stats). Slope/intercept are
+    one fixed double expression over exact sums — bit-identical in the
+    oracle. x is the epoch-day bigint, so Σxy is an exact
+    bigint×decimal product summed as decimal.
+    """
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.expr(
+            "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000"
+        ).alias("day"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("rev"))
+    agg = daily.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("day").alias("sx"),
+        F.sum(F.col("day") * F.col("day")).alias("sxx"),
+        F.sum("rev").alias("sy_dec"),
+        F.sum(F.col("day").cast("decimal(18,0)") * F.col("rev")).alias("sxy_dec"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy_dec").cast("double")
+    sxy = F.col("sxy_dec").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return agg.select(
+        "o_orderpriority",
+        "n",
+        slope.alias("slope_per_day"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    ).orderBy("o_orderpriority")
+
+
+def q_ext_51_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_trend(load_table(spark, sf_dir, "orders"))

@@ -28,6 +28,7 @@ from sparketl.operators.analytics import (
     q_ext_47_dow_entropy,
     q_ext_49_rfm,
     q_ext_50_skew_report,
+    q_ext_51_trend,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -40,6 +41,7 @@ from sparketl.operators.textmine import (
     q_ext_36_bag_dedup,
     q_ext_37_containment,
     q_ext_48_lm_score,
+    q_ext_52_prefix_jaccard,
 )
 from sparketl.operators.dedup import (
     q_ext_01_dedup_documents,
@@ -151,6 +153,8 @@ EXT_QUERIES = {
     "ext_48_lm_score": q_ext_48_lm_score,
     "ext_49_rfm": q_ext_49_rfm,
     "ext_50_skew_report": q_ext_50_skew_report,
+    "ext_51_trend": q_ext_51_trend,
+    "ext_52_prefix_jaccard": q_ext_52_prefix_jaccard,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -805,6 +809,61 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_51_trend": """
+        WITH daily AS (
+          SELECT o_orderpriority,
+                 epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+                 SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS rev
+          FROM orders GROUP BY 1, 2
+        ), agg AS (
+          SELECT o_orderpriority,
+                 COUNT(*) AS n,
+                 CAST(SUM(day) AS BIGINT) AS sx,
+                 CAST(SUM(day * day) AS BIGINT) AS sxx,
+                 SUM(rev) AS sy_dec,
+                 SUM(CAST(day AS DECIMAL(18,0)) * rev) AS sxy_dec
+          FROM daily GROUP BY o_orderpriority
+        ), d AS (
+          SELECT o_orderpriority, n,
+                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(sy_dec AS DOUBLE) AS syd,
+                 CAST(sxy_dec AS DOUBLE) AS sxyd
+          FROM agg
+        )
+        SELECT o_orderpriority, n,
+               (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+                 AS slope_per_day,
+               (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)) * sxd)
+                 / nd AS intercept
+        FROM d ORDER BY o_orderpriority
+    """,
+    "ext_52_prefix_jaccard": """
+        WITH s AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+          WHERE len(t) >= 3
+        ), toks AS (
+          SELECT doc_id, unnest(sh) AS tok FROM s
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(COUNT(*) AS BIGINT) AS inter
+          FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, inter,
+               CAST(inter AS DOUBLE)
+                 / CAST(sa.n + sb.n - inter AS DOUBLE) AS jaccard
+        FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(inter AS DOUBLE)
+                / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+        ORDER BY jaccard DESC, doc_a, doc_b
     """,
     "ext_50_skew_report": """
         WITH counts AS (

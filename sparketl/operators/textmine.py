@@ -260,3 +260,101 @@ def lm_doc_score(docs: DataFrame) -> DataFrame:
 
 def q_ext_48_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_doc_score(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_52: prefix-filtered exact Jaccard set-similarity join
+# ---------------------------------------------------------------------------
+
+
+def prefix_jaccard_join(
+    docs: DataFrame, threshold: float = 0.5, n: int = 3
+) -> DataFrame:
+    """All document pairs whose shingle-set Jaccard ≥ threshold via
+    prefix filtering (AllPairs/PPJoin family) — the SAME semantics as
+    ext_02's brute-force join (pytest asserts pair-for-pair equality),
+    but the scale-correct algorithm: EXACT output without ever
+    expanding Σ df(shingle)² candidate pairs.
+
+    Each doc's distinct shingles sort by global rarity (ascending doc
+    frequency, shingle tiebreak); two sets with Jaccard ≥ t MUST share
+    an element within their first ``|s| - ⌈t·|s|⌉ + 1`` rarest ones,
+    so the equi-join explodes only prefixes — candidate volume tracks
+    the doc frequency of RARE shingles, which is what makes this
+    tractable when a few stop-shingles appear in every document.
+    Verification computes the true intersection with array_intersect
+    on the full sorted-set arrays carried through the join, and the
+    length filter (t·|a| ≤ |b| ≤ |a|/t) prunes before that. Unlike
+    MinHash-LSH (probabilistic recall), the prefix filter only drops
+    pairs that provably cannot reach the threshold.
+    """
+    toks = shingles(docs, n=n).select(
+        "doc_id", F.explode("sh").alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        toks.join(freq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("tok")))
+            ).alias("ranked")
+        )
+        .select(
+            "doc_id",
+            F.expr("transform(ranked, r -> r.tok)").alias("toks"),
+            F.size("ranked").alias("n_tok"),
+        )
+    )
+    t = threshold
+    prefix = per_doc.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.expr(f"slice(toks, 1, size(toks) - CAST(ceil({t} * size(toks)) AS INT) + 1)")
+        ).alias("ptok"),
+    )
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("toks_a"),
+        F.col("n_tok").alias("na"),
+        "ptok",
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("toks_b"),
+        F.col("n_tok").alias("nb"),
+        "ptok",
+    )
+    cand = (
+        a.join(b, "ptok")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        # length filter: |b| ≥ t·|a| is necessary for J ≥ t
+        .where(F.col("nb").cast("double") >= F.lit(t) * F.col("na").cast("double"))
+        .where(F.col("na").cast("double") >= F.lit(t) * F.col("nb").cast("double"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    inter = F.size(F.array_intersect("toks_a", "toks_b"))
+    verified = cand.select(
+        "doc_a",
+        "doc_b",
+        inter.alias("inter"),
+        F.col("na"),
+        F.col("nb"),
+    ).withColumn(
+        "jaccard",
+        F.col("inter").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("inter")).cast("double"),
+    )
+    return (
+        verified.where(F.col("jaccard") >= t)
+        .select(
+            "doc_a", "doc_b", F.col("inter").cast("long").alias("inter"), "jaccard"
+        )
+        .orderBy(F.desc("jaccard"), "doc_a", "doc_b")
+    )
+
+
+def q_ext_52_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prefix_jaccard_join(load_table(spark, sf_dir, "documents"))

@@ -267,3 +267,22 @@ def test_skew_report_hot_ratio_consistency(spark):
     assert [r["n_rows"] for r in rows] == sorted(
         (r["n_rows"] for r in rows), reverse=True
     )
+
+
+def test_trend_slope_on_synthetic_line(spark):
+    from sparketl.operators.analytics import revenue_trend
+
+    # priority 'P': revenue rises exactly 10/day → slope 10, and the
+    # day index offset only shifts the intercept.
+    rows = [
+        (i, 1, "F", 100.0 + 10.0 * d, f"19{70}-01-0{d+1}", "P")
+        for i, d in enumerate(range(5))
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    out = revenue_trend(orders).collect()
+    assert len(out) == 1
+    assert abs(out[0]["slope_per_day"] - 10.0) < 1e-9

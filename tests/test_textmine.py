@@ -11,6 +11,7 @@ from sparketl.operators.textmine import (
     shingle_containment_topk,
     trigram_lm,
 )
+from tests.conftest import SF_SMOKE
 
 
 def _docs(spark, texts):
@@ -127,3 +128,22 @@ def test_lm_score_prefers_repeated_patterns(spark):
     rows = {r["doc_id"]: r for r in lm_doc_score(docs).collect()}
     assert rows[1]["score_nano"] == rows[2]["score_nano"] == 666_666_666
     assert rows[3]["score_nano"] == 333_333_333
+
+
+def test_prefix_jaccard_equals_bruteforce(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.dedup import ngram_jaccard_pairs
+    from sparketl.operators.textmine import prefix_jaccard_join
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in prefix_jaccard_join(docs, threshold=0.5).collect()
+    }
+    want = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-12
