@@ -86,3 +86,27 @@ def write_partitioned(
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.partitionBy(*partition_by).parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """ORC scan — Spark-native columnar source (vectorized reader,
+    predicate pushdown and column pruning like parquet; the format a
+    Hive-era warehouse hands you). Explicit schema skips footer
+    merging across many files."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink, optionally hive-partitioned (directory keys prune
+    scans the same way as the parquet sink in write_partitioned)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -118,3 +118,22 @@ def test_excel_into_mapping_pipeline(spark, xlsx):
         "balance:decimal(12,2)",
     ]
     assert mapped.count() == 3
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC write → read roundtrip; filters and pruning reach the ORC
+    scan like parquet."""
+    from sparketl.io import load_table
+    from sparketl.sources.text_files import read_orc, write_orc
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path, partition_by=["o_orderpriority"])
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    sub = back.where("o_orderpriority = '1-URGENT'").select("o_orderkey")
+    want = orders.where("o_orderpriority = '1-URGENT'").count()
+    assert sub.count() == want
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or "o_orderpriority" in plan
