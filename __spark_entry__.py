@@ -108,6 +108,9 @@ _FRONT = [
     "ext_50_skew_report",
     "ext_51_trend",
     "ext_52_prefix_jaccard",
+    "ext_53_hopping_window",
+    "ext_54_session_window",
+    "tierc_lateral_topn",
 ]
 
 

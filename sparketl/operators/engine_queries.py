@@ -798,3 +798,33 @@ ENGINE_ORACLES.update({
         LIMIT 100
 """,
 })
+
+
+def q_tierc_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: top-2 priciest lineitems per order.
+    Catalyst decorrelates the ORDER BY/LIMIT lateral into a ranked
+    window over one orderkey shuffle — the per-group top-n a user
+    would otherwise hand-write with ROW_NUMBER."""
+    return _run(spark, sf_dir, """
+        SELECT o.o_orderkey, l.l_linenumber, l.price
+        FROM orders o, LATERAL (
+          SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+          FROM lineitem WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey <= 200
+        ORDER BY o.o_orderkey, price DESC, l_linenumber
+""")
+
+
+ENGINE_QUERIES["tierc_lateral_topn"] = q_tierc_lateral_topn
+ENGINE_ORACLES["tierc_lateral_topn"] = """
+        SELECT o.o_orderkey, l.l_linenumber, l.price
+        FROM orders o, LATERAL (
+          SELECT l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+          FROM lineitem WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber LIMIT 2
+        ) l
+        WHERE o.o_orderkey <= 200
+        ORDER BY o.o_orderkey, price DESC, l_linenumber
+"""

@@ -252,3 +252,66 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
 def q_ext_23_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return retention_cohorts(e).orderBy("cohort_day", "day_offset")
+
+
+def hopping_window_agg(
+    events: DataFrame, width: str = "1 hour", slide: str = "15 minutes"
+) -> DataFrame:
+    """Hopping (sliding) windows: each event lands in width/slide
+    overlapping windows (here 4). Spark's window() expands the rows
+    map-side — ×4 volume into one shuffle, same cost shape as the
+    tumbling twin (ext_06_hourly_window) times the overlap factor;
+    state never accumulates because windows are bounded. Output keys
+    by the window-start epoch-µs bigint (never raw timestamps — oracle
+    hashing)."""
+    return (
+        events.groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+def q_ext_53_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hopping_window_agg(load_table(spark, sf_dir, "events"))
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based sessions via the BUILT-IN session_window aggregate —
+    the declarative twin of the manual lag/running-sum sessionize
+    (ext_06): Catalyst merges adjacent events whose gap is under the
+    threshold inside one aggregation, no window-function pass at all,
+    and the same expression works under Structured Streaming with
+    state merge. Boundary semantics: an event exactly ``gap`` after
+    its predecessor starts a NEW session (window is [start, last+gap)),
+    i.e. ≥ where the manual operator uses >."""
+    return (
+        events.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )
+
+
+def q_ext_54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return session_window_agg(load_table(spark, sf_dir, "events"))

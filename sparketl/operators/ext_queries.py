@@ -54,6 +54,8 @@ from sparketl.operators.events_ops import (
     q_ext_05_json_extract,
     q_ext_06_hourly_window,
     q_ext_06_sessionize,
+    q_ext_53_hopping_window,
+    q_ext_54_session_window,
     q_ext_19_scd2,
     q_ext_22_funnel,
     q_ext_23_retention,
@@ -155,6 +157,8 @@ EXT_QUERIES = {
     "ext_50_skew_report": q_ext_50_skew_report,
     "ext_51_trend": q_ext_51_trend,
     "ext_52_prefix_jaccard": q_ext_52_prefix_jaccard,
+    "ext_53_hopping_window": q_ext_53_hopping_window,
+    "ext_54_session_window": q_ext_54_session_window,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -809,6 +813,42 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_53_hopping_window": """
+        WITH e AS (
+          SELECT event_type, value,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+          FROM events
+        ), w AS (
+          SELECT event_type, value,
+                 UNNEST(range(tu // 900000000 - 3, tu // 900000000 + 1)) AS k
+          FROM e
+        )
+        SELECT CAST(k * 900000000 AS BIGINT) AS window_start_us, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM w GROUP BY 1, 2 ORDER BY window_start_us, event_type
+    """,
+    "ext_54_session_window": """
+        WITH e AS (
+          SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tu
+          FROM events
+        ), flagged AS (
+          SELECT user_id, value, tu,
+                 CASE WHEN tu - LAG(tu) OVER w >= 1800000000
+                      OR LAG(tu) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tu)
+        ), sess AS (
+          SELECT user_id, value, tu,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY tu
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flagged
+        )
+        SELECT user_id, CAST(MIN(tu) AS BIGINT) AS session_start_us,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        FROM sess GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
     """,
     "ext_51_trend": """
         WITH daily AS (

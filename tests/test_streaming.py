@@ -401,3 +401,31 @@ def test_stream_stream_interval_join_equals_batch(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_hopping_window_overlap_factor(spark):
+    """Every event contributes to exactly width/slide = 4 hopping
+    windows: total hopping count = 4 × event count."""
+    from sparketl.operators.events_ops import hopping_window_agg
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    hop = hopping_window_agg(ev)
+    total = hop.agg(F.sum("n_events")).first()[0]
+    assert total == 4 * ev.count()
+
+
+def test_session_window_matches_manual_sessionize_counts(spark):
+    """Built-in session_window produces the same number of sessions as
+    the manual lag/running-sum formulation on gap-strict data (ties at
+    exactly the gap are absent in the fixture)."""
+    from sparketl.operators.events_ops import session_window_agg, sessionize
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    built_in = session_window_agg(ev).count()
+    manual = (
+        sessionize(ev, gap_minutes=30)
+        .select("user_id", "session_idx")
+        .distinct()
+        .count()
+    )
+    assert built_in == manual
