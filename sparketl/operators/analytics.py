@@ -707,10 +707,15 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary_dec"),
     )
-    max_day = per_cust.agg(F.max("last_day").alias("max_day"))
-    m = per_cust.join(F.broadcast(max_day)).select(
+    # corpus max day as a constant-keyed window over the customer-sized
+    # aggregate (not a 1-row cross join, which plans as a nested-loop);
+    # the global quintile windows below already imply this data is
+    # driver-of-one-partition sized — RFM is a customer-aggregate-scale
+    # operator by definition.
+    max_day = F.max("last_day").over(Window.partitionBy(F.lit(0)))
+    m = per_cust.select(
         "o_custkey",
-        (F.col("max_day") - F.col("last_day")).alias("recency_days"),
+        (max_day - F.col("last_day")).alias("recency_days"),
         "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
     )

@@ -86,6 +86,16 @@ AUDITED = [
     "ext_46_orphan_audit",
     "tierc_volume_customers",
     "tierc_disjunctive_revenue",
+    "ext_48_lm_score",
+    "ext_49_rfm",
+    "ext_50_skew_report",
+    "ext_51_trend",
+    "ext_52_prefix_jaccard",
+    "ext_53_hopping_window",
+    "ext_54_session_window",
+    "tierc_lateral_topn",
+    "tierc_waiting_orders",
+    "tierc_min_cost_supplier",
 ]
 
 
