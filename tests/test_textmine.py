@@ -138,11 +138,11 @@ def test_prefix_jaccard_equals_bruteforce(spark):
     docs = load_table(spark, SF_SMOKE, "documents")
     got = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in prefix_jaccard_join(docs, threshold=0.5).collect()
+        for r in prefix_jaccard_join(docs, threshold=0.8).collect()
     }
     want = {
         (r["doc_a"], r["doc_b"]): r["jaccard"]
-        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
     }
     assert set(got) == set(want) and len(got) > 0
     for k in got:
