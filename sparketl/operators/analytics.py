@@ -439,8 +439,10 @@ def window_suite(orders: DataFrame) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
-        F.lag("o_orderkey", 1).over(w).alias("prev_key"),
-        F.lead("o_orderkey", 1).over(w).alias("next_key"),
+        # -1 sentinel, not NULL: a nullable bigint decays to float64
+        # through pandas and breaks the driver's value hash
+        F.coalesce(F.lag("o_orderkey", 1).over(w), F.lit(-1)).alias("prev_key"),
+        F.coalesce(F.lead("o_orderkey", 1).over(w), F.lit(-1)).alias("next_key"),
         F.first("o_orderkey").over(w).alias("first_key"),
         F.sum(price).over(rows_frame).cast("double").alias("sum_last4"),
         F.sum(price).over(range_frame).cast("double").alias("sum_range1k"),

@@ -733,7 +733,8 @@ EXT_ORACLES = {
                  150000000000 + (85 * COALESCE(i.inflow, 0)) // 100 AS rank
           FROM nodes n LEFT JOIN i2 i ON n.node = i.dst
         )
-        SELECT node, rank FROM r2 ORDER BY rank DESC, node LIMIT 50
+        SELECT node, CAST(rank AS BIGINT) AS rank
+        FROM r2 ORDER BY rank DESC, node LIMIT 50
     """,
     "ext_42_window_suite": """
         WITH sub AS (
@@ -745,8 +746,8 @@ EXT_ORACLES = {
                CAST(NTILE(4) OVER w AS INT) AS quartile,
                CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pr,
                CAST(CUME_DIST() OVER w AS DOUBLE) AS cd,
-               LAG(o_orderkey, 1) OVER w AS prev_key,
-               LEAD(o_orderkey, 1) OVER w AS next_key,
+               COALESCE(LAG(o_orderkey, 1) OVER w, -1) AS prev_key,
+               COALESCE(LEAD(o_orderkey, 1) OVER w, -1) AS next_key,
                FIRST_VALUE(o_orderkey) OVER w AS first_key,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER
                     (PARTITION BY o_orderpriority ORDER BY o_orderkey

@@ -157,8 +157,8 @@ def test_window_suite_rank_invariants(spark):
     for part_rows in by_part.values():
         assert [r["rn"] for r in part_rows] == list(range(1, len(part_rows) + 1))
         assert all(1 <= r["quartile"] <= 4 for r in part_rows)
-        assert part_rows[0]["prev_key"] is None
-        assert part_rows[-1]["next_key"] is None
+        assert part_rows[0]["prev_key"] == -1
+        assert part_rows[-1]["next_key"] == -1
         assert all(r["first_key"] == part_rows[0]["o_orderkey"] for r in part_rows)
         assert abs(part_rows[-1]["cd"] - 1.0) < 1e-12
 
