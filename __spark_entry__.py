@@ -111,6 +111,10 @@ _FRONT = [
     "ext_53_hopping_window",
     "ext_54_session_window",
     "tierc_lateral_topn",
+    "tierc_product_profit",
+    "tierc_returned_items",
+    "tierc_custdist",
+    "tierc_scalar_funcs",
 ]
 
 

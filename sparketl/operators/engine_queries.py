@@ -828,3 +828,168 @@ ENGINE_ORACLES["tierc_lateral_topn"] = """
         WHERE o.o_orderkey <= 200
         ORDER BY o.o_orderkey, price DESC, l_linenumber
 """
+
+
+def q_tierc_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style: profit by supplier nation × order year (cost
+    approximated as retailprice·quantity — fixture has no ps_supplycost).
+    Two broadcast dims onto one fact shuffle; YEAR() evaluates pre-agg."""
+    return _run(spark, sf_dir, """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2)) * 0.1)
+                    AS DOUBLE) AS profit
+        FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_type <> 'PROMO'
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, order_year
+""")
+
+
+def q_tierc_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top customers by lost revenue on returned
+    items in one quarter. Date + returnflag filters push to the scans;
+    the top-20 is a TakeOrderedAndProject, not a full sort."""
+    return _run(spark, sf_dir, """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               c_mktsegment, n_name
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_mktsegment, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+""")
+
+
+def q_tierc_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style: distribution of customers by order count,
+    including zero-order customers via LEFT JOIN — the double
+    aggregation (per-customer count, then histogram of counts)."""
+    return _run(spark, sf_dir, """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+""")
+
+
+def q_tierc_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth through the pass-through path: string
+    (SUBSTRING/TRIM/UPPER/LOWER/REPLACE/LPAD/CONCAT_WS), numeric
+    (ABS/MOD/ROUND on decimal), and conditional (CASE, NULLIF) — all
+    whole-stage-codegen expressions over one scan."""
+    return _run(spark, sf_dir, """
+        SELECT o_orderkey,
+               SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+               UPPER(o_orderstatus) AS status_u,
+               LOWER(o_orderpriority) AS pri_l,
+               REPLACE(o_orderpriority, '-', '_') AS pri_sub,
+               LPAD(CAST(o_orderkey AS STRING), 10, '0') AS key_pad,
+               CONCAT_WS('|', o_orderstatus, o_orderpriority) AS joined,
+               TRIM('  pad  ') AS trimmed,
+               ABS(-o_orderkey) AS key_abs,
+               MOD(o_orderkey, 7) AS key_mod,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+                 AS price_r1,
+               CASE WHEN o_orderstatus = 'F' THEN 'final'
+                    WHEN o_orderstatus = 'O' THEN 'open'
+                    ELSE 'other' END AS status_word,
+               NULLIF(o_orderstatus, 'P') AS status_np
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+""")
+
+
+ENGINE_QUERIES.update({
+    "tierc_product_profit": q_tierc_product_profit,
+    "tierc_returned_items": q_tierc_returned_items,
+    "tierc_custdist": q_tierc_custdist,
+    "tierc_scalar_funcs": q_tierc_scalar_funcs,
+})
+
+
+ENGINE_ORACLES.update({
+    "tierc_product_profit": """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                        - CAST(p_retailprice AS DECIMAL(12,2))
+                          * CAST(l_quantity AS DECIMAL(12,2)) * 0.1)
+                    AS DOUBLE) AS profit
+        FROM lineitem
+          JOIN orders ON o_orderkey = l_orderkey
+          JOIN part ON p_partkey = l_partkey
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        WHERE p_type <> 'PROMO'
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, order_year
+""",
+    "tierc_returned_items": """
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS revenue,
+               c_mktsegment, n_name
+        FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= DATE '1996-01-01'
+          AND o_orderdate < DATE '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_mktsegment, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+""",
+    "tierc_custdist": """
+        SELECT c_count, COUNT(*) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey) t
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+""",
+    "tierc_scalar_funcs": """
+        SELECT o_orderkey,
+               SUBSTRING(o_orderpriority, 1, 1) AS pri_code,
+               UPPER(o_orderstatus) AS status_u,
+               LOWER(o_orderpriority) AS pri_l,
+               REPLACE(o_orderpriority, '-', '_') AS pri_sub,
+               LPAD(CAST(o_orderkey AS VARCHAR), 10, '0') AS key_pad,
+               CONCAT_WS('|', o_orderstatus, o_orderpriority) AS joined,
+               TRIM('  pad  ') AS trimmed,
+               ABS(-o_orderkey) AS key_abs,
+               MOD(o_orderkey, 7) AS key_mod,
+               CAST(ROUND(CAST(o_totalprice AS DECIMAL(12,2)), 1) AS DOUBLE)
+                 AS price_r1,
+               CASE WHEN o_orderstatus = 'F' THEN 'final'
+                    WHEN o_orderstatus = 'O' THEN 'open'
+                    ELSE 'other' END AS status_word,
+               NULLIF(o_orderstatus, 'P') AS status_np
+        FROM orders
+        WHERE o_orderkey < 500
+        ORDER BY o_orderkey
+""",
+})

@@ -73,3 +73,23 @@ def test_min_cost_supplier_is_minimal(spark):
         by_part.setdefault(r["p_partkey"], []).append(r["avg_price"])
     for prices in by_part.values():
         assert len(set(prices)) == 1  # all winners tie at the minimum
+
+
+def test_q9_q10_q13_scalar_funcs_run(spark):
+    qs = entrymod.queries()
+    for name in [
+        "tierc_product_profit",
+        "tierc_returned_items",
+        "tierc_custdist",
+        "tierc_scalar_funcs",
+    ]:
+        assert qs[name](spark, SF_SMOKE).count() > 0, name
+
+
+def test_custdist_counts_all_customers(spark):
+    from sparketl.io import load_table
+
+    qs = entrymod.queries()
+    rows = qs["tierc_custdist"](spark, SF_SMOKE).collect()
+    n_customers = load_table(spark, SF_SMOKE, "customer").count()
+    assert sum(r["custdist"] for r in rows) == n_customers
