@@ -429,3 +429,50 @@ def test_session_window_matches_manual_sessionize_counts(spark):
         .count()
     )
     assert built_in == manual
+
+
+def test_session_window_agg_runs_under_streaming(spark):
+    """The same session_window expression runs as a streaming query
+    (watermark + append sink) and its closed sessions match the batch
+    result — the declarative sessionizer is genuinely streaming-ready."""
+    import uuid
+
+    from sparketl.operators.events_ops import session_window_agg
+    from sparketl.streaming.windows import read_event_stream
+
+    stream = read_event_stream(spark, SF_SMOKE)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = agg.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["total_value"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    assert len(got) > 0
+    batch = {
+        (r["user_id"], r["session_start_us"]): (r["n_events"], r["total_value"])
+        for r in session_window_agg(load_table(spark, SF_SMOKE, "events")).collect()
+    }
+    # append mode emits only watermark-closed sessions — every emitted
+    # session must be exactly its batch twin
+    for k, v in got.items():
+        assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-9
