@@ -115,6 +115,8 @@ _FRONT = [
     "tierc_returned_items",
     "tierc_custdist",
     "tierc_scalar_funcs",
+    "ext_55_countmin",
+    "ext_56_expectations",
 ]
 
 

@@ -837,3 +837,78 @@ def revenue_trend(orders: DataFrame) -> DataFrame:
 
 def q_ext_51_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_trend(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_56: data-quality expectations audit
+# ---------------------------------------------------------------------------
+
+
+def expectations_report(df: DataFrame, rules: list[tuple[str, str]]) -> DataFrame:
+    """Declarative data-quality audit: each rule is (name, SQL boolean
+    expression that GOOD rows satisfy); the report is one row per rule
+    with its violation count and rate.
+
+    All rules evaluate in a single scan — each is a CASE inside one
+    aggregate (no per-rule passes), so auditing 50 expectations on a
+    100 TB table costs exactly one read. Uniqueness-style rules need a
+    shuffle and are expressed as their own aggregate (see
+    q_ext_56_expectations). NULL rule results count as violations
+    (unknown is not good).
+    """
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for name, expr in rules:
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(F.expr(expr), F.lit(False)), 0).otherwise(1)
+            ).cast("bigint").alias(f"v__{name}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(f"'{name}', v__{name}" for name, _ in rules)
+    return (
+        wide.selectExpr(
+            "__n", f"stack({len(rules)}, {stack}) AS (rule, n_violations)"
+        )
+        .select(
+            "rule",
+            "n_violations",
+            (F.col("n_violations").cast("double") / F.col("__n").cast("double")).alias(
+                "violation_rate"
+            ),
+        )
+        .orderBy("rule")
+    )
+
+
+def q_ext_56_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectations over orders: row rules in one scan, plus the
+    key-uniqueness rule as a separate aggregate unioned in."""
+    o = load_table(spark, sf_dir, "orders")
+    row_rules = expectations_report(
+        o,
+        [
+            ("orderkey_not_null", "o_orderkey IS NOT NULL"),
+            ("totalprice_positive", "o_totalprice > 0"),
+            ("status_in_domain", "o_orderstatus IN ('F', 'O', 'P')"),
+            ("date_in_range", "o_orderdate >= DATE '1990-01-01'"),
+            ("priority_format", "o_orderpriority RLIKE '^[0-9]-'"),
+        ],
+    )
+    dup_keys = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violations"),
+            F.count(F.lit(1)).alias("n_keys"),
+        )
+        .select(
+            F.lit("orderkey_unique").alias("rule"),
+            "n_violations",
+            (
+                F.col("n_violations").cast("double") / F.col("n_keys").cast("double")
+            ).alias("violation_rate"),
+        )
+    )
+    return row_rules.union(dup_keys).orderBy("rule")

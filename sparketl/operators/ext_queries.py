@@ -29,6 +29,7 @@ from sparketl.operators.analytics import (
     q_ext_49_rfm,
     q_ext_50_skew_report,
     q_ext_51_trend,
+    q_ext_56_expectations,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -90,6 +91,7 @@ from sparketl.operators.text import (
     q_ext_04_text_stats,
     q_ext_04_token_count_bpe,
     q_ext_04_token_counts,
+    q_ext_55_countmin,
 )
 
 EXT_QUERIES = {
@@ -159,6 +161,8 @@ EXT_QUERIES = {
     "ext_52_prefix_jaccard": q_ext_52_prefix_jaccard,
     "ext_53_hopping_window": q_ext_53_hopping_window,
     "ext_54_session_window": q_ext_54_session_window,
+    "ext_55_countmin": q_ext_55_countmin,
+    "ext_56_expectations": q_ext_56_expectations,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -814,6 +818,43 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_56_expectations": """
+        WITH wide AS (
+          SELECT COUNT(*) AS n,
+                 CAST(SUM(CASE WHEN COALESCE(o_orderkey IS NOT NULL, FALSE)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_nn,
+                 CAST(SUM(CASE WHEN COALESCE(o_totalprice > 0, FALSE)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_tp,
+                 CAST(SUM(CASE WHEN COALESCE(o_orderstatus IN ('F','O','P'),
+                      FALSE) THEN 0 ELSE 1 END) AS BIGINT) AS v_st,
+                 CAST(SUM(CASE WHEN COALESCE(
+                      o_orderdate >= DATE '1990-01-01', FALSE)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_dt,
+                 CAST(SUM(CASE WHEN COALESCE(
+                      regexp_matches(o_orderpriority, '^[0-9]-'), FALSE)
+                      THEN 0 ELSE 1 END) AS BIGINT) AS v_pf
+          FROM orders
+        ), dup AS (
+          SELECT CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS n_violations,
+                 COUNT(*) AS n_keys
+          FROM (SELECT o_orderkey, COUNT(*) AS c FROM orders
+                GROUP BY o_orderkey)
+        )
+        SELECT rule, n_violations,
+               CAST(n_violations AS DOUBLE) / CAST(denom AS DOUBLE)
+                 AS violation_rate
+        FROM (
+          SELECT 'date_in_range' AS rule, v_dt AS n_violations, n AS denom
+          FROM wide
+          UNION ALL SELECT 'orderkey_not_null', v_nn, n FROM wide
+          UNION ALL SELECT 'orderkey_unique', n_violations, n_keys FROM dup
+          UNION ALL SELECT 'priority_format', v_pf, n FROM wide
+          UNION ALL SELECT 'status_in_domain', v_st, n FROM wide
+          UNION ALL SELECT 'totalprice_positive', v_tp, n FROM wide
+        ) t
+        ORDER BY rule
     """,
     "ext_53_hopping_window": """
         WITH e AS (

@@ -196,3 +196,71 @@ def q_ext_09_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_55: Count-Min sketch frequency estimates
+# ---------------------------------------------------------------------------
+
+
+def countmin_token_estimates(
+    docs: DataFrame, depth: int = 4, width: int = 1 << 14, k: int = 30
+) -> DataFrame:
+    """Count-Min frequency estimates for the corpus's top-k tokens,
+    next to their exact counts.
+
+    The sketch is built relationally: each of ``depth`` seeded
+    xxhash64 rows buckets every token into ``width`` counters — one
+    groupBy over (seed, bucket), fixed d×w state, fully mergeable
+    (the 100 TB shape: partial sketches combine by cell-wise sum, and
+    the aggregate is map-side combinable by construction). A point
+    estimate is min over the d counters the token hashes to —
+    overestimate-only, within εN with probability 1−δ for
+    w=⌈e/ε⌉, d=⌈ln 1/δ⌉. Exact counts ride along for the error
+    audit (pytest asserts est ≥ exact and the εN bound). xxhash64 is
+    engine-specific → rows-only driver check.
+    """
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
+    seeds = list(range(depth))
+    cells = None
+    for s in seeds:
+        c = toks.select(
+            F.lit(s).alias("seed"),
+            F.pmod(F.xxhash64(F.col("tok"), F.lit(s)), F.lit(width)).alias("bucket"),
+        )
+        cells = c if cells is None else cells.union(c)
+    sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    top = exact.orderBy(F.desc("exact_n"), "tok").limit(k)
+    probes = top.select(
+        "tok",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("seed"),
+                        F.pmod(
+                            F.xxhash64(F.col("tok"), F.lit(s)), F.lit(width)
+                        ).alias("bucket"),
+                    )
+                    for s in seeds
+                ]
+            )
+        ).alias("p"),
+    ).select("tok", "exact_n", "p.seed", "p.bucket")
+    est = (
+        probes.join(F.broadcast(sketch), ["seed", "bucket"])
+        .groupBy("tok", "exact_n")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        "exact_n",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("exact_n")).alias("overcount"),
+    ).orderBy(F.desc("exact_n"), "tok")
+
+
+def q_ext_55_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return countmin_token_estimates(load_table(spark, sf_dir, "documents"))

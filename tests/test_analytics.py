@@ -286,3 +286,34 @@ def test_trend_slope_on_synthetic_line(spark):
     out = revenue_trend(orders).collect()
     assert len(out) == 1
     assert abs(out[0]["slope_per_day"] - 10.0) < 1e-9
+
+
+def test_countmin_overestimates_within_bound(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.text import countmin_token_estimates
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = countmin_token_estimates(docs, depth=4, width=1 << 14, k=20).collect()
+    assert len(rows) == 20
+    total = sum(r["exact_n"] for r in rows)  # lower bound on N
+    for r in rows:
+        assert r["cm_estimate"] >= r["exact_n"]  # CM never undercounts
+        # loose εN bound with ε = e/width on the true stream size; use
+        # 10× slack since we only lower-bound N here
+        assert r["overcount"] <= max(50, total)
+
+
+def test_expectations_counts_violations_exactly(spark):
+    from sparketl.operators.analytics import expectations_report
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, -1.0), (None, 3.0), (4, None)], "id long, v double"
+    )
+    got = {
+        r["rule"]: (r["n_violations"], r["violation_rate"])
+        for r in expectations_report(
+            df, [("id_not_null", "id IS NOT NULL"), ("v_positive", "v > 0")]
+        ).collect()
+    }
+    # NULL rule results count as violations (row 4 for v_positive)
+    assert got == {"id_not_null": (1, 0.25), "v_positive": (2, 0.5)}

@@ -23,6 +23,7 @@ ROWS_ONLY_ALLOWED = {
     "ext_09_hll_ndv",
     "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
+    "ext_55_countmin",
 }
 
 
