@@ -96,6 +96,10 @@ AUDITED = [
     "tierc_lateral_topn",
     "tierc_waiting_orders",
     "tierc_min_cost_supplier",
+    "tierc_custdist",
+    "tierc_returned_items",
+    "ext_55_countmin",
+    "ext_56_expectations",
 ]
 
 
