@@ -117,6 +117,7 @@ _FRONT = [
     "tierc_scalar_funcs",
     "ext_55_countmin",
     "ext_56_expectations",
+    "tierc_forecast_revenue",
 ]
 
 

@@ -993,3 +993,35 @@ ENGINE_ORACLES.update({
         ORDER BY o_orderkey
 """,
 })
+
+
+def q_tierc_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: revenue delta from a discount change — a pure
+    scan-side aggregate (every predicate pushes into the parquet scan;
+    no join, no shuffle beyond the final 1-row combine). The classic
+    scan-throughput probe."""
+    return _run(spark, sf_dir, """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                 AS revenue_delta,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+""")
+
+
+ENGINE_QUERIES["tierc_forecast_revenue"] = q_tierc_forecast_revenue
+ENGINE_ORACLES["tierc_forecast_revenue"] = """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_discount AS DECIMAL(3,2))) AS DOUBLE)
+                 AS revenue_delta,
+               COUNT(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+"""
