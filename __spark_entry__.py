@@ -118,6 +118,7 @@ _FRONT = [
     "ext_55_countmin",
     "ext_56_expectations",
     "tierc_forecast_revenue",
+    "tierc_market_share",
 ]
 
 

@@ -354,3 +354,25 @@ def _parse_offset_fetch(tokens, i: int):
     if j >= len(tokens) or tokens[j].group().lower() != "only":
         raise DialectError("FETCH clause must end with ONLY")
     return n, m_cnt, j + 1
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement batch on top-level semicolons, honoring
+    the same lexical structure as the shim: ``;`` inside single-quoted
+    strings, ``[bracket]`` identifiers, or ``--`` comments never
+    splits. Empty statements (stray semicolons, trailing whitespace)
+    are dropped."""
+    stmts: list[str] = []
+    buf: list[str] = []
+    for m in _TOKEN.finditer(script):
+        if m.lastgroup == "other" and m.group() == ";":
+            s = "".join(buf).strip()
+            if s:
+                stmts.append(s)
+            buf = []
+        else:
+            buf.append(m.group())
+    s = "".join(buf).strip()
+    if s:
+        stmts.append(s)
+    return stmts

@@ -53,6 +53,23 @@ class Engine:
         self.last_result = df
         return df
 
+    def execute_script(
+        self, script: str, database: str | None = None
+    ) -> list[DataFrame]:
+        """Run a multi-statement batch: statements split on ``;`` using
+        the dialect lexer (semicolons inside string literals, bracket
+        identifiers, or comments never split), each executed in order
+        through the same shim path. Returns one DataFrame per
+        statement — the reference's users paste T-SQL batches, and
+        sequential semantics (later statements see earlier DDL/USE)
+        match the server behavior."""
+        from sparketl.dialect import split_statements
+
+        stmts = split_statements(script)
+        if not stmts:
+            raise QueryError("Query is empty")
+        return [self.execute(stmt, database=database) for stmt in stmts]
+
     # -- preview (tool:616-626, 843-853): first 100 rows, stringified ------
     def preview(self, df: DataFrame | None = None, n: int = PREVIEW_ROWS):
         df = df if df is not None else self.last_result

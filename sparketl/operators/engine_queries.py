@@ -1025,3 +1025,53 @@ ENGINE_ORACLES["tierc_forecast_revenue"] = """
           AND l_discount BETWEEN 0.05 AND 0.07
           AND l_quantity < 24
 """
+
+
+def q_tierc_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: one supplier nation's share of total revenue per
+    order year — conditional-sum ratio over one fact shuffle, the
+    nation dim broadcast twice removed (supplier→nation only here).
+    Share = exact decimal sums cast to double, one division."""
+    return _run(spark, sf_dir, """
+        WITH sales AS (
+          SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                 n_name,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2))) AS vol
+          FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+        )
+        SELECT order_year,
+               CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN vol
+                             ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_lines
+        FROM sales
+        GROUP BY order_year
+        ORDER BY order_year
+""")
+
+
+ENGINE_QUERIES["tierc_market_share"] = q_tierc_market_share
+ENGINE_ORACLES["tierc_market_share"] = """
+        WITH sales AS (
+          SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year,
+                 n_name,
+                 CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2))) AS vol
+          FROM lineitem
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+        )
+        SELECT order_year,
+               CAST(SUM(CASE WHEN n_name = 'NATION_0' THEN vol
+                             ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+                 / CAST(SUM(vol) AS DOUBLE) AS mkt_share,
+               COUNT(*) AS n_lines
+        FROM sales
+        GROUP BY order_year
+        ORDER BY order_year
+"""

@@ -47,3 +47,35 @@ def test_saved_queries_roundtrip(spark, tmp_path):
     assert eng.load_saved_queries() == {"q1": "SELECT 1", "q2": "SELECT 2"}
     eng.delete_saved_query("q1")
     assert eng.load_saved_queries() == {"q2": "SELECT 2"}
+
+
+def test_execute_script_sequential_statements(spark):
+    from sparketl.engine import Engine
+
+    eng = Engine(spark)
+    dfs = eng.execute_script("SELECT 1 AS a; SELECT 2 AS b;")
+    assert len(dfs) == 2
+    assert dfs[0].collect()[0]["a"] == 1
+    assert dfs[1].collect()[0]["b"] == 2
+
+
+def test_execute_script_semicolons_in_strings_and_comments(spark):
+    from sparketl.engine import Engine
+
+    eng = Engine(spark)
+    script = (
+        "SELECT 'a;b' AS s -- trailing; comment\n"
+        "; SELECT 2 AS n"
+    )
+    dfs = eng.execute_script(script)
+    assert len(dfs) == 2
+    assert dfs[0].collect()[0]["s"] == "a;b"
+
+
+def test_execute_script_empty_raises(spark):
+    import pytest
+
+    from sparketl.engine import Engine, QueryError
+
+    with pytest.raises(QueryError):
+        Engine(spark).execute_script(" ;; ")
