@@ -119,6 +119,7 @@ _FRONT = [
     "ext_56_expectations",
     "tierc_forecast_revenue",
     "tierc_market_share",
+    "ext_57_cumulative_users",
 ]
 
 

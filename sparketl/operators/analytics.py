@@ -912,3 +912,37 @@ def q_ext_56_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return row_rules.union(dup_keys).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# ext_57: cumulative distinct users per day
+# ---------------------------------------------------------------------------
+
+
+def cumulative_users(events: DataFrame) -> DataFrame:
+    """Running count of distinct users ever seen, per day — the
+    growth-curve query. A naive COUNT(DISTINCT) OVER (ORDER BY day)
+    rescans every prefix; the scalable identity is: distinct-so-far =
+    running sum of first-appearances. One aggregate finds each user's
+    first day (map-side combinable min), one tiny per-day count, one
+    running sum over the day-count table (calendar-sized). The fact
+    table is read once, and no state ever exceeds |days| rows after
+    the first aggregate."""
+    first_day = events.groupBy("user_id").agg(
+        F.min(F.expr("unix_micros(ts) div 86400000000")).alias("first_day")
+    )
+    per_day = first_day.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    running = F.sum("new_users").over(
+        Window.partitionBy(F.lit(0)).orderBy("day").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    return per_day.select(
+        "day", "new_users", running.alias("cumulative_users")
+    ).orderBy("day")
+
+
+def q_ext_57_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cumulative_users(load_table(spark, sf_dir, "events"))

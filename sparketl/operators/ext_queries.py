@@ -30,6 +30,7 @@ from sparketl.operators.analytics import (
     q_ext_50_skew_report,
     q_ext_51_trend,
     q_ext_56_expectations,
+    q_ext_57_cumulative_users,
 )
 from sparketl.operators.scaleops import (
     q_ext_39_bloom_join,
@@ -163,6 +164,7 @@ EXT_QUERIES = {
     "ext_54_session_window": q_ext_54_session_window,
     "ext_55_countmin": q_ext_55_countmin,
     "ext_56_expectations": q_ext_56_expectations,
+    "ext_57_cumulative_users": q_ext_57_cumulative_users,
     "ext_mm_decode": q_ext_mm_decode,
     "ext_mm_frames": q_ext_mm_frames,
 }
@@ -818,6 +820,21 @@ EXT_ORACLES = {
         FROM tri JOIN probs p
           ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
         GROUP BY tri.doc_id ORDER BY tri.doc_id
+    """,
+    "ext_57_cumulative_users": """
+        WITH fd AS (
+          SELECT user_id,
+                 MIN(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000)
+                   AS first_day
+          FROM events GROUP BY user_id
+        ), pd AS (
+          SELECT CAST(first_day AS BIGINT) AS day, COUNT(*) AS new_users
+          FROM fd GROUP BY first_day
+        )
+        SELECT day, new_users,
+               CAST(SUM(new_users) OVER (ORDER BY day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        FROM pd ORDER BY day
     """,
     "ext_56_expectations": """
         WITH wide AS (

@@ -317,3 +317,21 @@ def test_expectations_counts_violations_exactly(spark):
     }
     # NULL rule results count as violations (row 4 for v_positive)
     assert got == {"id_not_null": (1, 0.25), "v_positive": (2, 0.5)}
+
+
+def test_cumulative_users_equals_prefix_distinct(spark):
+    from sparketl.operators.analytics import cumulative_users
+
+    day = 86_400_000_000
+    # u1 on days 0,2; u2 on day 1; u3 on days 1,3 → cum: 1,3,3,3
+    rows = [
+        (1, 1, "a", 0), (2, 2, "a", day), (3, 3, "a", day + 1),
+        (4, 1, "a", 2 * day), (5, 3, "a", 3 * day),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts_us long"
+    ).select("event_id", "user_id", "event_type", F.timestamp_micros("ts_us").alias("ts"))
+    got = [(r["day"], r["new_users"], r["cumulative_users"])
+           for r in cumulative_users(e).collect()]
+    # only first-appearance days emit rows by design
+    assert got == [(0, 1, 1), (1, 2, 3)]
