@@ -21,61 +21,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Queries the round-1 correctness run never reached (the driver checks a
-# window of entries in iteration order), plus anything newly added this
-# round. Listed FIRST so every query accumulates at least one driver-side
-# verdict across rounds; the remainder follows in stable sorted order.
+# Round-3 rotation: the driver checks the FIRST 50 entries in iteration
+# order. Positions 1-5 are re-checks of queries that last ran red at the
+# driver (since fixed; all green locally); positions 6-50 are queries
+# that have never received a driver verdict in rounds 1-2. Everything
+# after slot 50 is queued for the round-4 window; previously-green
+# entries keep a stable order at the back.
 _FRONT = [
-    "tierc_shipping_priority",
-    "tierc_local_supplier_volume",
-    "tierc_sql_passthrough",
-    "tierc_tsql_top",
-    "tierc_tsql_funcs",
-    "tierc_tsql_concat",
-    "tierc_exists_subquery",
-    "tierc_scalar_subquery",
-    "ext_05_json_extract",
-    "ext_05_from_json_struct",
-    "ext_06_hourly_window",
-    "ext_06_sessionize",
-    "ext_06_sessionize_stateful",
-    "ext_07_asof_join",
-    "ext_07_range_join",
-    "ext_02_dup_clusters",
-    "ext_02_canonical_docs",
-    "ext_03_ann_ivf",
-    "ext_03_label_centroids",
-    "ext_04_fingerprint",
-    "ext_04_length_histogram",
-    "ext_09_hll_ndv",
-    "ext_10_tfidf_topk",
-    "ext_04_gopher_flags",
-    "ext_04_repetition",
-    "ext_11_rolling_7d",
-    "ext_12_decontaminate",
-    "ext_13_pii_scrub",
-    "ext_mm_decode",
-    "ext_mm_frames",
-    "ext_mm_resize",
-    "ext_14_passage_dedup",
-    "ext_15_pack_positions",
-    "ext_15_chunk_stats",
-    "ext_16_heavy_hitters",
+    # red-in-r1/r2, fixed — need a green driver row
     "ext_17_quantize",
-    "ext_18_mix_sources",
-    "ext_19_scd2",
-    "ext_09_approx_quantiles",
-    "ext_08_reservoir_per_group",
-    "ext_20_winsorize",
-    "tierc_nation_volume",
-    "tierc_line_status",
-    "tierc_promo_revenue",
-    "ext_21_collocations",
-    "tierc_tsql_dates",
-    "ext_15_pack_bins",
-    "ext_22_funnel",
-    "ext_23_retention",
-    "ext_24_salted_join",
+    "agg_02_value_counts",
+    "agg_06_pivot",
+    "ext_01_exact_dedup",
+    "prof_01_table_profile",
+    # never driver-checked (rounds 1-2)
     "ext_25_gapfill",
     "ext_26_merge_intervals",
     "ext_27_transitions",
@@ -100,25 +59,33 @@ _FRONT = [
     "ext_46_orphan_audit",
     "ext_47_dow_entropy",
     "ext_48_lm_score",
-    "tierc_tsql_pagination",
-    "tierc_min_cost_supplier",
-    "tierc_top_revenue_supplier",
-    "tierc_waiting_orders",
     "ext_49_rfm",
     "ext_50_skew_report",
     "ext_51_trend",
     "ext_52_prefix_jaccard",
-    "ext_53_hopping_window",
-    "ext_54_session_window",
+    "tierc_acct_screening",
+    "tierc_custdist",
+    "tierc_disjunctive_revenue",
+    "tierc_forecast_revenue",
     "tierc_lateral_topn",
+    "tierc_market_share",
+    "tierc_min_cost_supplier",
+    "tierc_priority_semijoin",
     "tierc_product_profit",
     "tierc_returned_items",
-    "tierc_custdist",
     "tierc_scalar_funcs",
+    "tierc_small_qty_revenue",
+    "tierc_supplier_cnt",
+    "tierc_top_revenue_supplier",
+    "tierc_tsql_pagination",
+    "tierc_volume_customers",
+    "tierc_waiting_orders",
+    # ---- end of the round-3 driver window (50 entries above) ----
+    # queued for round 4: round-2 late adds + anything new this round
+    "ext_53_hopping_window",
+    "ext_54_session_window",
     "ext_55_countmin",
     "ext_56_expectations",
-    "tierc_forecast_revenue",
-    "tierc_market_share",
     "ext_57_cumulative_users",
 ]
 

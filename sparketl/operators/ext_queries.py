@@ -414,7 +414,9 @@ EXT_ORACLES = {
                        list_max(list_transform(v, x -> abs(x))) AS m FROM v)
         )
         SELECT vec_id, CAST(scale AS DOUBLE) AS scale,
-               list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INT)) AS q,
+               array_to_string(list_transform(v,
+                 x -> CAST(CAST(floor(x / scale + 0.5) AS INT) AS VARCHAR)), ',')
+                 AS q_csv,
                list_max(list_transform(v,
                  x -> abs(x - floor(x / scale + 0.5) * scale))) AS max_err
         FROM s ORDER BY vec_id

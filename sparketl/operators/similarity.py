@@ -419,18 +419,25 @@ def quantize_embeddings(emb: DataFrame, vec_col: str = "embedding") -> DataFrame
     scan speed at any scale. Rounding is floor(x/scale + 0.5) (half-up
     toward +inf) rather than round(): round() half-even vs half-away
     differs across engines, floor(+0.5) is IEEE-identical everywhere.
-    Zero vectors get scale 1.0 so the division is always defined."""
+    Zero vectors get scale 1.0 so the division is always defined.
+
+    The quantized vector is emitted as a CSV string (q_csv), not an
+    array column: downstream comparison tooling canonicalizes rows via
+    pandas, where array cells are unhashable/unsortable."""
     v = F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE))")
     base = spread(emb).select("vec_id", v.alias("v"))
     maxabs = F.array_max(F.expr("transform(v, x -> abs(x))"))
     scale = F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0))
     scaled = base.select("vec_id", "v", scale.alias("scale"))
-    q = F.expr("transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))")
+    q_csv = F.expr(
+        "array_join(transform(v,"
+        " x -> CAST(CAST(floor(x / scale + 0.5D) AS INT) AS STRING)), ',')"
+    )
     max_err = F.expr(
         "array_max(transform(v, x -> abs(x - floor(x / scale + 0.5D) * scale)))"
     )
     return scaled.select(
-        "vec_id", "scale", q.alias("q"), max_err.alias("max_err")
+        "vec_id", "scale", q_csv.alias("q_csv"), max_err.alias("max_err")
     )
 
 

@@ -79,18 +79,28 @@ _PRUNABLE = re.compile(
 def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
     """Conservative: True unless the file's [min,max] interval proves no
     row can satisfy ``col op lit``. NULL rows never satisfy a
-    comparison, so dropping a file on its non-null min/max is sound."""
+    comparison, so dropping a file on its non-null min/max is sound.
+
+    Floating-point caveat: parquet footer stats EXCLUDE NaN, while
+    Spark SQL orders NaN greater than every double — a file whose
+    column contains NaN rows satisfies ``col > lit`` / ``>= lit`` /
+    ``= NaN`` regardless of its stats. For float-typed stats only the
+    upper-bound prunes (``<`` / ``<=``) are sound, because NaN rows can
+    never satisfy those; the rest never prune."""
     if col not in stats:
         return True
     mn, mx = stats[col]
-    if op == ">":
-        return mx > lit
-    if op == ">=":
-        return mx >= lit
+    is_float = isinstance(mn, float) or isinstance(mx, float)
     if op == "<":
         return mn < lit
     if op == "<=":
         return mn <= lit
+    if is_float:
+        return True  # possible NaN rows: >, >=, = cannot safely prune
+    if op == ">":
+        return mx > lit
+    if op == ">=":
+        return mx >= lit
     return mn <= lit <= mx  # = / ==
 
 
@@ -132,8 +142,12 @@ class ManagedTable:
         # newly written files get a footer read — O(new files) metadata
         # work per commit, no data scan ever.
         prev_stats = self._manifest().get("file_stats", {}) if self.exists() else {}
+        # `f in prev_stats` (not truthiness): a file with no numeric
+        # columns has stats {} which must still carry forward, or its
+        # footer would be re-read on every subsequent commit
         file_stats = {
-            f: prev_stats.get(f) or _collect_file_stats(f) for f in files
+            f: prev_stats[f] if prev_stats.get(f) is not None else _collect_file_stats(f)
+            for f in files
         }
         manifest = {
             "version": new_v,
@@ -207,9 +221,18 @@ class ManagedTable:
         """Manifest files that might contain rows matching ``where`` —
         AND-of-comparisons prune on footer stats; any conjunct the
         pruner cannot parse is ignored (never prunes), so the result is
-        always a superset of the matching files."""
+        always a superset of the matching files.
+
+        Pruning only fires for a pure conjunction of comparisons: a
+        predicate containing a top-level OR / NOT / parenthesis (or IN,
+        BETWEEN — anything beyond bare comparisons) disables pruning
+        entirely, because an AND-split of ``a > 5 AND b = 1 OR c = 2``
+        would treat ``a > 5`` as required and silently drop rows that
+        match only the OR branch."""
         m = self._manifest(version)
         if not where:
+            return list(m["files"])
+        if re.search(r"(?i)\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|[()]", where):
             return list(m["files"])
         stats = m.get("file_stats", {})
         conjuncts = [

@@ -177,10 +177,10 @@ def test_quantize_embeddings_known_and_bounded(spark):
         "vec_id long, embedding array<float>, label int",
     )
     rows = {r["vec_id"]: r for r in quantize_embeddings(emb).collect()}
-    assert rows[1]["q"] == [127, -63, 0]
+    assert rows[1]["q_csv"] == "127,-63,0"
     assert abs(rows[1]["scale"] - 1.0 / 127) < 1e-12
     assert rows[1]["max_err"] <= rows[1]["scale"] / 2 + 1e-12
-    assert rows[2]["scale"] == 1.0 and rows[2]["q"] == [0, 0, 0] and rows[2]["max_err"] == 0.0
+    assert rows[2]["scale"] == 1.0 and rows[2]["q_csv"] == "0,0,0" and rows[2]["max_err"] == 0.0
 
 
 def test_mix_sources_rates_and_determinism(spark):
