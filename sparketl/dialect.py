@@ -20,9 +20,14 @@ Rewrites (applied outside string literals and comments only):
 - ``CHARINDEX(sub,s)``   → ``locate(sub,s)`` (same argument order)
 - ``expr + 'str'`` / ``'str' + expr``
                          → ``expr || 'str'`` — T-SQL string concat, but
-                         only when a string literal is adjacent so the
-                         rewrite is unambiguous; ``col + col`` on string
-                         columns is out of scope (no type info here).
+                         only when a string literal is adjacent AND the
+                         other side is not a numeric literal: T-SQL
+                         ``1 + '2'`` performs implicit numeric
+                         conversion (= 3, not '12'), so a
+                         number-plus-string mix raises ``DialectError``
+                         instead of silently concatenating. ``col +
+                         col`` on string columns is out of scope (no
+                         type info here).
 - ``DATEDIFF(day|month|year, a, b)``
                          → boundary-crossing count (datediff /
                          year·12+month arithmetic — T-SQL semantics, not
