@@ -282,22 +282,41 @@ def _parse_top_count(tokens, i: int) -> tuple[str | None, int]:
 
 
 def _is_string_concat(tokens, i: int) -> bool:
-    """True when the ``+`` at token *i* has a string literal neighbor."""
+    """True when the ``+`` at token *i* has a string-literal neighbor.
+
+    Raises ``DialectError`` when the other neighbor is a numeric
+    literal (optionally signed): T-SQL ``1 + '2'`` implicitly converts
+    the string and returns 3, so rewriting it to ``||`` ('12') would be
+    a silent wrong answer — refusing is the only safe translation."""
+    prev_kind = None
     for j in range(i - 1, -1, -1):
         t = tokens[j]
         if not t.group().isspace():
-            if t.lastgroup == "string":
-                return True
+            prev_kind = t.lastgroup
             break
-    return _is_string_token(tokens, i)
-
-
-def _is_string_token(tokens, i: int) -> bool:
+    next_kind = None
     for j in range(i + 1, len(tokens)):
         t = tokens[j]
-        if not t.group().isspace():
-            return t.lastgroup == "string"
-    return False
+        if t.group().isspace():
+            continue
+        next_kind = t.lastgroup
+        # unary sign ahead of a numeric literal ('2' + -1)
+        if next_kind == "other" and t.group() in "+-":
+            for k in range(j + 1, len(tokens)):
+                if tokens[k].group().isspace():
+                    continue
+                if tokens[k].lastgroup == "number":
+                    next_kind = "number"
+                break
+        break
+    if "string" not in (prev_kind, next_kind):
+        return False
+    if "number" in (prev_kind, next_kind):
+        raise DialectError(
+            "number + string literal: T-SQL converts the string and adds "
+            "(1 + '2' = 3); rewrite the query with an explicit CAST"
+        )
+    return True
 
 
 def _after_select(out: list[str]) -> bool:

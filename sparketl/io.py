@@ -42,20 +42,42 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS), which a vanilla Spark 4
-    # session refuses to read (PARQUET_TYPE_ILLEGAL). The legacy conf is
-    # runtime-settable, so set it here rather than in the session
-    # factory: every entry point (including an externally constructed
-    # SparkSession handed to queries()) must be self-sufficient.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
-    # events.ts is parquet TIMESTAMP(NANOS): with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as epoch-ns long;
-    # convert to µs-precision TimestampType (integer div — same
-    # truncation DuckDB's epoch_us applies).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Make ``events.ts`` a plain µs TimestampType regardless of how the
+    session read the parquet TIMESTAMP(NANOS) column.
+
+    Spark versions differ here: with ``spark.sql.legacy.parquet.nanosAsLong``
+    honored the column arrives as epoch-ns LongType; newer readers (this
+    container's 4.1.x) surface it natively as TIMESTAMP_NTZ and ignore the
+    legacy conf. Downstream operators use ``unix_micros`` (TIMESTAMP-only),
+    so both shapes are normalized to TimestampType. The NTZ→LTZ cast uses
+    the session time zone; callers pin it to UTC (see ``load_table``) so the
+    wall-clock values match DuckDB's tz-naive reading of the same file.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # legacy nanos-as-long: ns → µs integer truncation
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every entry point must be self-sufficient under an externally
+    # constructed vanilla SparkSession (the driver's), so session-level
+    # prerequisites are (re)applied here, not only in the session factory.
+    # UTC makes the TIMESTAMP_NTZ→TIMESTAMP cast in normalize_events_ts a
+    # wall-clock identity, matching DuckDB's tz-naive view of the parquet.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        # Honored on older readers (nanos → LongType); silently ignored on
+        # readers that support TIMESTAMP(NANOS) natively as NTZ.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
 
 

@@ -43,7 +43,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from sparketl.io import load_table
+from sparketl.io import load_table, normalize_events_ts
 
 SESSION_SCHEMA = StructType(
     [
@@ -184,9 +184,7 @@ def read_staged_stream(spark: SparkSession, stage_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(stage_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def run_streaming_sessionize(

@@ -22,7 +22,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from sparketl.io import table_path
+from sparketl.io import normalize_events_ts, table_path
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,9 +47,7 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":  # nanos-as-long fixture
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_events_ts(stream)
 
 
 def streaming_hourly_agg(

@@ -28,6 +28,7 @@ resolve last-write-wins in source order.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import uuid
@@ -81,22 +82,27 @@ def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
     row can satisfy ``col op lit``. NULL rows never satisfy a
     comparison, so dropping a file on its non-null min/max is sound.
 
-    Floating-point caveat: parquet footer stats EXCLUDE NaN, while
-    Spark SQL orders NaN greater than every double — a file whose
-    column contains NaN rows satisfies ``col > lit`` / ``>= lit`` /
-    ``= NaN`` regardless of its stats. For float-typed stats only the
-    upper-bound prunes (``<`` / ``<=``) are sound, because NaN rows can
-    never satisfy those; the rest never prune."""
+    Floating-point / NaN: Spark SQL orders NaN greater than every
+    double, and Spark's parquet writer uses the same total order when
+    computing footer stats — so a file containing any NaN row records
+    ``max = NaN`` (verified against this container's writer; these
+    files are always written by ``_write_data``, never foreign). Hence:
+    a real (non-NaN) max proves the file is NaN-free and all four
+    comparison prunes are sound; ``max = NaN`` means NaN rows exist,
+    which satisfy ``>``/``>=`` for every literal and defeat ``=``
+    pruning, so only the ``<``/``<=`` prunes (driven by min, which is
+    real unless the file is all-NaN) remain. An all-NaN file has
+    ``min = NaN`` and ``NaN < lit`` is False both here and in Spark, so
+    the lower-bound prune stays sound there too."""
     if col not in stats:
         return True
     mn, mx = stats[col]
-    is_float = isinstance(mn, float) or isinstance(mx, float)
     if op == "<":
         return mn < lit
     if op == "<=":
         return mn <= lit
-    if is_float:
-        return True  # possible NaN rows: >, >=, = cannot safely prune
+    if isinstance(mx, float) and math.isnan(mx):
+        return True  # NaN rows present: they satisfy >, >=; = can't prune
     if op == ">":
         return mx > lit
     if op == ">=":

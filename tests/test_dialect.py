@@ -84,6 +84,24 @@ def test_plus_numeric_untouched():
     assert transpile("SELECT a + b, 1 + 2 FROM t") == "SELECT a + b, 1 + 2 FROM t"
 
 
+def test_plus_number_string_mix_raises():
+    # T-SQL converts the string and ADDS (1 + '2' = 3); a || rewrite
+    # would silently return '12', so the shim must refuse instead.
+    import pytest
+
+    from sparketl.dialect import DialectError
+
+    for sql in (
+        "SELECT 1 + '2'",
+        "SELECT '2' + 1",
+        "SELECT 1.5 + 'x' FROM t",
+        "SELECT '2' + -1",
+        "SELECT a + '1' + 1 FROM t",
+    ):
+        with pytest.raises(DialectError, match="number"):
+            transpile(sql)
+
+
 def test_top_as_identifier_after_select_distinct():
     # COUNT(DISTINCT top): 'top' here is a column, not the TOP keyword
     assert (

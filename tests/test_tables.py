@@ -309,6 +309,32 @@ def test_file_skipping_never_drops_matching_rows_with_nulls(spark, tmp_path):
     assert {r["id"] for r in tbl.read(where="v <= 10").collect()} == {2}
 
 
+def test_file_skipping_nan_rows_never_pruned_on_upper_ops(spark, tmp_path):
+    """Spark orders NaN above every double, and its parquet writer
+    records max=NaN for a NaN-containing file — so such a file must
+    survive >, >=, = pruning for any literal, while min-driven < / <=
+    pruning stays active."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    a = spark.createDataFrame(
+        [(1, 1.0), (2, float("nan"))], "id long, v double"
+    ).coalesce(1)
+    b = spark.createDataFrame([(3, 50.0)], "id long, v double").coalesce(1)
+    tbl.create(a.schema)
+    tbl.append(a)
+    tbl.append(b)
+    # NaN sorts above 1000: the NaN file must NOT be pruned and the row
+    # must come back (rows 2 and 3 match v > 10 under Spark semantics)
+    assert len(tbl.candidate_files("v > 1000")) == 1  # only the NaN file
+    assert {r["id"] for r in tbl.read(where="v > 10").collect()} == {2, 3}
+    # = cannot prune the NaN file, but prunes file b on its real range
+    assert len(tbl.candidate_files("v = 1")) == 1
+    # lower-bound prune still fires: min of the NaN file is 1.0 (real)
+    assert len(tbl.candidate_files("v < 1")) == 0
+    assert {r["id"] for r in tbl.read(where="v <= 1").collect()} == {1}
+
+
 def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
     """After zorder compaction, range predicates on EITHER column skip
     most files; after a linear x-sort, y predicates skip nothing."""
