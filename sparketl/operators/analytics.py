@@ -696,11 +696,15 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
 
     One orders scan builds the per-customer aggregate (recency in
     whole days versus the corpus max day — pure bigint epoch-day
-    arithmetic); the three ntile(5) scores share one window sort each
-    over the customer-sized aggregate (≪ fact table), with c_custkey
-    as the tiebreak so quintile boundaries are deterministic. The
-    final rollup is segment-count sized. Monetary sums are exact
-    decimals cast once.
+    arithmetic). Scores come from exact 20/40/60/80 percentile
+    thresholds (score = 1 + number of thresholds beaten), NOT a global
+    ntile: ntile needs a total sort of the customer table into ONE
+    partition, which straggles once customers reach cluster scale,
+    while ``percentile`` is a mergeable tree-aggregate (one tiny
+    all-reduce, broadcast back as a single row). Boundary ties all
+    land in the better bucket — deterministic without a tiebreak
+    column. The final rollup is segment-count sized; monetary sums are
+    exact decimals cast once.
     """
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(
@@ -709,29 +713,43 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary_dec"),
     )
-    # corpus max day as a constant-keyed window over the customer-sized
-    # aggregate (not a 1-row cross join, which plans as a nested-loop);
-    # the global quintile windows below already imply this data is
-    # driver-of-one-partition sized — RFM is a customer-aggregate-scale
-    # operator by definition.
-    max_day = F.max("last_day").over(Window.partitionBy(F.lit(0)))
-    m = per_cust.select(
+    max_day = per_cust.agg(F.max("last_day").alias("_max_day"))
+    m = per_cust.crossJoin(F.broadcast(max_day)).select(
         "o_custkey",
-        (max_day - F.col("last_day")).alias("recency_days"),
+        (F.col("_max_day") - F.col("last_day")).alias("recency_days"),
         "frequency",
         F.col("monetary_dec").cast("double").alias("monetary"),
     )
-    r_w = Window.orderBy("recency_days", "o_custkey")
-    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")
-    m_w = Window.orderBy(F.desc("monetary"), "o_custkey")
-    scored = m.select(
+    q = m.agg(
+        *[
+            F.expr(f"percentile(recency_days, {p})").alias(f"r{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            F.expr(f"percentile(frequency, {p})").alias(f"f{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+        *[
+            F.expr(f"percentile(monetary, {p})").alias(f"m{int(p * 100)}")
+            for p in (0.2, 0.4, 0.6, 0.8)
+        ],
+    )
+    # low recency is good (score 1); high frequency/monetary are good
+    r_score = sum(
+        (F.col("recency_days") > F.col(f"r{k}")).cast("int") for k in (20, 40, 60, 80)
+    ) + F.lit(1)
+    f_score = sum(
+        (F.col("frequency") < F.col(f"f{k}")).cast("int") for k in (20, 40, 60, 80)
+    ) + F.lit(1)
+    m_score = sum(
+        (F.col("monetary") < F.col(f"m{k}")).cast("int") for k in (20, 40, 60, 80)
+    ) + F.lit(1)
+    scored = m.crossJoin(F.broadcast(q)).select(
         "o_custkey",
-        "recency_days",
-        "frequency",
         "monetary",
-        F.ntile(5).over(r_w).alias("r_score"),
-        F.ntile(5).over(f_w).alias("f_score"),
-        F.ntile(5).over(m_w).alias("m_score"),
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
     )
     return (
         scored.groupBy("r_score", "f_score", "m_score")
@@ -766,11 +784,17 @@ def skew_report(lineitem: DataFrame, key: str = "l_suppkey", k: int = 20) -> Dat
     expression over bigints (IEEE-identical in the oracle).
     """
     counts = lineitem.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
-    w = Window.partitionBy(F.lit(0))
-    total = F.sum("n_rows").over(w)
-    n_keys = F.count(F.lit(1)).over(w)
+    # Grand totals via a tree-aggregate broadcast back as one row — a
+    # constant-keyed window here would shuffle the whole distinct-key
+    # table (|suppkeys| grows with SF) into one partition.
+    totals = counts.agg(
+        F.sum("n_rows").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    total = F.col("_total")
+    n_keys = F.col("_n_keys")
     return (
-        counts.select(
+        counts.crossJoin(F.broadcast(totals))
+        .select(
             F.col(key).alias("key"),
             "n_rows",
             (F.col("n_rows").cast("double") * 100.0 / total.cast("double")).alias(

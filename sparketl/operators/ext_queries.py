@@ -999,15 +999,35 @@ EXT_ORACLES = {
                  frequency,
                  CAST(monetary_dec AS DOUBLE) AS monetary
           FROM per_cust
-        ), scored AS (
-          SELECT o_custkey, recency_days, frequency, monetary,
-                 CAST(NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS INT)
-                   AS r_score,
-                 CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS INT)
-                   AS f_score,
-                 CAST(NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS INT)
-                   AS m_score
+        ), q AS (
+          SELECT quantile_cont(recency_days, 0.2) AS r20,
+                 quantile_cont(recency_days, 0.4) AS r40,
+                 quantile_cont(recency_days, 0.6) AS r60,
+                 quantile_cont(recency_days, 0.8) AS r80,
+                 quantile_cont(frequency, 0.2) AS f20,
+                 quantile_cont(frequency, 0.4) AS f40,
+                 quantile_cont(frequency, 0.6) AS f60,
+                 quantile_cont(frequency, 0.8) AS f80,
+                 quantile_cont(monetary, 0.2) AS m20,
+                 quantile_cont(monetary, 0.4) AS m40,
+                 quantile_cont(monetary, 0.6) AS m60,
+                 quantile_cont(monetary, 0.8) AS m80
           FROM m
+        ), scored AS (
+          SELECT o_custkey, monetary,
+                 CAST(1 + CAST(recency_days > r20 AS INT)
+                        + CAST(recency_days > r40 AS INT)
+                        + CAST(recency_days > r60 AS INT)
+                        + CAST(recency_days > r80 AS INT) AS INT) AS r_score,
+                 CAST(1 + CAST(frequency < f20 AS INT)
+                        + CAST(frequency < f40 AS INT)
+                        + CAST(frequency < f60 AS INT)
+                        + CAST(frequency < f80 AS INT) AS INT) AS f_score,
+                 CAST(1 + CAST(monetary < m20 AS INT)
+                        + CAST(monetary < m40 AS INT)
+                        + CAST(monetary < m60 AS INT)
+                        + CAST(monetary < m80 AS INT) AS INT) AS m_score
+          FROM m CROSS JOIN q
         )
         SELECT r_score, f_score, m_score, COUNT(*) AS n_customers,
                CAST(SUM(CAST(monetary AS DECIMAL(14,2))) AS DOUBLE)
