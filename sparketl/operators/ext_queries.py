@@ -1492,3 +1492,132 @@ EXT_ORACLES["ext_05_from_json_struct"] = """
       AND CAST(json_extract(props, '$.k') AS INT) % 7 = 0
     GROUP BY user_id ORDER BY user_id
 """
+
+
+# --------------------------------------------------------------- round 4
+# Training-pipeline corpus-curation ops (pipeline_ops) + streaming dedup.
+
+from sparketl.operators.pipeline_ops import (  # noqa: E402
+    q_ext_58_vocab_coverage,
+    q_ext_59_quality_buckets,
+    q_ext_60_embedding_outliers,
+)
+
+EXT_QUERIES["ext_58_vocab_coverage"] = q_ext_58_vocab_coverage
+EXT_ORACLES["ext_58_vocab_coverage"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS distinct_vocab
+      FROM counts
+    ), ranked AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS r
+      FROM counts ORDER BY n DESC, tok LIMIT 10000
+    ), cov AS (
+      SELECT k, CAST(SUM(CASE WHEN r <= k THEN n ELSE 0 END) AS BIGINT)
+               AS covered_tokens
+      FROM ranked CROSS JOIN (VALUES (100), (1000), (10000)) t(k)
+      GROUP BY k
+    )
+    SELECT CAST(k AS BIGINT) AS k, covered_tokens, total_tokens,
+           distinct_vocab,
+           CAST(covered_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+             AS coverage
+    FROM cov CROSS JOIN tot ORDER BY k
+"""
+
+EXT_QUERIES["ext_59_quality_buckets"] = q_ext_59_quality_buckets
+EXT_ORACLES["ext_59_quality_buckets"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ), tri AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(tk) - 1),
+               i -> {'w1': tk[i], 'w2': tk[i+1], 'w3': tk[i+2]}),
+             recursive := true)
+      FROM t
+    ), counts AS (
+      SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS n3
+      FROM tri GROUP BY w1, w2, w3
+    ), probs AS (
+      SELECT w1, w2, w3, n3,
+             CAST(SUM(n3) OVER (PARTITION BY w1, w2) AS BIGINT) AS n2
+      FROM counts
+    ), scores AS (
+      SELECT tri.doc_id, COUNT(*) AS n_trigrams,
+             CAST(SUM((p.n3 * 1000000000) // p.n2) AS DOUBLE) / 1e9
+               / CAST(COUNT(*) AS DOUBLE) AS mean_p
+      FROM tri JOIN probs p
+        ON tri.w1 = p.w1 AND tri.w2 = p.w2 AND tri.w3 = p.w3
+      GROUP BY tri.doc_id
+    ), scored AS (
+      SELECT s.doc_id, s.n_trigrams, s.mean_p, d.lang
+      FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+    ), th AS (
+      SELECT lang, quantile_cont(mean_p, 0.67) AS t_head,
+             quantile_cont(mean_p, 0.33) AS t_mid
+      FROM scored GROUP BY lang
+    )
+    SELECT s.lang,
+           CASE WHEN s.mean_p > th.t_head THEN 'head'
+                WHEN s.mean_p > th.t_mid THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_trigrams) AS BIGINT) AS sum_trigrams
+    FROM scored s JOIN th ON s.lang = th.lang
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+EXT_QUERIES["ext_60_embedding_outliers"] = q_ext_60_embedding_outliers
+EXT_ORACLES["ext_60_embedding_outliers"] = """
+    WITH e AS (
+      SELECT vec_id, label,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             list_reduce(list_sort(LIST(CAST(v AS DOUBLE))),
+                         (acc, x) -> acc + x) / COUNT(*) AS mean_v
+      FROM e GROUP BY label, pos
+    ), terms AS (
+      SELECT e.vec_id, e.label,
+             CAST(floor((CAST(e.v AS DOUBLE) - c.mean_v)
+                        * (CAST(e.v AS DOUBLE) - c.mean_v)
+                        * 1e9) AS BIGINT) AS term_nano
+      FROM e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+    ), d2 AS (
+      SELECT vec_id, label, CAST(SUM(term_nano) AS BIGINT) AS d2_nano
+      FROM terms GROUP BY vec_id, label
+    ), th AS (
+      SELECT label, quantile_cont(d2_nano, 0.99) AS p99_d2_nano
+      FROM d2 GROUP BY label
+    )
+    SELECT d2.label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN CAST(d2.d2_nano AS DOUBLE) > th.p99_d2_nano
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(d2.d2_nano) AS BIGINT) AS max_d2_nano,
+           ANY_VALUE(th.p99_d2_nano) AS p99_d2_nano
+    FROM d2 JOIN th ON d2.label = th.label
+    GROUP BY d2.label ORDER BY d2.label
+"""
+
+
+def q_ext_61_stream_dedup(spark, sf_dir):
+    """Streaming first-occurrence dedup driven over the staged finite
+    fixture; output = batch SELECT DISTINCT, which is the oracle."""
+    from sparketl.streaming.stateful import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir).orderBy("user_id", "event_type")
+
+
+EXT_QUERIES["ext_61_stream_dedup"] = q_ext_61_stream_dedup
+EXT_ORACLES["ext_61_stream_dedup"] = """
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+"""

@@ -1,0 +1,192 @@
+"""Training-data pipeline operators (EXT suite, round 4): vocabulary
+coverage curves, CCNet-style per-language quality bucketing, and
+embedding outlier detection.
+
+Like the rest of the EXT suite these go beyond the reference's query
+surface (the reference ships raw SQL to SQL Server,
+SQL_DATA_INTEGRATION_TOOL.py:273); they are corpus-curation operators
+an LLM pretraining pipeline runs at 100 TB, expressed as pure JVM
+DataFrame plans — no Python UDFs, no driver-side loops.
+
+Engine-exactness (oracle hashing): floats are either a single
+bigint÷bigint IEEE division (coverage ratio), an exact ``percentile``
+(bit-identical to DuckDB ``quantile_cont``), or a fixed expression
+over doubles that both engines evaluate identically (the squared
+centroid distance is quantized to bigint nanos per term BEFORE the
+order-sensitive sum, so accumulation order can't flip a bit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table, spread
+
+# ---------------------------------------------------------------------------
+# ext_58: vocabulary coverage curve (top-k token share)
+# ---------------------------------------------------------------------------
+
+
+def vocab_coverage(
+    docs: DataFrame, ks: tuple[int, ...] = (100, 1000, 10000)
+) -> DataFrame:
+    """What fraction of all corpus tokens the top-k vocabulary covers,
+    for each k — the curve that sizes a tokenizer's vocab (BPE stops
+    earning when the curve flattens).
+
+    One corpus-sized explode feeds a map-side-combinable token count;
+    everything after operates on the vocabulary-sized aggregate. The
+    top-``max(ks)`` cut is ``orderBy().limit()`` — Spark's distributed
+    TakeOrdered, never a global sort — and the only window runs over
+    those ≤ max(ks) rows (a fixed constant, not data-sized). Grand
+    totals ride in as a broadcast one-row aggregate; the coverage
+    ratio is one bigint÷bigint division.
+    """
+    max_k = max(ks)
+    tokens = docs.select(F.explode(F.split("text", " ")).alias("tok")).where(
+        F.col("tok") != ""
+    )
+    counts = tokens.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_vocab"),
+    )
+    top = counts.orderBy(F.desc("n"), "tok").limit(max_k)
+    # rank window over ≤ max_k rows — constant-bounded by construction
+    ranked = top.select(
+        "n", F.row_number().over(Window.orderBy(F.desc("n"), "tok")).alias("r")
+    )
+    ks_df = docs.sparkSession.createDataFrame([(k,) for k in ks], "k long")
+    covered = (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("r") <= F.col("k"), F.col("n")).otherwise(F.lit(0)))
+            .alias("covered_tokens")
+        )
+    )
+    return (
+        covered.crossJoin(F.broadcast(totals))
+        .select(
+            "k",
+            "covered_tokens",
+            "total_tokens",
+            "distinct_vocab",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double")
+            ).alias("coverage"),
+        )
+        .orderBy("k")
+    )
+
+
+def q_ext_58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_59: CCNet-style per-language quality buckets
+# ---------------------------------------------------------------------------
+
+
+def quality_buckets(docs: DataFrame) -> DataFrame:
+    """Split each language's documents into head/middle/tail thirds by
+    corpus-LM fluency — the CCNet bucketing that decides which slice of
+    a crawl is worth training on.
+
+    Reuses :func:`sparketl.operators.textmine.lm_doc_score` (one
+    corpus scan) for the per-document score, then: per-language 33/67
+    percentile thresholds via exact ``percentile`` — a mergeable
+    tree-aggregate, NOT a per-language sort — broadcast back as a
+    |languages|-row table, a codegen'd comparison to assign buckets,
+    and a segment-sized rollup. Boundary ties land in the better
+    bucket; ``percentile`` matches DuckDB ``quantile_cont``
+    bit-for-bit, so the bucket assignment is engine-exact.
+    """
+    from sparketl.operators.textmine import lm_doc_score
+
+    scores = lm_doc_score(docs).select("doc_id", "n_trigrams", "mean_p")
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+    th = scored.groupBy("lang").agg(
+        F.expr("percentile(mean_p, 0.67)").alias("t_head"),
+        F.expr("percentile(mean_p, 0.33)").alias("t_mid"),
+    )
+    bucket = (
+        F.when(F.col("mean_p") > F.col("t_head"), F.lit("head"))
+        .when(F.col("mean_p") > F.col("t_mid"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.join(F.broadcast(th), "lang")
+        .select("lang", bucket.alias("bucket"), "n_trigrams")
+        .groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_trigrams").alias("sum_trigrams"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def q_ext_59_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_buckets(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_60: embedding outliers (distance to own label centroid)
+# ---------------------------------------------------------------------------
+
+
+def embedding_outliers(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-label outlier audit: vectors whose squared distance to their
+    own label centroid exceeds the label's p99 — the mislabeled-example
+    / embedding-drift detector run before training on labeled data.
+
+    Centroids come from :func:`sparketl.operators.similarity.
+    label_centroids` (sorted-fold mean — engine-exact); they are
+    |labels|×dim rows, so the join back to the exploded components is a
+    broadcast. Each squared-difference term is quantized to bigint
+    nanos BEFORE the per-vector sum, making the distance independent of
+    accumulation order (a raw double sum would hash-mismatch on
+    partitioning alone); the p99 threshold is an exact ``percentile``
+    tree-aggregate per label. Nothing here sorts or collects the corpus.
+    """
+    from sparketl.operators.similarity import label_centroids
+
+    cent = label_centroids(emb, vec_col=vec_col)
+    e = spread(emb).select(
+        "vec_id", "label", F.posexplode(vec_col).alias("pos", "v")
+    )
+    term_nano = F.floor(
+        (F.col("v").cast("double") - F.col("mean_v"))
+        * (F.col("v").cast("double") - F.col("mean_v"))
+        * F.lit(1e9)
+    ).cast("long")
+    d2 = (
+        e.join(F.broadcast(cent.select("label", "pos", "mean_v")), ["label", "pos"])
+        .select("vec_id", "label", term_nano.alias("term_nano"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("term_nano").alias("d2_nano"))
+    )
+    th = d2.groupBy("label").agg(
+        F.expr("percentile(d2_nano, 0.99)").alias("p99_d2_nano")
+    )
+    return (
+        d2.join(F.broadcast(th), "label")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum(
+                (F.col("d2_nano").cast("double") > F.col("p99_d2_nano")).cast("long")
+            ).alias("n_outliers"),
+            F.max("d2_nano").alias("max_d2_nano"),
+            F.first("p99_d2_nano").alias("p99_d2_nano"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_ext_60_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_outliers(load_table(spark, sf_dir, "embeddings"))

@@ -214,6 +214,47 @@ def run_streaming_sessionize(
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def streaming_dedup_keys(stream: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: emit each (user_id, event_type)
+    key the first time it is ever seen — the streaming half of EXT-01.
+
+    ``dropDuplicates`` on a stream keeps one state row per distinct
+    key and appends first occurrences only; state is the distinct-key
+    set, not the stream. On an unbounded key space you would bound it
+    with ``dropDuplicatesWithinWatermark`` (same plan plus a watermark
+    column, state evicted past the horizon) — the fixture's key space
+    is finite so the exact form is the oracle-checkable one.
+    """
+    return stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_streaming_dedup(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Drive the streaming dedup over the staged finite fixture; the
+    collected output must equal batch ``SELECT DISTINCT`` — which is
+    exactly what the DuckDB oracle checks."""
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        keys = streaming_dedup_keys(read_staged_stream(spark, stage))
+        name = f"dedup_{uuid.uuid4().hex[:8]}"
+        q = (
+            keys.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(f"SELECT user_id, event_type FROM {name}")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 def stream_ingest_append(
     stream: DataFrame, table, checkpoint_dir: str
 ):

@@ -1,0 +1,75 @@
+"""Round-4 training-pipeline operators: vocabulary coverage, CCNet
+quality buckets, embedding outliers, streaming dedup."""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_vocab_coverage_monotone_and_bounded(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import vocab_coverage
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = vocab_coverage(docs).collect()
+    assert [r["k"] for r in rows] == [100, 1000, 10000]
+    prev = 0.0
+    for r in rows:
+        assert 0.0 < r["coverage"] <= 1.0
+        assert r["covered_tokens"] <= r["total_tokens"]
+        assert r["coverage"] >= prev  # more vocab never covers less
+        prev = r["coverage"]
+    # all rows agree on the corpus totals
+    assert len({(r["total_tokens"], r["distinct_vocab"]) for r in rows}) == 1
+
+
+def test_quality_buckets_partition_scored_docs(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import quality_buckets
+    from sparketl.operators.textmine import lm_doc_score
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    buckets = quality_buckets(docs).collect()
+    assert {r["bucket"] for r in buckets} <= {"head", "middle", "tail"}
+    # buckets partition exactly the scored (>=3-token) docs per language
+    n_scored = lm_doc_score(docs).count()
+    assert sum(r["n_docs"] for r in buckets) == n_scored
+    # thirds: within each language no bucket swallows everything
+    per_lang = {}
+    for r in buckets:
+        per_lang.setdefault(r["lang"], []).append(r["n_docs"])
+    for lang, ns in per_lang.items():
+        if sum(ns) >= 9:  # enough docs for thirds to be meaningful
+            assert max(ns) < sum(ns), lang
+
+
+def test_embedding_outliers_p99_flags_about_one_percent(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import embedding_outliers
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = embedding_outliers(emb).collect()
+    assert rows, "expected at least one label"
+    for r in rows:
+        assert 0 <= r["n_outliers"] <= max(1, int(r["n_vecs"] * 0.02))
+        assert r["max_d2_nano"] >= 0
+        # the max distance is at or beyond the p99 threshold
+        assert float(r["max_d2_nano"]) >= r["p99_d2_nano"] or r["n_vecs"] == 1
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    from sparketl.io import load_table
+    from sparketl.streaming.stateful import run_streaming_dedup
+
+    got = {
+        (r["user_id"], r["event_type"])
+        for r in run_streaming_dedup(spark, SF_SMOKE, n_chunks=3).collect()
+    }
+    want = {
+        (r["user_id"], r["event_type"])
+        for r in load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == want
