@@ -21,72 +21,83 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-3 rotation: the driver checks the FIRST 50 entries in iteration
-# order. Positions 1-5 are re-checks of queries that last ran red at the
-# driver (since fixed; all green locally); positions 6-50 are queries
-# that have never received a driver verdict in rounds 1-2. Everything
-# after slot 50 is queued for the round-4 window; previously-green
-# entries keep a stable order at the back.
+# Round-4 rotation: the driver checks the FIRST 50 entries in iteration
+# order. Window layout: (a) queries with NO driver verdict in any round
+# (round-2/3 late adds + this round's new operators), (b) queries that
+# ran red in round 3 (the TIMESTAMP_NTZ loader bug, since fixed), (c)
+# queries whose semantics changed this round (RFM percentile scoring,
+# skew-report broadcast totals), (d) stalest previously-green entries —
+# last checked in round 1. The 12 remaining round-1-only entries queue
+# for the round-5 window.
 _FRONT = [
-    # red-in-r1/r2, fixed — need a green driver row
-    "ext_17_quantize",
-    "agg_02_value_counts",
-    "agg_06_pivot",
-    "ext_01_exact_dedup",
-    "prof_01_table_profile",
-    # never driver-checked (rounds 1-2)
-    "ext_25_gapfill",
-    "ext_26_merge_intervals",
-    "ext_27_transitions",
-    "ext_28_cdf",
-    "ext_29_fuzzy_join",
-    "ext_30_top_paths",
-    "ext_31_outliers",
-    "ext_32_unpivot",
-    "ext_33_props_numbers",
-    "ext_34_trigram_lm",
-    "ext_35_chunk_overlap",
-    "ext_36_bag_dedup",
-    "ext_37_containment",
-    "ext_38_chisq",
-    "ext_39_bloom_join",
-    "ext_40_hash_sample",
-    "ext_41_pagerank",
-    "ext_42_window_suite",
-    "ext_43_moment_stats",
-    "ext_44_exact_percentiles",
-    "ext_45_histogram",
-    "ext_46_orphan_audit",
-    "ext_47_dow_entropy",
-    "ext_48_lm_score",
-    "ext_49_rfm",
-    "ext_50_skew_report",
-    "ext_51_trend",
-    "ext_52_prefix_jaccard",
-    "tierc_acct_screening",
-    "tierc_custdist",
-    "tierc_disjunctive_revenue",
-    "tierc_forecast_revenue",
-    "tierc_lateral_topn",
-    "tierc_market_share",
-    "tierc_min_cost_supplier",
-    "tierc_priority_semijoin",
-    "tierc_product_profit",
-    "tierc_returned_items",
-    "tierc_scalar_funcs",
-    "tierc_small_qty_revenue",
-    "tierc_supplier_cnt",
-    "tierc_top_revenue_supplier",
-    "tierc_tsql_pagination",
-    "tierc_volume_customers",
-    "tierc_waiting_orders",
-    # ---- end of the round-3 driver window (50 entries above) ----
-    # queued for round 4: round-2 late adds + anything new this round
+    # (a) never driver-checked
     "ext_53_hopping_window",
     "ext_54_session_window",
     "ext_55_countmin",
     "ext_56_expectations",
     "ext_57_cumulative_users",
+    "ext_58_vocab_coverage",
+    "ext_59_quality_buckets",
+    "ext_60_embedding_outliers",
+    "ext_61_stream_dedup",
+    # (b) red in round 3 (NTZ loader bug), fixed — need a green row
+    "ext_25_gapfill",
+    "ext_26_merge_intervals",
+    "ext_30_top_paths",
+    "ext_38_chisq",
+    "ext_47_dow_entropy",
+    # (c) semantics changed this round — need a fresh verdict
+    "ext_49_rfm",
+    "ext_50_skew_report",
+    # (d) stalest green (round-1 verdict only)
+    "flagship_pricing_summary",
+    "agg_01_group_sum",
+    "agg_03_count_avg",
+    "agg_04_distinct",
+    "agg_04_having",
+    "agg_05_cube",
+    "agg_05_grouping_sets",
+    "agg_05_rollup",
+    "agg_05_stats",
+    "agg_07_quantiles",
+    "ext_01_dedup_documents",
+    "ext_02_minhash_lsh",
+    "ext_02_ngram_jaccard",
+    "ext_02_simhash",
+    "ext_03_ann_lsh",
+    "ext_03_cosine_topk",
+    "ext_03_embedding_near_dup",
+    "ext_04_lang_id",
+    "ext_04_quality",
+    "ext_04_text_stats",
+    "ext_04_token_count_bpe",
+    "ext_04_token_counts",
+    "ext_08_stratified_sample",
+    "flt_01_eq_and",
+    "flt_03_not_in",
+    "flt_04_param_eq",
+    "flt_05_range",
+    "fn_01_year_month",
+    "join_01_inner",
+    "join_02_full",
+    "join_02_left",
+    "join_03_star",
+    "join_semi_anti",
+    "lim_01_preview",
+    # ---- end of the round-4 driver window (50 entries above) ----
+    # queued for round 5: the remaining round-1-only entries
+    "lim_02_topk",
+    "prj_01_projection",
+    "prj_02_mapping_rename",
+    "prj_03_null_normalize",
+    "prj_04_stringify",
+    "set_intersect_except",
+    "set_union",
+    "srt_01_order_by",
+    "srt_02_limit_offset",
+    "subquery_above_avg",
+    "window_rank",
+    "window_running_sum",
 ]
 
 
