@@ -60,6 +60,9 @@ HEADLINE = [
     "ext_53_hopping_window",
     "ext_49_rfm",
     "tierc_waiting_orders",
+    "ext_58_vocab_coverage",
+    "ext_59_quality_buckets",
+    "ext_60_embedding_outliers",
 ]
 
 
