@@ -35,6 +35,18 @@ QUADRATIC_OK = {
     "ext_03_cosine_topk",  # corpus × broadcast-queries by design
 }
 
+# Queries whose plan carries a BroadcastNestedLoopJoin ONLY because a
+# one-row (or ks-sized constant) aggregate is broadcast back into the
+# projection — grand totals, percentile thresholds, corpus max. That is
+# the scale-SAFE replacement for a constant-keyed window (which would
+# shuffle the whole table into one partition); the "nested loop" runs
+# once per row against a single broadcast row.
+BROADCAST_SCALAR_OK = {
+    "ext_49_rfm",
+    "ext_50_skew_report",
+    "ext_58_vocab_coverage",
+}
+
 AUDITED = [
     "flagship_pricing_summary",
     "join_03_star",
@@ -100,6 +112,10 @@ AUDITED = [
     "tierc_returned_items",
     "ext_55_countmin",
     "ext_56_expectations",
+    "ext_57_cumulative_users",
+    "ext_58_vocab_coverage",
+    "ext_59_quality_buckets",
+    "ext_60_embedding_outliers",
 ]
 
 
@@ -117,7 +133,7 @@ def plan_text(df) -> str:
 def audit(name: str, text: str) -> list[str]:
     problems: list[str] = []
     if ("CartesianProduct" in text or "BroadcastNestedLoopJoin" in text) and (
-        name not in QUADRATIC_OK
+        name not in QUADRATIC_OK and name not in BROADCAST_SCALAR_OK
     ):
         problems.append("unexpected nested-loop/cartesian join")
     # codegen stages render as "WholeStageCodegen (N)" in formatted
