@@ -40,6 +40,8 @@ _FRONT = [
     "ext_59_quality_buckets",
     "ext_60_embedding_outliers",
     "ext_61_stream_dedup",
+    "ext_62_source_cap",
+    "ext_63_curation_funnel",
     # (b) red in round 3 (NTZ loader bug), fixed — need a green row
     "ext_25_gapfill",
     "ext_26_merge_intervals",
@@ -82,10 +84,10 @@ _FRONT = [
     "join_02_full",
     "join_02_left",
     "join_03_star",
-    "join_semi_anti",
-    "lim_01_preview",
     # ---- end of the round-4 driver window (50 entries above) ----
     # queued for round 5: the remaining round-1-only entries
+    "join_semi_anti",
+    "lim_01_preview",
     "lim_02_topk",
     "prj_01_projection",
     "prj_02_mapping_rename",

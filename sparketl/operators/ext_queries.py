@@ -1621,3 +1621,94 @@ EXT_ORACLES["ext_61_stream_dedup"] = """
     SELECT DISTINCT user_id, event_type FROM events
     ORDER BY user_id, event_type
 """
+
+
+from sparketl.operators.pipeline_ops import (  # noqa: E402
+    q_ext_62_source_cap,
+    q_ext_63_curation_funnel,
+)
+
+EXT_QUERIES["ext_62_source_cap"] = q_ext_62_source_cap
+EXT_ORACLES["ext_62_source_cap"] = """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ), kept AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+             CAST(MIN(n_chars) AS BIGINT) AS min_kept_chars
+      FROM ranked WHERE rn <= 50 GROUP BY source
+    ), totals AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    )
+    SELECT t.source, t.n_docs, k.n_kept, k.kept_chars, k.min_kept_chars
+    FROM totals t JOIN kept k ON t.source = k.source
+    ORDER BY t.source
+"""
+
+EXT_QUERIES["ext_63_curation_funnel"] = q_ext_63_curation_funnel
+EXT_ORACLES["ext_63_curation_funnel"] = """
+    WITH flags AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+               / len(string_split(text, ' ')) AS mean_wl,
+             len(list_filter(string_split(text, ' '),
+                 x -> x = 'the' OR x = 'a')) AS n_stop
+      FROM documents
+    ), quality AS (
+      SELECT d.* FROM documents d JOIN flags f ON d.doc_id = f.doc_id
+      WHERE (f.n_tokens >= 10 AND f.n_tokens <= 500)
+        AND (f.mean_wl >= 3.0 AND f.mean_wl <= 10.0)
+        AND (CAST(f.n_stop AS DOUBLE) / f.n_tokens >= 0.01)
+    ), exact AS (
+      SELECT * FROM (
+        SELECT q.*, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM quality q
+      ) WHERE rn = 1
+    ), sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+               range(1, len(string_split(text, ' ')) - 1),
+               i -> string_split(text, ' ')[i] || ' '
+                    || string_split(text, ' ')[i+1] || ' '
+                    || string_split(text, ' ')[i+2])) AS s
+      FROM exact WHERE len(string_split(text, ' ')) >= 3
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS tok FROM sh
+    ), common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             COUNT(*) AS n_common
+      FROM tok a JOIN tok b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), sizes AS (
+      SELECT doc_id, len(s) AS n_sh FROM sh
+    ), dup_b AS (
+      SELECT DISTINCT c.doc_b AS doc_id
+      FROM common c
+      JOIN sizes sa ON c.doc_a = sa.doc_id
+      JOIN sizes sb ON c.doc_b = sb.doc_id
+      WHERE CAST(c.n_common AS DOUBLE)
+            / (sa.n_sh + sb.n_sh - c.n_common) >= 0.8
+    ), near AS (
+      SELECT * FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM dup_b)
+    )
+    SELECT CAST(0 AS INT) AS stage_idx, 'raw' AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) AS n_chars
+    FROM documents
+    UNION ALL
+    SELECT CAST(1 AS INT), 'quality', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM quality
+    UNION ALL
+    SELECT CAST(2 AS INT), 'exact_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM exact
+    UNION ALL
+    SELECT CAST(3 AS INT), 'near_dedup', CAST(COUNT(*) AS BIGINT),
+           CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM near
+    ORDER BY stage_idx
+"""

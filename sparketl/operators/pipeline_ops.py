@@ -190,3 +190,103 @@ def embedding_outliers(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
 
 def q_ext_60_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext_62: per-source document cap (domain cap)
+# ---------------------------------------------------------------------------
+
+
+def source_cap(docs: DataFrame, cap: int = 50) -> DataFrame:
+    """Cap every source at its ``cap`` longest documents — the domain
+    cap a crawl pipeline applies so no single site dominates the mix.
+
+    One window partitioned BY SOURCE (row_number over n_chars desc,
+    doc_id as the deterministic tiebreak) — the shuffle key is the
+    source, so a hot source is one partition's worth of work and the
+    cap itself bounds what survives. The summary keeps the output
+    source-count sized."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    kept = docs.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= cap
+    )
+    summary_kept = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("n_chars").alias("min_kept_chars"),
+    )
+    totals = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        totals.join(summary_kept, "source")
+        .select("source", "n_docs", "n_kept", "kept_chars", "min_kept_chars")
+        .orderBy("source")
+    )
+
+
+def q_ext_62_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_cap(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_63: end-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+
+def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFrame:
+    """The whole curation pipeline as one query: raw → quality gates →
+    exact dedup → near-dup drop, reporting survivors per stage (the
+    funnel chart every dataset card shows).
+
+    Stage composition is pure lineage — each stage filters the
+    previous stage's DataFrame, so Catalyst plans the funnel as one
+    DAG with shared scans (ReusedExchange), not four pipelines:
+
+    - quality: Gopher boolean gates, map-only at scan speed;
+    - exact:   one hash shuffle on text, min-doc_id survivor;
+    - near:    trigram-Jaccard pairs ≥ threshold among survivors, drop
+               the larger doc_id of each pair. The quadratic shingle
+               self-join is the oracle-exact baseline; at 100 TB the
+               same stage swaps in MinHash-LSH candidates
+               (operators.dedup.minhash_lsh_pairs) with this exact
+               form as its verifier on samples.
+    """
+    from sparketl.operators.corpus import gopher_flags
+    from sparketl.operators.dedup import exact_dedup, ngram_jaccard_pairs
+
+    quality = (
+        docs.join(
+            gopher_flags(docs).select("doc_id", "passes"), "doc_id"
+        )
+        .filter(F.col("passes"))
+        .drop("passes")
+    )
+    exact = exact_dedup(quality, ["text"], "doc_id")
+    dup_b = (
+        ngram_jaccard_pairs(exact, threshold=jaccard_threshold)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    near = exact.join(dup_b, "doc_id", "left_anti")
+
+    def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).alias("n_chars"),
+        ).select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_chars",
+        )
+
+    return (
+        stage(0, "raw", docs)
+        .unionAll(stage(1, "quality", quality))
+        .unionAll(stage(2, "exact_dedup", exact))
+        .unionAll(stage(3, "near_dedup", near))
+        .orderBy("stage_idx")
+    )
+
+
+def q_ext_63_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curation_funnel(load_table(spark, sf_dir, "documents"))

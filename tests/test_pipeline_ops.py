@@ -57,6 +57,42 @@ def test_embedding_outliers_p99_flags_about_one_percent(spark):
         assert float(r["max_d2_nano"]) >= r["p99_d2_nano"] or r["n_vecs"] == 1
 
 
+def test_source_cap_caps_and_keeps_longest(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import source_cap
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = source_cap(docs, cap=3).collect()
+    for r in rows:
+        assert r["n_kept"] <= 3
+        assert r["n_kept"] <= r["n_docs"]
+    # kept docs are the longest: min kept length >= every dropped length
+    one = rows[0]["source"]
+    lens = sorted(
+        (r["n_chars"] for r in docs.filter(F.col("source") == one).collect()),
+        reverse=True,
+    )
+    assert rows[0]["min_kept_chars"] == lens[min(3, len(lens)) - 1]
+
+
+def test_curation_funnel_monotone_stages(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import curation_funnel
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = curation_funnel(docs).collect()
+    assert [r["stage"] for r in rows] == [
+        "raw",
+        "quality",
+        "exact_dedup",
+        "near_dedup",
+    ]
+    counts = [r["n_docs"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # funnel never grows
+    assert counts[0] == docs.count()
+    assert counts[-1] > 0
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     from sparketl.io import load_table
     from sparketl.streaming.stateful import run_streaming_dedup
