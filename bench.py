@@ -63,6 +63,8 @@ HEADLINE = [
     "ext_58_vocab_coverage",
     "ext_59_quality_buckets",
     "ext_60_embedding_outliers",
+    "ext_62_source_cap",
+    "ext_63_curation_funnel",
 ]
 
 

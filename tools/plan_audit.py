@@ -33,6 +33,7 @@ QUADRATIC_OK = {
     "ext_02_ngram_jaccard",
     "ext_03_embedding_near_dup",
     "ext_03_cosine_topk",  # corpus × broadcast-queries by design
+    "ext_63_curation_funnel",  # embeds the oracle-exact jaccard baseline
 }
 
 # Queries whose plan carries a BroadcastNestedLoopJoin ONLY because a
@@ -116,6 +117,8 @@ AUDITED = [
     "ext_58_vocab_coverage",
     "ext_59_quality_buckets",
     "ext_60_embedding_outliers",
+    "ext_62_source_cap",
+    "ext_63_curation_funnel",
 ]
 
 
