@@ -78,11 +78,13 @@ def q_ext_10_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------- Gopher quality
 
 
-def gopher_flags(docs: DataFrame) -> DataFrame:
-    """Per-doc boolean quality gates (Gopher rules §A.1 subset).
-
-    Pure per-row expressions inside whole-stage codegen — a map over
-    the scan, no shuffle at all; at 100 TB this runs at read speed."""
+def gopher_gate_exprs() -> tuple:
+    """The three Gopher §A.1 boolean gate expressions over a ``text``
+    column — (flag_len, flag_word_len, flag_stopwords). Exposed so
+    composite pipelines (curation_funnel) can apply the gate INLINE on
+    their own scan instead of joining gopher_flags' output back on
+    doc_id (which would scan the corpus twice and shuffle once for a
+    map-only predicate)."""
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_tokens_d = n_tokens.cast("double")
@@ -92,6 +94,15 @@ def gopher_flags(docs: DataFrame) -> DataFrame:
     flag_len = (n_tokens >= 10) & (n_tokens <= 500)
     flag_wl = (mean_wl >= 3.0) & (mean_wl <= 10.0)
     flag_stop = n_stop.cast("double") / n_tokens_d >= 0.01
+    return flag_len, flag_wl, flag_stop
+
+
+def gopher_flags(docs: DataFrame) -> DataFrame:
+    """Per-doc boolean quality gates (Gopher rules §A.1 subset).
+
+    Pure per-row expressions inside whole-stage codegen — a map over
+    the scan, no shuffle at all; at 100 TB this runs at read speed."""
+    flag_len, flag_wl, flag_stop = gopher_gate_exprs()
     return docs.select(
         "doc_id",
         "lang",

@@ -237,29 +237,35 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
     exact dedup → near-dup drop, reporting survivors per stage (the
     funnel chart every dataset card shows).
 
-    Stage composition is pure lineage — each stage filters the
-    previous stage's DataFrame, so Catalyst plans the funnel as one
-    DAG with shared scans (ReusedExchange), not four pipelines:
+    Built as ONE DAG, not four pipelines:
 
-    - quality: Gopher boolean gates, map-only at scan speed;
-    - exact:   one hash shuffle on text, min-doc_id survivor;
+    - quality: Gopher boolean gates applied INLINE on the scan (no
+      join-back on doc_id) — raw and quality counts come from a single
+      conditional aggregate over one corpus scan;
+    - exact:   one hash shuffle on text, min-doc_id survivor; the
+      exact-survivor subtree is byte-identical in its count branch and
+      the near-dup branch, so the exchange is planned once and reused
+      (ReusedExchange), not recomputed;
     - near:    trigram-Jaccard pairs ≥ threshold among survivors, drop
                the larger doc_id of each pair. The quadratic shingle
                self-join is the oracle-exact baseline; at 100 TB the
                same stage swaps in MinHash-LSH candidates
                (operators.dedup.minhash_lsh_pairs) with this exact
-               form as its verifier on samples.
+               form as its verifier on samples, and each stage
+               checkpoints survivors to storage instead of leaning on
+               exchange reuse.
     """
-    from sparketl.operators.corpus import gopher_flags
+    from sparketl.operators.corpus import gopher_gate_exprs
     from sparketl.operators.dedup import exact_dedup, ngram_jaccard_pairs
 
-    quality = (
-        docs.join(
-            gopher_flags(docs).select("doc_id", "passes"), "doc_id"
-        )
-        .filter(F.col("passes"))
-        .drop("passes")
+    flag_len, flag_wl, flag_stop = gopher_gate_exprs()
+    base = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        (flag_len & flag_wl & flag_stop).alias("passes"),
     )
+    quality = base.filter(F.col("passes")).drop("passes")
     exact = exact_dedup(quality, ["text"], "doc_id")
     dup_b = (
         ngram_jaccard_pairs(exact, threshold=jaccard_threshold)
@@ -267,6 +273,22 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
         .distinct()
     )
     near = exact.join(dup_b, "doc_id", "left_anti")
+
+    # raw + quality from ONE corpus scan: conditional aggregate on the gate
+    stage01 = base.agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.coalesce(F.sum("n_chars"), F.lit(0)).alias("c_raw"),
+        F.sum(F.col("passes").cast("long")).alias("n_q"),
+        F.coalesce(
+            F.sum(F.when(F.col("passes"), F.col("n_chars")).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias("c_q"),
+    ).select(
+        F.expr(
+            "stack(2, 0, 'raw', n_raw, c_raw, 1, 'quality', n_q, c_q)"
+            " AS (stage_idx, stage, n_docs, n_chars)"
+        )
+    )
 
     def stage(idx: int, name: str, df: DataFrame) -> DataFrame:
         return df.agg(
@@ -280,9 +302,7 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
         )
 
     return (
-        stage(0, "raw", docs)
-        .unionAll(stage(1, "quality", quality))
-        .unionAll(stage(2, "exact_dedup", exact))
+        stage01.unionAll(stage(2, "exact_dedup", exact))
         .unionAll(stage(3, "near_dedup", near))
         .orderBy("stage_idx")
     )
