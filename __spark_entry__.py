@@ -42,6 +42,7 @@ _FRONT = [
     "ext_61_stream_dedup",
     "ext_62_source_cap",
     "ext_63_curation_funnel",
+    "ext_64_dataset_card",
     # (b) red in round 3 (NTZ loader bug), fixed — need a green row
     "ext_25_gapfill",
     "ext_26_merge_intervals",
@@ -83,9 +84,9 @@ _FRONT = [
     "join_01_inner",
     "join_02_full",
     "join_02_left",
-    "join_03_star",
     # ---- end of the round-4 driver window (50 entries above) ----
     # queued for round 5: the remaining round-1-only entries
+    "join_03_star",
     "join_semi_anti",
     "lim_01_preview",
     "lim_02_topk",

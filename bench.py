@@ -65,6 +65,7 @@ HEADLINE = [
     "ext_60_embedding_outliers",
     "ext_62_source_cap",
     "ext_63_curation_funnel",
+    "ext_64_dataset_card",
 ]
 
 

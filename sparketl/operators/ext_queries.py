@@ -1712,3 +1712,60 @@ EXT_ORACLES["ext_63_curation_funnel"] = """
            CAST(COALESCE(SUM(n_chars), 0) AS BIGINT) FROM near
     ORDER BY stage_idx
 """
+
+
+from sparketl.operators.pipeline_ops import q_ext_64_dataset_card  # noqa: E402
+
+EXT_QUERIES["ext_64_dataset_card"] = q_ext_64_dataset_card
+EXT_ORACLES["ext_64_dataset_card"] = """
+    WITH base AS (
+      SELECT doc_id, source, lang, n_chars, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CASE WHEN
+               (len(string_split(text, ' ')) >= 10
+                AND len(string_split(text, ' ')) <= 500)
+               AND (CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                         AS DOUBLE) / len(string_split(text, ' ')) >= 3.0
+                    AND CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                             AS DOUBLE) / len(string_split(text, ' ')) <= 10.0)
+               AND (CAST(len(list_filter(string_split(text, ' '),
+                        x -> x = 'the' OR x = 'a')) AS DOUBLE)
+                    / len(string_split(text, ' ')) >= 0.01)
+             THEN 1 ELSE 0 END AS passes
+      FROM documents
+    ), per_text AS (
+      SELECT source, text, COUNT(*) AS n_copies
+      FROM base GROUP BY source, text
+    ), dups AS (
+      SELECT source, CAST(SUM(n_copies - 1) AS BIGINT) AS n_dup_docs
+      FROM per_text GROUP BY source
+    ), psl AS (
+      SELECT source, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+             SUM(n_chars) AS n_chars, SUM(passes) AS n_pass
+      FROM base GROUP BY source, lang
+    ), top_lang AS (
+      SELECT source, lang AS top_lang FROM (
+        SELECT source, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_docs DESC, lang) AS rn
+        FROM psl
+      ) WHERE rn = 1
+    ), per_src AS (
+      SELECT source, CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(n_pass) AS BIGINT) AS n_pass,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM psl GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.n_chars, p.n_langs,
+           t.top_lang, d.n_dup_docs,
+           CAST(d.n_dup_docs AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+             AS dup_rate,
+           p.n_pass,
+           CAST(p.n_pass AS DOUBLE) / CAST(p.n_docs AS DOUBLE) AS pass_rate
+    FROM per_src p
+    JOIN top_lang t ON p.source = t.source
+    JOIN dups d ON p.source = d.source
+    ORDER BY p.source
+"""

@@ -310,3 +310,86 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
 
 def q_ext_63_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation_funnel(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_64: per-source dataset card
+# ---------------------------------------------------------------------------
+
+
+def dataset_card(docs: DataFrame) -> DataFrame:
+    """The dataset-card table: one row per source with the numbers a
+    data curator publishes — volume (docs/tokens/chars), language
+    makeup (distinct langs + dominant lang), exact-duplicate rate, and
+    quality-gate pass rate.
+
+    One corpus scan feeds a single per-(source,lang) aggregate (the
+    finest grain any column needs); everything else derives from that
+    vocabulary-sized table: per-source rollup, a source-partitioned
+    window for the dominant language, and fixed bigint÷bigint
+    divisions for the rates. Duplicate counting uses per-(source,text)
+    counts folded map-side — no distinct-over-corpus second shuffle.
+    """
+    from sparketl.operators.corpus import gopher_gate_exprs
+
+    flag_len, flag_wl, flag_stop = gopher_gate_exprs()
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        (flag_len & flag_wl & flag_stop).cast("long").alias("passes"),
+        "text",
+    )
+    # exact-dup count per source: Σ (copies-1) over per-text groups
+    per_text = base.groupBy("source", "text").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    dups = per_text.groupBy("source").agg(
+        F.sum(F.col("n_copies") - F.lit(1)).alias("n_dup_docs")
+    )
+    per_src_lang = base.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("passes").alias("n_pass"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("n_docs"), "lang")
+    top_lang = (
+        per_src_lang.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    per_src = per_src_lang.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_pass").alias("n_pass"),
+        F.count(F.lit(1)).alias("n_langs"),
+    )
+    return (
+        per_src.join(top_lang, "source")
+        .join(dups, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+            "n_langs",
+            "top_lang",
+            "n_dup_docs",
+            (
+                F.col("n_dup_docs").cast("double") / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+            "n_pass",
+            (F.col("n_pass").cast("double") / F.col("n_docs").cast("double")).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_64_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dataset_card(load_table(spark, sf_dir, "documents"))

@@ -93,6 +93,30 @@ def test_curation_funnel_monotone_stages(spark):
     assert counts[-1] > 0
 
 
+def test_dataset_card_consistency(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import dataset_card
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = dataset_card(docs).collect()
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0.0 <= r["dup_rate"] <= 1.0
+        assert 0.0 <= r["pass_rate"] <= 1.0
+        assert r["n_dup_docs"] < r["n_docs"]
+        assert 1 <= r["n_langs"]
+        # the dominant language really is a language of this source
+        langs = {
+            x["lang"]
+            for x in docs.filter(F.col("source") == r["source"])
+            .select("lang")
+            .distinct()
+            .collect()
+        }
+        assert r["top_lang"] in langs
+        assert r["n_langs"] == len(langs)
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     from sparketl.io import load_table
     from sparketl.streaming.stateful import run_streaming_dedup

@@ -119,6 +119,7 @@ AUDITED = [
     "ext_60_embedding_outliers",
     "ext_62_source_cap",
     "ext_63_curation_funnel",
+    "ext_64_dataset_card",
 ]
 
 
