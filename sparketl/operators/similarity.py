@@ -253,8 +253,28 @@ def _assign_cells(
     """df + per-row `cell`: the n max-dot centroids for each row
     (n=1 → the home cell; n>1 → probe cells, one output row each).
     Broadcast join + per-id top-n; ties break on centroid index so
-    assignment is deterministic. One shuffle on id_col."""
+    assignment is deterministic.
+
+    n=1 (the training/index hot path, corpus-sized) avoids the
+    row_number window entirely: ``min(struct(-dot, cell))`` is a
+    map-side-combinable aggregate — the k candidate rows per id reduce
+    to one BEFORE the shuffle, where the window form sort-shuffles all
+    k·|corpus| rows. Same deterministic tie-break (smaller cell wins),
+    bit-identical output. n>1 keeps the window (probe side is
+    query-sized)."""
     scored = df.join(F.broadcast(cents)).withColumn("__nd", -_dot(vec_col, "cvec"))
+    if n == 1:
+        other = [c for c in df.columns if c != id_col]
+        return (
+            scored.groupBy(id_col)
+            .agg(
+                F.min(F.struct("__nd", "cell")).alias("__b"),
+                # functionally dependent on id_col (one source row per
+                # id fans out over centroids), so first() is stable
+                *[F.first(c).alias(c) for c in other],
+            )
+            .select(*df.columns, F.col("__b.cell").alias("cell"))
+        )
     w = W.partitionBy(id_col).orderBy("__nd", "cell")
     return (
         scored.withColumn("__r", F.row_number().over(w))
