@@ -14,10 +14,12 @@ Rewrites (applied outside string literals and comments only):
                          inside a subquery, or a second TOP, raises
                          ``DialectError`` instead of silently becoming a
                          wrong outer LIMIT.
-- ``GETDATE()``          → ``current_timestamp()``
+- ``GETDATE()`` / ``GETUTCDATE()``
+                         → ``current_timestamp()`` (session tz is UTC)
 - ``ISNULL(a,b)``        → ``coalesce(a,b)``
 - ``LEN(x)``             → ``length(x)``
 - ``CHARINDEX(sub,s)``   → ``locate(sub,s)`` (same argument order)
+- ``IIF(cond,a,b)``      → ``if(cond,a,b)``
 - ``expr + 'str'`` / ``'str' + expr``
                          → ``expr || 'str'`` — T-SQL string concat, but
                          only when a string literal is adjacent AND the
@@ -63,9 +65,11 @@ class DialectError(Exception):
 
 _FUNC_MAP = {
     "getdate": "current_timestamp",
+    "getutcdate": "current_timestamp",  # session tz is pinned UTC
     "isnull": "coalesce",
     "len": "length",
     "charindex": "locate",
+    "iif": "if",  # IIF(cond, a, b) ≡ Spark if() — same 3-arg lazy form
 }
 
 _TOKEN = re.compile(

@@ -22,6 +22,14 @@ def test_function_renames():
     assert "current_timestamp()" in out
 
 
+def test_iif_and_getutcdate_renames():
+    out = transpile("SELECT IIF(a > 1, 'hi', 'lo'), GETUTCDATE() FROM t")
+    assert "if(a > 1, 'hi', 'lo')" in out
+    assert "current_timestamp()" in out
+    # iif as a bare identifier (no call parens) is left alone
+    assert transpile("SELECT iif FROM t") == "SELECT iif FROM t"
+
+
 def test_strings_and_comments_untouched():
     sql = "SELECT 'LEN(x) [not] TOP 5' AS s -- ISNULL(comment)\nFROM t"
     out = transpile(sql)
