@@ -197,17 +197,27 @@ def q_ext_60_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def source_cap(docs: DataFrame, cap: int = 50) -> DataFrame:
+def source_cap(docs: DataFrame, cap: int = 50, spread_buckets: int = 64) -> DataFrame:
     """Cap every source at its ``cap`` longest documents — the domain
     cap a crawl pipeline applies so no single site dominates the mix.
 
-    One window partitioned BY SOURCE (row_number over n_chars desc,
-    doc_id as the deterministic tiebreak) — the shuffle key is the
-    source, so a hot source is one partition's worth of work and the
-    cap itself bounds what survives. The summary keeps the output
-    source-count sized."""
+    Exact two-phase top-N so a hot source never serializes: phase 1
+    ranks within (source, doc_id mod B) buckets — B-way parallel even
+    for a source holding half the corpus — and keeps ≤ cap per bucket
+    (the global top-cap is necessarily a subset of the union of
+    per-bucket top-caps). Phase 2 ranks the ≤ B·cap survivors per
+    source, a constant-bounded window. Both phases order by
+    (n_chars desc, doc_id), so the result is identical to the
+    single-window form. The summary keeps the output source-sized."""
+    spread_key = F.pmod(F.col("doc_id"), F.lit(spread_buckets))
+    w_local = Window.partitionBy("source", spread_key).orderBy(
+        F.desc("n_chars"), "doc_id"
+    )
+    survivors = docs.withColumn("_rnl", F.row_number().over(w_local)).filter(
+        F.col("_rnl") <= cap
+    )
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
-    kept = docs.withColumn("_rn", F.row_number().over(w)).filter(
+    kept = survivors.withColumn("_rn", F.row_number().over(w)).filter(
         F.col("_rn") <= cap
     )
     summary_kept = kept.groupBy("source").agg(
