@@ -305,13 +305,11 @@ def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
     doc_id, then position), and report per-doc how much survives.
 
     Plan shape: map-only block split (codegen array expressions), one
-    shuffle partitioned by the passage string for the first-occurrence
-    window, one groupBy doc_id. At 100 TB you would key the window on
-    xxhash64(passage) instead of the string — same plan, 8-byte keys;
-    the string key here keeps the oracle engine-exact. Passage-frequency
-    skew (boilerplate appearing millions of times) is the scale risk:
-    AQE skew handling splits those partitions, and only (hash, doc_id,
-    pos) triples ever shuffle — never the text twice."""
+    passage-keyed shuffle (aggregate + join back, reused exchange), one
+    groupBy doc_id. At 100 TB you would key on xxhash64(passage)
+    instead of the string — same plan, 8-byte keys; the string key here
+    keeps the oracle engine-exact. Passage-frequency skew (boilerplate
+    appearing millions of times) is the scale risk — handled below."""
     tk = F.split(F.col("text"), " ")
     base = spread(docs).select("doc_id", tk.alias("tk"))
     blocks = F.expr(
@@ -319,14 +317,22 @@ def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
         f" i -> concat_ws(' ', slice(tk, i * {block} + 1, {block})))"
     )
     b = base.select("doc_id", F.posexplode(blocks).alias("pos", "passage"))
-    w = W.partitionBy("passage").orderBy("doc_id", "pos")
-    marked = b.withColumn("rn", F.row_number().over(w))
+    # first-occurrence per passage as a min(struct) aggregate joined
+    # back, NOT a per-passage sort window: boilerplate passages with
+    # millions of copies reduce map-side in the aggregate, and the
+    # join's passage skew is splittable by AQE skew-join (window skew
+    # is not). Both branches shuffle b by passage → one reused exchange.
+    firsts = b.groupBy("passage").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    marked = b.join(firsts, "passage").withColumn(
+        "is_first",
+        (F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos")),
+    )
     kept_tokens = F.sum(
-        F.when(F.col("rn") == 1, F.size(F.split("passage", " "))).otherwise(0)
+        F.when(F.col("is_first"), F.size(F.split("passage", " "))).otherwise(0)
     )
     return marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_passages"),
-        F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_removed"),
+        F.sum((~F.col("is_first")).cast("long")).alias("n_dup_removed"),
         kept_tokens.cast("long").alias("kept_tokens"),
     )
 

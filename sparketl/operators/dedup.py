@@ -313,20 +313,23 @@ def canonical_docs(labels: DataFrame, quality: DataFrame) -> DataFrame:
     """Per cluster, the member to KEEP: highest quality score, ties →
     smallest doc_id — the 'which copy survives' step a dedup pipeline
     runs after clustering. The label table is 2 columns (tiny next to
-    the corpus), so the join + per-cluster window is one small shuffle."""
-    w = W.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id")
+    the corpus). Keeper selection is a ``max(struct(quality, -doc_id))``
+    aggregate, not a per-cluster sort window: it combines map-side, so
+    even a degenerate giant cluster (all docs near-identical) reduces
+    inside each input partition instead of serializing one sort."""
+    best = F.max(F.struct(F.col("quality"), (-F.col("doc_id")).alias("nid")))
     return (
         labels.join(quality, "doc_id")
-        .withColumn("_rn", F.row_number().over(w))
         .groupBy("cluster_id")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
-            F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
-                "canonical_doc_id"
-            ),
-            F.max(F.when(F.col("_rn") == 1, F.col("quality"))).alias(
-                "canonical_quality"
-            ),
+            best.alias("_b"),
+        )
+        .select(
+            "cluster_id",
+            "n_members",
+            (-F.col("_b.nid")).alias("canonical_doc_id"),
+            F.col("_b.quality").alias("canonical_quality"),
         )
     )
 

@@ -698,10 +698,21 @@ def q_ext_08_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     key; the window never holds more than a group in memory."""
     d = load_table(spark, sf_dir, "documents")
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    w = W.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    base = d.select("doc_id", "lang", "source", h.alias("h"))
+    # exact two-phase top-k so a dominant language never serializes:
+    # local top-k within (lang, doc_id mod 64) spread buckets — the
+    # global k smallest are necessarily among the per-bucket k smallest
+    # — then the final rank over <= 64*k survivors per language
+    spread_key = F.pmod(F.col("doc_id"), F.lit(64))
+    wl = W.partitionBy("lang", spread_key).orderBy(
+        F.col("h").asc(), F.col("doc_id").asc()
+    )
+    survivors = base.withColumn("_rl", F.row_number().over(wl)).filter(
+        F.col("_rl") <= 5
+    )
+    w = W.partitionBy("lang").orderBy(F.col("h").asc(), F.col("doc_id").asc())
     return (
-        d.select("doc_id", "lang", "source", h.alias("h"))
-        .withColumn("rank", F.row_number().over(w))
+        survivors.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 5)
         .select("doc_id", "lang", "source", "rank")
         .orderBy("lang", "rank")
