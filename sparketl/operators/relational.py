@@ -625,12 +625,30 @@ def q_ext_08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 1-in-10 stratified sample per language: rank by
     doc_id within each stratum, keep ranks ≡ 1 (mod 10). Reproducible
     across engines (unlike seeded TABLESAMPLE) — the sampling pattern
-    a training-data pipeline needs for audits/holdouts. One shuffle on
-    the stratum key."""
+    a training-data pipeline needs for audits/holdouts.
+
+    The exact per-stratum rank is computed two-phase (the same
+    prefix-sum idiom as sequence packing): local ranks within
+    (lang, doc_id div 1024) buckets — each ≤ 1024 rows — plus a
+    prefix-sum of per-bucket counts over the bucket table (corpus/1024
+    rows, the only place a per-lang ordered window runs). doc_id order
+    respects bucket order, so local + offset IS the global stratum
+    rank; a single per-lang window would sort a dominant language's
+    whole stratum in one partition."""
     d = load_table(spark, sf_dir, "documents")
-    w = W.partitionBy("lang").orderBy("doc_id")
+    b = F.expr("doc_id div 1024")
+    wl = W.partitionBy("lang", b).orderBy("doc_id")
+    local = d.withColumn("_b", b).withColumn("_lr", F.row_number().over(wl))
+    counts = local.groupBy("lang", "_b").agg(F.count(F.lit(1)).alias("_n"))
+    wp = W.partitionBy("lang").orderBy("_b").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "lang", "_b", F.coalesce(F.sum("_n").over(wp), F.lit(0)).alias("_off")
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w))
+        local.join(offsets, ["lang", "_b"])
+        .withColumn("rn", F.col("_lr") + F.col("_off"))
         .filter((F.col("rn") % 10) == 1)
         .select("doc_id", "lang", "source", "n_chars")
         .orderBy("doc_id")
