@@ -314,6 +314,31 @@ class ManagedTable:
         new_files = self._write_data(aligned)
         return self._commit(new_files, m["schema"], m["properties"])
 
+    def _pruned_rewrite(self, prune_where: str | None, transform) -> int:
+        """Copy-on-write that rewrites ONLY the files that might hold
+        affected rows (footer-stat pruning via candidate_files); every
+        other file carries into the new manifest untouched — the Delta
+        MERGE/DELETE file-pruning pattern. ``transform`` maps the
+        candidate-file DataFrame to its replacement. With an
+        unprunable predicate this degrades to a full rewrite, never to
+        a wrong answer (candidate_files is always a superset)."""
+        m = self._manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        all_files = list(m["files"])
+        cand = self.candidate_files(prune_where) if prune_where else all_files
+        cand_set = set(cand)
+        retained = [f for f in all_files if f not in cand_set]
+        if cand:
+            df = self.spark.read.schema(schema).parquet(*cand)
+        else:
+            df = self.spark.createDataFrame([], schema)
+        out = transform(df)
+        aligned = out.select(
+            [F.col(f.name).cast(f.dataType) for f in schema.fields]
+        )
+        new_files = self._write_data(aligned) if cand else []
+        return self._commit(retained + new_files, m["schema"], m["properties"])
+
     def keyed_update(
         self,
         source: DataFrame,
@@ -333,12 +358,18 @@ class ManagedTable:
           an explicit ``order_by``.
         - target rows with no source match pass through unchanged
         - source rows with no target match are dropped (update-only)
+
+        File-pruned (the Delta MERGE pattern): only data files whose
+        footer key range intersects the source's [min, max] key are
+        rewritten — every other file cannot hold a matched row and
+        carries into the new manifest untouched. Non-numeric keys fall
+        back to a full rewrite (footer pruning is numeric-only here).
         """
-        target = self.read()
-        if key not in target.columns:
+        table_cols = [f.name for f in self.schema().fields]
+        if key not in table_cols:
             raise TableError(f"identifier column '{key}' not in table")
         set_columns = set_columns or [c for c in source.columns if c != key]
-        missing = [c for c in set_columns if c not in target.columns]
+        missing = [c for c in set_columns if c not in table_cols]
         if missing:
             raise TableError(f"unknown columns in update: {missing}")
 
@@ -361,22 +392,35 @@ class ManagedTable:
                 *[F.col(c).alias(f"_set_{c}") for c in set_columns],
             )
         )
-        merged = target.join(
-            F.broadcast(src) if _is_small(src) else src,
-            target[key] == F.col("_k"),
-            "left",
-        )
-        out_cols = []
-        for c in target.columns:
-            if c in set_columns:
-                out_cols.append(
-                    F.when(F.col("_k").isNotNull(), F.col(f"_set_{c}"))
-                    .otherwise(F.col(c))
-                    .alias(c)
-                )
-            else:
-                out_cols.append(F.col(c))
-        return self.overwrite(merged.select(out_cols))
+
+        bounds = src.agg(F.min("_k").alias("mn"), F.max("_k").alias("mx")).first()
+        prune = None
+        if (
+            bounds["mn"] is not None
+            and isinstance(bounds["mn"], (int, float))
+            and not isinstance(bounds["mn"], bool)
+        ):
+            prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+
+        def transform(target: DataFrame) -> DataFrame:
+            merged = target.join(
+                F.broadcast(src) if _is_small(src) else src,
+                target[key] == F.col("_k"),
+                "left",
+            )
+            out_cols = []
+            for c in target.columns:
+                if c in set_columns:
+                    out_cols.append(
+                        F.when(F.col("_k").isNotNull(), F.col(f"_set_{c}"))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    out_cols.append(F.col(c))
+            return merged.select(out_cols)
+
+        return self._pruned_rewrite(prune, transform)
 
     def upsert(
         self,
@@ -554,9 +598,13 @@ class ManagedTable:
         where it evaluates to NULL must survive. A bare
         ``NOT (predicate)`` would drop them (NOT NULL is NULL → filtered
         out), so keep rows where the predicate is not-true instead.
-        """
-        return self.overwrite(
-            self.read().filter(F.expr(f"NOT coalesce(({predicate}), false)"))
+
+        File-pruned: only files whose footer stats admit a TRUE row are
+        rewritten (a pruned-out file cannot contain a deleted row);
+        unprunable predicates fall back to a full rewrite."""
+        return self._pruned_rewrite(
+            predicate,
+            lambda df: df.filter(F.expr(f"NOT coalesce(({predicate}), false)")),
         )
 
 

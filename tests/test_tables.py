@@ -335,6 +335,61 @@ def test_file_skipping_nan_rows_never_pruned_on_upper_ops(spark, tmp_path):
     assert {r["id"] for r in tbl.read(where="v <= 1").collect()} == {1}
 
 
+def test_keyed_update_rewrites_only_matching_files(spark, tmp_path):
+    """Delta-MERGE-style file pruning: an update whose source keys all
+    land in one file's range must carry every other file into the new
+    manifest unchanged (same paths), while the result still equals a
+    full-table merge."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    first = spark.createDataFrame(
+        [(i, float(i)) for i in range(25)], "id long, v double"
+    ).coalesce(1)
+    tbl.create(first.schema)
+    for lo in range(0, 100, 25):
+        tbl.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 25)], "id long, v double"
+            ).coalesce(1)
+        )
+    before = set(tbl.candidate_files(None))
+    assert len(before) == 4
+
+    src = spark.createDataFrame([(80, -1.0), (90, -2.0)], "id long, v double")
+    tbl.keyed_update(src, key="id")
+    after = set(tbl.candidate_files(None))
+    # the three files outside [80, 90] survive by identity
+    assert len(before & after) == 3
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[80] == -1.0 and got[90] == -2.0 and got[10] == 10.0
+    assert len(got) == 100
+
+
+def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    first = spark.createDataFrame(
+        [(i, float(i)) for i in range(25)], "id long, v double"
+    ).coalesce(1)
+    tbl.create(first.schema)
+    for lo in range(0, 100, 25):
+        tbl.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 25)], "id long, v double"
+            ).coalesce(1)
+        )
+    before = set(tbl.candidate_files(None))
+    tbl.delete_where("id >= 90")
+    after = set(tbl.candidate_files(None))
+    assert len(before & after) == 3  # only the 75..99 file was rewritten
+    assert tbl.read().count() == 90
+    # unprunable predicate still deletes correctly (full rewrite)
+    tbl.delete_where("id % 10 = 0")
+    assert tbl.read().count() == 81
+
+
 def test_zorder_compact_prunes_both_dimensions(spark, tmp_path):
     """After zorder compaction, range predicates on EITHER column skip
     most files; after a linear x-sort, y predicates skip nothing."""
