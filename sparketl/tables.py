@@ -314,29 +314,40 @@ class ManagedTable:
         new_files = self._write_data(aligned)
         return self._commit(new_files, m["schema"], m["properties"])
 
-    def _pruned_rewrite(self, prune_where: str | None, transform) -> int:
+    def _pruned_rewrite(
+        self, prune_where: str | None, transform, may_create_rows: bool = False
+    ) -> int:
         """Copy-on-write that rewrites ONLY the files that might hold
         affected rows (footer-stat pruning via candidate_files); every
         other file carries into the new manifest untouched — the Delta
         MERGE/DELETE file-pruning pattern. ``transform`` maps the
         candidate-file DataFrame to its replacement. With an
         unprunable predicate this degrades to a full rewrite, never to
-        a wrong answer (candidate_files is always a superset)."""
+        a wrong answer (candidate_files is always a superset).
+
+        ``may_create_rows``: set when ``transform`` can emit rows even
+        from an EMPTY input (upsert's insert side) — then the transform
+        runs and writes even with zero candidate files; delete/update
+        transforms are row-filters, so zero candidates means a pure
+        metadata commit."""
         m = self._manifest()
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         all_files = list(m["files"])
         cand = self.candidate_files(prune_where) if prune_where else all_files
         cand_set = set(cand)
         retained = [f for f in all_files if f not in cand_set]
-        if cand:
-            df = self.spark.read.schema(schema).parquet(*cand)
+        if cand or may_create_rows:
+            if cand:
+                df = self.spark.read.schema(schema).parquet(*cand)
+            else:
+                df = self.spark.createDataFrame([], schema)
+            out = transform(df)
+            aligned = out.select(
+                [F.col(f.name).cast(f.dataType) for f in schema.fields]
+            )
+            new_files = self._write_data(aligned)
         else:
-            df = self.spark.createDataFrame([], schema)
-        out = transform(df)
-        aligned = out.select(
-            [F.col(f.name).cast(f.dataType) for f in schema.fields]
-        )
-        new_files = self._write_data(aligned) if cand else []
+            new_files = []
         return self._commit(retained + new_files, m["schema"], m["properties"])
 
     def keyed_update(
@@ -435,11 +446,16 @@ class ManagedTable:
         are skipped and duplicate source keys resolve last-write-wins,
         matching keyed_update (SNK-02, tool:282-312); the insert side
         is the same left-anti + append shape as SNK-01.
+
+        File-pruned like keyed_update: files outside the source's
+        [min, max] key range can hold neither a match nor decide an
+        insert (every source key falls inside the candidate range by
+        construction), so they carry forward untouched.
         """
-        target = self.read()
-        if key not in target.columns:
+        table_cols = [f.name for f in self.schema().fields]
+        if key not in table_cols:
             raise TableError(f"identifier column '{key}' not in table")
-        missing = [c for c in target.columns if c not in source.columns]
+        missing = [c for c in table_cols if c not in source.columns]
         if missing:
             raise TableError(f"upsert source lacks table columns: {missing}")
 
@@ -456,19 +472,34 @@ class ManagedTable:
             ordered.filter(F.col(key).isNotNull())
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(*[F.col(c).alias(f"_s_{c}") for c in target.columns])
+            .select(*[F.col(c).alias(f"_s_{c}") for c in table_cols])
         )
         src = F.broadcast(src) if _is_small(src) else src
-        merged = target.join(src, target[key] == F.col(f"_s_{key}"), "full")
-        # source-present ⇔ _s_<key> non-null (null keys were dropped) —
-        # a matched row takes the source value even when that value is
-        # NULL (coalesce would silently keep the stale target value)
-        matched = F.col(f"_s_{key}").isNotNull()
-        out_cols = [
-            F.when(matched, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
-            for c in target.columns
-        ]
-        return self.overwrite(merged.select(out_cols))
+
+        bounds = src.agg(
+            F.min(f"_s_{key}").alias("mn"), F.max(f"_s_{key}").alias("mx")
+        ).first()
+        prune = None
+        if (
+            bounds["mn"] is not None
+            and isinstance(bounds["mn"], (int, float))
+            and not isinstance(bounds["mn"], bool)
+        ):
+            prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+
+        def transform(target: DataFrame) -> DataFrame:
+            merged = target.join(src, target[key] == F.col(f"_s_{key}"), "full")
+            # source-present ⇔ _s_<key> non-null (null keys were dropped)
+            # — a matched row takes the source value even when that value
+            # is NULL (coalesce would silently keep the stale target value)
+            matched = F.col(f"_s_{key}").isNotNull()
+            out_cols = [
+                F.when(matched, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+                for c in target.columns
+            ]
+            return merged.select(out_cols)
+
+        return self._pruned_rewrite(prune, transform, may_create_rows=True)
 
     @staticmethod
     def _zorder_col(df: DataFrame, cols: list[str]):

@@ -366,6 +366,44 @@ def test_keyed_update_rewrites_only_matching_files(spark, tmp_path):
     assert len(got) == 100
 
 
+def test_upsert_prunes_files_and_inserts_beyond_all_ranges(spark, tmp_path):
+    """Upsert prunes on the source key range like keyed_update, and an
+    all-new-key source (beyond every file's range → zero candidate
+    files) must still write its inserts."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    first = spark.createDataFrame(
+        [(i, float(i)) for i in range(25)], "id long, v double"
+    ).coalesce(1)
+    tbl.create(first.schema)
+    for lo in range(0, 100, 25):
+        tbl.append(
+            spark.createDataFrame(
+                [(i, float(i)) for i in range(lo, lo + 25)], "id long, v double"
+            ).coalesce(1)
+        )
+    before = set(tbl.candidate_files(None))
+    # mixed update+insert confined to the 75..99 file's range
+    tbl.upsert(
+        spark.createDataFrame([(80, -1.0), (150, 150.0)], "id long, v double"),
+        key="id",
+    )
+    after = set(tbl.candidate_files(None))
+    assert len(before & after) == 3  # 3 untouched files carried forward
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[80] == -1.0 and got[150] == 150.0 and len(got) == 101
+    # all-new keys beyond every range: zero candidates, inserts survive
+    prev = set(tbl.candidate_files(None))
+    tbl.upsert(
+        spark.createDataFrame([(500, 5.0), (501, 5.1)], "id long, v double"),
+        key="id",
+    )
+    assert prev <= set(tbl.candidate_files(None))  # nothing rewritten
+    got = {r["id"]: r["v"] for r in tbl.read().collect()}
+    assert got[500] == 5.0 and got[501] == 5.1 and len(got) == 103
+
+
 def test_delete_where_rewrites_only_matching_files(spark, tmp_path):
     from sparketl.tables import ManagedTable
 
