@@ -43,6 +43,7 @@ _FRONT = [
     "ext_62_source_cap",
     "ext_63_curation_funnel",
     "ext_64_dataset_card",
+    "ext_65_incremental_dedup",
     # (b) red in round 3 (NTZ loader bug), fixed — need a green row
     "ext_25_gapfill",
     "ext_26_merge_intervals",
@@ -83,9 +84,9 @@ _FRONT = [
     "fn_01_year_month",
     "join_01_inner",
     "join_02_full",
-    "join_02_left",
     # ---- end of the round-4 driver window (50 entries above) ----
     # queued for round 5: the remaining round-1-only entries
+    "join_02_left",
     "join_03_star",
     "join_semi_anti",
     "lim_01_preview",

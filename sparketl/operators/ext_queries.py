@@ -1769,3 +1769,31 @@ EXT_ORACLES["ext_64_dataset_card"] = """
     JOIN dups d ON p.source = d.source
     ORDER BY p.source
 """
+
+
+from sparketl.operators.pipeline_ops import q_ext_65_incremental_dedup  # noqa: E402
+
+EXT_QUERIES["ext_65_incremental_dedup"] = q_ext_65_incremental_dedup
+EXT_ORACLES["ext_65_incremental_dedup"] = """
+    WITH registry AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 0
+    ), batch AS (
+      SELECT * FROM documents WHERE doc_id % 2 = 1
+    ), fresh AS (
+      SELECT * FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.text = b.text)
+    ), kept AS (
+      SELECT * FROM (
+        SELECT f.*, row_number() OVER (PARTITION BY text ORDER BY doc_id)
+                 AS rn
+        FROM fresh f
+      ) WHERE rn = 1
+    )
+    SELECT b.source, CAST(b.n_batch AS BIGINT) AS n_batch,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(b.n_batch - COALESCE(k.n_kept, 0) AS BIGINT) AS n_dropped
+    FROM (SELECT source, COUNT(*) AS n_batch FROM batch GROUP BY source) b
+    LEFT JOIN (SELECT source, COUNT(*) AS n_kept FROM kept GROUP BY source) k
+      ON b.source = k.source
+    ORDER BY b.source
+"""

@@ -403,3 +403,58 @@ def dataset_card(docs: DataFrame) -> DataFrame:
 
 def q_ext_64_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dataset_card(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_65: incremental ingest dedup (new batch vs historical registry)
+# ---------------------------------------------------------------------------
+
+
+def incremental_dedup(batch: DataFrame, registry: DataFrame) -> DataFrame:
+    """Dedup an incoming batch against the corpus already ingested —
+    the per-ingest gate of a continuously fed pipeline: drop batch docs
+    whose text already exists in the registry, then dedup what's left
+    within the batch itself (first doc_id wins).
+
+    Two anti-join-shaped steps, both shuffling ONLY on the text key
+    (at 100 TB you key both sides on xxhash64(text) — 8-byte shuffle
+    rows; raw text here keeps the oracle engine-exact): a left_anti
+    against the registry's distinct texts, then the min_by exact dedup
+    within the survivors. The registry side reduces to its distinct
+    text set before the join — the historical corpus never re-shuffles
+    its payload columns, just keys."""
+    reg_keys = registry.select("text").distinct()
+    fresh = batch.join(reg_keys, "text", "left_anti")
+    kept = exact_dedup_by_text(fresh)
+    return (
+        batch.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_batch"))
+        .join(
+            kept.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "n_batch",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_batch") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+def exact_dedup_by_text(df: DataFrame) -> DataFrame:
+    from sparketl.operators.dedup import exact_dedup
+
+    return exact_dedup(df, ["text"], "doc_id")
+
+
+def q_ext_65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the documents fixture at the median doc_id: the first half
+    plays the already-ingested registry, the second half the incoming
+    batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    registry = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return incremental_dedup(batch, registry)

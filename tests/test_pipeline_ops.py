@@ -117,6 +117,46 @@ def test_dataset_card_consistency(spark):
         assert r["n_langs"] == len(langs)
 
 
+def test_incremental_dedup_drops_registry_and_batch_dups(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import incremental_dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    registry = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    rows = incremental_dedup(batch, registry).collect()
+    assert sum(r["n_batch"] for r in rows) == batch.count()
+    for r in rows:
+        assert r["n_kept"] + r["n_dropped"] == r["n_batch"]
+        assert 0 <= r["n_kept"] <= r["n_batch"]
+    # a batch reusing only registry texts keeps nothing
+    dup_batch = registry.limit(10).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    dup_rows = incremental_dedup(dup_batch, registry).collect()
+    assert sum(r["n_kept"] for r in dup_rows) == 0
+
+
+def test_two_phase_stratified_rank_matches_single_window(spark):
+    """The bucketed prefix-sum rank must select exactly the same docs
+    as the textbook single-window formulation."""
+    from pyspark.sql import Window as W
+
+    from sparketl.io import load_table
+    from sparketl.operators.relational import q_ext_08_stratified_sample
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    w = W.partitionBy("lang").orderBy("doc_id")
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") % 10) == 1)
+        .collect()
+    }
+    got = {r["doc_id"] for r in q_ext_08_stratified_sample(spark, SF_SMOKE).collect()}
+    assert got == want
+
+
 def test_streaming_dedup_equals_batch_distinct(spark):
     from sparketl.io import load_table
     from sparketl.streaming.stateful import run_streaming_dedup

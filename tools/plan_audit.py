@@ -120,6 +120,7 @@ AUDITED = [
     "ext_62_source_cap",
     "ext_63_curation_funnel",
     "ext_64_dataset_card",
+    "ext_65_incremental_dedup",
 ]
 
 
