@@ -51,9 +51,13 @@ def normalize_events_ts(df: DataFrame) -> DataFrame:
     container's 4.1.x) surface it natively as TIMESTAMP_NTZ and ignore the
     legacy conf. Downstream operators use ``unix_micros`` (TIMESTAMP-only),
     so both shapes are normalized to TimestampType. The NTZ→LTZ cast uses
-    the session time zone; callers pin it to UTC (see ``load_table``) so the
-    wall-clock values match DuckDB's tz-naive reading of the same file.
+    the session time zone, so it is pinned to UTC HERE — not only in
+    ``load_table`` — because the streaming readers (``read_event_stream``,
+    ``read_staged_stream``) stage the raw fixture themselves and would
+    otherwise shift wall-clock values on a non-UTC session, diverging
+    from DuckDB's tz-naive reading of the same file.
     """
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":  # legacy nanos-as-long: ns → µs integer truncation
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

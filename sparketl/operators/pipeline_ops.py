@@ -451,9 +451,8 @@ def exact_dedup_by_text(df: DataFrame) -> DataFrame:
 
 
 def q_ext_65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split the documents fixture at the median doc_id: the first half
-    plays the already-ingested registry, the second half the incoming
-    batch."""
+    """Split the documents fixture by doc_id parity: even ids play the
+    already-ingested registry, odd ids the incoming batch."""
     docs = load_table(spark, sf_dir, "documents")
     registry = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)

@@ -43,11 +43,44 @@ class TableError(Exception):
     pass
 
 
+def _is_nan(v) -> bool:
+    return isinstance(v, float) and math.isnan(v)
+
+
+def _fold_min(a, b):
+    """Min across row groups under Spark's total order (NaN > every
+    real): the file min is the smallest REAL value, and NaN only when
+    every row group is all-NaN. Plain ``min()`` is order-dependent with
+    NaN (``min(nan, 5.0)`` keeps nan), which would break </<= prunes
+    when an all-NaN row group happens to come first."""
+    if _is_nan(a):
+        return b
+    if _is_nan(b):
+        return a
+    return min(a, b)
+
+
+def _fold_max(a, b):
+    """Max across row groups under Spark's total order: NaN is sticky.
+    Plain ``max()`` drops NaN depending on argument order
+    (``max(7.0, nan)`` == 7.0), so a NaN in a LATER row group would be
+    erased and ``_file_might_match`` — which reads a real max as proof
+    the file is NaN-free — would wrongly prune the file for >/>=/=.
+    That made ``read(where='v > 200000')`` miss NaN rows (NaN > every
+    literal in Spark) and the same pruning underlies delete/update."""
+    if _is_nan(a) or _is_nan(b):
+        return float("nan")
+    return max(a, b)
+
+
 def _collect_file_stats(path: str) -> dict:
     """Per-file numeric column min/max from the parquet FOOTER (row-group
     statistics — no data scan). Only int/float columns are recorded;
     columns without footer stats are simply absent, which the pruner
-    treats as 'cannot prune' (always safe)."""
+    treats as 'cannot prune' (always safe). Row-group stats are folded
+    NaN-aware (see ``_fold_min``/``_fold_max``) so the file-level
+    [min,max] matches Spark's total order regardless of which row group
+    holds the NaN rows."""
     import pyarrow.parquet as pq
 
     cols: dict[str, list] = {}
@@ -64,7 +97,7 @@ def _collect_file_stats(path: str) -> dict:
                 continue
             name = ".".join(c.path_in_schema.split("."))
             if name in cols:
-                cols[name] = [min(cols[name][0], mn), max(cols[name][1], mx)]
+                cols[name] = [_fold_min(cols[name][0], mn), _fold_max(cols[name][1], mx)]
             else:
                 cols[name] = [mn, mx]
     return cols

@@ -476,3 +476,41 @@ def test_session_window_agg_runs_under_streaming(spark):
     # session must be exactly its batch twin
     for k, v in got.items():
         assert batch[k][0] == v[0] and abs(batch[k][1] - v[1]) < 1e-9
+
+
+def test_event_stream_utc_pinned_on_non_utc_session(spark):
+    """Regression: read_event_stream stages the raw fixture itself (it
+    bypasses load_table), so the TIMESTAMP_NTZ→TIMESTAMP cast must pin
+    the session time zone to UTC on its own — otherwise a non-UTC
+    session shifts every wall-clock value vs the DuckDB oracle."""
+    import uuid
+
+    from sparketl.streaming.windows import read_event_stream
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        stream = read_event_stream(spark, SF_SMOKE)
+        # normalize_events_ts must have re-pinned UTC before the cast
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        name = f"tz_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.selectExpr("min(unix_micros(ts)) AS lo")
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.sql(f"SELECT lo FROM {name}").collect()[0]["lo"]
+        want = (
+            load_table(spark, SF_SMOKE, "events")
+            .selectExpr("min(unix_micros(ts)) AS lo")
+            .collect()[0]["lo"]
+        )
+        assert got == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
