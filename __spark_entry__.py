@@ -21,71 +21,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-4 rotation: the driver checks the FIRST 50 entries in iteration
-# order. Window layout: (a) queries with NO driver verdict in any round
-# (round-2/3 late adds + this round's new operators), (b) queries that
-# ran red in round 3 (the TIMESTAMP_NTZ loader bug, since fixed), (c)
-# queries whose semantics changed this round (RFM percentile scoring,
-# skew-report broadcast totals), (d) stalest previously-green entries —
-# last checked in round 1. The 12 remaining round-1-only entries queue
-# for the round-5 window.
+# Round-5 rotation: the driver checks the FIRST 50 entries in iteration
+# order. Window layout: (a) the 16 entries whose only driver verdict is
+# round 1 — the stalest greens in the repo; (b) the 4 rows-only
+# sketch/LSH entries from the round-4 window, re-run for a fresh
+# rows-only verdict; (c) 30 of the 49 entries last checked in round 2,
+# front-loading the ones whose code changes this round (the ext_15
+# packing suite's adaptive prefix-sum bucket) and the remaining
+# rows-only sketches. The 19 deferred round-2 entries (the 12 tierc_*
+# TPC-H-shape queries — two judge-spot-checked in round 4 — plus
+# pii_scrub/scd2/canonical_docs/dup_clusters/tfidf/collocations/
+# decontaminate) queue first for round 6.
 _FRONT = [
-    # (a) never driver-checked
-    "ext_53_hopping_window",
-    "ext_54_session_window",
-    "ext_55_countmin",
-    "ext_56_expectations",
-    "ext_57_cumulative_users",
-    "ext_58_vocab_coverage",
-    "ext_59_quality_buckets",
-    "ext_60_embedding_outliers",
-    "ext_61_stream_dedup",
-    "ext_62_source_cap",
-    "ext_63_curation_funnel",
-    "ext_64_dataset_card",
-    "ext_65_incremental_dedup",
-    # (b) red in round 3 (NTZ loader bug), fixed — need a green row
-    "ext_25_gapfill",
-    "ext_26_merge_intervals",
-    "ext_30_top_paths",
-    "ext_38_chisq",
-    "ext_47_dow_entropy",
-    # (c) semantics changed this round — need a fresh verdict
-    "ext_49_rfm",
-    "ext_50_skew_report",
-    # (d) stalest green (round-1 verdict only)
-    "flagship_pricing_summary",
-    "agg_01_group_sum",
-    "agg_03_count_avg",
-    "agg_04_distinct",
-    "agg_04_having",
-    "agg_05_cube",
-    "agg_05_grouping_sets",
-    "agg_05_rollup",
-    "agg_05_stats",
-    "agg_07_quantiles",
-    "ext_01_dedup_documents",
-    "ext_02_minhash_lsh",
-    "ext_02_ngram_jaccard",
-    "ext_02_simhash",
-    "ext_03_ann_lsh",
-    "ext_03_cosine_topk",
-    "ext_03_embedding_near_dup",
-    "ext_04_lang_id",
-    "ext_04_quality",
-    "ext_04_text_stats",
-    "ext_04_token_count_bpe",
-    "ext_04_token_counts",
-    "ext_08_stratified_sample",
-    "flt_01_eq_and",
-    "flt_03_not_in",
-    "flt_04_param_eq",
-    "flt_05_range",
-    "fn_01_year_month",
-    "join_01_inner",
-    "join_02_full",
-    # ---- end of the round-4 driver window (50 entries above) ----
-    # queued for round 5: the remaining round-1-only entries
+    # (a) round-1-only verdicts — stalest
     "join_02_left",
     "join_03_star",
     "join_semi_anti",
@@ -102,6 +50,63 @@ _FRONT = [
     "subquery_above_avg",
     "window_rank",
     "window_running_sum",
+    # (b) round-4 rows-only entries — fresh rows-only verdict
+    "ext_02_minhash_lsh",
+    "ext_02_simhash",
+    "ext_03_ann_lsh",
+    "ext_55_countmin",
+    # (c) round-2 greens, changed-this-round and rows-only first
+    "ext_15_pack_positions",
+    "ext_15_pack_bins",
+    "ext_15_chunk_stats",
+    "ext_03_ann_ivf",
+    "ext_06_sessionize_stateful",
+    "ext_09_approx_quantiles",
+    "ext_09_hll_ndv",
+    "ext_16_heavy_hitters",
+    "ext_mm_decode",
+    "ext_mm_frames",
+    "ext_mm_resize",
+    "ext_03_label_centroids",
+    "ext_04_fingerprint",
+    "ext_04_gopher_flags",
+    "ext_04_length_histogram",
+    "ext_04_repetition",
+    "ext_05_from_json_struct",
+    "ext_05_json_extract",
+    "ext_06_hourly_window",
+    "ext_06_sessionize",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "ext_08_reservoir_per_group",
+    "ext_11_rolling_7d",
+    "ext_14_passage_dedup",
+    "ext_18_mix_sources",
+    "ext_20_winsorize",
+    "ext_22_funnel",
+    "ext_23_retention",
+    "ext_24_salted_join",
+    # ---- end of the round-5 driver window (50 entries above) ----
+    # queued for round 6: the deferred round-2 entries
+    "tierc_exists_subquery",
+    "tierc_line_status",
+    "tierc_local_supplier_volume",
+    "tierc_nation_volume",
+    "tierc_promo_revenue",
+    "tierc_scalar_subquery",
+    "tierc_shipping_priority",
+    "tierc_sql_passthrough",
+    "tierc_tsql_concat",
+    "tierc_tsql_dates",
+    "tierc_tsql_funcs",
+    "tierc_tsql_top",
+    "ext_13_pii_scrub",
+    "ext_19_scd2",
+    "ext_02_canonical_docs",
+    "ext_02_dup_clusters",
+    "ext_10_tfidf_topk",
+    "ext_12_decontaminate",
+    "ext_21_collocations",
 ]
 
 
