@@ -50,11 +50,28 @@ class Catalog:
             if t.tableType in ("MANAGED", "EXTERNAL")
         )
 
-    # tool:183-220 — column name/type/nullable(/default).
+    # tool:183-220 — column name/type/nullable/default. The reference's
+    # get_table_columns surfaces COLUMN_DEFAULT (tool:204); Spark keeps
+    # the DDL DEFAULT expression in StructField.metadata under
+    # CURRENT_DEFAULT (the expression future inserts use — the
+    # INFORMATION_SCHEMA analogue), so it is read from the resolved
+    # schema, not listColumns (which drops metadata).
     def table_design(self, table: str) -> dict[str, ColumnInfo]:
         cols = self.spark.catalog.listColumns(table)
+        defaults: dict[str, str] = {}
+        try:
+            for f in self.spark.table(table).schema.fields:
+                if f.metadata and "CURRENT_DEFAULT" in f.metadata:
+                    defaults[f.name] = f.metadata["CURRENT_DEFAULT"]
+        except Exception:  # noqa: BLE001 — e.g. views of dropped tables
+            pass
         return {
-            c.name: ColumnInfo(name=c.name, type=c.dataType, nullable=c.nullable)
+            c.name: ColumnInfo(
+                name=c.name,
+                type=c.dataType,
+                nullable=c.nullable,
+                default=defaults.get(c.name),
+            )
             for c in cols
         }
 
