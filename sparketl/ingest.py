@@ -64,10 +64,29 @@ def cast_to_schema(df: DataFrame, target: T.StructType) -> DataFrame:
     return casted
 
 
+def _tracked(table: ManagedTable, progress, description: str):
+    """Progress scope for the write action (SURVEY §7.2): the reference
+    reports per-row progress (tool:257-258, 302-303); Spark's unit of
+    observable work is the task, so ``progress`` receives task-level
+    ProgressEvents instead — see :mod:`sparketl.progress`."""
+    from contextlib import nullcontext
+
+    if progress is None:
+        return nullcontext()
+    from sparketl.progress import ProgressReporter
+
+    return ProgressReporter(table.spark, progress).track(description)
+
+
 def ingest_append(
-    table: ManagedTable, source: DataFrame, raw_mapping: dict[str, str]
+    table: ManagedTable,
+    source: DataFrame,
+    raw_mapping: dict[str, str],
+    progress=None,
 ) -> int:
-    """The full import path (SURVEY §3.2): returns the new version."""
+    """The full import path (SURVEY §3.2): returns the new version.
+    ``progress``: optional callback receiving task-level
+    :class:`~sparketl.progress.ProgressEvent`s during the write."""
     mapping = clean_mapping(raw_mapping)
     if not mapping:
         raise IngestError("No columns mapped")
@@ -81,7 +100,8 @@ def ingest_append(
     for f in table.schema().fields:
         if f.name not in casted.columns:
             full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
-    return table.append(full.select([f.name for f in table.schema().fields]))
+    with _tracked(table, progress, "ingest_append"):
+        return table.append(full.select([f.name for f in table.schema().fields]))
 
 
 def ingest_update(
@@ -89,9 +109,11 @@ def ingest_update(
     source: DataFrame,
     raw_mapping: dict[str, str],
     identifier: str,
+    progress=None,
 ) -> int:
     """The keyed-update path (SURVEY §3.3): identifier must be among
-    the mapped targets (tool:864-867)."""
+    the mapped targets (tool:864-867). ``progress``: optional callback
+    receiving task-level ProgressEvents during the write."""
     mapping = clean_mapping(raw_mapping)
     if identifier not in mapping.values():
         raise IngestError(
@@ -102,4 +124,5 @@ def ingest_update(
     target_fields = [f for f in table.schema().fields if f.name in mapped.columns]
     casted = cast_to_schema(mapped, T.StructType(target_fields))
     set_cols = [c for c in casted.columns if c != identifier]
-    return table.keyed_update(casted, identifier, set_cols)
+    with _tracked(table, progress, "ingest_update"):
+        return table.keyed_update(casted, identifier, set_cols)

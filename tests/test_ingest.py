@@ -190,3 +190,53 @@ def test_write_partitioned_prunes(spark, tmp_path):
     # static partition pruning reaches the scan
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "o_orderstatus" in plan
+
+
+def test_ingest_append_reports_task_progress(spark, table):
+    """SURVEY §7.2: the reference's per-row INSERT progress callbacks
+    (tool:257-258, 616-626) map to task-granularity events in Spark.
+    The callback must see ≥1 event, counts must be sane/monotonic in
+    the done counter, and the final event is marked done with every
+    submitted task accounted for."""
+    events = []
+    src = spark.createDataFrame(
+        [(i, f"n{i}", i % 7) for i in range(5000)], "A long, B string, C int"
+    ).repartition(8)
+    v = ingest_append(
+        table,
+        src,
+        {"A": "id", "B": "name", "C": "qty"},
+        progress=events.append,
+    )
+    assert v >= 1
+    assert len(events) >= 1
+    final = events[-1]
+    assert final.done and final.tasks_total > 0
+    assert final.tasks_done == final.tasks_total
+    assert 0.0 <= final.fraction <= 1.0
+    for e in events:
+        assert e.description == "ingest_append"
+        assert 0 <= e.tasks_done <= e.tasks_total
+    # the table really got the rows — progress is an observer, not a gate
+    assert table.read().count() == 5000
+
+
+def test_ingest_update_reports_progress_and_group_cleanup(spark, table):
+    events = []
+    ingest_append(
+        table,
+        spark.createDataFrame([(1, "a", 1), (2, "b", 2)], "A long, B string, C int"),
+        {"A": "id", "B": "name", "C": "qty"},
+    )
+    ingest_update(
+        table,
+        spark.createDataFrame([(1, "upd")], "A long, B string"),
+        {"A": "id", "B": "name"},
+        identifier="id",
+        progress=events.append,
+    )
+    assert events and events[-1].done and events[-1].tasks_done > 0
+    # tracked job group must not leak onto the caller's thread
+    assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+    got = {r["id"]: r["name"] for r in table.read().collect()}
+    assert got == {1: "upd", 2: "b"}
