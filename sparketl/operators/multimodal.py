@@ -31,10 +31,12 @@ FRAMES_SCHEMA = "doc_id long, n_frames int, frame_offsets array<int>"
 
 
 def _require_codec(name: str) -> None:
-    """Real decoders are not available in this environment."""
+    """Real audio/video decoders are not available in this environment
+    (images ARE decodable — see ``sparketl.codecs`` for the pure-stdlib
+    PNG/BMP path used when ``fake=False``)."""
     raise NotImplementedError(
-        f"codec '{name}' not available: install Pillow/av/soundfile to "
-        f"decode real payloads; tests use the deterministic fake path"
+        f"codec '{name}' not available: install av/soundfile to decode "
+        f"real payloads; tests use the deterministic fake path"
     )
 
 
@@ -53,29 +55,62 @@ def to_binary_column(docs: DataFrame, payload_col: str = "text") -> DataFrame:
 
 
 def decode_images(binary_df: DataFrame, fake: bool = True) -> DataFrame:
-    """'Decode' each binary payload into (width, height, channels).
+    """Decode each binary payload into (width, height, channels).
 
     fake=True → deterministic fake derived from the byte length
     (width = n % 640 + 1, height = (n * 7) % 480 + 1, channels = 3) —
     the Arrow/mapInPandas plumbing is identical to a real decoder.
-    fake=False → requires a real codec (NotImplementedError here).
+    fake=False → REAL decode via the pure-stdlib PNG/BMP codecs
+    (``sparketl.codecs``): header-validated width/height/channels and
+    the actual container format; undecodable payloads yield NULL
+    dimensions and format 'unknown' rather than failing the batch (a
+    100 TB ingest always contains corrupt files — quarantine by
+    filtering ``format = 'unknown'`` downstream).
     """
-    if not fake:
-        _require_codec("image")
 
-    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            n = pdf["payload"].map(len)
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_bytes": n.astype("int32"),
-                    "width": (n % 640 + 1).astype("int32"),
-                    "height": (n * 7 % 480 + 1).astype("int32"),
-                    "channels": 3,
-                    "format": "fake/raw",
-                }
-            )
+    if fake:
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n = pdf["payload"].map(len)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": n.astype("int32"),
+                        "width": (n % 640 + 1).astype("int32"),
+                        "height": (n * 7 % 480 + 1).astype("int32"),
+                        "channels": 3,
+                        "format": "fake/raw",
+                    }
+                )
+
+    else:
+        from sparketl.codecs import CodecError, image_meta
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                metas = []
+                for b in pdf["payload"]:
+                    try:
+                        metas.append(image_meta(bytes(b)))
+                    except CodecError:
+                        metas.append((None, None, None, "unknown"))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                        "width": pd.array(
+                            [m[0] for m in metas], dtype="Int32"
+                        ),
+                        "height": pd.array(
+                            [m[1] for m in metas], dtype="Int32"
+                        ),
+                        "channels": pd.array(
+                            [m[2] for m in metas], dtype="Int32"
+                        ),
+                        "format": [m[3] for m in metas],
+                    }
+                )
 
     return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
@@ -130,20 +165,35 @@ def extract_features(binary_df: DataFrame, dim: int = 16, fake: bool = True) -> 
     ``dim`` — same Arrow/mapInPandas shape as a real CNN/audio
     embedder, and the output plugs straight into the similarity
     operators (cosine_topk / ANN) since it is an array<double> column.
-    """
-    if not fake:
-        _require_codec("feature-extractor")
 
+    fake=False: the histogram is computed over the REAL decoded pixel
+    samples (PNG/BMP via ``sparketl.codecs``) instead of the container
+    bytes — i.e. a true luminance-ish intensity histogram, invariant
+    to compression; undecodable payloads get a zero vector.
+    """
     import numpy as np
+
+    if not fake:
+        from sparketl.codecs import CodecError, image_pixels
+
+    def _hist(arr: "np.ndarray") -> list[float]:
+        hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+        total = hist.sum()
+        return (hist / total if total else hist).tolist()
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf["payload"]:
-                arr = np.frombuffer(bytes(b), dtype=np.uint8)
-                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
-                total = hist.sum()
-                feats.append((hist / total if total else hist).tolist())
+                if fake:
+                    arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                else:
+                    try:
+                        _w, _h, _ch, raw = image_pixels(bytes(b))
+                        arr = np.frombuffer(raw, dtype=np.uint8)
+                    except CodecError:
+                        arr = np.empty(0, dtype=np.uint8)
+                feats.append(_hist(arr))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "feature": feats})
 
     return binary_df.mapInPandas(extract, schema=FEATURES_SCHEMA)

@@ -32,9 +32,8 @@ def test_decode_matches_payload_length(spark, docs):
         assert r["channels"] == 3
 
 
-def test_real_codec_is_stubbed(spark, docs):
-    with pytest.raises(NotImplementedError):
-        decode_images(to_binary_column(docs), fake=False)
+def test_real_video_codec_is_stubbed(spark, docs):
+    # images have a real stdlib decode path now; video does not
     with pytest.raises(NotImplementedError):
         sample_frames(to_binary_column(docs), fake=False)
 
