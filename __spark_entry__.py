@@ -83,11 +83,15 @@ _FRONT = [
     "ext_14_passage_dedup",
     "ext_18_mix_sources",
     "ext_20_winsorize",
+    # never driver-checked — new this round
+    "ext_66_mixture_weights",
+    "ext_67_hash_split",
+    "ext_68_tv_drift",
+    # ---- end of the round-5 driver window (50 entries above) ----
+    # queued for round 6: the deferred round-2 entries
     "ext_22_funnel",
     "ext_23_retention",
     "ext_24_salted_join",
-    # ---- end of the round-5 driver window (50 entries above) ----
-    # queued for round 6: the deferred round-2 entries
     "tierc_exists_subquery",
     "tierc_line_status",
     "tierc_local_supplier_volume",

@@ -1797,3 +1797,89 @@ EXT_ORACLES["ext_65_incremental_dedup"] = """
       ON b.source = k.source
     ORDER BY b.source
 """
+
+from sparketl.operators.pipeline_ops import (  # noqa: E402
+    q_ext_66_mixture_weights,
+    q_ext_67_hash_split,
+    q_ext_68_tv_drift,
+)
+
+EXT_QUERIES["ext_66_mixture_weights"] = q_ext_66_mixture_weights
+EXT_ORACLES["ext_66_mixture_weights"] = """
+    WITH per_src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT *,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_micro
+      FROM per_src
+    ), tot AS (
+      SELECT CAST(SUM(w_micro) AS BIGINT) AS w_total FROM scaled
+    )
+    SELECT source, n_docs, n_tokens,
+           CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE) AS weight,
+           CAST(w_micro AS DOUBLE) / CAST(w_total AS DOUBLE)
+             * 1000000000.0 / CAST(n_tokens AS DOUBLE) AS epochs
+    FROM scaled CROSS JOIN tot ORDER BY source
+"""
+
+EXT_QUERIES["ext_67_hash_split"] = q_ext_67_hash_split
+EXT_ORACLES["ext_67_hash_split"] = """
+    WITH tagged AS (
+      SELECT source,
+             CASE
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+                 THEN 'train'
+               WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                 THEN 'val'
+               ELSE 'test'
+             END AS split,
+             len(string_split(text, ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM tagged GROUP BY source, split ORDER BY source, split
+"""
+
+EXT_QUERIES["ext_68_tv_drift"] = q_ext_68_tv_drift
+EXT_ORACLES["ext_68_tv_drift"] = """
+    WITH a AS (
+      SELECT source,
+             CAST(FLOOR(len(string_split(text, ' ')) / 32.0) AS BIGINT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ), b AS (
+      SELECT source,
+             CAST(FLOOR(len(string_split(text, ' ')) / 32.0) AS BIGINT)
+               AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ), m AS (
+      SELECT COALESCE(a.source, b.source) AS source,
+             COALESCE(a.bucket, b.bucket) AS bucket,
+             COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM a FULL JOIN b ON a.source = b.source AND a.bucket = b.bucket
+    ), t AS (
+      SELECT source, CAST(SUM(n_a) AS BIGINT) AS t_a,
+             CAST(SUM(n_b) AS BIGINT) AS t_b
+      FROM m GROUP BY source
+    ), terms AS (
+      SELECT m.source, n_a, n_b,
+             CAST(FLOOR(ABS(
+               CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+               - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)
+             ) * 1000000000.0) AS BIGINT) AS term_nanos
+      FROM m JOIN t ON m.source = t.source
+    )
+    SELECT source,
+           CAST(SUM(n_a) AS BIGINT) AS n_a,
+           CAST(SUM(n_b) AS BIGINT) AS n_b,
+           CAST(SUM(term_nanos) AS BIGINT) // 2 AS tv_half_nanos
+    FROM terms GROUP BY source ORDER BY source
+"""

@@ -467,3 +467,175 @@ def q_ext_65_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     registry = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 == 1)
     return incremental_dedup(batch, registry)
+
+
+# ---------------------------------------------------------------------------
+# ext_66: temperature-scaled source mixture weights
+# ---------------------------------------------------------------------------
+
+
+def mixture_weights(docs: DataFrame, token_budget: int = 1_000_000_000) -> DataFrame:
+    """Sampling weights for combining sources into one training mix,
+    with temperature τ=0.5: weight_s ∝ n_s^τ (the standard
+    multilingual/data-mixing upweighting of small sources — small
+    sources get more than their proportional share, large ones less).
+    Also reports the epochs each source would run at a given token
+    budget (epochs > 1 ⇒ the source repeats).
+
+    Scale: one map-side-combinable per-source token-count aggregate
+    over the corpus; everything downstream operates on the handful of
+    source rows. Engine-exactness: τ=0.5 is computed with ``sqrt``
+    (IEEE-correctly-rounded in both Spark and DuckDB, unlike ``pow``),
+    each sqrt is quantized to bigint micro-units BEFORE the
+    order-sensitive normalization sum, and the final weight is a
+    single bigint÷bigint double division — bit-identical across
+    engines regardless of aggregation order.
+    """
+    per_src = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    scaled = per_src.withColumn(
+        "w_micro",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1_000_000.0)).cast(
+            "long"
+        ),
+    )
+    total = scaled.agg(F.sum("w_micro").alias("w_total"))
+    return (
+        scaled.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("w_micro").cast("double") / F.col("w_total").cast("double")).alias(
+                "weight"
+            ),
+            (
+                F.col("w_micro").cast("double")
+                / F.col("w_total").cast("double")
+                * F.lit(float(token_budget))
+                / F.col("n_tokens").cast("double")
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_66_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_weights(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_67: portable deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+
+def hash_split_counts(docs: DataFrame) -> DataFrame:
+    """Assign every document to train/val/test by the first hex byte of
+    ``md5(doc_id)`` — the split a reproducible pipeline needs: stable
+    across engines, runs, partitionings and cluster sizes (md5 of the
+    decimal id string is identical everywhere, unlike xxhash64/rand).
+    Thresholds on the first two hex chars: < 'cc' → train (204/256 ≈
+    79.7%), < 'e6' → val (26/256 ≈ 10.2%), else test.
+
+    Scale: the split tag is a scan-speed map expression (one md5 per
+    row, codegen'd); the output is a tiny (source × split) count
+    aggregate — all-bigint, zero float risk. The same tag expression
+    filters the actual split members without ever materializing an
+    assignment table.
+    """
+    tag = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(tag < "cc", F.lit("train"))
+        .when(tag < "e6", F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("source", split.alias("split"), F.size(F.split("text", " ")).alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+def q_ext_67_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hash_split_counts(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_68: corpus drift between snapshots (total-variation distance)
+# ---------------------------------------------------------------------------
+
+
+def tv_drift(snap_a: DataFrame, snap_b: DataFrame, bucket_tokens: int = 32) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots:
+    total-variation distance ½·Σ|p_a − p_b| over document-length
+    buckets — the monitoring gate that catches a scraper or filter
+    change shifting the corpus shape between ingest runs.
+
+    TV is preferred to PSI/KL here for engine-exactness: it needs no
+    logarithm (``ln`` is only 1-ulp-accurate and differs across
+    libms), so every step is exact IEEE arithmetic on bigint-ratio
+    doubles, and each |p_a − p_b| is floored to bigint nano-units
+    before the order-sensitive sum. Output is pure bigints.
+
+    Scale: two map-side-combinable (source, bucket) counts, a
+    source-keyed merge of two small aggregates, and a per-source fold
+    over ≤ a few dozen buckets — nothing data-sized shuffles twice.
+    """
+
+    def hist(df: DataFrame, n_col: str) -> DataFrame:
+        # explicit floor: Spark's long cast truncates but DuckDB's
+        # rounds, so the bucket id must be floored in both engines
+        b = F.floor(F.size(F.split("text", " ")) / F.lit(bucket_tokens)).cast("long")
+        return df.select("source", b.alias("bucket")).groupBy(
+            "source", "bucket"
+        ).agg(F.count(F.lit(1)).alias(n_col))
+
+    ha, hb = hist(snap_a, "n_a"), hist(snap_b, "n_b")
+    merged = ha.join(hb, ["source", "bucket"], "full").select(
+        "source",
+        "bucket",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+    )
+    totals = merged.groupBy("source").agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    terms = merged.join(totals, "source").select(
+        "source",
+        "n_a",
+        "n_b",
+        F.floor(
+            F.abs(
+                F.col("n_a").cast("double") / F.col("t_a").cast("double")
+                - F.col("n_b").cast("double") / F.col("t_b").cast("double")
+            )
+            * F.lit(1_000_000_000.0)
+        )
+        .cast("long")
+        .alias("term_nanos"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            # integer div, not /2-then-cast (cast rounding differs)
+            F.expr("sum(term_nanos) div 2").alias("tv_half_nanos"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_68_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot twins from the fixture: even doc_ids = yesterday's
+    crawl, odd = today's."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tv_drift(
+        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
+    )

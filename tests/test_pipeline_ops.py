@@ -173,3 +173,60 @@ def test_streaming_dedup_equals_batch_distinct(spark):
         .collect()
     }
     assert got == want
+
+
+def test_mixture_weights_sum_to_one_and_upweight_small(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import mixture_weights
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rows = mixture_weights(docs, token_budget=10_000).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-9
+    # τ=0.5 upweights small sources: weight share must exceed token
+    # share for the smallest source and trail it for the largest
+    total_tok = sum(r["n_tokens"] for r in rows)
+    smallest = min(rows, key=lambda r: r["n_tokens"])
+    largest = max(rows, key=lambda r: r["n_tokens"])
+    assert smallest["weight"] > smallest["n_tokens"] / total_tok
+    assert largest["weight"] < largest["n_tokens"] / total_tok
+    # epochs = weight·budget/n_tokens exactly
+    for r in rows:
+        assert abs(r["epochs"] - r["weight"] * 10_000 / r["n_tokens"]) < 1e-9
+
+
+def test_hash_split_fractions_and_determinism(spark):
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import hash_split_counts
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    rows = hash_split_counts(docs).collect()
+    by_split = {}
+    for r in rows:
+        by_split[r["split"]] = by_split.get(r["split"], 0) + r["n_docs"]
+    n = sum(by_split.values())
+    assert n == docs.count()
+    # md5 uniformity: 79.7/10.2/10.2 targets, generous ±4% absolute
+    assert abs(by_split["train"] / n - 204 / 256) < 0.04
+    assert abs(by_split["val"] / n - 26 / 256) < 0.04
+    assert abs(by_split["test"] / n - 26 / 256) < 0.04
+    # deterministic across partitioning: same counts after repartition
+    again = hash_split_counts(docs.repartition(7)).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_tv_drift_zero_for_identical_one_for_disjoint(spark):
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.pipeline_ops import tv_drift
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1), "en", "s1", 10) for i in range(100)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    same = {r["source"]: r for r in tv_drift(docs, docs).collect()}
+    assert same["s1"]["tv_half_nanos"] == 0
+    short = docs.withColumn("text", F.lit("a"))
+    long = docs.withColumn("text", F.lit(" ".join(["b"] * 100)))
+    disjoint = {r["source"]: r for r in tv_drift(short, long).collect()}
+    # disjoint supports → TV = 1.0 → half-sum of |Δp| in nanos = 1e9
+    assert disjoint["s1"]["tv_half_nanos"] == 1_000_000_000
