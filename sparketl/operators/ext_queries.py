@@ -1853,13 +1853,17 @@ EXT_ORACLES["ext_68_tv_drift"] = """
              CAST(FLOOR(len(string_split(text, ' ')) / 32.0) AS BIGINT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_a
-      FROM documents WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      FROM documents
+      WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8'
+      GROUP BY 1, 2
     ), b AS (
       SELECT source,
              CAST(FLOOR(len(string_split(text, ' ')) / 32.0) AS BIGINT)
                AS bucket,
              CAST(COUNT(*) AS BIGINT) AS n_b
-      FROM documents WHERE doc_id % 2 = 1 GROUP BY 1, 2
+      FROM documents
+      WHERE NOT (substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8')
+      GROUP BY 1, 2
     ), m AS (
       SELECT COALESCE(a.source, b.source) AS source,
              COALESCE(a.bucket, b.bucket) AS bucket,
@@ -1872,14 +1876,19 @@ EXT_ORACLES["ext_68_tv_drift"] = """
     ), terms AS (
       SELECT m.source, n_a, n_b,
              CAST(FLOOR(ABS(
-               CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
-               - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)
+               CASE WHEN t_a > 0
+                    THEN CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+                    ELSE 0.0 END
+               - CASE WHEN t_b > 0
+                      THEN CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE)
+                      ELSE 0.0 END
              ) * 1000000000.0) AS BIGINT) AS term_nanos
       FROM m JOIN t ON m.source = t.source
     )
     SELECT source,
            CAST(SUM(n_a) AS BIGINT) AS n_a,
            CAST(SUM(n_b) AS BIGINT) AS n_b,
-           CAST(SUM(term_nanos) AS BIGINT) // 2 AS tv_half_nanos
+           CAST(CAST(SUM(term_nanos) AS BIGINT) // 2 AS BIGINT)
+             AS tv_half_nanos
     FROM terms GROUP BY source ORDER BY source
 """

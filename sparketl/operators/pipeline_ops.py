@@ -606,17 +606,19 @@ def tv_drift(snap_a: DataFrame, snap_b: DataFrame, bucket_tokens: int = 32) -> D
     totals = merged.groupBy("source").agg(
         F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
     )
+    # a source absent from one snapshot has p≡0 there — guard the
+    # ratio so t=0 doesn't NULL the row; the half-L1 then reads 0.5
+    # (half the mass comparable) with the vanish explicit in n_a/n_b=0
+    def p(n: str, t: str):
+        return F.when(
+            F.col(t) > 0, F.col(n).cast("double") / F.col(t).cast("double")
+        ).otherwise(F.lit(0.0))
+
     terms = merged.join(totals, "source").select(
         "source",
         "n_a",
         "n_b",
-        F.floor(
-            F.abs(
-                F.col("n_a").cast("double") / F.col("t_a").cast("double")
-                - F.col("n_b").cast("double") / F.col("t_b").cast("double")
-            )
-            * F.lit(1_000_000_000.0)
-        )
+        F.floor(F.abs(p("n_a", "t_a") - p("n_b", "t_b")) * F.lit(1_000_000_000.0))
         .cast("long")
         .alias("term_nanos"),
     )
@@ -633,9 +635,10 @@ def tv_drift(snap_a: DataFrame, snap_b: DataFrame, bucket_tokens: int = 32) -> D
 
 
 def q_ext_68_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot twins from the fixture: even doc_ids = yesterday's
-    crawl, odd = today's."""
+    """Snapshot twins from the fixture, split by an md5 coin so every
+    source has documents on BOTH sides (doc_id parity correlates with
+    source in the fixture — a parity split would put each source
+    entirely in one snapshot and measure nothing but its absence)."""
     docs = load_table(spark, sf_dir, "documents")
-    return tv_drift(
-        docs.filter(F.col("doc_id") % 2 == 0), docs.filter(F.col("doc_id") % 2 == 1)
-    )
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    return tv_drift(docs.filter(coin), docs.filter(~coin))

@@ -230,3 +230,12 @@ def test_tv_drift_zero_for_identical_one_for_disjoint(spark):
     disjoint = {r["source"]: r for r in tv_drift(short, long).collect()}
     # disjoint supports → TV = 1.0 → half-sum of |Δp| in nanos = 1e9
     assert disjoint["s1"]["tv_half_nanos"] == 1_000_000_000
+    # a source that vanished from one snapshot must not go NULL (the
+    # zero-total guard): its empty side contributes p≡0, so the
+    # half-L1 reads 0.5 — flagged alongside the zero count
+    only_a = docs.filter(F.col("doc_id") < 50)
+    other = docs.filter(F.col("doc_id") >= 50).withColumn("source", F.lit("s2"))
+    vanish = {r["source"]: r for r in tv_drift(only_a, other).collect()}
+    assert vanish["s1"]["tv_half_nanos"] == 500_000_000
+    assert vanish["s2"]["tv_half_nanos"] == 500_000_000
+    assert vanish["s1"]["n_b"] == 0 and vanish["s2"]["n_a"] == 0

@@ -121,6 +121,9 @@ AUDITED = [
     "ext_63_curation_funnel",
     "ext_64_dataset_card",
     "ext_65_incremental_dedup",
+    "ext_66_mixture_weights",
+    "ext_67_hash_split",
+    "ext_68_tv_drift",
 ]
 
 

@@ -4,7 +4,13 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
 DuckDB at sf0.01, compares row count, sorted column names, and an
 order-insensitive value hash (exact string rendering; floats via repr).
 
-Usage: python tools/verify_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/verify_oracle.py [--vanilla] [--first N] [sf_dir] [query_name ...]
+
+``--vanilla`` builds a bare ``SparkSession`` (no sparketl session
+configs) — the closest local stand-in for the driver's own session;
+catches session-config coupling that runs under ``get_spark`` miss.
+``--first N`` restricts to the first N ``queries()`` entries in
+iteration order (the driver's rotating check window).
 """
 
 from __future__ import annotations
@@ -42,14 +48,31 @@ def frame_fingerprint(cols: list[str], rows: list[tuple]):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    vanilla = "--vanilla" in args
+    if vanilla:
+        args.remove("--vanilla")
+    first_n = None
+    if "--first" in args:
+        i = args.index("--first")
+        first_n = int(args[i + 1])
+        del args[i : i + 2]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     import __spark_entry__ as entrymod
-    from sparketl.session import get_spark
 
-    spark = get_spark("verify_oracle")
+    if vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").getOrCreate()
+    else:
+        from sparketl.session import get_spark
+
+        spark = get_spark("verify_oracle")
     qs = entrymod.queries()
+    if first_n is not None:
+        qs = dict(list(qs.items())[:first_n])
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
