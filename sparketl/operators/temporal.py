@@ -115,24 +115,37 @@ def q_ext_07_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ext_07_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Orders joined to the same user's events within 30 days after
-    the order date: equi-join on the user key with the time range as a
-    residual predicate (no nested-loop join — Catalyst extracts the
-    equi-key), aggregated to per-order event counts."""
+    """Orders joined to the same user's events in a 3-day window after
+    a per-order anchor timestamp: equi-join on the user key with the
+    time range as a residual predicate (no nested-loop join — Catalyst
+    extracts the equi-key), aggregated to per-order event stats.
+
+    The anchor folds each order date into the events fixture's time
+    domain (orders span 1995–2001, events span Jan 2024 — the raw
+    dates never overlap, which made the original 30-days-after-order
+    binding vacuously all-NULL; caught by verify_oracle's ALL-NULL
+    tripwire): anchor = 2024-01-01 + (days-since-1995 mod 25) days,
+    deterministic and expressible identically in DuckDB."""
     e = load_table(spark, sf_dir, "events")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "anchor",
+        F.expr(
+            "timestamp'2024-01-01 00:00:00' + make_interval(0, 0, 0, "
+            "CAST(datediff(o_orderdate, date'1995-01-01') % 25 AS INT), 0, 0, 0)"
+        ),
+    )
     cond = (
         (o.o_custkey == e.user_id)
-        & (e.ts >= o.o_orderdate)
-        & (e.ts < o.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+        & (e.ts >= o.anchor)
+        & (e.ts < o.anchor + F.expr("INTERVAL 3 DAYS"))
     )
     return (
         o.join(e, cond, "left")
         .groupBy("o_orderkey")
         .agg(
-            F.count("event_id").alias("n_events_30d"),
+            F.count("event_id").alias("n_events_3d"),
             F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
-                "event_value_30d"
+                "event_value_3d"
             ),
         )
         .orderBy("o_orderkey")
@@ -168,15 +181,23 @@ TEMPORAL_ORACLES = {
         ORDER BY event_id
     """,
     "ext_07_range_join": """
-        SELECT o.o_orderkey,
-               COUNT(e.event_id) AS n_events_30d,
-               CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS event_value_30d
-        FROM orders o
+        WITH oo AS (
+          SELECT o_orderkey, o_custkey,
+                 TIMESTAMP '2024-01-01 00:00:00'
+                   + (datediff('day', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) % 25)
+                     * INTERVAL 1 DAY AS anchor
+          FROM orders
+        )
+        SELECT oo.o_orderkey,
+               COUNT(e.event_id) AS n_events_3d,
+               CAST(SUM(CAST(e.value AS DECIMAL(12,2))) AS DOUBLE) AS event_value_3d
+        FROM oo
         LEFT JOIN events e
-          ON o.o_custkey = e.user_id
-         AND CAST(e.ts AS TIMESTAMP) >= o.o_orderdate
-         AND CAST(e.ts AS TIMESTAMP) < o.o_orderdate + INTERVAL 30 DAY
-        GROUP BY o.o_orderkey
-        ORDER BY o.o_orderkey
+          ON oo.o_custkey = e.user_id
+         AND CAST(e.ts AS TIMESTAMP) >= oo.anchor
+         AND CAST(e.ts AS TIMESTAMP) < oo.anchor + INTERVAL 3 DAY
+        GROUP BY oo.o_orderkey
+        ORDER BY oo.o_orderkey
     """,
 }

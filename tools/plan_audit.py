@@ -46,6 +46,7 @@ BROADCAST_SCALAR_OK = {
     "ext_49_rfm",
     "ext_50_skew_report",
     "ext_58_vocab_coverage",
+    "ext_66_mixture_weights",  # one-row w_total normalizer broadcast
 }
 
 AUDITED = [

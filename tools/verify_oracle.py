@@ -107,8 +107,18 @@ def main() -> int:
             continue
         sc, sn, sh = frame_fingerprint(scols, [tuple(r) for r in srows])
         dc, dn, dh = frame_fingerprint(dcols, drows)
+        # degenerate-output tripwire: a hash match on a column BOTH
+        # engines compute as all-NULL is agreement, not correctness
+        # (caught ext_68's parity split computing nothing) — surface it
+        tuples = [tuple(r) for r in srows]
+        all_null = [
+            c
+            for i, c in enumerate(scols)
+            if tuples and all(t[i] is None for t in tuples)
+        ]
         if (sc, sn, sh) == (dc, dn, dh):
-            print(f"PASS  {name}: {sn} rows")
+            note = f"  [ALL-NULL cols: {all_null}]" if all_null else ""
+            print(f"PASS  {name}: {sn} rows{note}")
             n_pass += 1
         else:
             print(f"FAIL  {name}: spark(cols={sc},n={sn},h={sh}) duckdb(cols={dc},n={dn},h={dh})")
