@@ -9,14 +9,18 @@ this image, so this module implements the same core idea natively:
   files (like a Delta log entry);
 - appends add files and write a new manifest — O(new data), no rewrite;
 - update/delete/overwrite write replacement files + a new manifest;
-- the active version is a single pointer file swapped with
-  ``os.replace`` (atomic on POSIX) — readers see old or new, never a
-  mix; a crashed writer leaves only orphaned data dirs, never a
-  corrupt table.
+- a version is COMMITTED the instant its fully-written manifest is
+  ``os.link``ed to its final name — link is atomic and exclusive, so
+  readers never see a partial manifest and two writers can never both
+  own a version number (optimistic concurrency: appends rebase and
+  retry, rewrites raise ConcurrentWriteError). A crashed writer leaves
+  only orphaned data dirs/tmp files, never a corrupt table; the
+  ``_LATEST`` pointer survives as a monotonic best-effort cache.
 
-At cluster scale the pointer/manifest lives on shared storage and the
-data files are written by distributed Spark jobs — the commit is still
-a single small-file swap, which is exactly Delta's design.
+At cluster scale the manifest log lives on shared storage and the data
+files are written by distributed Spark jobs — the commit is still one
+exclusive small-file publication, which is exactly Delta's design
+(its _delta_log uses the same put-if-absent primitive).
 
 Keyed-update semantics reproduce the reference's row loop
 (tool:282-312, SURVEY §3.3): null-identifier source rows are skipped
@@ -41,6 +45,14 @@ from pyspark.sql import types as T
 
 class TableError(Exception):
     pass
+
+
+class ConcurrentWriteError(TableError):
+    """Another writer committed between this writer's snapshot read and
+    its commit attempt. Appends rebase-and-retry automatically (they
+    are logically conflict-free); rewrites (overwrite / update / delete
+    / upsert / compact) surface this so the caller re-runs against the
+    new snapshot — the same contract as Delta's optimistic concurrency."""
 
 
 def _is_nan(v) -> bool:
@@ -163,6 +175,20 @@ class ManagedTable:
         return os.path.exists(self._pointer)
 
     def _current_version(self) -> int:
+        """Highest published manifest. The manifest DIRECTORY is the
+        source of truth (exclusive-create publication serializes
+        writers — see ``_publish``); the ``_LATEST`` pointer is a
+        best-effort cache kept for ``exists()`` and older layouts."""
+        try:
+            versions = [
+                int(n[1:7])
+                for n in os.listdir(self._manifest_dir)
+                if re.fullmatch(r"v\d{6}\.json", n)
+            ]
+            if versions:
+                return max(versions)
+        except FileNotFoundError:
+            pass
         with open(self._pointer, encoding="utf-8") as f:
             return int(f.read().strip())
 
@@ -173,14 +199,65 @@ class ManagedTable:
         ) as f:
             return json.load(f)
 
-    def _commit(self, files: list[str], schema_json: str, properties: dict) -> int:
-        new_v = (self._current_version() + 1) if self.exists() else 1
+    def _publish(self, manifest: dict, new_v: int) -> bool:
+        """Atomically publish manifest ``new_v``; False if a concurrent
+        writer already owns that version number. The manifest is fully
+        written to a tmp file, then ``os.link``ed to its final name —
+        link is atomic AND exclusive (fails if the name exists), so (a)
+        readers never see a partial manifest and (b) two writers can
+        never both publish the same version. Linking IS the commit
+        point; the ``_LATEST`` pointer is refreshed afterwards as a
+        monotonic best-effort cache."""
+        path = os.path.join(self._manifest_dir, f"v{new_v:06d}.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            json.dump(manifest, f)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        try:
+            cur = 0
+            if os.path.exists(self._pointer):
+                with open(self._pointer, encoding="utf-8") as f:
+                    cur = int(f.read().strip())
+            if new_v > cur:
+                ptr_tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
+                with open(ptr_tmp, "w", encoding="utf-8") as f:
+                    f.write(str(new_v))
+                os.replace(ptr_tmp, self._pointer)
+        except OSError:
+            pass  # cache only; _current_version derives from the dir
+        return True
+
+    def _commit(
+        self,
+        files: list[str],
+        schema_json: str,
+        properties: dict,
+        base_version: int | None = None,
+    ) -> int:
+        """Commit a new version on top of ``base_version`` (the version
+        the caller's snapshot was read at). Raises ConcurrentWriteError
+        if another writer published base_version+1 first — optimistic
+        concurrency; ``append`` rebases and retries, rewrites surface
+        the conflict. ``base_version=None`` keeps the legacy
+        last-writer-wins behavior for internal single-writer paths."""
+        if base_version is None:
+            base_version = self._current_version() if self.exists() else 0
+        new_v = base_version + 1
         os.makedirs(self._manifest_dir, exist_ok=True)
         # footer min/max stats ride in the manifest (Delta-style data
         # skipping); retained files carry their stats forward, only the
         # newly written files get a footer read — O(new files) metadata
         # work per commit, no data scan ever.
-        prev_stats = self._manifest().get("file_stats", {}) if self.exists() else {}
+        prev_stats = (
+            self._manifest(base_version).get("file_stats", {})
+            if base_version >= 1
+            else {}
+        )
         # `f in prev_stats` (not truthiness): a file with no numeric
         # columns has stats {} which must still carry forward, or its
         # footer would be re-read on every subsequent commit
@@ -195,15 +272,11 @@ class ManagedTable:
             "properties": properties,
             "file_stats": file_stats,
         }
-        path = os.path.join(self._manifest_dir, f"v{new_v:06d}.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f)
-        os.replace(tmp, path)
-        ptr_tmp = self._pointer + f".tmp-{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w", encoding="utf-8") as f:
-            f.write(str(new_v))
-        os.replace(ptr_tmp, self._pointer)  # the atomic commit point
+        if not self._publish(manifest, new_v):
+            raise ConcurrentWriteError(
+                f"version {new_v} was committed by a concurrent writer "
+                f"(snapshot read at v{base_version})"
+            )
         return new_v
 
     def _write_data(self, df: DataFrame) -> list[str]:
@@ -220,7 +293,7 @@ class ManagedTable:
         if self.exists():
             raise TableError(f"table already exists at {self.root}")
         os.makedirs(self.root, exist_ok=True)
-        self._commit([], schema.json(), properties or {})
+        self._commit([], schema.json(), properties or {}, base_version=0)
 
     def drop(self) -> None:
         import shutil
@@ -324,7 +397,12 @@ class ManagedTable:
     def set_properties(self, updates: dict) -> int:
         """Merge properties in a new (data-unchanged) version."""
         m = self._manifest()
-        return self._commit(m["files"], m["schema"], {**m["properties"], **updates})
+        return self._commit(
+            m["files"],
+            m["schema"],
+            {**m["properties"], **updates},
+            base_version=m["version"],
+        )
 
     # -- writes -------------------------------------------------------------
     def append(self, df: DataFrame, properties_update: dict | None = None) -> int:
@@ -332,20 +410,41 @@ class ManagedTable:
 
         ``properties_update`` merges into the table properties in the
         SAME commit — used by streaming ingest to record the batch id
-        atomically with its data (idempotent re-delivery)."""
-        m = self._manifest()
-        target = T.StructType.fromJson(json.loads(m["schema"]))
+        atomically with its data (idempotent re-delivery).
+
+        Concurrency: appends are logically conflict-free, so a commit
+        race is resolved by REBASING — re-read the latest manifest,
+        splice this append's (already-written, immutable) data files on
+        top of the winner's file list, retry. Data is written exactly
+        once regardless of retries; only the manifest attempt repeats."""
+        target = T.StructType.fromJson(json.loads(self._manifest()["schema"]))
         aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
         new_files = self._write_data(aligned)
-        props = {**m["properties"], **(properties_update or {})}
-        return self._commit(m["files"] + new_files, m["schema"], props)
+        last_err: Exception | None = None
+        for _ in range(20):
+            m = self._manifest()
+            props = {**m["properties"], **(properties_update or {})}
+            try:
+                return self._commit(
+                    m["files"] + new_files,
+                    m["schema"],
+                    props,
+                    base_version=m["version"],
+                )
+            except ConcurrentWriteError as e:
+                last_err = e
+        raise ConcurrentWriteError(
+            f"append could not commit after 20 rebases: {last_err}"
+        )
 
     def overwrite(self, df: DataFrame) -> int:
         m = self._manifest()
         target = T.StructType.fromJson(json.loads(m["schema"]))
         aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
         new_files = self._write_data(aligned)
-        return self._commit(new_files, m["schema"], m["properties"])
+        return self._commit(
+            new_files, m["schema"], m["properties"], base_version=m["version"]
+        )
 
     def _pruned_rewrite(
         self, prune_where: str | None, transform, may_create_rows: bool = False
@@ -381,7 +480,12 @@ class ManagedTable:
             new_files = self._write_data(aligned)
         else:
             new_files = []
-        return self._commit(retained + new_files, m["schema"], m["properties"])
+        return self._commit(
+            retained + new_files,
+            m["schema"],
+            m["properties"],
+            base_version=m["version"],
+        )
 
     def keyed_update(
         self,

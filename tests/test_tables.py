@@ -543,3 +543,92 @@ def test_zorder_requires_two_columns(spark, tmp_path):
     tbl.append(df)
     with pytest.raises(TableError):
         tbl.compact(zorder_by=["a"])
+
+
+def test_concurrent_appends_never_lose_a_batch(spark, tmp_path):
+    """Optimistic concurrency: racing appends rebase onto the winner's
+    manifest instead of clobbering it — every batch must survive, with
+    one version per append, whichever interleaving the scheduler picks."""
+    import threading
+
+    from sparketl.tables import ManagedTable
+
+    root = str(tmp_path / "t")
+    tbl = ManagedTable(spark, root)
+    first = spark.createDataFrame([(0, 0.0)], "id long, v double")
+    tbl.create(first.schema)
+
+    n_writers, errors = 6, []
+
+    def write(i: int) -> None:
+        try:
+            # each writer gets its OWN table handle (separate snapshot
+            # state), as two jobs on a shared filesystem would
+            ManagedTable(spark, root).append(
+                spark.createDataFrame(
+                    [(i * 10 + k, float(i)) for k in range(5)],
+                    "id long, v double",
+                ).coalesce(1)
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors
+    assert tbl.read().count() == n_writers * 5
+    assert {r["id"] for r in tbl.read().collect()} == {
+        i * 10 + k for i in range(n_writers) for k in range(5)
+    }
+    # one version per append on top of the create
+    assert tbl._current_version() == 1 + n_writers
+
+
+def test_stale_rewrite_raises_concurrent_write_error(spark, tmp_path):
+    """A rewrite (overwrite/update/delete) committing against a stale
+    snapshot must fail loudly, not silently drop the interleaved
+    append — the caller re-runs against the new snapshot."""
+    import pytest as _pytest
+
+    from sparketl.tables import ConcurrentWriteError, ManagedTable
+
+    root = str(tmp_path / "t")
+    a, b = ManagedTable(spark, root), ManagedTable(spark, root)
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    a.create(df.schema)
+    a.append(df)
+    m_stale = a._manifest()  # snapshot at v2
+    # interleaved commit by another writer
+    b.append(spark.createDataFrame([(2, 2.0)], "id long, v double"))
+    # a rewrite based on the stale snapshot must refuse
+    with _pytest.raises(ConcurrentWriteError):
+        a._commit(
+            m_stale["files"], m_stale["schema"], m_stale["properties"],
+            base_version=m_stale["version"],
+        )
+    # but a fresh rewrite (re-reads latest) goes through and keeps both rows
+    a.delete_where("id = -999")  # no-op predicate, full commit path
+    assert {r["id"] for r in a.read().collect()} == {1, 2}
+
+
+def test_crashed_publish_leaves_no_partial_manifest(spark, tmp_path):
+    """A tmp manifest left by a crashed writer must be invisible to
+    version resolution and history."""
+    from sparketl.tables import ManagedTable
+
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    tbl.create(df.schema)
+    tbl.append(df)
+    # simulate a crash between tmp write and link
+    import os
+
+    junk = os.path.join(tbl._manifest_dir, "v000099.json.tmp-deadbeef")
+    with open(junk, "w", encoding="utf-8") as f:
+        f.write("{not json")
+    assert tbl._current_version() == 2
+    assert tbl.history() == [1, 2]
+    assert tbl.read().count() == 1
