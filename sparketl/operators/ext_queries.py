@@ -1892,3 +1892,10 @@ EXT_ORACLES["ext_68_tv_drift"] = """
              AS tv_half_nanos
     FROM terms GROUP BY source ORDER BY source
 """
+
+from sparketl.operators.pipeline_ops import q_ext_69_bpe_merges  # noqa: E402
+
+# rows-only: the merge loop is a driver-iterated fixed point with no
+# single-SQL twin; tests/test_pipeline_ops.py proves the merge sequence
+# equals a pure-Python reference BPE on the same word counts.
+EXT_QUERIES["ext_69_bpe_merges"] = q_ext_69_bpe_merges

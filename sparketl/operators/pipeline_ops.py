@@ -642,3 +642,94 @@ def q_ext_68_tv_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     return tv_drift(docs.filter(coin), docs.filter(~coin))
+
+
+# ---------------------------------------------------------------------------
+# ext_69: distributed BPE tokenizer training (merge-pair sequence)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_merge_expr(a: str, b: str) -> str:
+    """SQL fold that applies one BPE merge (a,b)→ab left-to-right over
+    a symbol array — pure higher-order-function JVM code, no UDF. The
+    '' sentinel for 'no pending symbol' is safe: symbols come from
+    non-empty tokens and merges of them, never the empty string."""
+    qa = "'" + a.replace("'", "''") + "'"
+    qb = "'" + b.replace("'", "''") + "'"
+    qab = "'" + (a + b).replace("'", "''") + "'"
+    return f"""
+    aggregate(
+      s,
+      named_struct('out', array()::array<string>, 'prev', ''),
+      (acc, x) -> IF(acc.prev = {qa} AND x = {qb},
+                     named_struct('out', array_append(acc.out, {qab}), 'prev', ''),
+                     IF(acc.prev = '',
+                        named_struct('out', acc.out, 'prev', x),
+                        named_struct('out', array_append(acc.out, acc.prev),
+                                     'prev', x))),
+      acc -> IF(acc.prev = '', acc.out, array_append(acc.out, acc.prev))
+    )
+    """
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Byte-pair-encoding tokenizer training: the sequence of merge
+    rules a BPE vocab build learns from the corpus, with each rule's
+    pair frequency — the core of training a tokenizer at corpus scale.
+
+    Scale shape (how real distributed BPE trainers work): the ONLY
+    corpus-sized operation is the initial word-count aggregate
+    (map-side combinable). Every merge iteration then runs on the
+    WORD-FREQUENCY table (vocabulary-sized, ~10⁵–10⁷ rows at 100 TB,
+    not 10¹⁰): explode adjacent symbol pairs weighted by word count,
+    pick the argmax pair (a one-ROW collect per iteration — the same
+    legitimate driver-side decision as IVF centroid training), and
+    apply the merge with a higher-order-function fold (no UDF). Ties
+    break deterministically on (count DESC, left, right).
+
+    Engine-specific iteration → rows-only driver check; pytest proves
+    the merge sequence equals a pure-Python reference BPE."""
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    syms = words.select("n", F.split("w", "(?!^)").alias("s")).cache()
+    out_schema = "step int, left string, right string, merged string, pair_count long"
+    merges: list[tuple] = []
+    try:
+        for step in range(1, n_merges + 1):
+            pairs = (
+                syms.select(
+                    "n",
+                    F.explode(
+                        F.expr(
+                            "IF(size(s) < 2, array()::array<struct<a:string,b:string>>, "
+                            "transform(sequence(0, size(s) - 2), "
+                            "i -> named_struct('a', s[i], 'b', s[i+1])))"
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+                .agg(F.sum("n").alias("cnt"))
+            )
+            top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+            if not top or top[0]["cnt"] < min_count:
+                break
+            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+            merges.append((step, a, b, a + b, cnt))
+            nxt = syms.withColumn("s", F.expr(_bpe_merge_expr(a, b))).cache()
+            nxt.count()  # materialize before dropping the parent cache
+            syms.unpersist()
+            syms = nxt
+    finally:
+        syms.unpersist()
+    return spark.createDataFrame(merges, out_schema)
+
+
+def q_ext_69_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_train_merges(load_table(spark, sf_dir, "documents"), n_merges=8)

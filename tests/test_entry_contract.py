@@ -24,6 +24,8 @@ ROWS_ONLY_ALLOWED = {
     "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
     "ext_55_countmin",
+    "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
+    # pytest proves equality with a pure-Python reference BPE
 }
 
 

@@ -239,3 +239,76 @@ def test_tv_drift_zero_for_identical_one_for_disjoint(spark):
     assert vanish["s1"]["tv_half_nanos"] == 500_000_000
     assert vanish["s2"]["tv_half_nanos"] == 500_000_000
     assert vanish["s1"]["n_b"] == 0 and vanish["s2"]["n_a"] == 0
+
+
+def _reference_bpe(word_counts, n_merges, min_count=2):
+    """Pure-Python BPE with the operator's exact tie-break
+    (count DESC, left, right) — the ground truth for the merge loop."""
+    syms = {w: list(w) for w in word_counts}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts = {}
+        for w, n in word_counts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + n
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_count:
+            break
+        merges.append((step, a, b, a + b, cnt))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+def test_bpe_merges_equal_reference(spark):
+    """The distributed merge loop must reproduce the reference BPE's
+    merge sequence exactly — pair choice, tie-break, counts, and the
+    left-to-right merge application all verified in one equality."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.pipeline_ops import bpe_train_merges
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    wc = {
+        r["w"]: r["n"]
+        for r in docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    want = _reference_bpe(wc, n_merges=6)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_train_merges(docs, n_merges=6).orderBy("step").collect()
+    ]
+    assert got == want
+    assert len(got) == 6  # fixture has ≥6 productive merges
+
+
+def test_bpe_merges_overlapping_pairs_left_to_right(spark):
+    """'aaa' under merge (a,a): left-to-right gives [aa, a], never
+    [a, aa] — the fold's sentinel logic, on a crafted corpus."""
+    from sparketl.operators.pipeline_ops import bpe_train_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa aa", "en", "s", 10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = bpe_train_merges(docs, n_merges=1).collect()
+    assert [(r["left"], r["right"], r["pair_count"]) for r in out] == [
+        ("a", "a", 5)  # 2 per 'aaa' (overlap not double-counted at apply
+        # time but pair COUNTING sees both) + 1 for 'aa'
+    ]
