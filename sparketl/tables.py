@@ -404,6 +404,47 @@ class ManagedTable:
             base_version=m["version"],
         )
 
+    # -- schema evolution ---------------------------------------------------
+    def add_column(self, name: str, data_type: T.DataType) -> int:
+        """ALTER TABLE ADD COLUMN — METADATA-ONLY (DDL-01 family,
+        tool:387-393 advertises ALTER): no data file is touched; the
+        new manifest's schema gains a nullable field, and Spark's
+        name-based parquet resolution fills it with NULL for every
+        existing file. O(1) commit at any table size — the Delta/
+        Iceberg evolution model, not a table rewrite."""
+        m = self._manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name in schema.fieldNames():
+            raise TableError(f"column '{name}' already exists")
+        new_schema = T.StructType(
+            [*schema.fields, T.StructField(name, data_type, True)]
+        )
+        return self._commit(
+            m["files"], new_schema.json(), m["properties"],
+            base_version=m["version"],
+        )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only: the column leaves
+        the schema; bytes stay in the files (reclaimed by the next
+        compact) but no read path can see them. Dropping a primary-key
+        column is refused — the PK is the update identifier
+        (tool:288)."""
+        m = self._manifest()
+        schema = T.StructType.fromJson(json.loads(m["schema"]))
+        if name not in schema.fieldNames():
+            raise TableError(f"column '{name}' does not exist")
+        pk = [c for c in m["properties"].get("primary_key", "").split(",") if c]
+        if name in pk:
+            raise TableError(f"cannot drop primary-key column '{name}'")
+        new_schema = T.StructType([f for f in schema.fields if f.name != name])
+        if not new_schema.fields:
+            raise TableError("cannot drop the last column")
+        return self._commit(
+            m["files"], new_schema.json(), m["properties"],
+            base_version=m["version"],
+        )
+
     # -- writes -------------------------------------------------------------
     def append(self, df: DataFrame, properties_update: dict | None = None) -> int:
         """SNK-01: atomic batch append — all rows or none (tool:241-267).

@@ -632,3 +632,45 @@ def test_crashed_publish_leaves_no_partial_manifest(spark, tmp_path):
     assert tbl._current_version() == 2
     assert tbl.history() == [1, 2]
     assert tbl.read().count() == 1
+
+
+def test_add_column_metadata_only_and_readable(spark, tmp_table_root):
+    from pyspark.sql import types as TT
+
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    files_before = t._manifest()["files"]
+    t.add_column("score", TT.DoubleType())
+    # metadata-only: identical data files, one new version
+    assert t._manifest()["files"] == files_before
+    row = t.read().collect()[0]
+    assert row["score"] is None  # old files read as NULL
+    # new appends carry the column; old rows stay NULL
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 2.0, 9.5)], "id long, name string, bal double, score double"
+        )
+    )
+    got = {r["id"]: r["score"] for r in t.read().collect()}
+    assert got == {1: None, 2: 9.5}
+    # time travel: the pre-ALTER snapshot has no such column
+    assert "score" not in t.read(version=2).columns
+    with pytest.raises(TableError):
+        t.add_column("score", TT.DoubleType())
+
+
+def test_drop_column_metadata_only_and_guards(spark, tmp_table_root):
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    files_before = t._manifest()["files"]
+    t.drop_column("bal")
+    assert t._manifest()["files"] == files_before  # no rewrite
+    assert t.read().columns == ["id", "name"]
+    assert tuple(t.read().collect()[0]) == (1, "a")
+    # appends after the drop use the narrowed schema
+    t.append(spark.createDataFrame([(2, "b")], "id long, name string"))
+    assert t.read().count() == 2
+    with pytest.raises(TableError):
+        t.drop_column("id")  # primary key
+    with pytest.raises(TableError):
+        t.drop_column("ghost")
