@@ -82,13 +82,14 @@ _FRONT = [
     "ext_11_rolling_7d",
     "ext_14_passage_dedup",
     "ext_18_mix_sources",
-    "ext_20_winsorize",
     # never driver-checked — new this round
     "ext_66_mixture_weights",
     "ext_67_hash_split",
     "ext_68_tv_drift",
+    "ext_mm_audio",
     # ---- end of the round-5 driver window (50 entries above) ----
     # queued for round 6: the deferred round-2 entries
+    "ext_20_winsorize",
     "ext_22_funnel",
     "ext_23_retention",
     "ext_24_salted_join",

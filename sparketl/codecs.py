@@ -1,9 +1,9 @@
-"""Pure-stdlib image codecs for the multimodal decode path.
+"""Pure-stdlib media codecs for the multimodal decode path.
 
-This container ships no image libraries, but two mainstream formats
-are decodable with nothing beyond ``zlib`` + ``struct`` (both formats
-are public specs: PNG RFC 2083 / ISO 15948, BMP is the Windows DIB
-layout):
+This container ships no media libraries, but three mainstream formats
+are decodable with nothing beyond ``zlib`` + ``struct`` (all are
+public specs: PNG RFC 2083 / ISO 15948, BMP is the Windows DIB
+layout, WAV is the RIFF/WAVE layout):
 
 - **PNG**: signature check, IHDR parse, full IDAT inflate and
   scanline un-filtering (all five filter types incl. Paeth) for 8-bit
@@ -11,6 +11,8 @@ layout):
 - **BMP**: BITMAPFILEHEADER/BITMAPINFOHEADER parse and uncompressed
   24/32-bit pixel-array extraction (bottom-up row order, 4-byte row
   padding stripped).
+- **WAV**: RIFF chunk walk, PCM fmt parse, full 8/16-bit interleaved
+  sample extraction.
 
 Minimal encoders for both formats are included so tests can build
 real byte payloads without fixtures. These codecs run inside the same
@@ -217,3 +219,75 @@ def image_pixels(b: bytes) -> tuple[int, int, int, bytes]:
     if fmt == "bmp":
         return bmp_pixels(b)
     raise CodecError("unrecognized image payload")
+
+
+# ---------------------------------------------------------------- WAV
+
+
+def wav_meta(b: bytes) -> tuple[int, int, int, int]:
+    """(n_channels, sample_rate, bits_per_sample, n_frames) from a
+    RIFF/WAVE header — integer PCM (format tag 1) only. Pure struct
+    parsing of the public RIFF layout."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise CodecError("not a RIFF/WAVE file")
+    pos, fmt, data_len = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"fmt " and clen >= 16:
+            tag, ch, rate = struct.unpack_from("<HHI", b, body)
+            (bits,) = struct.unpack_from("<H", b, body + 14)
+            if tag != 1:
+                raise CodecError(f"unsupported WAV format tag {tag} (PCM only)")
+            fmt = (ch, rate, bits)
+        elif cid == b"data":
+            data_len = min(clen, len(b) - body)
+        pos = body + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data_len is None:
+        raise CodecError("WAV missing fmt/data chunk")
+    ch, rate, bits = fmt
+    if bits not in (8, 16) or ch < 1:
+        raise CodecError(f"unsupported WAV ({bits}-bit, {ch}ch)")
+    n_frames = data_len // (ch * (bits // 8))
+    return ch, rate, bits, n_frames
+
+
+def wav_samples(b: bytes) -> tuple[int, int, list[int]]:
+    """(n_channels, sample_rate, samples) — interleaved integer PCM
+    samples (8-bit unsigned → centered to signed; 16-bit LE signed)."""
+    ch, rate, bits, n_frames = wav_meta(b)
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        (clen,) = struct.unpack_from("<I", b, pos + 4)
+        body = pos + 8
+        if cid == b"data":
+            raw = b[body : body + clen]
+            if bits == 8:
+                samples = [x - 128 for x in raw[: n_frames * ch]]
+            else:
+                samples = list(
+                    struct.unpack_from(f"<{n_frames * ch}h", raw)
+                )
+            return ch, rate, samples
+        pos = body + clen + (clen & 1)
+    raise CodecError("WAV data chunk vanished")  # unreachable after meta
+
+
+def encode_wav(ch: int, rate: int, samples: list[int]) -> bytes:
+    """Minimal 16-bit PCM WAV; for tests. ``samples`` interleaved."""
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16)
+    size = 4 + (8 + len(fmt)) + (8 + len(data))
+    return (
+        b"RIFF"
+        + struct.pack("<I", size)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )

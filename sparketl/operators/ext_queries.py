@@ -1899,3 +1899,15 @@ from sparketl.operators.pipeline_ops import q_ext_69_bpe_merges  # noqa: E402
 # single-SQL twin; tests/test_pipeline_ops.py proves the merge sequence
 # equals a pure-Python reference BPE on the same word counts.
 EXT_QUERIES["ext_69_bpe_merges"] = q_ext_69_bpe_merges
+
+from sparketl.operators.multimodal import q_ext_mm_audio  # noqa: E402
+
+EXT_QUERIES["ext_mm_audio"] = q_ext_mm_audio
+EXT_ORACLES["ext_mm_audio"] = """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           1 AS n_channels,
+           16000 AS sample_rate,
+           CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames
+    FROM documents ORDER BY doc_id
+"""

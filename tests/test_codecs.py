@@ -163,3 +163,50 @@ def test_extract_features_real_pixels_compression_invariant(spark):
     # BMP row-flip/BGR-swap permutes byte ORDER only — same multiset
     assert np.allclose(sorted(feats[2]), sorted(want))
     assert feats[3] == [0.0] * 8  # undecodable → zero vector
+
+
+def test_wav_roundtrip_and_meta():
+    from sparketl.codecs import encode_wav, wav_meta, wav_samples
+
+    samples = [0, 100, -100, 32767, -32768, 5, 6, 7]
+    b = encode_wav(2, 44100, samples)
+    assert wav_meta(b) == (2, 44100, 16, 4)  # 8 samples / 2 channels
+    assert wav_samples(b) == (2, 44100, samples)
+
+
+def test_wav_rejects_non_pcm_and_garbage():
+    import struct
+
+    from sparketl.codecs import CodecError, encode_wav, wav_meta
+
+    with pytest.raises(CodecError):
+        wav_meta(b"RIFFxxxxNOPE")
+    with pytest.raises(CodecError):
+        wav_meta(b"not audio")
+    # IEEE-float format tag (3) must refuse, not mis-parse
+    b = bytearray(encode_wav(1, 8000, [1, 2]))
+    fmt_off = b.index(b"fmt ") + 8
+    b[fmt_off : fmt_off + 2] = struct.pack("<H", 3)
+    with pytest.raises(CodecError):
+        wav_meta(bytes(b))
+
+
+def test_decode_audio_real_path_through_spark(spark):
+    """fake=False end-to-end: a real PCM WAV and a corrupt payload
+    through the same mapInPandas route; corrupt → format='unknown'."""
+    from sparketl.codecs import encode_wav
+    from sparketl.operators.multimodal import decode_audio
+
+    wav = encode_wav(2, 16000, list(range(-50, 50)))
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"\x00\x01junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_audio(df, fake=False).collect()}
+    assert (rows[1]["n_channels"], rows[1]["sample_rate"], rows[1]["bits"]) == (
+        2,
+        16000,
+        16,
+    )
+    assert rows[1]["n_frames"] == 50 and rows[1]["format"] == "wav"
+    assert rows[2]["format"] == "unknown" and rows[2]["n_frames"] is None
