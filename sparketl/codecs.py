@@ -14,7 +14,9 @@ layout, WAV is the RIFF/WAVE layout):
 - **WAV**: RIFF chunk walk, PCM fmt parse, full 8/16-bit interleaved
   sample extraction.
 
-Minimal encoders for both formats are included so tests can build
+Video: AVI (RIFF again) gets a container walk exposing the true
+'00dc'/'00db' frame-chunk offsets — what keyframe sampling needs.
+Minimal encoders for every format are included so tests can build
 real byte payloads without fixtures. These codecs run inside the same
 ``mapInPandas`` Arrow-batch slot as the fake path in
 ``sparketl.operators.multimodal`` — per-partition, never row-by-row
@@ -291,3 +293,52 @@ def encode_wav(ch: int, rate: int, samples: list[int]) -> bytes:
         + struct.pack("<I", len(data))
         + data
     )
+
+
+# ---------------------------------------------------------------- AVI
+
+
+def avi_frame_offsets(b: bytes) -> tuple[int, list[tuple[int, int]]]:
+    """(n_frames, [(byte_offset, size), ...]) of the video frame chunks
+    in an AVI container — keyframe sampling needs the container walk,
+    not the codec: each '00dc'/'00db' chunk inside LIST('movi') is one
+    frame's compressed payload, located by pure RIFF arithmetic.
+    Returns offsets into the original buffer (payload start, not chunk
+    header)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise CodecError("not a RIFF/AVI file")
+    frames: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            (clen,) = struct.unpack_from("<I", b, pos + 4)
+            body = pos + 8
+            if cid == b"LIST" and body + 4 <= end:
+                ltype = b[body : body + 4]
+                walk(body + 4, min(body + clen, end), ltype == b"movi")
+            elif in_movi and cid[2:4] in (b"dc", b"db"):
+                frames.append((body, clen))
+            pos = body + clen + (clen & 1)
+
+    walk(12, len(b), False)
+    if not frames:
+        raise CodecError("AVI contains no video frame chunks")
+    return len(frames), frames
+
+
+def encode_avi(frame_payloads: list[bytes]) -> bytes:
+    """Minimal AVI (hdrl with avih + one movi list of 00dc chunks); for
+    tests."""
+
+    def chunk(cid: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    avih = struct.pack("<14I", 33333, 0, 0, 0x10, len(frame_payloads),
+                       0, 1, 0, 64, 48, 0, 0, 0, 0)
+    hdrl = chunk(b"LIST", b"hdrl" + chunk(b"avih", avih))
+    movi_body = b"movi" + b"".join(chunk(b"00dc", p) for p in frame_payloads)
+    movi = chunk(b"LIST", movi_body)
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body

@@ -3,10 +3,11 @@
 Images/audio/video are opaque ``binary`` columns plus a typed metadata
 struct. The Spark-side plumbing — schema, Arrow batch transfer,
 mapInPandas signatures, partition-preserving transforms — is real and
-tested. Decoding: images (PNG/BMP) and audio (RIFF/WAVE PCM) have
-REAL pure-stdlib codecs (``sparketl.codecs``) behind ``fake=False``;
-video keyframe extraction remains stubbed via ``_require_codec`` (no
-container codec is stdlib-expressible); every function also offers the
+tested. Every modality has a REAL pure-stdlib path behind
+``fake=False`` (``sparketl.codecs``): images decode PNG/BMP pixels,
+audio decodes RIFF/WAVE PCM, and video frame-sampling walks the AVI
+container for true frame-chunk offsets (sampling needs the container
+index, not the frame codec). Every function also offers the
 deterministic fake documented per function (SQL-expressible, used by
 the driver oracles).
 
@@ -30,17 +31,9 @@ DECODED_SCHEMA = (
     "doc_id long, n_bytes int, width int, height int, channels int, format string"
 )
 
-FRAMES_SCHEMA = "doc_id long, n_frames int, frame_offsets array<int>"
-
-
-def _require_codec(name: str) -> None:
-    """Real video decoders are not available in this environment
-    (images AND audio are decodable — see ``sparketl.codecs`` for the
-    pure-stdlib PNG/BMP/WAV paths used when ``fake=False``)."""
-    raise NotImplementedError(
-        f"codec '{name}' not available: install av to decode real "
-        f"payloads; tests use the deterministic fake path"
-    )
+FRAMES_SCHEMA = (
+    "doc_id long, n_frames int, frame_offsets array<int>, format string"
+)
 
 
 def to_binary_column(docs: DataFrame, payload_col: str = "text") -> DataFrame:
@@ -118,22 +111,61 @@ def decode_images(binary_df: DataFrame, fake: bool = True) -> DataFrame:
     return binary_df.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-def sample_frames(binary_df: DataFrame, stride: int = 100, fake: bool = True) -> DataFrame:
-    """'Frame-sample' a video payload: emit byte offsets every
-    ``stride`` bytes (deterministic fake of keyframe extraction)."""
-    if not fake:
-        _require_codec("video")
+def sample_frames(
+    binary_df: DataFrame, stride: int = 100, fake: bool = True
+) -> DataFrame:
+    """Frame-sample a video payload.
 
-    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            offs = pdf["payload"].map(lambda b: list(range(0, len(b), stride)))
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "n_frames": offs.map(len).astype("int32"),
-                    "frame_offsets": offs,
-                }
-            )
+    fake=True → byte offsets every ``stride`` bytes (deterministic,
+    SQL-expressible stand-in for keyframe extraction).
+    fake=False → REAL container walk: each AVI '00dc'/'00db' chunk's
+    payload offset via the pure-stdlib RIFF parser
+    (``sparketl.codecs.avi_frame_offsets``) — keyframe SAMPLING needs
+    the container index, not the frame codec, so this is a genuine
+    end-to-end path; undecodable payloads quarantine as
+    format='unknown' with NULL frames (same contract as decode_images/
+    decode_audio)."""
+
+    if fake:
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                offs = pdf["payload"].map(
+                    lambda b: list(range(0, len(b), stride))
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_frames": offs.map(len).astype("int32"),
+                        "frame_offsets": offs,
+                        "format": "fake/raw",
+                    }
+                )
+
+    else:
+        from sparketl.codecs import CodecError, avi_frame_offsets
+
+        def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ns, offs, fmts = [], [], []
+                for b in pdf["payload"]:
+                    try:
+                        n, frames = avi_frame_offsets(bytes(b))
+                        ns.append(n)
+                        offs.append([off for off, _sz in frames])
+                        fmts.append("avi")
+                    except CodecError:
+                        ns.append(None)
+                        offs.append(None)
+                        fmts.append("unknown")
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "n_frames": pd.array(ns, dtype="Int32"),
+                        "frame_offsets": offs,
+                        "format": fmts,
+                    }
+                )
 
     return binary_df.mapInPandas(sample, schema=FRAMES_SCHEMA)
 

@@ -210,3 +210,36 @@ def test_decode_audio_real_path_through_spark(spark):
     )
     assert rows[1]["n_frames"] == 50 and rows[1]["format"] == "wav"
     assert rows[2]["format"] == "unknown" and rows[2]["n_frames"] is None
+
+
+def test_avi_frame_offsets_roundtrip():
+    from sparketl.codecs import CodecError, avi_frame_offsets, encode_avi
+
+    payloads = [b"frame-one", b"f2", b"frame-three!"]
+    b = encode_avi(payloads)
+    n, frames = avi_frame_offsets(b)
+    assert n == 3
+    # offsets point at the REAL payload bytes in the container
+    assert [b[off : off + sz] for off, sz in frames] == payloads
+    with pytest.raises(CodecError):
+        avi_frame_offsets(b"RIFF\x04\x00\x00\x00WAVE")  # not AVI
+    with pytest.raises(CodecError):
+        avi_frame_offsets(b"nonsense")
+
+
+def test_sample_frames_real_avi_through_spark(spark):
+    from sparketl.codecs import encode_avi
+    from sparketl.operators.multimodal import sample_frames
+
+    avi = encode_avi([b"k" * 10, b"p" * 4, b"k" * 10, b"p" * 4])
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in sample_frames(df, fake=False).collect()}
+    assert rows[1]["format"] == "avi" and rows[1]["n_frames"] == 4
+    assert len(rows[1]["frame_offsets"]) == 4
+    # offsets really address the frame payloads
+    off0 = rows[1]["frame_offsets"][0]
+    assert bytes(avi[off0 : off0 + 10]) == b"k" * 10
+    assert rows[2]["format"] == "unknown"

@@ -32,10 +32,11 @@ def test_decode_matches_payload_length(spark, docs):
         assert r["channels"] == 3
 
 
-def test_real_video_codec_is_stubbed(spark, docs):
-    # images have a real stdlib decode path now; video does not
-    with pytest.raises(NotImplementedError):
-        sample_frames(to_binary_column(docs), fake=False)
+def test_real_frame_sampling_quarantines_non_avi(spark, docs):
+    # text payloads are not AVI containers: the real path must mark
+    # them unknown, not raise
+    out = sample_frames(to_binary_column(docs.limit(3)), fake=False).collect()
+    assert all(r["format"] == "unknown" and r["n_frames"] is None for r in out)
 
 
 def test_frame_sampling(spark, docs):
