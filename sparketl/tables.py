@@ -115,11 +115,71 @@ def _collect_file_stats(path: str) -> dict:
     return cols
 
 
-# `col op numeric-literal` conjunct, the only form the pruner handles;
+# `col op numeric-literal` conjunct, the main form the pruner handles;
 # anything else in the predicate disables pruning for that conjunct.
 _PRUNABLE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(<=|>=|==|=|<|>)\s*(-?\d+(?:\.\d+)?)\s*$"
 )
+
+# `col = 'string-literal'` conjunct — pruned via per-file Bloom filters
+# (footer min/max covers only numerics). Literals containing quotes do
+# not parse → that conjunct simply never prunes (safe).
+_PRUNABLE_STR = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?:==|=)\s*'([^']*)'\s*$"
+)
+
+_BLOOM_M = 8192  # bits per (file, column) filter — 1 KiB in the manifest
+_BLOOM_K = 3
+_BLOOM_MAX_DISTINCT = 4096  # beyond this the filter saturates; skip it
+
+
+def _bloom_hashes(value: str) -> list[int]:
+    """k bit positions via double hashing of a stable md5 — identical
+    across processes/machines (unlike Python's salted hash())."""
+    import hashlib
+
+    d = hashlib.md5(value.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % _BLOOM_M for i in range(_BLOOM_K)]
+
+
+def _collect_file_blooms(path: str) -> dict:
+    """Per-file Bloom filters over each low-cardinality STRING column —
+    the Delta bloom-index pattern extending file skipping to string
+    equality, which min/max stats cannot serve. Built once per newly
+    written file (a local column read here; in a distributed write the
+    same bits fall out of the write job) and carried forward in the
+    manifest like the numeric stats. ~1 KiB per (file, column); a
+    column with > _BLOOM_MAX_DISTINCT distinct values is skipped (a
+    saturated filter prunes nothing)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    str_cols = [
+        f.name
+        for f in pf.schema_arrow
+        if str(f.type) in ("string", "large_string")
+    ]
+    if not str_cols:
+        return {}
+    tbl = pf.read(columns=str_cols)
+    out: dict[str, str] = {}
+    for name in str_cols:
+        vals = {v for v in tbl.column(name).to_pylist() if v is not None}
+        if len(vals) > _BLOOM_MAX_DISTINCT:
+            continue
+        bits = bytearray(_BLOOM_M // 8)
+        for v in vals:
+            for h in _bloom_hashes(v):
+                bits[h >> 3] |= 1 << (h & 7)
+        out[name] = bits.hex()
+    return out
+
+
+def _bloom_might_contain(bloom_hex: str, value: str) -> bool:
+    bits = bytes.fromhex(bloom_hex)
+    return all(bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value))
 
 
 def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
@@ -253,16 +313,20 @@ class ManagedTable:
         # skipping); retained files carry their stats forward, only the
         # newly written files get a footer read — O(new files) metadata
         # work per commit, no data scan ever.
-        prev_stats = (
-            self._manifest(base_version).get("file_stats", {})
-            if base_version >= 1
-            else {}
-        )
+        base_m = self._manifest(base_version) if base_version >= 1 else {}
+        prev_stats = base_m.get("file_stats", {})
+        prev_blooms = base_m.get("file_blooms", {})
         # `f in prev_stats` (not truthiness): a file with no numeric
         # columns has stats {} which must still carry forward, or its
         # footer would be re-read on every subsequent commit
         file_stats = {
             f: prev_stats[f] if prev_stats.get(f) is not None else _collect_file_stats(f)
+            for f in files
+        }
+        file_blooms = {
+            f: prev_blooms[f]
+            if prev_blooms.get(f) is not None
+            else _collect_file_blooms(f)
             for f in files
         }
         manifest = {
@@ -271,6 +335,7 @@ class ManagedTable:
             "schema": schema_json,
             "properties": properties,
             "file_stats": file_stats,
+            "file_blooms": file_blooms,
         }
         if not self._publish(manifest, new_v):
             raise ConcurrentWriteError(
@@ -331,9 +396,10 @@ class ManagedTable:
 
     def candidate_files(self, where: str | None, version: int | None = None) -> list[str]:
         """Manifest files that might contain rows matching ``where`` —
-        AND-of-comparisons prune on footer stats; any conjunct the
-        pruner cannot parse is ignored (never prunes), so the result is
-        always a superset of the matching files.
+        AND-of-comparisons prune on footer min/max stats (numeric
+        comparisons) and per-file Bloom filters (string equality); any
+        conjunct the pruner cannot parse is ignored (never prunes), so
+        the result is always a superset of the matching files.
 
         Pruning only fires for a pure conjunction of comparisons: a
         predicate containing a top-level OR / NOT / parenthesis (or IN,
@@ -347,17 +413,32 @@ class ManagedTable:
         if re.search(r"(?i)\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|[()]", where):
             return list(m["files"])
         stats = m.get("file_stats", {})
-        conjuncts = [
-            _PRUNABLE.match(c) for c in re.split(r"(?i)\bAND\b", where)
-        ]
+        blooms = m.get("file_blooms", {})
+        conjuncts: list[tuple] = []
+        for c in re.split(r"(?i)\bAND\b", where):
+            num = _PRUNABLE.match(c)
+            if num:
+                conjuncts.append(("num", num.group(1), num.group(2), float(num.group(3))))
+                continue
+            s = _PRUNABLE_STR.match(c)
+            if s:
+                conjuncts.append(("str", s.group(1), "=", s.group(2)))
+            # else: unparsable conjunct — never prunes
         keep = []
         for f in m["files"]:
             fs = stats.get(f, {})
-            if all(
-                pm is None
-                or _file_might_match(fs, pm.group(1), pm.group(2), float(pm.group(3)))
-                for pm in conjuncts
-            ):
+            fb = blooms.get(f, {})
+            ok = True
+            for kind, col, op, lit in conjuncts:
+                if kind == "num":
+                    if not _file_might_match(fs, col, op, lit):
+                        ok = False
+                        break
+                else:  # string equality via Bloom filter
+                    if col in fb and not _bloom_might_contain(fb[col], lit):
+                        ok = False
+                        break
+            if ok:
                 keep.append(f)
         return keep
 

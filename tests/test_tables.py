@@ -674,3 +674,64 @@ def test_drop_column_metadata_only_and_guards(spark, tmp_table_root):
         t.drop_column("id")  # primary key
     with pytest.raises(TableError):
         t.drop_column("ghost")
+
+
+def test_bloom_prunes_string_equality(spark, tmp_table_root):
+    """String-equality file skipping via per-file Bloom filters: a
+    lookup for a name present in only one file must scan one file; an
+    absent name scans zero; results always equal the unpruned filter."""
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"alpha{i}", 1.0) for i in range(10)], SCHEMA
+        ).coalesce(1)
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, f"beta{i}", 2.0) for i in range(10, 20)], SCHEMA
+        ).coalesce(1)
+    )
+    assert len(t.candidate_files(None)) == 2
+    assert len(t.candidate_files("name = 'alpha3'")) == 1
+    assert len(t.candidate_files("name = 'beta15'")) == 1
+    assert len(t.candidate_files("name = 'gamma1'")) == 0
+    got = {r["id"] for r in t.read(where="name = 'beta15'").collect()}
+    assert got == {15}
+    assert t.read(where="name = 'gamma1'").count() == 0
+    # combined numeric + string conjuncts prune independently
+    assert len(t.candidate_files("name = 'alpha3' AND bal > 1.5")) == 0
+    # quoted-quote literals refuse to parse → no prune, still correct
+    assert len(t.candidate_files("name = 'it''s'")) == 2
+
+
+def test_bloom_skipped_for_high_cardinality(spark, tmp_table_root):
+    from sparketl import tables as tb
+
+    old = tb._BLOOM_MAX_DISTINCT
+    tb._BLOOM_MAX_DISTINCT = 5  # force the cap
+    try:
+        t = make(spark, tmp_table_root)
+        t.append(
+            spark.createDataFrame(
+                [(i, f"v{i}", 0.0) for i in range(50)], SCHEMA
+            ).coalesce(1)
+        )
+        # no bloom recorded → equality never prunes, read stays correct
+        assert len(t.candidate_files("name = 'nope'")) == 1
+        assert t.read(where="name = 'v7'").count() == 1
+    finally:
+        tb._BLOOM_MAX_DISTINCT = old
+
+
+def test_bloom_carried_forward_and_respects_mutations(spark, tmp_table_root):
+    """Blooms ride the manifest across appends/updates like the numeric
+    stats: after a keyed update rewrites one file, lookups against both
+    old and new values stay exact."""
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "old", 1.0)], SCHEMA).coalesce(1))
+    t.append(spark.createDataFrame([(2, "other", 2.0)], SCHEMA).coalesce(1))
+    src = spark.createDataFrame([(1, "new", 9.0)], SCHEMA)
+    t.keyed_update(src, "id")
+    assert {r["id"] for r in t.read(where="name = 'new'").collect()} == {1}
+    assert t.read(where="name = 'old'").count() == 0
+    assert {r["id"] for r in t.read(where="name = 'other'").collect()} == {2}
