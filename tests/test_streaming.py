@@ -514,3 +514,32 @@ def test_event_stream_utc_pinned_on_non_utc_session(spark):
         assert got == want
     finally:
         spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+def test_stream_quality_monitor_metrics_match_batch(spark, tmp_path):
+    """One metrics row per micro-batch; batch-summed metrics must equal
+    a direct batch recompute over the whole fixture (exact integer
+    cents, so the equality is bitwise)."""
+    from sparketl.streaming.stateful import run_streaming_quality_monitor
+
+    table = run_streaming_quality_monitor(
+        spark, SF_SMOKE, str(tmp_path / "metrics"), n_chunks=3
+    )
+    rows = sorted(table.read().collect(), key=lambda r: r["batch_id"])
+    assert len(rows) == 3  # one row per chunk/micro-batch
+    ev = load_table(spark, SF_SMOKE, "events")
+    want = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("value").cast("decimal(12,2)") * 100).cast("long")).alias(
+            "cents"
+        ),
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    assert sum(r["n_events"] for r in rows) == want["n"]
+    assert sum(r["total_value_cents"] for r in rows) == want["cents"]
+    assert min(r["min_ts_us"] for r in rows) == want["lo"]
+    assert max(r["max_ts_us"] for r in rows) == want["hi"]
+    for r in rows:
+        assert 0 < r["n_users"] <= r["n_events"]
+        assert 0 <= r["n_null_props"] <= r["n_events"]
