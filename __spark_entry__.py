@@ -25,13 +25,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # order. Window layout: (a) the 16 entries whose only driver verdict is
 # round 1 — the stalest greens in the repo; (b) the 4 rows-only
 # sketch/LSH entries from the round-4 window, re-run for a fresh
-# rows-only verdict; (c) 30 of the 49 entries last checked in round 2,
-# front-loading the ones whose code changes this round (the ext_15
-# packing suite's adaptive prefix-sum bucket) and the remaining
-# rows-only sketches. The 19 deferred round-2 entries (the 12 tierc_*
-# TPC-H-shape queries — two judge-spot-checked in round 4 — plus
-# pii_scrub/scd2/canonical_docs/dup_clusters/tfidf/collocations/
-# decontaminate) queue first for round 6.
+# rows-only verdict; (c) 24 of the 49 entries last checked in round 2,
+# front-loading the ones whose code changed this round (the ext_15
+# packing suite's adaptive prefix-sum bucket, the passage_marked
+# refactor under ext_14, the multimodal real decoders) and the
+# remaining rows-only sketches; (d) the 10 never-driver-checked
+# entries new this round (ext_66-74, ext_mm_audio) — a brand-new
+# operator with no driver verdict is strictly staler than a round-2
+# green. The deferred round-2 entries (the 12 tierc_* TPC-H-shape
+# queries — two judge-spot-checked in round 4 — plus six unchanged
+# batch ops and pii_scrub/scd2/canonical_docs/dup_clusters/tfidf/
+# collocations/decontaminate) queue first for round 6.
 _FRONT = [
     # (a) round-1-only verdicts — stalest
     "join_02_left",
@@ -72,23 +76,29 @@ _FRONT = [
     "ext_04_gopher_flags",
     "ext_04_length_histogram",
     "ext_04_repetition",
-    "ext_05_from_json_struct",
     "ext_05_json_extract",
     "ext_06_hourly_window",
     "ext_06_sessionize",
-    "ext_07_asof_join",
-    "ext_07_range_join",
-    "ext_08_reservoir_per_group",
-    "ext_11_rolling_7d",
     "ext_14_passage_dedup",
-    "ext_18_mix_sources",
-    # never driver-checked — new this round
+    # (d) never driver-checked — new this round
     "ext_66_mixture_weights",
     "ext_67_hash_split",
     "ext_68_tv_drift",
     "ext_mm_audio",
+    "ext_69_bpe_merges",
+    "ext_70_dedup_pipeline",
+    "ext_71_semdedup",
+    "ext_72_clean_corpus",
+    "ext_73_stream_join",
+    "ext_74_bpe_encode",
     # ---- end of the round-5 driver window (50 entries above) ----
     # queued for round 6: the deferred round-2 entries
+    "ext_05_from_json_struct",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "ext_08_reservoir_per_group",
+    "ext_11_rolling_7d",
+    "ext_18_mix_sources",
     "ext_20_winsorize",
     "ext_22_funnel",
     "ext_23_retention",

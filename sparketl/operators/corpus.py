@@ -300,18 +300,22 @@ def q_ext_12_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------- passage-level dedup
 
 
-def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
-    """Passage-level exact dedup (CCNet / RefinedWeb line-dedup shape):
-    split each document into consecutive ``block``-token passages, keep
-    the corpus-wide FIRST occurrence of each distinct passage (by
-    doc_id, then position), and report per-doc how much survives.
+def passage_marked(docs: DataFrame, block: int = 20) -> DataFrame:
+    """(doc_id, pos, passage, is_first) — each document's consecutive
+    ``block``-token passages, flagged with whether this occurrence is
+    the corpus-wide FIRST (by doc_id, then position). The shared core
+    of passage-level dedup reporting (ext_14) and cleaned-corpus
+    reconstruction (ext_72).
 
     Plan shape: map-only block split (codegen array expressions), one
-    passage-keyed shuffle (aggregate + join back, reused exchange), one
-    groupBy doc_id. At 100 TB you would key on xxhash64(passage)
-    instead of the string — same plan, 8-byte keys; the string key here
-    keeps the oracle engine-exact. Passage-frequency skew (boilerplate
-    appearing millions of times) is the scale risk — handled below."""
+    passage-keyed shuffle (aggregate + join back, reused exchange). At
+    100 TB you would key on xxhash64(passage) instead of the string —
+    same plan, 8-byte keys; the string key here keeps the oracle
+    engine-exact. First-occurrence is a min(struct) aggregate joined
+    back, NOT a per-passage sort window: boilerplate passages with
+    millions of copies reduce map-side in the aggregate, and the
+    join's passage skew is splittable by AQE skew-join (window skew
+    is not). Both branches shuffle by passage → one reused exchange."""
     tk = F.split(F.col("text"), " ")
     base = spread(docs).select("doc_id", tk.alias("tk"))
     blocks = F.expr(
@@ -319,16 +323,20 @@ def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
         f" i -> concat_ws(' ', slice(tk, i * {block} + 1, {block})))"
     )
     b = base.select("doc_id", F.posexplode(blocks).alias("pos", "passage"))
-    # first-occurrence per passage as a min(struct) aggregate joined
-    # back, NOT a per-passage sort window: boilerplate passages with
-    # millions of copies reduce map-side in the aggregate, and the
-    # join's passage skew is splittable by AQE skew-join (window skew
-    # is not). Both branches shuffle b by passage → one reused exchange.
     firsts = b.groupBy("passage").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
-    marked = b.join(firsts, "passage").withColumn(
+    return b.join(firsts, "passage").withColumn(
         "is_first",
         (F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos")),
     )
+
+
+def passage_dedup(docs: DataFrame, block: int = 20) -> DataFrame:
+    """Passage-level exact dedup (CCNet / RefinedWeb line-dedup shape):
+    split each document into consecutive ``block``-token passages, keep
+    the corpus-wide FIRST occurrence of each distinct passage (by
+    doc_id, then position), and report per-doc how much survives.
+    Plan/scale notes: see ``passage_marked``."""
+    marked = passage_marked(docs, block)
     kept_tokens = F.sum(
         F.when(F.col("is_first"), F.size(F.split("passage", " "))).otherwise(0)
     )

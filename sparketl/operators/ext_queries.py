@@ -1911,3 +1911,117 @@ EXT_ORACLES["ext_mm_audio"] = """
            CAST(octet_length(encode(text)) // 2 AS BIGINT) AS n_frames
     FROM documents ORDER BY doc_id
 """
+
+# ---------------------------------------------------------------------------
+# Round 5: end-to-end curation operators (sparketl.operators.curation)
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    _sem_oracle_sql,
+    q_ext_70_dedup_pipeline,
+    q_ext_71_semdedup,
+    q_ext_72_clean_corpus,
+    q_ext_73_stream_join,
+    q_ext_74_bpe_encode,
+)
+
+EXT_QUERIES["ext_70_dedup_pipeline"] = q_ext_70_dedup_pipeline
+EXT_ORACLES["ext_70_dedup_pipeline"] = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), toks AS (
+      SELECT doc_id, unnest(sh) AS tok FROM s
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(inter AS DOUBLE)
+              / CAST(sa.n + sb.n - inter AS DOUBLE) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ), removed AS (
+      SELECT a AS doc_id FROM reach GROUP BY a HAVING a != MIN(r)
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rm.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN rm.doc_id IS NULL THEN d.n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN removed rm ON d.doc_id = rm.doc_id
+    GROUP BY d.source ORDER BY d.source
+"""
+
+EXT_QUERIES["ext_71_semdedup"] = q_ext_71_semdedup
+EXT_ORACLES["ext_71_semdedup"] = _sem_oracle_sql()
+
+EXT_QUERIES["ext_72_clean_corpus"] = q_ext_72_clean_corpus
+EXT_ORACLES["ext_72_clean_corpus"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), b AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(tk, i * 20 + 1, (i + 1) * 20), ' ')
+               AS passage
+      FROM (SELECT doc_id, tk,
+                   unnest(range(0, CAST(ceil(len(tk) / 20.0) AS INT))) AS i
+            FROM t)
+    ), m AS (
+      SELECT doc_id, pos, passage,
+             row_number() OVER (PARTITION BY passage ORDER BY doc_id, pos)
+               AS rn
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept_passages,
+           CAST(length(COALESCE(string_agg(passage, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '')) AS BIGINT) AS clean_chars,
+           COALESCE(string_agg(passage, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS clean_text
+    FROM m GROUP BY doc_id ORDER BY doc_id
+"""
+
+EXT_QUERIES["ext_73_stream_join"] = q_ext_73_stream_join
+EXT_ORACLES["ext_73_stream_join"] = """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, v.view_id, p.user_id,
+           v.v_us AS view_ts_us, p.p_us AS purchase_ts_us, p.amount
+    FROM v JOIN p ON v.user_id = p.user_id
+       AND v.v_us <= p.p_us AND p.p_us <= v.v_us + 3600000000
+    ORDER BY p.purchase_id, v.view_id
+"""
+
+# rows-only: the encode applies an engine-trained merge sequence (same
+# driver-iterated fixed point as ext_69); tests prove the encode equals
+# a pure-Python reference BPE with identical merges.
+EXT_QUERIES["ext_74_bpe_encode"] = q_ext_74_bpe_encode

@@ -1,0 +1,231 @@
+"""Tests for the round-5 end-to-end curation operators
+(sparketl.operators.curation): dedup pipeline accounting, SemDeDup
+bucket semantics, cleaned-corpus reconstruction, and BPE encoding
+against a pure-Python reference."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparketl.io import load_table
+from tests.conftest import SF_SMOKE
+
+SF_SMALL = "/root/testdata/sf0.01"
+
+
+# ------------------------------------------------------ ext_70 pipeline
+
+
+def test_dedup_pipeline_accounting_consistent(spark):
+    """Per-source removed + kept == docs, and the removed total equals
+    the non-canonical members of the prefix-Jaccard cluster graph."""
+    from sparketl.operators.curation import dedup_pipeline_report
+    from sparketl.operators.dedup import dup_clusters
+    from sparketl.operators.textmine import prefix_jaccard_join
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rep = dedup_pipeline_report(docs).collect()
+    assert rep, "report is empty"
+    for r in rep:
+        assert r["n_removed"] + r["n_kept"] == r["n_docs"]
+
+    pairs = prefix_jaccard_join(docs, threshold=0.8).select("doc_a", "doc_b")
+    labels = dup_clusters(pairs)
+    want_removed = labels.filter("doc_id != cluster_id").count()
+    assert sum(r["n_removed"] for r in rep) == want_removed
+    assert sum(r["n_docs"] for r in rep) == docs.count()
+
+
+def test_dedup_pipeline_removes_planted_duplicate(spark):
+    """An exact copy of an existing doc (new id, same text) is removed;
+    the original (smaller id) survives."""
+    from sparketl.operators.curation import dedup_pipeline_report
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    victim = docs.orderBy("doc_id").limit(1)
+    clone = victim.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("planted").alias("source"),
+        "n_chars",
+    )
+    base = dedup_pipeline_report(docs).collect()
+    got = dedup_pipeline_report(docs.unionByName(clone)).collect()
+    planted = [r for r in got if r["source"] == "planted"]
+    assert planted and planted[0]["n_removed"] == 1 and planted[0]["n_kept"] == 0
+    # original sources' kept counts are unchanged by the planted clone
+    assert {r["source"]: r["n_kept"] for r in base} == {
+        r["source"]: r["n_kept"] for r in got if r["source"] != "planted"
+    }
+
+
+# ------------------------------------------------------ ext_71 semdedup
+
+
+def test_semdedup_removes_planted_twin_keeps_rest_deterministic(spark):
+    """A near-identical copy (same direction, scaled) of vec 0 lands in
+    vec 0's bucket with cosine 1 and is dropped; two identical runs
+    produce identical rows."""
+    from sparketl.operators.curation import semdedup
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    twin = emb.orderBy("vec_id").limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * CAST(1.5 AS FLOAT))").alias(
+            "embedding"
+        ),
+        "label",
+    )
+    out = semdedup(emb.unionByName(twin))
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1_000_000]["kept"] == 0, "scaled twin must be removed"
+    assert rows[min(rows)]["kept"] == 1, "smaller-id original survives"
+    twin_bucket = rows[1_000_000]["bucket"]
+    orig = emb.orderBy("vec_id").first()["vec_id"]
+    assert rows[orig]["bucket"] == twin_bucket, "same direction → same bucket"
+
+    again = {r["vec_id"]: r for r in semdedup(emb.unionByName(twin)).collect()}
+    assert rows.keys() == again.keys()
+    assert all(
+        rows[k]["bucket"] == again[k]["bucket"] and rows[k]["kept"] == again[k]["kept"]
+        for k in rows
+    )
+
+
+def test_semdedup_kept_flag_matches_pairwise_definition(spark):
+    """kept == 0 iff some smaller-id bucket-mate has cosine ≥ 0.95 —
+    recomputed brute-force in numpy over the fixture."""
+    import numpy as np
+
+    from sparketl.operators.curation import sem_plane_weights, semdedup
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    planes = np.asarray(sem_plane_weights(), dtype=np.float64)
+
+    def bucket(v):
+        return int(sum((1 << i) for i, d in enumerate(planes @ v) if d > 0))
+
+    buckets = {k: bucket(v) for k, v in vecs.items()}
+    removed = set()
+    ids = sorted(vecs)
+    for j, b_id in enumerate(ids):
+        for a_id in ids[:j]:
+            if buckets[a_id] != buckets[b_id]:
+                continue
+            a, b = vecs[a_id], vecs[b_id]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            if cos >= 0.95:
+                removed.add(b_id)
+                break
+    got = {r["vec_id"]: (r["bucket"], r["kept"]) for r in semdedup(emb).collect()}
+    assert {k for k, (_, kept) in got.items() if kept == 0} == removed
+    assert all(got[k][0] == buckets[k] for k in vecs)
+
+
+# ------------------------------------------------- ext_72 clean corpus
+
+
+def test_clean_corpus_reconstruction_invariants(spark):
+    """Surviving passage count equals the number of DISTINCT passages
+    corpus-wide; a doc with all-unique passages round-trips its text
+    exactly; clean_chars == length(clean_text)."""
+    from sparketl.operators.corpus import passage_marked
+    from sparketl.operators.curation import clean_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = clean_corpus(docs).collect()
+    marked = passage_marked(docs)
+    n_distinct = marked.select("passage").distinct().count()
+    assert sum(r["n_kept_passages"] for r in out) == n_distinct
+    for r in out:
+        assert r["clean_chars"] == len(r["clean_text"])
+        assert r["n_kept_passages"] <= r["n_passages"]
+
+    # a doc whose every passage is globally unique must round-trip
+    uniq = (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("is_first").cast("long")).alias("k"),
+        )
+        .filter("n = k")
+        .orderBy("doc_id")
+        .first()
+    )
+    assert uniq is not None, "fixture should contain an all-unique doc"
+    original = docs.filter(F.col("doc_id") == uniq["doc_id"]).first()["text"]
+    rebuilt = next(r for r in out if r["doc_id"] == uniq["doc_id"])["clean_text"]
+    assert rebuilt == original
+
+
+def test_clean_corpus_drops_planted_duplicate_text(spark):
+    """A doc that exactly duplicates an earlier doc's text is emptied
+    (every passage already occurred)."""
+    from sparketl.operators.curation import clean_corpus
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    victim = docs.orderBy("doc_id").limit(1)
+    clone = victim.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    out = clean_corpus(docs.unionByName(clone))
+    got = out.filter(F.col("doc_id") == 1_000_000).first()
+    assert got["n_kept_passages"] == 0 and got["clean_text"] == ""
+
+
+# ---------------------------------------------------- ext_74 bpe encode
+
+
+def _py_bpe_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    syms = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Per-source BPE token totals equal a pure-Python encode of every
+    word with the same trained merges."""
+    from sparketl.operators.curation import bpe_encode_report
+    from sparketl.operators.pipeline_ops import bpe_train_merges
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges = [
+        (r["left"], r["right"])
+        for r in bpe_train_merges(docs, n_merges=8).orderBy("step").collect()
+    ]
+    assert merges, "training produced no merges"
+
+    want: dict[str, list[int]] = {}
+    for r in docs.select("source", "text").collect():
+        acc = want.setdefault(r["source"], [0, 0, 0])
+        for w in r["text"].split(" "):
+            if not w:
+                continue
+            acc[0] += 1
+            acc[1] += len(w)
+            acc[2] += len(_py_bpe_encode(w, merges))
+
+    got = bpe_encode_report(docs, n_merges=8).collect()
+    assert {
+        r["source"]: [r["n_words"], r["n_chars"], r["n_bpe_tokens"]] for r in got
+    } == want
+    for r in got:
+        assert r["n_bpe_tokens"] <= r["n_chars"], "encoding can't exceed chars"
+        assert r["chars_per_token"] == pytest.approx(
+            r["n_chars"] / r["n_bpe_tokens"], abs=1e-4
+        )

@@ -26,6 +26,8 @@ ROWS_ONLY_ALLOWED = {
     "ext_55_countmin",
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     # pytest proves equality with a pure-Python reference BPE
+    "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
+    # iterative-training dependency; pytest vs pure-Python encode
 }
 
 
