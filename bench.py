@@ -66,6 +66,10 @@ HEADLINE = [
     "ext_62_source_cap",
     "ext_63_curation_funnel",
     "ext_64_dataset_card",
+    "ext_70_dedup_pipeline",
+    "ext_71_semdedup",
+    "ext_72_clean_corpus",
+    "ext_74_bpe_encode",
 ]
 
 

@@ -267,16 +267,19 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
       the near-dup branch, so the exchange is planned once and reused
       (ReusedExchange), not recomputed;
     - near:    trigram-Jaccard pairs ≥ threshold among survivors, drop
-               the larger doc_id of each pair. The quadratic shingle
-               self-join is the oracle-exact baseline; at 100 TB the
-               same stage swaps in MinHash-LSH candidates
-               (operators.dedup.minhash_lsh_pairs) with this exact
-               form as its verifier on samples, and each stage
-               checkpoints survivors to storage instead of leaning on
-               exchange reuse.
+               the larger doc_id of each pair. Pairs come from the
+               prefix-filter join (AllPairs/PPJoin,
+               textmine.prefix_jaccard_join): EXACT output at this
+               high threshold with candidates bounded by rare-shingle
+               document frequency — no Σdf(shingle)² blowup anywhere
+               in the funnel. The quadratic shingle self-join survives
+               only as the DuckDB oracle twin (and ext_02's baseline);
+               at 100 TB each stage additionally checkpoints survivors
+               to storage instead of leaning on exchange reuse.
     """
     from sparketl.operators.corpus import gopher_gate_exprs
-    from sparketl.operators.dedup import exact_dedup, ngram_jaccard_pairs
+    from sparketl.operators.dedup import exact_dedup
+    from sparketl.operators.textmine import prefix_jaccard_join
 
     flag_len, flag_wl, flag_stop = gopher_gate_exprs()
     base = docs.select(
@@ -288,7 +291,7 @@ def curation_funnel(docs: DataFrame, jaccard_threshold: float = 0.8) -> DataFram
     quality = base.filter(F.col("passes")).drop("passes")
     exact = exact_dedup(quality, ["text"], "doc_id")
     dup_b = (
-        ngram_jaccard_pairs(exact, threshold=jaccard_threshold)
+        prefix_jaccard_join(exact, threshold=jaccard_threshold)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )

@@ -33,7 +33,6 @@ QUADRATIC_OK = {
     "ext_02_ngram_jaccard",
     "ext_03_embedding_near_dup",
     "ext_03_cosine_topk",  # corpus × broadcast-queries by design
-    "ext_63_curation_funnel",  # embeds the oracle-exact jaccard baseline
 }
 
 # Queries whose plan carries a BroadcastNestedLoopJoin ONLY because a
@@ -125,6 +124,10 @@ AUDITED = [
     "ext_66_mixture_weights",
     "ext_67_hash_split",
     "ext_68_tv_drift",
+    "ext_70_dedup_pipeline",
+    "ext_71_semdedup",
+    "ext_72_clean_corpus",
+    "ext_74_bpe_encode",
 ]
 
 
