@@ -266,20 +266,28 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     (dozens of docs), so this is a handful of small shuffles; each
     round joins the label table (2 cols) with the edge list, both far
     smaller than the corpus. Driver loop stops at a fixed point
-    (count of changed labels == 0), checkpoint-free because the label
-    table is tiny relative to the input.
+    (count of changed labels == 0).
+
+    Each round's label table is ``localCheckpoint``ed (eager): without
+    lineage truncation an iterative fixed point re-embeds every prior
+    round's plan (plus the full upstream pair-generation subtree) into
+    the next — analysis/codegen cost grows with iteration count and at
+    depth ~20 dwarfs execution. The checkpoint stores the tiny 2-column
+    label table in executor block storage; on a real cluster with
+    flaky executors you would use ``checkpoint()`` to reliable storage
+    instead (same plan shape).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .union(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
         .distinct()
-        .cache()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("a").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .cache()
+        .localCheckpoint()
     )
     for _ in range(max_iters):
         # neighbor's current label, then keep the min of (own, neighbors)
@@ -292,7 +300,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .union(neighbor)
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .cache()
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")
@@ -301,11 +309,9 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    edges.unpersist()
     return labels
 
 
