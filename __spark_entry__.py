@@ -77,7 +77,6 @@ _FRONT = [
     "ext_04_length_histogram",
     "ext_04_repetition",
     "ext_05_json_extract",
-    "ext_06_hourly_window",
     "ext_06_sessionize",
     "ext_14_passage_dedup",
     # (d) never driver-checked — new this round
@@ -91,8 +90,10 @@ _FRONT = [
     "ext_72_clean_corpus",
     "ext_73_stream_join",
     "ext_74_bpe_encode",
+    "ext_75_substring_dup",
     # ---- end of the round-5 driver window (50 entries above) ----
     # queued for round 6: the deferred round-2 entries
+    "ext_06_hourly_window",
     "ext_05_from_json_struct",
     "ext_07_asof_join",
     "ext_07_range_join",

@@ -34,6 +34,10 @@ can express it) hash-checked against a DuckDB oracle:
   (vocabulary-sized, never per-document work). Rows-only (the merge
   sequence comes from engine-side iterative training); pytest proves
   the encoding equals a pure-Python reference BPE.
+- ``ext_75_substring_dup``: per-document coverage by duplicated
+  n-token windows — the reporting half of exact-substring dedup (Lee
+  et al. 2022, arXiv:2107.06499), where duplicated SPANS (not whole
+  docs) are the unit of duplication.
 
 Scale notes per operator in the docstrings below.
 """
@@ -364,3 +368,75 @@ def bpe_encode_report(docs: DataFrame, n_merges: int = 8) -> DataFrame:
 
 def q_ext_74_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_75: substring-level duplication coverage (exact-substring dedup shape)
+# ---------------------------------------------------------------------------
+
+
+def substring_dup_coverage(docs: DataFrame, n: int = 10) -> DataFrame:
+    """Per-document fraction of token positions covered by a duplicated
+    ``n``-token window — the reporting half of exact-substring dedup
+    (Lee et al. 2022, arXiv:2107.06499: duplicated spans, not whole
+    near-dup docs, are what actually recurs in web corpora). A window
+    is duplicated when it occurs at ≥ 2 (doc, position) sites
+    corpus-wide; every token inside any duplicated window counts.
+
+    Plan: map-only window extraction (posexplode over a slice
+    transform), ONE gram-keyed shuffle for the occurrence count (map-
+    side combinable; at 100 TB key on xxhash64(gram) — 8-byte keys,
+    same plan), join back only the duplicated grams (corpus-frequency
+    skew on boilerplate grams splits under AQE skew-join), then a
+    bounded ×n positional explode and a (doc_id, pos) distinct. No
+    suffix array needed for coverage reporting: the window family
+    over-approximates maximal duplicated spans by < n tokens at each
+    end. Output joins back to the full corpus so undup'd docs report
+    0, preserving cardinality."""
+    toks = F.split(F.col("text"), " ")
+    base = spread(docs).select("doc_id", toks.alias("tk"))
+    grams = base.filter(F.size("tk") >= n).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, size(tk) - {n}),"
+                f" i -> concat_ws(' ', slice(tk, i + 1, {n})))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup_grams = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") >= 2)
+        .select("gram")
+    )
+    covered = (
+        grams.join(dup_grams, "gram")
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"sequence(pos, pos + {n} - 1)")).alias("tok_pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        spread(docs)
+        .select("doc_id", F.size(toks).alias("n_tokens"))
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                / F.col("n_tokens"),
+                6,
+            ).alias("dup_token_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_ext_75_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return substring_dup_coverage(load_table(spark, sf_dir, "documents"))

@@ -2025,3 +2025,31 @@ EXT_ORACLES["ext_73_stream_join"] = """
 # driver-iterated fixed point as ext_69); tests prove the encode equals
 # a pure-Python reference BPE with identical merges.
 EXT_QUERIES["ext_74_bpe_encode"] = q_ext_74_bpe_encode
+
+from sparketl.operators.curation import q_ext_75_substring_dup  # noqa: E402
+
+EXT_QUERIES["ext_75_substring_dup"] = q_ext_75_substring_dup
+EXT_ORACLES["ext_75_substring_dup"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), g AS (
+      SELECT doc_id, CAST(i AS INT) AS pos,
+             array_to_string(list_slice(tk, i + 1, i + 10), ' ') AS gram
+      FROM (SELECT doc_id, tk, unnest(range(0, len(tk) - 9)) AS i
+            FROM t WHERE len(tk) >= 10)
+    ), d AS (
+      SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    ), cov AS (
+      SELECT DISTINCT doc_id, pos + unnest(range(0, 10)) AS tok_pos
+      FROM g JOIN d USING (gram)
+    ), cnt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           CAST(COALESCE(c.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           ROUND(CAST(COALESCE(c.n_dup, 0) AS DOUBLE) / len(t.tk), 6)
+             AS dup_token_frac
+    FROM t LEFT JOIN cnt c USING (doc_id)
+    ORDER BY t.doc_id
+"""

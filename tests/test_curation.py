@@ -229,3 +229,40 @@ def test_bpe_encode_matches_python_reference(spark):
         assert r["chars_per_token"] == pytest.approx(
             r["n_chars"] / r["n_bpe_tokens"], abs=1e-4
         )
+
+
+# ------------------------------------------- ext_75 substring coverage
+
+
+def test_substring_dup_coverage_planted_span(spark):
+    """Planting doc A's first 10 tokens inside a new doc marks exactly
+    those window positions as duplicated in BOTH docs; an otherwise
+    all-unique corpus reports zero coverage for untouched docs."""
+    from sparketl.operators.curation import substring_dup_coverage
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    base = substring_dup_coverage(docs)
+    victim = docs.orderBy("doc_id").first()
+    span = " ".join(victim["text"].split(" ")[:10])
+    planted = spark.createDataFrame(
+        [(2_000_000, "zzz0 " + span + " zzz1", "en", "planted", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in substring_dup_coverage(docs.unionByName(planted)).collect()
+    }
+    # the planted doc: exactly the 10-token span is covered (12 tokens,
+    # windows at pos 0..2; only pos 1 == the span duplicates)
+    assert got[2_000_000]["n_tokens"] == 12
+    assert got[2_000_000]["n_dup_tokens"] == 10
+    # the victim gains ≥10 covered tokens relative to the base run
+    base_victim = {r["doc_id"]: r["n_dup_tokens"] for r in base.collect()}
+    assert got[victim["doc_id"]]["n_dup_tokens"] >= max(
+        10, base_victim[victim["doc_id"]]
+    )
+    # fraction is consistent with the counts
+    for r in got.values():
+        assert r["dup_token_frac"] == pytest.approx(
+            r["n_dup_tokens"] / r["n_tokens"], abs=1e-6
+        )
