@@ -440,3 +440,29 @@ def substring_dup_coverage(docs: DataFrame, n: int = 10) -> DataFrame:
 
 def q_ext_75_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_coverage(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_76: streaming hourly aggregate driven as a checkable query
+# ---------------------------------------------------------------------------
+
+
+def q_ext_76_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The watermarked streaming tumbling-hour aggregate driven over
+    the staged multi-chunk fixture (complete-mode memory sink: every
+    window is emitted regardless of watermark, so the finite-stream
+    result equals the batch twin — which is the oracle). Completes the
+    streaming driver-check set (dedup ext_61, stream-stream join
+    ext_73) with the windowed-aggregate shape; state-bound notes in
+    ``streaming.windows.streaming_hourly_agg``."""
+    from sparketl.streaming.stateful import read_staged_stream, stage_event_chunks
+    from sparketl.streaming.windows import run_stream_to_table, streaming_hourly_agg
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    try:
+        agg = streaming_hourly_agg(read_staged_stream(spark, stage))
+        return run_stream_to_table(agg, spark).orderBy(
+            "window_start_us", "event_type"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -2053,3 +2053,15 @@ EXT_ORACLES["ext_75_substring_dup"] = """
     FROM t LEFT JOIN cnt c USING (doc_id)
     ORDER BY t.doc_id
 """
+
+from sparketl.operators.curation import q_ext_76_stream_hourly  # noqa: E402
+
+EXT_QUERIES["ext_76_stream_hourly"] = q_ext_76_stream_hourly
+EXT_ORACLES["ext_76_stream_hourly"] = """
+    SELECT epoch_us(CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP))
+             AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
