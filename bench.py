@@ -70,6 +70,8 @@ HEADLINE = [
     "ext_71_semdedup",
     "ext_72_clean_corpus",
     "ext_74_bpe_encode",
+    "ext_75_substring_dup",
+    "ext_77_shard_plan",
 ]
 
 

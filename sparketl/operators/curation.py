@@ -466,3 +466,101 @@ def q_ext_76_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ext_77: deterministic shard plan (training-shard assignment)
+# ---------------------------------------------------------------------------
+
+
+def shard_plan(docs: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Assign every document to a training shard and report per-shard
+    balance — the step right before a pipeline writes shard files for
+    the data loader.
+
+    Shard = Knuth multiplicative hash of doc_id mod n_shards: stable
+    under repartitioning/engine (pure bigint arithmetic, same result
+    in the DuckDB oracle), uniform regardless of doc_id clustering
+    (sequential ids stripe evenly), and reproducible for resume —
+    properties a mod-on-raw-id or random() assignment each lack.
+    Within-shard order = the same hash (then doc_id): a deterministic
+    pre-shuffle, so shard files are written in final training order
+    and the loader never needs a buffer shuffle. One map-side-
+    combinable aggregate; the per-shard min/max hash bounds double as
+    a uniformity check."""
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    toks = F.size(F.split("text", " "))
+    return (
+        spread(docs)
+        .select(
+            (h % F.lit(n_shards)).cast("int").alias("shard"),
+            h.alias("h"),
+            toks.alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_chars").alias("n_chars"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+        .orderBy("shard")
+    )
+
+
+def q_ext_77_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_plan(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_78: stride-scheduled source interleave (epoch plan)
+# ---------------------------------------------------------------------------
+
+
+def interleave_schedule(docs: DataFrame, k: int = 100) -> DataFrame:
+    """First ``k`` documents of a deterministic mixture-weighted
+    training order — stride scheduling (the deterministic form of
+    weighted sampling a data loader runs): each source's documents are
+    ranked by a portable hash, and doc r (1-based) of a source with
+    weight w is scheduled at virtual time r / w; merging all sources by
+    virtual time yields an interleave where each source's share tracks
+    its weight. Weights here are √n_docs (the τ=0.5 temperature rule
+    of ext_66, un-normalized — scheduling only needs ratios; the
+    division below is a single IEEE op so the DuckDB twin is exact).
+
+    Plan: one per-source count (broadcast back), one window rank per
+    source (source-partitioned — no global window), one global top-k
+    (TakeOrderedAndProject). At 100 TB the top-k becomes a range
+    partition by virtual time when the full epoch plan is written
+    out; nothing else changes."""
+    from pyspark.sql import Window as W
+
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ranked = spread(docs).select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+    ).withColumn(
+        "r",
+        F.row_number().over(W.partitionBy("source").orderBy("h", "doc_id")),
+    )
+    weights = docs.groupBy("source").agg(
+        F.sqrt(F.count(F.lit(1)).cast("double")).alias("w")
+    )
+    return (
+        ranked.join(F.broadcast(weights), "source")
+        .select(
+            "source",
+            "doc_id",
+            "r",
+            (F.col("r").cast("double") / F.col("w")).alias("vtime"),
+        )
+        .orderBy("vtime", "source", "doc_id")
+        .limit(k)
+    )
+
+
+def q_ext_78_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interleave_schedule(load_table(spark, sf_dir, "documents"))

@@ -2065,3 +2065,44 @@ EXT_ORACLES["ext_76_stream_hourly"] = """
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_77_shard_plan,
+    q_ext_78_interleave,
+)
+
+EXT_QUERIES["ext_77_shard_plan"] = q_ext_77_shard_plan
+EXT_ORACLES["ext_77_shard_plan"] = """
+    WITH h AS (
+      SELECT (doc_id * 2654435761) % 4294967296 AS h,
+             len(string_split(text, ' ')) AS n_tokens,
+             n_chars
+      FROM documents
+    )
+    SELECT CAST(h % 16 AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+           CAST(MIN(h) AS BIGINT) AS min_h,
+           CAST(MAX(h) AS BIGINT) AS max_h
+    FROM h GROUP BY 1 ORDER BY shard
+"""
+
+EXT_QUERIES["ext_78_interleave"] = q_ext_78_interleave
+EXT_ORACLES["ext_78_interleave"] = """
+    WITH ranked AS (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+             ) AS INT) AS r
+      FROM documents
+    ), w AS (
+      SELECT source, sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+      FROM documents GROUP BY source
+    )
+    SELECT ranked.source, doc_id, r,
+           CAST(r AS DOUBLE) / w.w AS vtime
+    FROM ranked JOIN w ON ranked.source = w.source
+    ORDER BY vtime, ranked.source, doc_id LIMIT 100
+"""

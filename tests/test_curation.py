@@ -266,3 +266,53 @@ def test_substring_dup_coverage_planted_span(spark):
         assert r["dup_token_frac"] == pytest.approx(
             r["n_dup_tokens"] / r["n_tokens"], abs=1e-6
         )
+
+
+# -------------------------------------------- ext_77/78 loader planning
+
+
+def test_shard_plan_partitions_corpus_evenly_and_deterministically(spark):
+    """Shards partition the corpus exactly (doc/token/char totals
+    preserved), assignment is stable across runs, and the Knuth hash
+    spreads sequential ids within 3x of each other."""
+    from sparketl.operators.curation import shard_plan
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    rep = shard_plan(docs).collect()
+    tot = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t"),
+        F.sum("n_chars").alias("c"),
+    ).first()
+    assert sum(r["n_docs"] for r in rep) == tot["n"]
+    assert sum(r["n_tokens"] for r in rep) == tot["t"]
+    assert sum(r["n_chars"] for r in rep) == tot["c"]
+    counts = [r["n_docs"] for r in rep]
+    assert max(counts) <= 3 * min(counts), counts
+    again = shard_plan(docs).collect()
+    assert [tuple(r) for r in rep] == [tuple(r) for r in again]
+
+
+def test_interleave_share_tracks_sqrt_weights(spark):
+    """In the first 100 scheduled docs, each source's share matches its
+    sqrt(n_docs) weight within +/-2 slots (stride scheduling bound),
+    and virtual time is nondecreasing."""
+    import math
+
+    from sparketl.operators.curation import interleave_schedule
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    sched = interleave_schedule(docs, k=100).collect()
+    vtimes = [r["vtime"] for r in sched]
+    assert vtimes == sorted(vtimes)
+    weights = {
+        r["source"]: math.sqrt(r["n"])
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    wsum = sum(weights.values())
+    from collections import Counter
+
+    got = Counter(r["source"] for r in sched)
+    for src, w in weights.items():
+        expect = 100 * w / wsum
+        assert abs(got.get(src, 0) - expect) <= 2, (src, got.get(src, 0), expect)
