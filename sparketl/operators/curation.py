@@ -564,3 +564,62 @@ def interleave_schedule(docs: DataFrame, k: int = 100) -> DataFrame:
 
 def q_ext_78_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interleave_schedule(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_79: snapshot row diff (added / removed / changed / same)
+# ---------------------------------------------------------------------------
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Row-level diff between two corpus snapshots, reported per
+    source — the ops complement of the distribution-level drift gate
+    (ext_68): WHICH rows appeared, vanished, or changed, not just how
+    the histogram moved.
+
+    One full-outer join on the id (the only shuffle; both sides are
+    id-partitioned after it) comparing content — string equality here
+    (keeps the oracle engine-exact); at 100 TB you compare 8-byte
+    xxhash64 content hashes instead, never text, and the same join
+    doubles as the incremental-publish manifest (added ∪ changed = the
+    delta to ship). Fixture note: the query splits the documents table into
+    deterministic pseudo-snapshots (old = doc_id % 7 != 0, new =
+    doc_id % 5 != 0 with text uppercased when doc_id % 11 == 0) so
+    every diff class is exercised; the oracle applies the identical
+    split."""
+    o = old.select(
+        F.col("doc_id"), F.col("source").alias("o_src"), F.col("text").alias("o_text")
+    )
+    n = new.select(
+        F.col("doc_id"), F.col("source").alias("n_src"), F.col("text").alias("n_text")
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("o_text").isNull(), F.lit("added"))
+        .when(F.col("n_text").isNull(), F.lit("removed"))
+        .when(F.col("o_text") != F.col("n_text"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(F.coalesce("n_src", "o_src").alias("source"), status.alias("st"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("st") == "added").cast("long")).alias("n_added"),
+            F.sum((F.col("st") == "removed").cast("long")).alias("n_removed"),
+            F.sum((F.col("st") == "changed").cast("long")).alias("n_changed"),
+            F.sum((F.col("st") == "same").cast("long")).alias("n_same"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_79_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    new = docs.filter(F.col("doc_id") % 5 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 11 == 0, F.upper(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return snapshot_diff(old, new)

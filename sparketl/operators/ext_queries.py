@@ -2106,3 +2106,30 @@ EXT_ORACLES["ext_78_interleave"] = """
     FROM ranked JOIN w ON ranked.source = w.source
     ORDER BY vtime, ranked.source, doc_id LIMIT 100
 """
+
+from sparketl.operators.curation import q_ext_79_snapshot_diff  # noqa: E402
+
+EXT_QUERIES["ext_79_snapshot_diff"] = q_ext_79_snapshot_diff
+EXT_ORACLES["ext_79_snapshot_diff"] = """
+    WITH o AS (
+      SELECT doc_id, source AS o_src, text AS o_text
+      FROM documents WHERE doc_id % 7 != 0
+    ), n AS (
+      SELECT doc_id, source AS n_src,
+             CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END AS n_text
+      FROM documents WHERE doc_id % 5 != 0
+    ), j AS (
+      SELECT COALESCE(n_src, o_src) AS source,
+             CASE WHEN o_text IS NULL THEN 'added'
+                  WHEN n_text IS NULL THEN 'removed'
+                  WHEN o_text != n_text THEN 'changed'
+                  ELSE 'same' END AS st
+      FROM o FULL OUTER JOIN n USING (doc_id)
+    )
+    SELECT source,
+           CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN st = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+    FROM j GROUP BY source ORDER BY source
+"""

@@ -316,3 +316,30 @@ def test_interleave_share_tracks_sqrt_weights(spark):
     for src, w in weights.items():
         expect = 100 * w / wsum
         assert abs(got.get(src, 0) - expect) <= 2, (src, got.get(src, 0), expect)
+
+
+# ------------------------------------------------ ext_79 snapshot diff
+
+
+def test_snapshot_diff_classes_are_exact(spark):
+    """Diff counts recomputed from the split predicates match: removed
+    = in-old-only, added = in-new-only, changed = doc_id % 11 == 0
+    among the intersection."""
+    from sparketl.operators.curation import q_ext_79_snapshot_diff
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    old = {i for i in ids if i % 7 != 0}
+    new = {i for i in ids if i % 5 != 0}
+    want = {
+        "added": len(new - old),
+        "removed": len(old - new),
+        "changed": len({i for i in old & new if i % 11 == 0}),
+        "same": len({i for i in old & new if i % 11 != 0}),
+    }
+    rep = q_ext_79_snapshot_diff(spark, SF_SMALL).collect()
+    got = {
+        k: sum(r[f"n_{k}"] for r in rep)
+        for k in ("added", "removed", "changed", "same")
+    }
+    assert got == want
