@@ -44,6 +44,12 @@ Rewrites (applied outside string literals and comments only):
                          rewritten in place — valid at any nesting depth
                          because Spark's LIMIT/OFFSET clauses sit exactly
                          where T-SQL's pagination clause did.
+- ``DATEPART(part, d)``  → ``year/quarter/month/day/…(d)``
+- ``STUFF(s,start,len,r)`` → ``overlay(s, r, start, len)`` (same
+                         1-based delete-and-insert semantics)
+- ``SQUARE(x)``          → ``((x) * (x))``
+- ``REPLICATE(s,n)``     → ``repeat(s,n)``; ``SYSDATETIME()`` →
+                         ``current_timestamp``
 - ``CONVERT(type, x)``   → ``CAST(x AS type)`` with the T-SQL type
                          names mapped (VARCHAR→STRING, DATETIME→
                          TIMESTAMP, ...); ``VARCHAR(n)`` keeps T-SQL's
@@ -70,6 +76,8 @@ _FUNC_MAP = {
     "len": "length",
     "charindex": "locate",
     "iif": "if",  # IIF(cond, a, b) ≡ Spark if() — same 3-arg lazy form
+    "replicate": "repeat",  # REPLICATE(s, n) ≡ repeat(s, n)
+    "sysdatetime": "current_timestamp",
 }
 
 _TOKEN = re.compile(
@@ -142,9 +150,14 @@ def transpile(sql: str) -> str:
                     i = next_i
                     continue
                 out.append(text)
-            elif lower in ("dateadd", "datediff", "convert") and (
-                _next_nonspace(tokens, i) == "("
-            ):
+            elif lower in (
+                "dateadd",
+                "datediff",
+                "convert",
+                "datepart",
+                "stuff",
+                "square",
+            ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
                 i = next_i
@@ -240,6 +253,36 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
         if part in ("year", "yyyy", "yy"):
             return f"add_months({d}, (({n}) * 12))"
         raise DialectError(f"DATEADD({part}, ...) is not supported")
+    if name == "datepart":
+        if len(args) != 2:
+            raise DialectError("DATEPART takes (datepart, date)")
+        part, d = args[0].lower(), args[1]
+        fn = {
+            "year": "year", "yyyy": "year", "yy": "year",
+            "quarter": "quarter", "qq": "quarter", "q": "quarter",
+            "month": "month", "mm": "month", "m": "month",
+            "day": "day", "dd": "day", "d": "day",
+            "dayofyear": "dayofyear", "dy": "dayofyear",
+            "week": "weekofyear", "wk": "weekofyear", "ww": "weekofyear",
+            "hour": "hour", "hh": "hour",
+            "minute": "minute", "mi": "minute", "n": "minute",
+            "second": "second", "ss": "second", "s": "second",
+        }.get(part)
+        if fn is None:
+            raise DialectError(f"DATEPART({part}, ...) is not supported")
+        return f"{fn}({d})"
+    if name == "stuff":
+        # STUFF(s, start, length, replace) deletes `length` chars at
+        # 1-based `start` and inserts `replace` — exactly Spark's
+        # overlay(input, replace, pos, len).
+        if len(args) != 4:
+            raise DialectError("STUFF takes (string, start, length, replace)")
+        s, start, length, rep = args
+        return f"overlay({s}, {rep}, {start}, {length})"
+    if name == "square":
+        if len(args) != 1:
+            raise DialectError("SQUARE takes one argument")
+        return f"(({args[0]}) * ({args[0]}))"
     # CONVERT
     if len(args) != 2:
         raise DialectError(

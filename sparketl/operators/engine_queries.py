@@ -1075,3 +1075,33 @@ ENGINE_ORACLES["tierc_market_share"] = """
         GROUP BY order_year
         ORDER BY order_year
 """
+
+
+def q_tierc_tsql_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 T-SQL scalar additions via the shim (SURVEY §4.3):
+    DATEPART, STUFF (→ overlay), SQUARE, REPLICATE."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT TOP 100 [o_orderkey],
+               DATEPART(year, [o_orderdate]) AS order_year,
+               DATEPART(qq, [o_orderdate]) AS order_quarter,
+               STUFF([o_orderpriority], 1, 1, '#') AS pri_tag,
+               SQUARE([o_totalprice]) AS price_sq,
+               REPLICATE('*', DATEPART(dd, [o_orderdate]) % 5) AS stars
+        FROM orders ORDER BY [o_orderkey]
+        """,
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_funcs2"] = q_tierc_tsql_funcs2
+ENGINE_ORACLES["tierc_tsql_funcs2"] = """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS order_year,
+           CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+           '#' || substr(o_orderpriority, 2) AS pri_tag,
+           o_totalprice * o_totalprice AS price_sq,
+           repeat('*', CAST(day(o_orderdate) AS INT) % 5) AS stars
+    FROM orders ORDER BY o_orderkey LIMIT 100
+"""

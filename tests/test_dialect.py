@@ -200,3 +200,24 @@ def test_offset_fetch_malformed_raises():
         transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT x ROWS ONLY")
     with pytest.raises(DialectError):
         transpile("SELECT a FROM t ORDER BY a OFFSET 10 ROWS FETCH NEXT 5 ROWS")
+
+
+def test_datepart_rewrites():
+    assert (
+        transpile("SELECT DATEPART(year, d), DATEPART(mm, d), DATEPART(hh, d) FROM t")
+        == "SELECT year(d), month(d), hour(d) FROM t"
+    )
+    with pytest.raises(DialectError):
+        transpile("SELECT DATEPART(millisecond, d) FROM t")
+
+
+def test_stuff_square_replicate_sysdatetime():
+    assert (
+        transpile("SELECT STUFF(s, 2, 3, 'xy') FROM t")
+        == "SELECT overlay(s, 'xy', 2, 3) FROM t"
+    )
+    assert transpile("SELECT SQUARE(x + 1) FROM t") == "SELECT ((x + 1) * (x + 1)) FROM t"
+    assert transpile("SELECT REPLICATE('a', 4) FROM t") == "SELECT repeat('a', 4) FROM t"
+    assert transpile("SELECT SYSDATETIME()") == "SELECT current_timestamp()"
+    with pytest.raises(DialectError):
+        transpile("SELECT STUFF(s, 2, 3) FROM t")
