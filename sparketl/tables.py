@@ -475,6 +475,37 @@ class ManagedTable:
             old.exceptAll(new).withColumn("_change", F.lit("delete"))
         )
 
+    def changes(
+        self, key_cols: list[str], v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Keyed change-data-feed between two versions: ``diff``'s
+        insert/delete pairs reclassified through the key —
+        ``_change`` ∈ 'insert' (key only in the new version), 'delete'
+        (key only in the old), 'update_preimage'/'update_postimage'
+        (key in both with changed content) — Delta CDF's four row
+        types. One self-join of the diff on the key (the diff is
+        already O(changed data) via shared-file pruning, so this join
+        is changed-keys-sized, not table-sized)."""
+        d = self.diff(v_from, v_to)
+        keys_of = (
+            d.groupBy(*key_cols)
+            .agg(
+                F.sum((F.col("_change") == "insert").cast("int")).alias("_ni"),
+                F.sum((F.col("_change") == "delete").cast("int")).alias("_nd"),
+            )
+        )
+        both = (F.col("_ni") > 0) & (F.col("_nd") > 0)
+        reclass = (
+            F.when(both & (F.col("_change") == "delete"), F.lit("update_preimage"))
+            .when(both & (F.col("_change") == "insert"), F.lit("update_postimage"))
+            .otherwise(F.col("_change"))
+        )
+        return (
+            d.join(F.broadcast(keys_of), key_cols)
+            .withColumn("_change", reclass)
+            .drop("_ni", "_nd")
+        )
+
     def set_properties(self, updates: dict) -> int:
         """Merge properties in a new (data-unchanged) version."""
         m = self._manifest()

@@ -735,3 +735,29 @@ def test_bloom_carried_forward_and_respects_mutations(spark, tmp_table_root):
     assert {r["id"] for r in t.read(where="name = 'new'").collect()} == {1}
     assert t.read(where="name = 'old'").count() == 0
     assert {r["id"] for r in t.read(where="name = 'other'").collect()} == {2}
+
+
+def test_changes_classifies_cdf_row_types(spark, tmp_table_root):
+    """changes() yields Delta CDF's four row types: an updated key
+    becomes update_preimage + update_postimage, a fresh key insert, a
+    vanished key delete."""
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], SCHEMA)
+    )  # v2
+    t.keyed_update(spark.createDataFrame([(1, "a2", 9.0)], SCHEMA), "id")  # v3
+    t.delete_where("id = 2")  # v4
+    t.append(spark.createDataFrame([(4, "d", 4.0)], SCHEMA))  # v5
+
+    got = sorted(
+        (r["id"], r["name"], r["_change"])
+        for r in t.changes(["id"], 2, 5).collect()
+    )
+    assert got == [
+        (1, "a", "update_preimage"),
+        (1, "a2", "update_postimage"),
+        (2, "b", "delete"),
+        (4, "d", "insert"),
+    ]
+    # unchanged key 3 produces no change rows at all
+    assert all(r[0] != 3 for r in got)
