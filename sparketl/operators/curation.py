@@ -38,6 +38,11 @@ can express it) hash-checked against a DuckDB oracle:
   n-token windows — the reporting half of exact-substring dedup (Lee
   et al. 2022, arXiv:2107.06499), where duplicated SPANS (not whole
   docs) are the unit of duplication.
+- ``ext_76_stream_hourly`` / ``ext_77_shard_plan`` /
+  ``ext_78_interleave`` / ``ext_79_snapshot_diff`` /
+  ``ext_80_triplet_mining``: driven streaming windowed agg, training
+  shard assignment, stride-scheduled mixture interleave, snapshot row
+  diff, and contrastive triplet mining — see each docstring.
 
 Scale notes per operator in the docstrings below.
 """
@@ -623,3 +628,110 @@ def q_ext_79_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return snapshot_diff(old, new)
+
+
+# ---------------------------------------------------------------------------
+# ext_80: triplet mining for embedding training (hardest in-bucket pairs)
+# ---------------------------------------------------------------------------
+
+
+def triplet_mining(
+    emb: DataFrame, n_planes: int = _SEM_PLANES, dim: int = _SEM_DIM
+) -> DataFrame:
+    """(anchor, positive, negative) triples for contrastive embedding
+    training: per anchor, the positive is its HIGHEST-cosine bucket-mate
+    and the negative its LOWEST-cosine bucket-mate — the "hard negative
+    within the candidate neighborhood" recipe, using the same
+    deterministic hyperplane buckets as ext_71 so the whole result is
+    engine-exact.
+
+    ONE within-bucket scored self-join feeds both selections (argmax
+    and argmin fold over the same pair stream as map-side-combinable
+    min/max-of-struct aggregates — no per-anchor sort window); anchors
+    need ≥ 2 bucket-mates so positive ≠ negative. Same scale shape as
+    ext_71: quadratic only within a bucket, one shuffle on the bucket
+    key, ties broken on neighbor id."""
+    planes = sem_plane_weights(dim, n_planes)
+    n = spread(emb).select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("e"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("nrm"),
+        _plane_bucket_expr(planes, "embedding").alias("bucket"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("anchor_id"),
+            F.col("b.id").alias("other"),
+            (
+                F.expr(_DOT.format(a="a.e", b="b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+    )
+    agg = pairs.groupBy("anchor_id").agg(
+        F.count(F.lit(1)).alias("n_mates"),
+        F.max(F.struct(F.col("cos"), (-F.col("other")).alias("nid"))).alias("_p"),
+        F.min(F.struct(F.col("cos"), F.col("other").alias("oid"))).alias("_n"),
+    )
+    return (
+        agg.filter(F.col("n_mates") >= 2)
+        .select(
+            "anchor_id",
+            (-F.col("_p.nid")).alias("pos_id"),
+            # + 0.0 collapses IEEE -0.0 to +0.0 (a cosine rounding to
+            # ±0 would otherwise hash differently across engines)
+            (F.round("_p.cos", 4) + F.lit(0.0)).alias("pos_cos"),
+            F.col("_n.oid").alias("neg_id"),
+            (F.round("_n.cos", 4) + F.lit(0.0)).alias("neg_cos"),
+        )
+        .orderBy("anchor_id")
+    )
+
+
+def q_ext_80_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triplet_mining(load_table(spark, sf_dir, "embeddings"))
+
+
+def _triplet_oracle_sql() -> str:
+    """Oracle twin sharing ext_71's plane literals."""
+    planes = sem_plane_weights()
+    bucket_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, [{', '.join(repr(x) for x in p)}]) > 0"
+        f" THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        ), b AS (
+          SELECT vec_id, e,
+                 sqrt(list_dot_product(e, e)) AS nrm,
+                 {bucket_terms} AS bucket
+          FROM v
+        ), pairs AS (
+          SELECT a.vec_id AS anchor_id, bb.vec_id AS other,
+                 list_dot_product(a.e, bb.e) / (a.nrm * bb.nrm) AS cos
+          FROM b a JOIN b bb
+            ON a.bucket = bb.bucket AND a.vec_id != bb.vec_id
+        ), ranked AS (
+          SELECT anchor_id, other, cos,
+                 COUNT(*) OVER (PARTITION BY anchor_id) AS n_mates,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos DESC, other) AS rp,
+                 row_number() OVER (PARTITION BY anchor_id
+                                    ORDER BY cos ASC, other) AS rn
+          FROM pairs
+        )
+        SELECT p.anchor_id,
+               p.other AS pos_id, (ROUND(p.cos, 4) + 0.0) AS pos_cos,
+               nn.other AS neg_id, (ROUND(nn.cos, 4) + 0.0) AS neg_cos
+        FROM (SELECT * FROM ranked WHERE rp = 1 AND n_mates >= 2) p
+        JOIN (SELECT * FROM ranked WHERE rn = 1) nn
+          ON p.anchor_id = nn.anchor_id
+        ORDER BY p.anchor_id
+    """

@@ -2133,3 +2133,11 @@ EXT_ORACLES["ext_79_snapshot_diff"] = """
            CAST(SUM(CASE WHEN st = 'same' THEN 1 ELSE 0 END) AS BIGINT) AS n_same
     FROM j GROUP BY source ORDER BY source
 """
+
+from sparketl.operators.curation import (  # noqa: E402
+    _triplet_oracle_sql,
+    q_ext_80_triplet_mining,
+)
+
+EXT_QUERIES["ext_80_triplet_mining"] = q_ext_80_triplet_mining
+EXT_ORACLES["ext_80_triplet_mining"] = _triplet_oracle_sql()

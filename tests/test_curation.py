@@ -343,3 +343,45 @@ def test_snapshot_diff_classes_are_exact(spark):
         for k in ("added", "removed", "changed", "same")
     }
     assert got == want
+
+
+# ------------------------------------------------ ext_80 triplet mining
+
+
+def test_triplet_mining_matches_numpy_brute_force(spark):
+    """Per anchor with >= 2 bucket-mates: pos = argmax cosine, neg =
+    argmin cosine within the hyperplane bucket, ties on neighbor id —
+    recomputed brute-force in numpy; and pos_cos >= neg_cos always."""
+    import numpy as np
+
+    from sparketl.operators.curation import sem_plane_weights, triplet_mining
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    vecs = {
+        r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    planes = np.asarray(sem_plane_weights(), dtype=np.float64)
+    buckets = {
+        k: int(sum((1 << i) for i, d in enumerate(planes @ v) if d > 0))
+        for k, v in vecs.items()
+    }
+    want = {}
+    for a_id, a in vecs.items():
+        mates = [
+            (float(a @ vecs[o] / (np.linalg.norm(a) * np.linalg.norm(vecs[o]))), o)
+            for o in vecs
+            if o != a_id and buckets[o] == buckets[a_id]
+        ]
+        if len(mates) < 2:
+            continue
+        pos = max(mates, key=lambda t: (t[0], -t[1]))
+        neg = min(mates, key=lambda t: (t[0], t[1]))
+        want[a_id] = (pos[1], neg[1])
+
+    got = {
+        r["anchor_id"]: (r["pos_id"], r["neg_id"], r["pos_cos"], r["neg_cos"])
+        for r in triplet_mining(emb).collect()
+    }
+    assert {k: (p, n) for k, (p, n, _, _) in got.items()} == want
+    assert all(pc >= nc for _, _, pc, nc in got.values())
