@@ -42,7 +42,8 @@ can express it) hash-checked against a DuckDB oracle:
   ``ext_78_interleave`` / ``ext_79_snapshot_diff`` /
   ``ext_80_triplet_mining``: driven streaming windowed agg, training
   shard assignment, stride-scheduled mixture interleave, snapshot row
-  diff, and contrastive triplet mining — see each docstring.
+  diff, contrastive triplet mining, and kNN label evaluation
+  (``ext_81_knn_eval``) — see each docstring.
 
 Scale notes per operator in the docstrings below.
 """
@@ -735,3 +736,77 @@ def _triplet_oracle_sql() -> str:
           ON p.anchor_id = nn.anchor_id
         ORDER BY p.anchor_id
     """
+
+
+# ---------------------------------------------------------------------------
+# ext_81: kNN label evaluation (embedding-quality metric)
+# ---------------------------------------------------------------------------
+
+
+def knn_label_eval(emb: DataFrame, k: int = 5, n_queries: int = 64) -> DataFrame:
+    """Leave-one-out kNN classification accuracy per label — the
+    standard intrinsic check that an embedding space separates its
+    labels: each query vector is classified by majority vote of its k
+    nearest (cosine) neighbors, excluding itself, and compared to its
+    own label.
+
+    The query side is a fixed small slice (broadcast); the corpus side
+    stays partitioned and is scanned once — identical shape to
+    cosine_topk (the oracle baseline for ANN), so at 100 TB the same
+    swap applies: replace the brute-force scored join with the LSH/IVF
+    candidate join and this evaluator measures the production index's
+    accuracy instead. Votes: majority label, ties → higher count first,
+    then smaller label id; all ranking ties break on neighbor id.
+    Output: per true label, query count / correct count / accuracy."""
+    from pyspark.sql import Window as W
+
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("q_nrm"),
+        F.col("label").alias("true_label"),
+    )
+    c = spread(emb).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_vec"),
+        F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding"))).alias("c_nrm"),
+        F.col("label").alias("n_label"),
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.expr(_DOT.format(a="q_vec", b="c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+        .select("query_id", "true_label", "neighbor_id", "n_label", "sim")
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    topk = scored.withColumn("rnk", F.row_number().over(wr)).filter(
+        F.col("rnk") <= k
+    )
+    votes = topk.groupBy("query_id", "true_label", "n_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "n_label")
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "true_label", F.col("n_label").alias("pred_label"))
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .withColumn(
+            "accuracy", F.round(F.col("n_correct") / F.col("n_queries"), 4)
+        )
+        .orderBy("true_label")
+    )
+
+
+def q_ext_81_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_label_eval(load_table(spark, sf_dir, "embeddings"))

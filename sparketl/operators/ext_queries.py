@@ -2141,3 +2141,43 @@ from sparketl.operators.curation import (  # noqa: E402
 
 EXT_QUERIES["ext_80_triplet_mining"] = q_ext_80_triplet_mining
 EXT_ORACLES["ext_80_triplet_mining"] = _triplet_oracle_sql()
+
+from sparketl.operators.curation import q_ext_81_knn_eval  # noqa: E402
+
+EXT_QUERIES["ext_81_knn_eval"] = q_ext_81_knn_eval
+EXT_ORACLES["ext_81_knn_eval"] = """
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.vec_id AS neighbor_id, c.label AS n_label,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS sim
+      FROM v q JOIN v c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 64
+    ), topk AS (
+      SELECT * FROM (
+        SELECT query_id, true_label, n_label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, neighbor_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 5
+    ), votes AS (
+      SELECT query_id, true_label, n_label, COUNT(*) AS n_votes
+      FROM topk GROUP BY 1, 2, 3
+    ), pred AS (
+      SELECT query_id, true_label, n_label AS pred_label FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY n_votes DESC, n_label) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    )
+    SELECT true_label,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+"""

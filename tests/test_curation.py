@@ -385,3 +385,44 @@ def test_triplet_mining_matches_numpy_brute_force(spark):
     }
     assert {k: (p, n) for k, (p, n, _, _) in got.items()} == want
     assert all(pc >= nc for _, _, pc, nc in got.values())
+
+
+# --------------------------------------------------- ext_81 knn eval
+
+
+def test_knn_eval_matches_numpy_reference(spark):
+    """Per-label kNN accuracy equals a full numpy leave-one-out
+    recompute with identical tie rules."""
+    import numpy as np
+    from collections import Counter
+
+    from sparketl.operators.curation import knn_label_eval
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    vecs = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in rows}
+    labels = {r["vec_id"]: r["label"] for r in rows}
+    norms = {k: np.linalg.norm(v) for k, v in vecs.items()}
+
+    want = {}
+    for qid in sorted(vecs):
+        if qid >= 64:
+            continue
+        sims = sorted(
+            (
+                (-float(vecs[qid] @ vecs[o] / (norms[qid] * norms[o])), o)
+                for o in vecs
+                if o != qid
+            ),
+        )[:5]
+        votes = Counter(labels[o] for _, o in sims)
+        pred = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        tl = labels[qid]
+        n, c = want.get(tl, (0, 0))
+        want[tl] = (n + 1, c + (1 if pred == tl else 0))
+
+    got = {
+        r["true_label"]: (r["n_queries"], r["n_correct"])
+        for r in knn_label_eval(emb).collect()
+    }
+    assert got == want
