@@ -536,21 +536,34 @@ def interleave_schedule(docs: DataFrame, k: int = 100) -> DataFrame:
     of ext_66, un-normalized — scheduling only needs ratios; the
     division below is a single IEEE op so the DuckDB twin is exact).
 
-    Plan: one per-source count (broadcast back), one window rank per
-    source (source-partitioned — no global window), one global top-k
-    (TakeOrderedAndProject). At 100 TB the top-k becomes a range
-    partition by virtual time when the full epoch plan is written
-    out; nothing else changes."""
+    Plan: one per-source count (broadcast back), EXACT two-phase
+    per-source ranks (the prefix-sum idiom shared with ext_08 /
+    sequence packing: local ranks inside (source, hash-range) buckets
+    each ≤ corpus/1024, plus a per-source prefix sum over the ~1024-row
+    bucket-count table — a dominant source never serializes into one
+    sort task, which a plain source-partitioned window would do), one
+    global top-k (TakeOrderedAndProject). At 100 TB the top-k becomes
+    a range partition by virtual time when the full epoch plan is
+    written out; nothing else changes."""
     from pyspark.sql import Window as W
 
     h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ranked = spread(docs).select(
-        "doc_id",
-        "source",
-        h.alias("h"),
-    ).withColumn(
-        "r",
-        F.row_number().over(W.partitionBy("source").orderBy("h", "doc_id")),
+    base = spread(docs).select("doc_id", "source", h.alias("h"))
+    # hash-range bucket: h ∈ [0, 2^32) → 1024 buckets of width 2^22;
+    # (h, doc_id) order respects bucket order, so local + offset IS
+    # the global per-source rank, bit-identical to one window.
+    hb = F.expr("CAST(h div 4194304 AS INT)")
+    wl = W.partitionBy("source", "_hb").orderBy("h", "doc_id")
+    local = base.withColumn("_hb", hb).withColumn("_lr", F.row_number().over(wl))
+    counts = local.groupBy("source", "_hb").agg(F.count(F.lit(1)).alias("_n"))
+    wp = W.partitionBy("source").orderBy("_hb").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "source", "_hb", F.coalesce(F.sum("_n").over(wp), F.lit(0)).alias("_off")
+    )
+    ranked = local.join(offsets, ["source", "_hb"]).withColumn(
+        "r", (F.col("_lr") + F.col("_off")).cast("int")
     )
     weights = docs.groupBy("source").agg(
         F.sqrt(F.count(F.lit(1)).cast("double")).alias("w")
