@@ -72,6 +72,10 @@ HEADLINE = [
     "ext_74_bpe_encode",
     "ext_75_substring_dup",
     "ext_77_shard_plan",
+    "ext_78_interleave",
+    "ext_79_snapshot_diff",
+    "ext_80_triplet_mining",
+    "ext_81_knn_eval",
 ]
 
 

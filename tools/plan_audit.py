@@ -33,6 +33,9 @@ QUADRATIC_OK = {
     "ext_02_ngram_jaccard",
     "ext_03_embedding_near_dup",
     "ext_03_cosine_topk",  # corpus × broadcast-queries by design
+    "ext_81_knn_eval",  # same corpus × broadcast-query-slice shape as
+    # cosine_topk (brute-force evaluator; LSH/IVF candidates are the
+    # scale swap, see its docstring)
 }
 
 # Queries whose plan carries a BroadcastNestedLoopJoin ONLY because a
@@ -128,6 +131,13 @@ AUDITED = [
     "ext_71_semdedup",
     "ext_72_clean_corpus",
     "ext_74_bpe_encode",
+    "ext_75_substring_dup",
+    "ext_77_shard_plan",
+    "ext_78_interleave",
+    "ext_79_snapshot_diff",
+    "ext_80_triplet_mining",
+    "ext_81_knn_eval",
+    "tierc_tsql_funcs2",
 ]
 
 
