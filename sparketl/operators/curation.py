@@ -823,3 +823,74 @@ def knn_label_eval(emb: DataFrame, k: int = 5, n_queries: int = 64) -> DataFrame
 
 def q_ext_81_knn_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_label_eval(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext_82: LSH-candidate dedup pipeline (the 100 TB swap, end to end)
+# ---------------------------------------------------------------------------
+
+
+def lsh_dedup_pipeline_report(
+    docs: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """ext_70's documented scale swap, executable end to end: MinHash
+    LSH bands generate candidates, exact Jaccard verifies each
+    candidate pair (candidate-pairs-sized work, not corpus-sized),
+    connected components + per-source accounting are identical to
+    ext_70.
+
+    Verification uses array_intersect on the two shingle sets carried
+    through the candidate join — cost ∝ candidate count × set size, so
+    the quadratic stage of the exact pipeline is replaced by LSH
+    recall (probabilistic: a true pair missing from every band is
+    missed; band parameters trade recall vs candidate volume).
+    xxhash64 makes the result deterministic but engine-specific →
+    rows-only driver check; pytest asserts it matches ext_70 exactly
+    on a fixture where every true pair is also an LSH candidate
+    (identical texts always collide in all bands)."""
+    from sparketl.operators.dedup import (
+        dup_clusters,
+        minhash_lsh_candidates,
+        shingles,
+    )
+
+    cand = minhash_lsh_candidates(docs)
+    sh = shingles(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            inter.cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b")
+    )
+    labels = dup_clusters(verified)
+    removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id", F.lit(1).alias("_rm")
+    )
+    marked = spread(docs).select("doc_id", "source", "n_chars").join(
+        F.broadcast(removed), "doc_id", "left"
+    )
+    is_rm = F.col("_rm").isNotNull()
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(is_rm.cast("long")).alias("n_removed"),
+            F.sum((~is_rm).cast("long")).alias("n_kept"),
+            F.sum(F.when(~is_rm, F.col("n_chars")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_82_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_dedup_pipeline_report(load_table(spark, sf_dir, "documents"))

@@ -2181,3 +2181,10 @@ EXT_ORACLES["ext_81_knn_eval"] = """
                       AS DOUBLE) / COUNT(*), 4) AS accuracy
     FROM pred GROUP BY true_label ORDER BY true_label
 """
+
+from sparketl.operators.curation import q_ext_82_lsh_dedup_pipeline  # noqa: E402
+
+# rows-only: MinHash banding uses Spark's xxhash64 (deterministic but
+# engine-specific); pytest proves survivor-for-survivor equality with
+# the exact ext_70 pipeline on the fixture.
+EXT_QUERIES["ext_82_lsh_dedup_pipeline"] = q_ext_82_lsh_dedup_pipeline

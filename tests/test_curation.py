@@ -426,3 +426,30 @@ def test_knn_eval_matches_numpy_reference(spark):
         for r in knn_label_eval(emb).collect()
     }
     assert got == want
+
+
+# ---------------------------------------- ext_82 LSH dedup pipeline
+
+
+def test_lsh_dedup_pipeline_matches_exact_on_fixture(spark):
+    """On the fixture (+ a planted exact clone, which collides in every
+    LSH band), the LSH-candidate pipeline removes exactly what the
+    exact prefix-filter pipeline removes."""
+    from sparketl.operators.curation import (
+        dedup_pipeline_report,
+        lsh_dedup_pipeline_report,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    clone = docs.orderBy("doc_id").limit(1).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "text",
+        "lang",
+        F.lit("planted").alias("source"),
+        "n_chars",
+    )
+    corpus = docs.unionByName(clone)
+    exact = {tuple(r) for r in dedup_pipeline_report(corpus).collect()}
+    lsh = {tuple(r) for r in lsh_dedup_pipeline_report(corpus).collect()}
+    assert lsh == exact
+    assert any(r[0] == "planted" and r[2] == 1 for r in lsh)  # clone removed

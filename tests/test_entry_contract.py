@@ -28,6 +28,8 @@ ROWS_ONLY_ALLOWED = {
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
     # iterative-training dependency; pytest vs pure-Python encode
+    "ext_82_lsh_dedup_pipeline",  # MinHash banding via xxhash64 —
+    # engine-specific; pytest proves equality with exact ext_70
 }
 
 
