@@ -894,3 +894,53 @@ def lsh_dedup_pipeline_report(
 
 def q_ext_82_lsh_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_dedup_pipeline_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_83: 2D skyline (Pareto frontier) — cheapest-and-most-recent orders
+# ---------------------------------------------------------------------------
+
+
+def skyline_orders(orders: DataFrame) -> DataFrame:
+    """Skyline (Pareto frontier) of orders over (recency, price): an
+    order survives unless some other order is at least as recent AND at
+    most as expensive, strictly better in one — the multi-criteria
+    shortlist query (skyline operator family; cf. "Integration of
+    Skyline Queries into Spark SQL", EDBT 2023 — PAPERS.md).
+
+    Scale shape: dominance collapses to per-day minima — an order is
+    dominated iff a LATER day reached a price ≤ its own, or its OWN day
+    has a strictly lower price. So: one map-side-combinable per-day MIN
+    aggregate, a prefix-min window over the per-day table (bounded by
+    the CALENDAR — a few thousand rows regardless of corpus size, so
+    the unpartitioned window is constant-sized, not data-sized), and a
+    broadcast join back. No pairwise dominance test anywhere; the
+    oracle twin uses the identical formulation (pure comparisons, no
+    float arithmetic → engine-exact)."""
+    pts = spread(orders).select(
+        "o_orderkey",
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .alias("order_day"),
+        "o_totalprice",
+    )
+    per_day = pts.groupBy("order_day").agg(
+        F.min("o_totalprice").alias("min_price")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("order_day")).rowsBetween(W.unboundedPreceding, -1)
+    pref = per_day.withColumn("later_min", F.min("min_price").over(w))
+    return (
+        pts.join(F.broadcast(pref), "order_day")
+        .filter(
+            (F.col("later_min").isNull() | (F.col("later_min") > F.col("o_totalprice")))
+            & (F.col("o_totalprice") == F.col("min_price"))
+        )
+        .select("o_orderkey", "order_day", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+def q_ext_83_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return skyline_orders(load_table(spark, sf_dir, "orders"))

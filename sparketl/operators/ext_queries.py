@@ -2188,3 +2188,30 @@ from sparketl.operators.curation import q_ext_82_lsh_dedup_pipeline  # noqa: E40
 # engine-specific); pytest proves survivor-for-survivor equality with
 # the exact ext_70 pipeline on the fixture.
 EXT_QUERIES["ext_82_lsh_dedup_pipeline"] = q_ext_82_lsh_dedup_pipeline
+
+from sparketl.operators.curation import q_ext_83_skyline  # noqa: E402
+
+EXT_QUERIES["ext_83_skyline"] = q_ext_83_skyline
+EXT_ORACLES["ext_83_skyline"] = """
+    WITH pts AS (
+      SELECT o_orderkey,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000
+               AS order_day,
+             o_totalprice
+      FROM orders
+    ), per_day AS (
+      SELECT order_day, MIN(o_totalprice) AS min_price
+      FROM pts GROUP BY order_day
+    ), pref AS (
+      SELECT order_day, min_price,
+             MIN(min_price) OVER (ORDER BY order_day DESC
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS later_min
+      FROM per_day
+    )
+    SELECT p.o_orderkey, p.order_day, p.o_totalprice
+    FROM pts p JOIN pref f USING (order_day)
+    WHERE (f.later_min IS NULL OR f.later_min > p.o_totalprice)
+      AND p.o_totalprice = f.min_price
+    ORDER BY p.o_orderkey
+"""

@@ -453,3 +453,33 @@ def test_lsh_dedup_pipeline_matches_exact_on_fixture(spark):
     lsh = {tuple(r) for r in lsh_dedup_pipeline_report(corpus).collect()}
     assert lsh == exact
     assert any(r[0] == "planted" and r[2] == 1 for r in lsh)  # clone removed
+
+
+# ------------------------------------------------------ ext_83 skyline
+
+
+def test_skyline_matches_brute_force_dominance(spark):
+    """The per-day prefix-min skyline equals O(n^2) dominance checking
+    on the smoke fixture: keep a row iff no other row is >= as recent,
+    <= as expensive, and strictly better in one."""
+    from sparketl.operators.curation import skyline_orders
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    pts = [
+        (r["o_orderkey"], r["order_day"], r["price"])
+        for r in orders.selectExpr(
+            "o_orderkey",
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) / 86400000000 AS LONG)"
+            " AS order_day",
+            "o_totalprice AS price",
+        ).collect()
+    ]
+    want = {
+        k
+        for k, d, p in pts
+        if not any(
+            d2 >= d and p2 <= p and (d2 > d or p2 < p) for _, d2, p2 in pts
+        )
+    }
+    got = {r["o_orderkey"] for r in skyline_orders(orders).collect()}
+    assert got == want and len(got) > 0
