@@ -944,3 +944,65 @@ def skyline_orders(orders: DataFrame) -> DataFrame:
 
 def q_ext_83_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skyline_orders(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_84: co-purchase association pairs (market-basket, support + lift)
+# ---------------------------------------------------------------------------
+
+
+def copurchase_pairs(lineitem: DataFrame, min_count: int = 2, k: int = 100) -> DataFrame:
+    """Frequently-bought-together part pairs with support and lift —
+    the pairwise core of association-rule mining (Apriori's 2-itemset
+    pass), which covers most production "customers also bought" uses
+    without the full lattice.
+
+    The pair join is keyed on the ORDER (basket): its cost is
+    Σ basket_size² with baskets bounded by the data model (≤ 7 lines
+    per order here; carts in general are tens of items), so unlike a
+    part×part join it scales linearly in orders. Per-part counts are a
+    broadcast-sized aggregate joined back; lift is one exact bigint
+    product per side of a single division
+    ((n_ab·N) / (n_a·n_b) — products < 2^63), so the oracle hash
+    matches bit-for-bit. Output: top-``k`` pairs by count (ties: lift,
+    then part ids)."""
+    baskets = spread(lineitem).select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    per_part = baskets.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n_part")
+    )
+    pa = per_part.select(F.col("part").alias("part_a"), F.col("n_part").alias("n_a"))
+    pb = per_part.select(F.col("part").alias("part_b"), F.col("n_part").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(pa), "part_a")
+        .join(F.broadcast(pb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (
+                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_ab"), F.desc("lift"), "part_a", "part_b")
+        .limit(k)
+    )
+
+
+def q_ext_84_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_pairs(load_table(spark, sf_dir, "lineitem"))

@@ -2215,3 +2215,32 @@ EXT_ORACLES["ext_83_skyline"] = """
       AND p.o_totalprice = f.min_price
     ORDER BY p.o_orderkey
 """
+
+from sparketl.operators.curation import q_ext_84_copurchase  # noqa: E402
+
+EXT_QUERIES["ext_84_copurchase"] = q_ext_84_copurchase
+EXT_ORACLES["ext_84_copurchase"] = """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM baskets
+    ), pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), pp AS (
+      SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n_part
+      FROM baskets GROUP BY 1
+    )
+    SELECT part_a, part_b, n_ab,
+           CAST(n_ab * n.n_orders AS DOUBLE)
+             / CAST(pa.n_part * pb.n_part AS DOUBLE) AS lift
+    FROM pairs
+    CROSS JOIN n
+    JOIN pp pa ON pa.part = part_a
+    JOIN pp pb ON pb.part = part_b
+    ORDER BY n_ab DESC, lift DESC, part_a, part_b LIMIT 100
+"""

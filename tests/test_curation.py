@@ -483,3 +483,48 @@ def test_skyline_matches_brute_force_dominance(spark):
     }
     got = {r["o_orderkey"] for r in skyline_orders(orders).collect()}
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- ext_84 copurchase
+
+
+def test_copurchase_counts_and_lift_match_python(spark):
+    """Pair counts and lift recomputed in pure Python over the smoke
+    fixture's baskets match the top-k output exactly."""
+    from collections import Counter
+    from itertools import combinations
+
+    from sparketl.operators.curation import copurchase_pairs
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    n_orders = len(baskets)
+    pair_counts = Counter()
+    part_counts = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            part_counts[p] += 1
+        for x, y in combinations(sorted(parts), 2):
+            pair_counts[(x, y)] += 1
+    want = sorted(
+        (
+            (
+                -c,
+                -(c * n_orders) / (part_counts[x] * part_counts[y]),
+                x,
+                y,
+            )
+            for (x, y), c in pair_counts.items()
+            if c >= 2
+        ),
+    )[:100]
+
+    got = copurchase_pairs(li).collect()
+    assert [(r["part_a"], r["part_b"], r["n_ab"]) for r in got] == [
+        (x, y, -nc) for nc, _, x, y in want
+    ]
+    for r in got:
+        exp = (r["n_ab"] * n_orders) / (part_counts[r["part_a"]] * part_counts[r["part_b"]])
+        assert r["lift"] == exp
