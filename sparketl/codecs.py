@@ -43,6 +43,8 @@ def sniff_format(b: bytes) -> str | None:
         return "png"
     if b[:2] == b"BM" and len(b) >= 26:
         return "bmp"
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     return None
 
 
@@ -209,6 +211,8 @@ def image_meta(b: bytes) -> tuple[int, int, int, str]:
         w, h, ch = png_meta(b)
     elif fmt == "bmp":
         w, h, ch = bmp_meta(b)
+    elif fmt == "gif":
+        w, h, ch = gif_meta(b)
     else:
         raise CodecError("unrecognized image payload")
     return w, h, ch, fmt
@@ -220,6 +224,8 @@ def image_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         return png_pixels(b)
     if fmt == "bmp":
         return bmp_pixels(b)
+    if fmt == "gif":
+        return gif_pixels(b)
     raise CodecError("unrecognized image payload")
 
 
@@ -342,3 +348,157 @@ def encode_avi(frame_payloads: list[bytes]) -> bytes:
     movi = chunk(b"LIST", movi_body)
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+# ---------------------------------------------------------------- GIF
+
+
+def gif_meta(b: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from the logical screen descriptor.
+    Pure struct parsing of the public GIF87a/89a layout; channels is 3
+    (palette RGB)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise CodecError("not a GIF")
+    if len(b) < 13:
+        raise CodecError("truncated GIF header")
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h, 3
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytes:
+    """GIF-variant LZW: variable code width starting at min+1 bits,
+    CLEAR resets the dictionary, width grows to 12 bits max."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    out = bytearray()
+    prev: bytes | None = None
+    acc = n_bits = 0
+    for byte in data:
+        acc |= byte << n_bits
+        n_bits += 8
+        while n_bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            n_bits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]
+            else:
+                raise CodecError("corrupt LZW stream")
+            out += entry
+            if prev is not None and len(table) < 4096:
+                table.append(prev + entry[:1])
+                if len(table) == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            prev = entry
+    return bytes(out)
+
+
+def gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
+    """(width, height, 3, rgb_bytes) of the FIRST image block,
+    composed against the global/local palette. Interlaced images and
+    images smaller than the logical screen raise CodecError (out of
+    scope for the fixture paths); extension blocks are skipped."""
+    w, h, _ = gif_meta(b)
+    packed = b[10]
+    pos = 13
+    palette = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = b[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(b) and b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise CodecError(f"unexpected GIF block 0x{block:02x}")
+        left, top, iw, ih = struct.unpack("<HHHH", b[pos + 1 : pos + 9])
+        ipacked = b[pos + 9]
+        pos += 10
+        if ipacked & 0x40:
+            raise CodecError("interlaced GIF not supported")
+        if (left, top, iw, ih) != (0, 0, w, h):
+            raise CodecError("partial-frame GIF not supported")
+        if ipacked & 0x80:  # local palette wins
+            n = 2 << (ipacked & 0x07)
+            palette = b[pos : pos + 3 * n]
+            pos += 3 * n
+        if not palette:
+            raise CodecError("GIF image without a palette")
+        min_code_size = b[pos]
+        pos += 1
+        data = bytearray()
+        while pos < len(b) and b[pos] != 0:
+            ln = b[pos]
+            data += b[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        indices = _gif_lzw_decode(min_code_size, bytes(data))
+        if len(indices) < w * h:
+            raise CodecError("short GIF pixel data")
+        rgb = bytearray()
+        for i in indices[: w * h]:
+            rgb += palette[3 * i : 3 * i + 3]
+        return w, h, 3, bytes(rgb)
+    raise CodecError("GIF contains no image block")
+
+
+def encode_gif(w: int, h: int, palette: bytes, indices: bytes) -> bytes:
+    """Minimal valid GIF89a writer (test fixture generator): global
+    palette (padded to a power of two), one full-frame image, LZW
+    stream that emits CLEAR before every literal so the dictionary
+    never grows (legal, if inefficient)."""
+    n_entries = max(2, len(palette) // 3)
+    bits = max(1, (n_entries - 1).bit_length())
+    n_pad = 1 << bits
+    pal = palette + b"\x00" * (3 * n_pad - len(palette))
+    min_code = max(2, bits)
+    clear = 1 << min_code
+    end = clear + 1
+    code_size = min_code + 1
+    acc = n_bits = 0
+    stream = bytearray()
+    def emit(code: int) -> None:
+        nonlocal acc, n_bits
+        acc |= code << n_bits
+        n_bits += code_size
+        while n_bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    for idx in indices:
+        emit(clear)
+        emit(idx)
+    emit(end)
+    if n_bits:
+        stream.append(acc & 0xFF)
+    out = bytearray()
+    out += b"GIF89a"
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))  # GCT present, size 2^bits
+    out += b"\x00\x00"
+    out += pal
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        chunk = stream[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)

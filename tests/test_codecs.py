@@ -243,3 +243,104 @@ def test_sample_frames_real_avi_through_spark(spark):
     off0 = rows[1]["frame_offsets"][0]
     assert bytes(avi[off0 : off0 + 10]) == b"k" * 10
     assert rows[2]["format"] == "unknown"
+
+
+# ----------------------------------------------------------------- GIF
+
+
+def test_gif_roundtrip_and_meta():
+    """encode_gif → gif_pixels reproduces the palette-expanded RGB
+    exactly; image_meta/image_pixels dispatch on the GIF signature."""
+    from sparketl.codecs import encode_gif, gif_meta, gif_pixels, image_meta, image_pixels
+
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0, 1, 1, 2, 2])
+    g = encode_gif(4, 3, pal, idx)
+    assert gif_meta(g) == (4, 3, 3)
+    assert image_meta(g) == (4, 3, 3, "gif")
+    w, h, ch, rgb = gif_pixels(g)
+    assert (w, h, ch) == (4, 3, 3)
+    assert rgb == b"".join(pal[3 * i : 3 * i + 3] for i in idx)
+    assert image_pixels(g) == (w, h, ch, rgb)
+
+
+def test_gif_lzw_decode_handles_dictionary_growth():
+    """The decoder follows GIF LZW width-growth timing: a reference
+    encoder that grows the dictionary across 9→11-bit codes round-trips
+    byte-exactly."""
+    import random
+
+    from sparketl.codecs import _gif_lzw_decode
+
+    def lzw_encode(min_code, data):
+        clear = 1 << min_code
+        end = clear + 1
+        table = {bytes([i]): i for i in range(clear)}
+        next_code = end + 1
+        code_size = min_code + 1
+        codes, sizes, w = [clear], [min_code + 1], b""
+        for c in data:
+            wc = w + bytes([c])
+            if wc in table:
+                w = wc
+                continue
+            codes.append(table[w])
+            sizes.append(code_size)
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << code_size) and code_size < 12:
+                    code_size += 1
+            w = bytes([c])
+        codes.append(table[w])
+        sizes.append(code_size)
+        codes.append(end)
+        sizes.append(code_size)
+        acc = nb = 0
+        out = bytearray()
+        for code, cs in zip(codes, sizes):
+            acc |= code << nb
+            nb += cs
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    random.seed(7)
+    data = bytes(random.choice(b"abcd") for _ in range(5000))
+    assert _gif_lzw_decode(8, lzw_encode(8, data)) == data
+
+
+def test_gif_error_paths():
+    import struct
+
+    import pytest as _pytest
+
+    from sparketl.codecs import CodecError, encode_gif, gif_meta, gif_pixels
+
+    with _pytest.raises(CodecError):
+        gif_meta(b"NOTGIF" + b"\x00" * 20)
+    g = bytearray(encode_gif(2, 2, bytes(12), bytes(4)))
+    # flip the interlace bit in the image descriptor's packed byte
+    desc = g.index(0x2C)
+    g[desc + 9] |= 0x40
+    with _pytest.raises(CodecError):
+        gif_pixels(bytes(g))
+
+
+def test_decode_images_real_gif_through_spark(spark):
+    """fake=False mapInPandas route decodes GIF payloads next to
+    PNG/BMP with no code change (sniff dispatch)."""
+    from sparketl.codecs import encode_gif
+    from sparketl.operators.multimodal import decode_images
+
+    pal = bytes([i * 8 % 256 for i in range(24)])
+    g = encode_gif(4, 2, pal, bytes([i % 8 for i in range(8)]))
+    df = spark.createDataFrame(
+        [(1, bytearray(g))], "doc_id long, payload binary"
+    )
+    r = decode_images(df, fake=False).collect()[0]
+    assert (r["width"], r["height"], r["channels"], r["format"]) == (4, 2, 3, "gif")
