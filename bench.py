@@ -76,6 +76,9 @@ HEADLINE = [
     "ext_79_snapshot_diff",
     "ext_80_triplet_mining",
     "ext_81_knn_eval",
+    "ext_82_lsh_dedup_pipeline",
+    "ext_83_skyline",
+    "ext_84_copurchase",
 ]
 
 
