@@ -1006,3 +1006,101 @@ def copurchase_pairs(lineitem: DataFrame, min_count: int = 2, k: int = 100) -> D
 
 def q_ext_84_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_pairs(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_85: exact decile binning (quantile feature discretization)
+# ---------------------------------------------------------------------------
+
+
+def decile_binning(lineitem: DataFrame) -> DataFrame:
+    """Discretize a continuous column into exact deciles — the
+    feature-engineering step before bucketed models / stratified
+    reporting. Thresholds are the exact 10..90th percentiles (ONE
+    aggregate row, broadcast back — never a per-row window over the
+    sorted table); each row's decile is 1 + #thresholds strictly below
+    its value, a pure array fold. Spark ``percentile`` and DuckDB
+    ``quantile_cont`` agree bit-for-bit (same linear-interpolation
+    definition), so bin edges — and therefore every assignment — are
+    engine-exact. Output: per-decile row count and exact DECIMAL
+    revenue sum."""
+    qs = [i / 10.0 for i in range(1, 10)]
+    th = lineitem.agg(
+        F.expr(
+            "array(" +
+            ", ".join(f"percentile(l_extendedprice, {q})" for q in qs) +
+            ") AS th"
+        )
+    )
+    binned = lineitem.select(
+        "l_extendedprice",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    ).crossJoin(F.broadcast(th)).select(
+        (
+            F.lit(1)
+            + F.expr(
+                "aggregate(th, 0, (acc, t) -> acc + IF(t < l_extendedprice, 1, 0))"
+            )
+        ).alias("decile"),
+        "price_dec",
+    )
+    return (
+        binned.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("price_dec").cast("double").alias("sum_price"),
+        )
+        .orderBy("decile")
+    )
+
+
+def q_ext_85_decile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decile_binning(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_86: MAD-based robust outliers
+# ---------------------------------------------------------------------------
+
+
+def mad_outliers(lineitem: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust outlier count per group via the median absolute
+    deviation: flag |x − median| > k · 1.4826 · MAD — the estimator
+    that, unlike z-scores (ext_31's stddev family), is itself immune
+    to the outliers it hunts.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations), each a per-group aggregate with the group-keyed
+    result broadcast back — no windows, no sort of the full table.
+    Engine-exact: percentile ≡ quantile_cont, and the threshold
+    compare is one multiply each side."""
+    med = lineitem.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    )
+    dev = lineitem.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "l_extendedprice",
+        "med",
+        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("l_returnflag").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.first("med").alias("median_price"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.col("adev") > F.lit(k) * F.lit(1.4826) * F.col("mad"))
+                .cast("long")
+            ).alias("n_outliers"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q_ext_86_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mad_outliers(load_table(spark, sf_dir, "lineitem"))

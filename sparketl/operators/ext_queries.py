@@ -2244,3 +2244,50 @@ EXT_ORACLES["ext_84_copurchase"] = """
     JOIN pp pb ON pb.part = part_b
     ORDER BY n_ab DESC, lift DESC, part_a, part_b LIMIT 100
 """
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_85_decile_binning,
+    q_ext_86_mad_outliers,
+)
+
+EXT_QUERIES["ext_85_decile_binning"] = q_ext_85_decile_binning
+EXT_ORACLES["ext_85_decile_binning"] = """
+    WITH th AS (
+      SELECT [""" + ", ".join(
+        f"quantile_cont(l_extendedprice, {i/10.0})" for i in range(1, 10)
+    ) + """] AS t
+      FROM lineitem
+    ), binned AS (
+      SELECT 1 + len(list_filter(th.t, x -> x < l.l_extendedprice))
+               AS decile,
+             CAST(l.l_extendedprice AS DECIMAL(12,2)) AS price_dec
+      FROM lineitem l CROSS JOIN th
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(price_dec) AS DOUBLE) AS sum_price
+    FROM binned GROUP BY decile ORDER BY decile
+"""
+
+EXT_QUERIES["ext_86_mad_outliers"] = q_ext_86_mad_outliers
+EXT_ORACLES["ext_86_mad_outliers"] = """
+    WITH med AS (
+      SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), dev AS (
+      SELECT l.l_returnflag, l.l_extendedprice, m.med,
+             abs(l.l_extendedprice - m.med) AS adev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ), mad AS (
+      SELECT l_returnflag, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ANY_VALUE(d.med) AS median_price,
+           ANY_VALUE(md.mad) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 1.4826 * md.mad
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad md USING (l_returnflag)
+    GROUP BY d.l_returnflag ORDER BY d.l_returnflag
+"""

@@ -528,3 +528,43 @@ def test_copurchase_counts_and_lift_match_python(spark):
     for r in got:
         exp = (r["n_ab"] * n_orders) / (part_counts[r["part_a"]] * part_counts[r["part_b"]])
         assert r["lift"] == exp
+
+
+# --------------------------------------- ext_85/86 robust feature ops
+
+
+def test_decile_binning_partitions_all_rows(spark):
+    """Deciles cover every row exactly once and each bin holds ~10% of
+    rows (exact percentile edges => bins within 2% of each other on
+    continuous data)."""
+    from sparketl.operators.curation import decile_binning
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    out = decile_binning(li).collect()
+    n = li.count()
+    assert sum(r["n_rows"] for r in out) == n
+    assert [r["decile"] for r in out] == list(range(1, 11))
+    lo, hi = min(r["n_rows"] for r in out), max(r["n_rows"] for r in out)
+    assert hi - lo <= max(4, n // 50), (lo, hi)
+
+
+def test_mad_outliers_matches_python(spark):
+    """Median, MAD, and the outlier count recomputed in pure Python
+    (statistics.median == percentile(0.5) on these data) match."""
+    import statistics
+
+    from sparketl.operators.curation import mad_outliers
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    groups = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        groups.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    got = {r["l_returnflag"]: r for r in mad_outliers(li).collect()}
+    for flag, xs in groups.items():
+        med = statistics.median(xs)
+        mad = statistics.median([abs(x - med) for x in xs])
+        n_out = sum(1 for x in xs if abs(x - med) > 3.0 * 1.4826 * mad)
+        r = got[flag]
+        assert r["median_price"] == med
+        assert r["mad"] == mad
+        assert r["n_outliers"] == n_out
