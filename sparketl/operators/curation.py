@@ -1104,3 +1104,89 @@ def mad_outliers(lineitem: DataFrame, k: float = 3.0) -> DataFrame:
 
 def q_ext_86_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mad_outliers(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_87: incremental view maintenance (aggregate + delta ≡ recompute)
+# ---------------------------------------------------------------------------
+
+
+def _pseudo_snapshots(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Deterministic old/new snapshot pair: old = doc_id % 7 != 0,
+    new = doc_id % 5 != 0 with rows at doc_id % 11 == 0 modified
+    (text uppercased, n_chars + 1000) — every IVM delta class
+    (insert / delete / update) is exercised, and the oracle applies
+    the identical split."""
+    old = docs.filter(F.col("doc_id") % 7 != 0)
+    changed = F.col("doc_id") % 11 == 0
+    new = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(changed, F.upper(F.col("text"))).otherwise(F.col("text")).alias("text"),
+        "lang",
+        "source",
+        F.when(changed, F.col("n_chars") + 1000).otherwise(F.col("n_chars")).alias(
+            "n_chars"
+        ),
+    )
+    return old, new
+
+
+def incremental_agg_maintenance(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Maintain a per-source (n_docs, n_chars) aggregate INCREMENTALLY:
+    the new aggregate is computed as old aggregate + signed delta from
+    the row-level changes — never rescanning the unchanged data. This
+    is textbook incremental view maintenance for distributive
+    aggregates; the oracle recomputes the aggregate directly from the
+    new snapshot, so the driver hash-check IS the ΔQ ≡ Q(new) proof.
+
+    At 100 TB the old aggregate is a stored table and the delta comes
+    from the change feed (``ManagedTable.changes``); cost is
+    O(changed rows + groups), not O(table). Here both inputs derive
+    from the fixture split so the whole statement is one DAG: the old
+    side's keyed anti/semi joins compute the delta classes, and the
+    final combine is a 2-column full-outer join on the group key."""
+    o = old.select("doc_id", F.col("source").alias("o_src"), F.col("n_chars").alias("o_chars"), F.col("text").alias("o_text"))
+    n = new.select("doc_id", F.col("source").alias("n_src"), F.col("n_chars").alias("n_chars2"), F.col("text").alias("n_text"))
+    j = o.join(n, "doc_id", "full_outer")
+    # signed contributions: +new row when added or changed (postimage),
+    # -old row when removed or changed (preimage); unchanged rows emit 0
+    delta = j.select(
+        F.coalesce("n_src", "o_src").alias("source"),
+        F.when(F.col("o_text").isNull(), F.lit(1))  # added
+        .when(F.col("n_text").isNull(), F.lit(-1))  # removed
+        .otherwise(F.lit(0))
+        .alias("d_docs"),
+        (
+            F.when(F.col("o_text").isNull(), F.col("n_chars2"))
+            .when(F.col("n_text").isNull(), -F.col("o_chars"))
+            .when(
+                F.col("o_text") != F.col("n_text"),
+                F.col("n_chars2") - F.col("o_chars"),
+            )
+            .otherwise(F.lit(0))
+        ).alias("d_chars"),
+    ).groupBy("source").agg(
+        F.sum("d_docs").alias("d_docs"), F.sum("d_chars").alias("d_chars")
+    )
+    old_agg = old.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    return (
+        old_agg.join(delta, "source", "full_outer")
+        .select(
+            "source",
+            (F.coalesce("n_docs", F.lit(0)) + F.coalesce("d_docs", F.lit(0)))
+            .cast("long")
+            .alias("n_docs"),
+            (F.coalesce("n_chars", F.lit(0)) + F.coalesce("d_chars", F.lit(0)))
+            .cast("long")
+            .alias("n_chars"),
+        )
+        .filter(F.col("n_docs") > 0)
+        .orderBy("source")
+    )
+
+
+def q_ext_87_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    old, new = _pseudo_snapshots(load_table(spark, sf_dir, "documents"))
+    return incremental_agg_maintenance(old, new)

@@ -2291,3 +2291,22 @@ EXT_ORACLES["ext_86_mad_outliers"] = """
     FROM dev d JOIN mad md USING (l_returnflag)
     GROUP BY d.l_returnflag ORDER BY d.l_returnflag
 """
+
+from sparketl.operators.curation import q_ext_87_incremental_view  # noqa: E402
+
+# Oracle = DIRECT aggregate over the new snapshot: hash-match proves
+# the incremental (old aggregate + signed delta) path equals a full
+# recompute.
+EXT_QUERIES["ext_87_incremental_view"] = q_ext_87_incremental_view
+EXT_ORACLES["ext_87_incremental_view"] = """
+    WITH new_snap AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % 11 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS n_chars
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM new_snap GROUP BY source ORDER BY source
+"""

@@ -568,3 +568,35 @@ def test_mad_outliers_matches_python(spark):
         assert r["median_price"] == med
         assert r["mad"] == mad
         assert r["n_outliers"] == n_out
+
+
+# ----------------------------------------- ext_87 incremental view
+
+
+def test_incremental_view_equals_full_recompute(spark):
+    """Old aggregate + signed delta == direct aggregate of the new
+    snapshot, source for source — including a source that exists only
+    in one snapshot."""
+    from sparketl.operators.curation import (
+        _pseudo_snapshots,
+        incremental_agg_maintenance,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    old, new = _pseudo_snapshots(docs)
+    extra = spark.createDataFrame(
+        [(3_000_000, "brand new", "en", "fresh-source", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    inc = {
+        r["source"]: (r["n_docs"], r["n_chars"])
+        for r in incremental_agg_maintenance(old, new.unionByName(extra)).collect()
+    }
+    want = {
+        r["source"]: (r["n"], r["c"])
+        for r in new.unionByName(extra)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("c"))
+        .collect()
+    }
+    assert inc == want and "fresh-source" in inc
