@@ -1190,3 +1190,48 @@ def incremental_agg_maintenance(old: DataFrame, new: DataFrame) -> DataFrame:
 def q_ext_87_incremental_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     old, new = _pseudo_snapshots(load_table(spark, sf_dir, "documents"))
     return incremental_agg_maintenance(old, new)
+
+
+# ---------------------------------------------------------------------------
+# ext_88: Python UDTF surface — lateral table function from SQL
+# ---------------------------------------------------------------------------
+
+
+def register_chunk_udtf(spark: SparkSession) -> None:
+    """Register ``chunk_text(text, block)`` as a Python UDTF so plain
+    SQL can explode a document into fixed-size token chunks via
+    ``FROM docs, LATERAL chunk_text(text, 20)`` — the Spark-4 table-
+    function surface (SURVEY §2.11), completing the UDF family next to
+    pandas UDFs (multimodal) and applyInPandasWithState (streaming).
+
+    A UDTF runs Python per input row — this is deliberately the
+    API-surface demonstration, NOT the perf path: the equivalent
+    array-expression formulation (ext_15 / ext_72's block split) stays
+    in WholeStageCodegen and is what the pipelines use. The rows the
+    two produce are identical, which is exactly what the oracle
+    checks."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str, block: int):
+            toks = text.split(" ")
+            for i in range(0, len(toks), block):
+                yield (i // block, len(toks[i : i + block]))
+
+    spark.udtf.register("chunk_text", ChunkText)
+
+
+def q_ext_88_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_chunk_udtf(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_ext88_docs"
+    )
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.n_tokens
+        FROM _ext88_docs, LATERAL chunk_text(text, 20) c
+        WHERE doc_id < 50
+        ORDER BY doc_id, chunk_idx
+        """
+    )

@@ -2310,3 +2310,19 @@ EXT_ORACLES["ext_87_incremental_view"] = """
            CAST(SUM(n_chars) AS BIGINT) AS n_chars
     FROM new_snap GROUP BY source ORDER BY source
 """
+
+from sparketl.operators.curation import q_ext_88_udtf_chunks  # noqa: E402
+
+EXT_QUERIES["ext_88_udtf_chunks"] = q_ext_88_udtf_chunks
+EXT_ORACLES["ext_88_udtf_chunks"] = """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS tk
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           CAST(least(20, len(tk) - i * 20) AS INT) AS n_tokens
+    FROM (SELECT doc_id, tk,
+                 unnest(range(0, CAST(ceil(len(tk) / 20.0) AS INT))) AS i
+          FROM t)
+    ORDER BY doc_id, chunk_idx
+"""

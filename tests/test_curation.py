@@ -600,3 +600,28 @@ def test_incremental_view_equals_full_recompute(spark):
         .collect()
     }
     assert inc == want and "fresh-source" in inc
+
+
+# ------------------------------------------------- ext_88 UDTF surface
+
+
+def test_udtf_chunks_equal_array_expression_path(spark):
+    """The Python UDTF's lateral chunk rows equal the codegen
+    array-expression block split (ext_72's formulation) row for row."""
+    from sparketl.operators.curation import register_chunk_udtf
+
+    register_chunk_udtf(spark)
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.createOrReplaceTempView("_t88")
+    udtf_rows = spark.sql(
+        "SELECT doc_id, c.chunk_idx, c.n_tokens "
+        "FROM _t88, LATERAL chunk_text(text, 20) c"
+    ).collect()
+    expr_rows = docs.selectExpr(
+        "doc_id",
+        "posexplode(transform(sequence(0, CAST(ceil(size(split(text,' ')) / 20.0)"
+        " AS INT) - 1), i -> size(slice(split(text,' '), i * 20 + 1, 20))))"
+        " AS (chunk_idx, n_tokens)",
+    ).collect()
+    assert sorted(map(tuple, udtf_rows)) == sorted(map(tuple, expr_rows))
+    assert len(udtf_rows) > 0

@@ -140,6 +140,9 @@ AUDITED = [
     "ext_82_lsh_dedup_pipeline",
     "ext_83_skyline",
     "ext_84_copurchase",
+    "ext_85_decile_binning",
+    "ext_86_mad_outliers",
+    "ext_87_incremental_view",
     "tierc_tsql_funcs2",
 ]
 
