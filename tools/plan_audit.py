@@ -49,6 +49,7 @@ BROADCAST_SCALAR_OK = {
     "ext_50_skew_report",
     "ext_58_vocab_coverage",
     "ext_66_mixture_weights",  # one-row w_total normalizer broadcast
+    "ext_85_decile_binning",  # one-row percentile-threshold broadcast
 }
 
 AUDITED = [
