@@ -967,7 +967,11 @@ def copurchase_pairs(lineitem: DataFrame, min_count: int = 2, k: int = 100) -> D
     matches bit-for-bit. Output: top-``k`` pairs by count (ties: lift,
     then part ids)."""
     baskets = spread(lineitem).select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    # total-basket count as a one-row broadcast INSIDE the DAG (not a
+    # separate driver count job): the identical distinct exchange then
+    # appears once and is reused (ReusedExchange) by the pair join, the
+    # per-part counts, and this aggregate, instead of rescanning
+    n_df = baskets.agg(F.countDistinct("l_orderkey").alias("_n_orders"))
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
         a.join(
@@ -990,12 +994,13 @@ def copurchase_pairs(lineitem: DataFrame, min_count: int = 2, k: int = 100) -> D
     return (
         pairs.join(F.broadcast(pa), "part_a")
         .join(F.broadcast(pb), "part_b")
+        .crossJoin(F.broadcast(n_df))
         .select(
             "part_a",
             "part_b",
             "n_ab",
             (
-                (F.col("n_ab") * F.lit(n_orders)).cast("double")
+                (F.col("n_ab") * F.col("_n_orders")).cast("double")
                 / (F.col("n_a") * F.col("n_b")).cast("double")
             ).alias("lift"),
         )

@@ -701,36 +701,34 @@ def bpe_train_merges(
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    syms = words.select("n", F.split("w", "(?!^)").alias("s")).cache()
+    # eager localCheckpoint instead of cache+count+unpersist: one call
+    # materializes the vocab table AND truncates lineage (the merge
+    # folds would otherwise nest one level deeper per iteration),
+    # dropping an explicit count job per merge step
+    syms = words.select("n", F.split("w", "(?!^)").alias("s")).localCheckpoint()
     out_schema = "step int, left string, right string, merged string, pair_count long"
     merges: list[tuple] = []
-    try:
-        for step in range(1, n_merges + 1):
-            pairs = (
-                syms.select(
-                    "n",
-                    F.explode(
-                        F.expr(
-                            "IF(size(s) < 2, array()::array<struct<a:string,b:string>>, "
-                            "transform(sequence(0, size(s) - 2), "
-                            "i -> named_struct('a', s[i], 'b', s[i+1])))"
-                        )
-                    ).alias("p"),
-                )
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("n").alias("cnt"))
+    for step in range(1, n_merges + 1):
+        pairs = (
+            syms.select(
+                "n",
+                F.explode(
+                    F.expr(
+                        "IF(size(s) < 2, array()::array<struct<a:string,b:string>>, "
+                        "transform(sequence(0, size(s) - 2), "
+                        "i -> named_struct('a', s[i], 'b', s[i+1])))"
+                    )
+                ).alias("p"),
             )
-            top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
-            if not top or top[0]["cnt"] < min_count:
-                break
-            a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
-            merges.append((step, a, b, a + b, cnt))
-            nxt = syms.withColumn("s", F.expr(_bpe_merge_expr(a, b))).cache()
-            nxt.count()  # materialize before dropping the parent cache
-            syms.unpersist()
-            syms = nxt
-    finally:
-        syms.unpersist()
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("cnt"))
+        )
+        top = pairs.orderBy(F.desc("cnt"), "a", "b").limit(1).collect()
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], int(top[0]["cnt"])
+        merges.append((step, a, b, a + b, cnt))
+        syms = syms.withColumn("s", F.expr(_bpe_merge_expr(a, b))).localCheckpoint()
     return spark.createDataFrame(merges, out_schema)
 
 

@@ -50,6 +50,7 @@ BROADCAST_SCALAR_OK = {
     "ext_58_vocab_coverage",
     "ext_66_mixture_weights",  # one-row w_total normalizer broadcast
     "ext_85_decile_binning",  # one-row percentile-threshold broadcast
+    "ext_84_copurchase",  # one-row basket-count broadcast for lift
 }
 
 AUDITED = [
