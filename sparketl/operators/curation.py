@@ -1240,3 +1240,59 @@ def q_ext_88_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_idx
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_89: per-group Pearson correlation matrix (exact power sums)
+# ---------------------------------------------------------------------------
+
+
+def grouped_correlations(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlations of (price, quantity, discount)
+    per return flag — the feature-correlation screen run before
+    modeling.
+
+    One map-side-combinable aggregate carries the full power-sum state
+    (n, Σ of each column, each square, each cross product) as EXACT
+    decimals — the same distributed-moment layout as ext_43/ext_51 —
+    and each correlation is one fixed double expression over those
+    sums. Every double op (±, ×, ÷, sqrt) is correctly rounded, so the
+    oracle is bit-identical; never a second pass, never a window."""
+    x = F.col("l_extendedprice").cast("decimal(12,2)")
+    y = F.col("l_quantity").cast("decimal(12,2)")
+    z = F.col("l_discount").cast("decimal(3,2)")
+    agg = lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"), F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"), F.sum(y * y).alias("syy"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"), F.sum(x * z).alias("sxz"),
+        F.sum(y * z).alias("syz"),
+    )
+
+    def corr(n, sa, sb, saa, sbb, sab):
+        num = n * sab - sa * sb
+        return num / (
+            F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)
+        )
+
+    n = F.col("n").cast("double")
+    d = {c: F.col(c).cast("double") for c in
+         ("sx", "sy", "sz", "sxx", "syy", "szz", "sxy", "sxz", "syz")}
+    return agg.select(
+        "l_returnflag",
+        F.col("n").alias("n_rows"),
+        corr(n, d["sx"], d["sy"], d["sxx"], d["syy"], d["sxy"]).alias(
+            "corr_price_qty"
+        ),
+        corr(n, d["sx"], d["sz"], d["sxx"], d["szz"], d["sxz"]).alias(
+            "corr_price_disc"
+        ),
+        corr(n, d["sy"], d["sz"], d["syy"], d["szz"], d["syz"]).alias(
+            "corr_qty_disc"
+        ),
+    ).orderBy("l_returnflag")
+
+
+def q_ext_89_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_correlations(load_table(spark, sf_dir, "lineitem"))

@@ -2326,3 +2326,50 @@ EXT_ORACLES["ext_88_udtf_chunks"] = """
           FROM t)
     ORDER BY doc_id, chunk_idx
 """
+
+from sparketl.operators.curation import q_ext_89_grouped_corr  # noqa: E402
+
+EXT_QUERIES["ext_89_grouped_corr"] = q_ext_89_grouped_corr
+EXT_ORACLES["ext_89_grouped_corr"] = """
+    WITH a AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sx,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sy,
+             SUM(CAST(l_discount AS DECIMAL(3,2))) AS sz,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxx,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS syy,
+             SUM(CAST(l_discount AS DECIMAL(3,2))
+                 * CAST(l_discount AS DECIMAL(3,2))) AS szz,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS sxy,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(3,2))) AS sxz,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(l_discount AS DECIMAL(3,2))) AS syz
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sx, CAST(sy AS DOUBLE) AS sy,
+             CAST(sz AS DOUBLE) AS sz,
+             CAST(sxx AS DOUBLE) AS sxx, CAST(syy AS DOUBLE) AS syy,
+             CAST(szz AS DOUBLE) AS szz,
+             CAST(sxy AS DOUBLE) AS sxy, CAST(sxz AS DOUBLE) AS sxz,
+             CAST(syz AS DOUBLE) AS syz
+      FROM a
+    )
+    SELECT l_returnflag, n AS n_rows,
+           (nd * sxy - sx * sy)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * syy - sy * sy))
+             AS corr_price_qty,
+           (nd * sxz - sx * sz)
+             / (sqrt(nd * sxx - sx * sx) * sqrt(nd * szz - sz * sz))
+             AS corr_price_disc,
+           (nd * syz - sy * sz)
+             / (sqrt(nd * syy - sy * sy) * sqrt(nd * szz - sz * sz))
+             AS corr_qty_disc
+    FROM d ORDER BY l_returnflag
+"""

@@ -625,3 +625,35 @@ def test_udtf_chunks_equal_array_expression_path(spark):
     ).collect()
     assert sorted(map(tuple, udtf_rows)) == sorted(map(tuple, expr_rows))
     assert len(udtf_rows) > 0
+
+
+# ------------------------------------------------ ext_89 grouped corr
+
+
+def test_grouped_corr_matches_numpy(spark):
+    """Each per-group correlation equals numpy's corrcoef to 1e-9
+    (exact power sums; only the final double expression differs in
+    association order from numpy's two-pass formula)."""
+    import numpy as np
+
+    from sparketl.operators.curation import grouped_correlations
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    data = {}
+    for r in li.select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_discount"
+    ).collect():
+        data.setdefault(r["l_returnflag"], []).append(
+            (r["l_extendedprice"], r["l_quantity"], r["l_discount"])
+        )
+    got = {r["l_returnflag"]: r for r in grouped_correlations(li).collect()}
+    for flag, rows in data.items():
+        m = np.asarray(rows, dtype=np.float64).T
+        c = np.corrcoef(m)
+        r = got[flag]
+        assert abs(r["corr_price_qty"] - c[0, 1]) < 1e-9
+        assert abs(r["corr_price_disc"] - c[0, 2]) < 1e-9
+        assert abs(r["corr_qty_disc"] - c[1, 2]) < 1e-9
+        assert r["n_rows"] == len(rows)
+        for v in (r["corr_price_qty"], r["corr_price_disc"], r["corr_qty_disc"]):
+            assert -1.0 <= v <= 1.0
