@@ -82,6 +82,7 @@ HEADLINE = [
     "ext_85_decile_binning",
     "ext_86_mad_outliers",
     "ext_87_incremental_view",
+    "ext_89_grouped_corr",
 ]
 
 

@@ -145,6 +145,7 @@ AUDITED = [
     "ext_85_decile_binning",
     "ext_86_mad_outliers",
     "ext_87_incremental_view",
+    "ext_89_grouped_corr",
     "tierc_tsql_funcs2",
 ]
 
