@@ -83,6 +83,7 @@ HEADLINE = [
     "ext_86_mad_outliers",
     "ext_87_incremental_view",
     "ext_89_grouped_corr",
+    "ext_90_triangles",
 ]
 
 

@@ -1296,3 +1296,63 @@ def grouped_correlations(lineitem: DataFrame) -> DataFrame:
 
 def q_ext_89_grouped_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grouped_correlations(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_90: triangle counting on the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def copurchase_triangles(lineitem: DataFrame, min_count: int = 2, k: int = 20) -> DataFrame:
+    """Triangles in the co-purchase graph (parts that share ≥
+    ``min_count`` baskets): the density signal behind "bundle"
+    detection, and the third classic distributed graph analytic next
+    to PageRank (ext_41) and connected components (ext_02/70).
+
+    Edges are ordered (a < b), so each triangle a<b<c is found EXACTLY
+    once as e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two equi-joins on an
+    edge list, the standard orientation trick that also bounds join
+    fan-out by out-degree at scale (orienting low→high id here; by
+    degree when the graph is skewed). No node ever sees more than its
+    oriented neighborhood. Output: the ``k`` parts participating in
+    the most triangles (ties → part id)."""
+    baskets = spread(lineitem).select("l_orderkey", "l_partkey").distinct()
+    a, b = baskets.alias("a"), baskets.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= min_count)
+        .select("u", "v")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("pa"),
+            F.col("e1.v").alias("pb"),
+            F.col("e2.v").alias("pc"),
+        )
+    )
+    per_node = (
+        tri.select(F.explode(F.array("pa", "pb", "pc")).alias("part"))
+        .groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(k)
+    )
+    return per_node
+
+
+def q_ext_90_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return copurchase_triangles(load_table(spark, sf_dir, "lineitem"))

@@ -2373,3 +2373,29 @@ EXT_ORACLES["ext_89_grouped_corr"] = """
              AS corr_qty_disc
     FROM d ORDER BY l_returnflag
 """
+
+from sparketl.operators.curation import q_ext_90_triangles  # noqa: E402
+
+EXT_QUERIES["ext_90_triangles"] = q_ext_90_triangles
+EXT_ORACLES["ext_90_triangles"] = """
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), tri AS (
+      SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+    ), nodes AS (
+      SELECT pa AS part FROM tri
+      UNION ALL SELECT pb FROM tri
+      UNION ALL SELECT pc FROM tri
+    )
+    SELECT part, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY part
+    ORDER BY n_triangles DESC, part LIMIT 20
+"""

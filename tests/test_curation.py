@@ -657,3 +657,43 @@ def test_grouped_corr_matches_numpy(spark):
         assert r["n_rows"] == len(rows)
         for v in (r["corr_price_qty"], r["corr_price_disc"], r["corr_qty_disc"]):
             assert -1.0 <= v <= 1.0
+
+
+# -------------------------------------------------- ext_90 triangles
+
+
+def test_triangle_counts_match_python_enumeration(spark):
+    """Per-part triangle participation equals brute-force enumeration
+    over the same thresholded co-purchase edge set."""
+    from collections import Counter
+    from itertools import combinations
+
+    from sparketl.operators.curation import copurchase_triangles
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    baskets = {}
+    for r in li.select("l_orderkey", "l_partkey").distinct().collect():
+        baskets.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    pair_counts = Counter()
+    for parts in baskets.values():
+        for x, y in combinations(sorted(parts), 2):
+            pair_counts[(x, y)] += 1
+    edges = {p for p, c in pair_counts.items() if c >= 2}
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+    tri_count = Counter()
+    for u, v in edges:
+        for w in adj.get(v, set()):
+            if (u, w) in edges:
+                tri_count[u] += 1
+                tri_count[v] += 1
+                tri_count[w] += 1
+    want = sorted(
+        ((-c, p) for p, c in tri_count.items()),
+    )[:20]
+    got = [
+        (-r["n_triangles"], r["part"])
+        for r in copurchase_triangles(li).collect()
+    ]
+    assert got == want

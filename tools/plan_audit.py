@@ -146,6 +146,7 @@ AUDITED = [
     "ext_86_mad_outliers",
     "ext_87_incremental_view",
     "ext_89_grouped_corr",
+    "ext_90_triangles",
     "tierc_tsql_funcs2",
 ]
 
