@@ -84,6 +84,7 @@ HEADLINE = [
     "ext_87_incremental_view",
     "ext_89_grouped_corr",
     "ext_90_triangles",
+    "ext_91_rrf_fusion",
 ]
 
 

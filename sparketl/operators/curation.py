@@ -1356,3 +1356,61 @@ def copurchase_triangles(lineitem: DataFrame, min_count: int = 2, k: int = 20) -
 
 def q_ext_90_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return copurchase_triangles(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_91: reciprocal-rank fusion of two bounded rankings (hybrid search)
+# ---------------------------------------------------------------------------
+
+
+def rrf_fusion(docs: DataFrame, k: int = 100, out_k: int = 20) -> DataFrame:
+    """Reciprocal-rank fusion (RRF, Cormack et al. 2009) of two
+    retrieval rankings — the standard hybrid-search merge (e.g. BM25 ∪
+    vector hits): score(d) = Σ 1/(60 + rank_i(d)) over the lists d
+    appears in, here a quality-score ranking and a length ranking.
+
+    Scale shape is the one hybrid search actually uses: each source
+    list is a bounded top-``k`` (TakeOrderedAndProject — never a global
+    rank of the corpus), ranks come from windows over those k-row
+    lists (bounded, not data-sized), and the fuse is one full-outer
+    join of two k-row tables. The two 1/(60+r) terms sum in a fixed
+    order, so the oracle hash-matches."""
+    from pyspark.sql import Window as W
+
+    from sparketl.operators.text import quality_score
+
+    q = (
+        quality_score(docs)
+        .select("doc_id", "quality")
+        .orderBy(F.desc("quality"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rq",
+            F.row_number().over(W.orderBy(F.desc("quality"), "doc_id")),
+        )
+        .select("doc_id", "rq")
+    )
+    ln = (
+        docs.select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), "doc_id")
+        .limit(k)
+        .withColumn(
+            "rl",
+            F.row_number().over(W.orderBy(F.desc("n_chars"), "doc_id")),
+        )
+        .select("doc_id", "rl")
+    )
+    fused = q.join(ln, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rq")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rl")), F.lit(0.0))
+        ).alias("rrf"),
+        F.col("rq").alias("quality_rank"),
+        F.col("rl").alias("length_rank"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(out_k)
+
+
+def q_ext_91_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rrf_fusion(load_table(spark, sf_dir, "documents"))

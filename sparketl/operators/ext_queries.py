@@ -2399,3 +2399,36 @@ EXT_ORACLES["ext_90_triangles"] = """
     FROM nodes GROUP BY part
     ORDER BY n_triangles DESC, part LIMIT 20
 """
+
+from sparketl.operators.curation import q_ext_91_rrf_fusion  # noqa: E402
+
+EXT_ORACLES["ext_91_rrf_fusion"] = """
+    WITH scored AS (
+      SELECT doc_id,
+             least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+               * 0.4
+             + (1.0 - CAST(len(list_filter(string_split(text, ' '),
+                       x -> x IN ('the', 'a'))) AS DOUBLE)
+                    / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3
+             + least((CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                      AS DOUBLE) / len(string_split(text, ' '))) / 8.0, 1.0)
+               * 0.3 AS quality,
+             n_chars
+      FROM documents
+    ), q AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY quality DESC, doc_id)
+               AS INT) AS rq
+      FROM scored ORDER BY quality DESC, doc_id LIMIT 100
+    ), l AS (
+      SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+               AS INT) AS rl
+      FROM scored ORDER BY n_chars DESC, doc_id LIMIT 100
+    )
+    SELECT COALESCE(q.doc_id, l.doc_id) AS doc_id,
+           COALESCE(1.0 / (60.0 + rq), 0.0)
+             + COALESCE(1.0 / (60.0 + rl), 0.0) AS rrf,
+           rq AS quality_rank, rl AS length_rank
+    FROM q FULL OUTER JOIN l ON q.doc_id = l.doc_id
+    ORDER BY rrf DESC, 1 LIMIT 20
+"""
+EXT_QUERIES["ext_91_rrf_fusion"] = q_ext_91_rrf_fusion

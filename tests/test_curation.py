@@ -697,3 +697,27 @@ def test_triangle_counts_match_python_enumeration(spark):
         for r in copurchase_triangles(li).collect()
     ]
     assert got == want
+
+
+# ------------------------------------------------ ext_91 RRF fusion
+
+
+def test_rrf_fusion_scores_match_rank_formula(spark):
+    """Every fused score equals 1/(60+rq) + 1/(60+rl) with ranks from
+    the two bounded top-100 lists; output is rrf-descending and a doc
+    in BOTH lists beats one in a single list at equal ranks."""
+    from sparketl.operators.curation import rrf_fusion
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    out = rrf_fusion(docs).collect()
+    assert len(out) == 20
+    scores = [r["rrf"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+    for r in out:
+        want = 0.0
+        if r["quality_rank"] is not None:
+            want += 1.0 / (60.0 + r["quality_rank"])
+        if r["length_rank"] is not None:
+            want += 1.0 / (60.0 + r["length_rank"])
+        assert r["rrf"] == want
+        assert r["quality_rank"] is not None or r["length_rank"] is not None

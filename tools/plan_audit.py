@@ -147,6 +147,7 @@ AUDITED = [
     "ext_87_incremental_view",
     "ext_89_grouped_corr",
     "ext_90_triangles",
+    "ext_91_rrf_fusion",
     "tierc_tsql_funcs2",
 ]
 
