@@ -1414,3 +1414,50 @@ def rrf_fusion(docs: DataFrame, k: int = 100, out_k: int = 20) -> DataFrame:
 
 def q_ext_91_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fusion(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_92: trailing 7-day distinct active users (rolling DAU/WAU)
+# ---------------------------------------------------------------------------
+
+
+def rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """Per day, the EXACT count of distinct users active in the
+    trailing ``window_days`` — the WAU curve every product dashboard
+    tracks, where approximate answers (sliding HLL) are the usual
+    compromise.
+
+    Exact formulation without a distinct-over-range window (which
+    Spark cannot evaluate incrementally and would recompute per day):
+    each (user, active-day) pair — already deduplicated, one row per
+    user-day — is exploded to the ``window_days`` report days it keeps
+    the user active for (bounded ×7, the same bounded-explode shape as
+    substring coverage), then one distinct + count per report day.
+    Report days are restricted to the observed day range. Shuffles:
+    the user-day dedup and the day-keyed count — both map-side
+    combinable."""
+    day = F.expr("unix_micros(ts) div 86400000000").alias("day")
+    user_days = spread(events).select("user_id", day).distinct()
+    bounds = user_days.agg(
+        F.min("day").alias("min_d"), F.max("day").alias("max_d")
+    )
+    exploded = user_days.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, day + {window_days} - 1)")
+        ).alias("report_day"),
+    ).distinct()
+    return (
+        exploded.crossJoin(F.broadcast(bounds))
+        .filter(
+            (F.col("report_day") >= F.col("min_d"))
+            & (F.col("report_day") <= F.col("max_d"))
+        )
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("report_day")
+    )
+
+
+def q_ext_92_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rolling_wau(load_table(spark, sf_dir, "events"))

@@ -2432,3 +2432,22 @@ EXT_ORACLES["ext_91_rrf_fusion"] = """
     ORDER BY rrf DESC, 1 LIMIT 20
 """
 EXT_QUERIES["ext_91_rrf_fusion"] = q_ext_91_rrf_fusion
+
+from sparketl.operators.curation import q_ext_92_rolling_wau  # noqa: E402
+
+EXT_QUERIES["ext_92_rolling_wau"] = q_ext_92_rolling_wau
+EXT_ORACLES["ext_92_rolling_wau"] = """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), b AS (
+      SELECT MIN(day) AS mind, MAX(day) AS maxd FROM ud
+    ), e AS (
+      SELECT DISTINCT user_id, day + unnest(range(0, 7)) AS report_day
+      FROM ud
+    )
+    SELECT report_day, CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM e, b WHERE report_day BETWEEN mind AND maxd
+    GROUP BY report_day ORDER BY report_day
+"""

@@ -721,3 +721,30 @@ def test_rrf_fusion_scores_match_rank_formula(spark):
             want += 1.0 / (60.0 + r["length_rank"])
         assert r["rrf"] == want
         assert r["quality_rank"] is not None or r["length_rank"] is not None
+
+
+# ------------------------------------------------ ext_92 rolling WAU
+
+
+def test_rolling_wau_matches_python_window(spark):
+    """Each day's count equals the distinct users with >= 1 event in
+    the trailing 7 days, recomputed in Python."""
+    from sparketl.operators.curation import rolling_wau
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.selectExpr(
+        "user_id", "unix_micros(ts) div 86400000000 AS day"
+    ).collect()
+    by_day = {}
+    for r in rows:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    want = {}
+    for d in range(min(days), max(days) + 1):
+        users = set()
+        for back in range(7):
+            users |= by_day.get(d - back, set())
+        if users:
+            want[d] = len(users)
+    got = {r["report_day"]: r["n_active_users"] for r in rolling_wau(ev).collect()}
+    assert got == {d: n for d, n in want.items()}
