@@ -85,6 +85,8 @@ HEADLINE = [
     "ext_89_grouped_corr",
     "ext_90_triangles",
     "ext_91_rrf_fusion",
+    "ext_92_rolling_wau",
+    "ext_93_ngram_novelty",
 ]
 
 

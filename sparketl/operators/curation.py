@@ -1461,3 +1461,57 @@ def rolling_wau(events: DataFrame, window_days: int = 7) -> DataFrame:
 
 def q_ext_92_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_wau(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_93: n-gram novelty score (incremental-corpus contribution)
+# ---------------------------------------------------------------------------
+
+
+def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Per document, the fraction of its distinct word ``n``-gram
+    shingles that no smaller-id document contains — the marginal
+    novelty a doc adds when the corpus is ingested in id order. The
+    curation use: rank an incoming batch by how much genuinely new
+    text it contributes (near-zero novelty ≈ boilerplate/template
+    spam) before paying for full near-dup clustering.
+
+    A shingle is novel for exactly the doc that is its corpus-wide
+    ``min(doc_id)`` — "first occurrence" and "unseen by any earlier
+    doc" coincide. That identity removes any need to join the
+    shingle-level firsts back to the exploded corpus (a second
+    corpus-sized shuffle on a hot-keyed string column): ``n_shingles``
+    is just ``size(sh)`` (map-only), and ``n_novel`` is the g-min agg
+    re-keyed by its winning doc — so the only corpus-sized shuffle is
+    the one combinable min per shingle, and the final join is
+    doc-granular (rows = n_docs, not n_shingles). Every shuffle is
+    keyed and combinable; no all-pairs stage — scales.
+
+    Reuses :func:`sparketl.operators.dedup.shingles` so the
+    tokenization is bit-identical to the Jaccard/MinHash suite."""
+    from sparketl.operators.dedup import shingles
+
+    sh = shingles(docs, n=n)
+    counts = sh.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+    firsts = (
+        sh.select(F.explode("sh").alias("g"), "doc_id")
+        .groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    per_doc = counts.join(firsts, "doc_id", "left").withColumn(
+        "n_novel", F.coalesce("n_novel", F.lit(0).cast("bigint"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    ).orderBy("doc_id")
+
+
+def q_ext_93_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))

@@ -2451,3 +2451,28 @@ EXT_ORACLES["ext_92_rolling_wau"] = """
     FROM e, b WHERE report_day BETWEEN mind AND maxd
     GROUP BY report_day ORDER BY report_day
 """
+
+from sparketl.operators.curation import q_ext_93_ngram_novelty  # noqa: E402
+
+EXT_QUERIES["ext_93_ngram_novelty"] = q_ext_93_ngram_novelty
+EXT_ORACLES["ext_93_ngram_novelty"] = """
+    WITH s AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), f AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM s GROUP BY g
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM s JOIN f USING (g)
+    GROUP BY s.doc_id
+    ORDER BY doc_id
+"""

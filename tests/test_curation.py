@@ -748,3 +748,34 @@ def test_rolling_wau_matches_python_window(spark):
             want[d] = len(users)
     got = {r["report_day"]: r["n_active_users"] for r in rolling_wau(ev).collect()}
     assert got == {d: n for d, n in want.items()}
+
+
+# ------------------------------------------------ ext_93 n-gram novelty
+
+
+def test_ngram_novelty_matches_python_reference(spark):
+    """Counts and ratio equal a pure-Python first-occurrence scan."""
+    from sparketl.operators.curation import ngram_novelty
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    sh = {}
+    for r in rows:
+        t = r["text"].split(" ")
+        if len(t) < 3:
+            continue
+        sh[r["doc_id"]] = {
+            " ".join(t[i : i + 3]) for i in range(len(t) - 2)
+        }
+    first = {}
+    for d in sorted(sh):
+        for g in sh[d]:
+            first.setdefault(g, d)
+    got = ngram_novelty(docs).collect()
+    assert {r["doc_id"] for r in got} == set(sh)
+    for r in got:
+        grams = sh[r["doc_id"]]
+        novel = sum(1 for g in grams if first[g] == r["doc_id"])
+        assert r["n_shingles"] == len(grams)
+        assert r["n_novel"] == novel
+        assert r["novelty"] == novel / len(grams)
