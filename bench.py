@@ -87,6 +87,7 @@ HEADLINE = [
     "ext_91_rrf_fusion",
     "ext_92_rolling_wau",
     "ext_93_ngram_novelty",
+    "ext_94_cross_source_leak",
 ]
 
 

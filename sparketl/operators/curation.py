@@ -1515,3 +1515,54 @@ def ngram_novelty(docs: DataFrame, n: int = 3) -> DataFrame:
 
 def q_ext_93_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_94: cross-source passage leakage report
+# ---------------------------------------------------------------------------
+
+
+def cross_source_leak(docs: DataFrame, n: int = 5) -> DataFrame:
+    """Per unordered source pair, the number of distinct word
+    ``n``-grams appearing in BOTH sources — the provenance-leakage
+    matrix a curator reads before trusting per-source dedup or
+    mixture weights (heavy overlap between two "independent" crawls
+    means their quotas double-count the same text).
+
+    One corpus-sized shuffle, no self-join: exploded (source, gram)
+    rows fold STRAIGHT to ``collect_set(source)`` per gram (the set
+    dedups, so no separate ``distinct`` shuffle is paid) — per-key
+    state is bounded by the source cardinality (a small categorical
+    set), so the agg stays map-side combinable and hot grams cannot
+    skew a join. Unordered pairs then explode from each sorted set
+    (≤ |sources|² per gram, a constant) and a pair-keyed count
+    finishes. The naive formulation (self-join of (source, gram) on
+    gram) is the DuckDB oracle twin."""
+    from sparketl.operators.dedup import shingles
+
+    sg = shingles(docs, n=n, keep=("source",)).select(
+        "source", F.explode("sh").alias("g")
+    )
+    srcs = (
+        sg.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = srcs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) -> "
+                "transform(slice(ss, i + 2, size(ss)), "
+                "y -> struct(x AS src_a, y AS src_b))))"
+            )
+        ).alias("p")
+    ).select("p.src_a", "p.src_b")
+    return (
+        pairs.groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_ngrams"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def q_ext_94_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_leak(load_table(spark, sf_dir, "documents"))

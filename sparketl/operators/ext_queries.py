@@ -2476,3 +2476,22 @@ EXT_ORACLES["ext_93_ngram_novelty"] = """
     GROUP BY s.doc_id
     ORDER BY doc_id
 """
+
+from sparketl.operators.curation import q_ext_94_cross_source_leak  # noqa: E402
+
+EXT_QUERIES["ext_94_cross_source_leak"] = q_ext_94_cross_source_leak
+EXT_ORACLES["ext_94_cross_source_leak"] = """
+    WITH s AS (
+      SELECT DISTINCT source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 3),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' '
+                     || t[i+3] || ' ' || t[i+4]))) AS g
+      FROM (SELECT source, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 5
+    )
+    SELECT a.source AS src_a, b.source AS src_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_ngrams
+    FROM s a JOIN s b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+"""

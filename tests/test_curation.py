@@ -779,3 +779,33 @@ def test_ngram_novelty_matches_python_reference(spark):
         assert r["n_shingles"] == len(grams)
         assert r["n_novel"] == novel
         assert r["novelty"] == novel / len(grams)
+
+
+# ------------------------------------------------ ext_94 cross-source leak
+
+
+def test_cross_source_leak_matches_python_reference(spark):
+    """Pair counts equal a pure-Python set-intersection recompute."""
+    from sparketl.operators.curation import cross_source_leak
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    by_src = {}
+    for r in docs.select("source", "text").collect():
+        t = r["text"].split(" ")
+        if len(t) < 5:
+            continue
+        by_src.setdefault(r["source"], set()).update(
+            " ".join(t[i : i + 5]) for i in range(len(t) - 4)
+        )
+    want = {}
+    names = sorted(by_src)
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            shared = len(by_src[a] & by_src[b])
+            if shared:
+                want[(a, b)] = shared
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_ngrams"]
+        for r in cross_source_leak(docs).collect()
+    }
+    assert got == want

@@ -150,6 +150,7 @@ AUDITED = [
     "ext_91_rrf_fusion",
     "ext_92_rolling_wau",
     "ext_93_ngram_novelty",
+    "ext_94_cross_source_leak",
     "tierc_tsql_funcs2",
 ]
 
