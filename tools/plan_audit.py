@@ -51,6 +51,7 @@ BROADCAST_SCALAR_OK = {
     "ext_66_mixture_weights",  # one-row w_total normalizer broadcast
     "ext_85_decile_binning",  # one-row percentile-threshold broadcast
     "ext_84_copurchase",  # one-row basket-count broadcast for lift
+    "ext_92_rolling_wau",  # one-row (min_d, max_d) day-bounds broadcast
 }
 
 AUDITED = [
