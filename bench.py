@@ -88,6 +88,7 @@ HEADLINE = [
     "ext_92_rolling_wau",
     "ext_93_ngram_novelty",
     "ext_94_cross_source_leak",
+    "ext_95_interevent_gaps",
 ]
 
 

@@ -1566,3 +1566,58 @@ def cross_source_leak(docs: DataFrame, n: int = 5) -> DataFrame:
 
 def q_ext_94_cross_source_leak(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_source_leak(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_95: inter-event gap latency profile per event type
+# ---------------------------------------------------------------------------
+
+
+def interevent_gaps(events: DataFrame) -> DataFrame:
+    """Per event type, the exact p50/p90/p99 of the gap (µs) between
+    an event and the SAME user's previous event — the latency /
+    cadence profile behind session-timeout tuning (ext_06's gap
+    parameter) and bot detection (machine traffic shows implausibly
+    tight p50s).
+
+    The lag window is partitioned by ``user_id`` — per-partition state
+    is one user's stream, so the window never concentrates the table
+    on one task (the unpartitioned-window trap). Ordering is
+    (ts, event_id): event_id is unique, making lag deterministic even
+    under timestamp ties. ``percentile`` on the bigint gaps matches
+    DuckDB's ``quantile_cont`` bit-for-bit (continuous interpolation),
+    so the profile is oracle-hashable; one array-percentile aggregate
+    computes all three quantiles in a single pass."""
+    from pyspark.sql import Window as W
+
+    ev = spread(events).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.expr(
+                "percentile(gap_us, array(0.5D, 0.9D, 0.99D))"
+            ).alias("p"),
+        )
+        .select(
+            "event_type",
+            "n_gaps",
+            F.col("p")[0].alias("p50_us"),
+            F.col("p")[1].alias("p90_us"),
+            F.col("p")[2].alias("p99_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ext_95_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interevent_gaps(load_table(spark, sf_dir, "events"))

@@ -2495,3 +2495,26 @@ EXT_ORACLES["ext_94_cross_source_leak"] = """
     GROUP BY 1, 2
     ORDER BY 1, 2
 """
+
+from sparketl.operators.curation import q_ext_95_interevent_gaps  # noqa: E402
+
+EXT_QUERIES["ext_95_interevent_gaps"] = q_ext_95_interevent_gaps
+EXT_ORACLES["ext_95_interevent_gaps"] = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                 ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           quantile_cont(gap_us, 0.5) AS p50_us,
+           quantile_cont(gap_us, 0.9) AS p90_us,
+           quantile_cont(gap_us, 0.99) AS p99_us
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+"""

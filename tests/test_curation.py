@@ -809,3 +809,34 @@ def test_cross_source_leak_matches_python_reference(spark):
         for r in cross_source_leak(docs).collect()
     }
     assert got == want
+
+
+# ------------------------------------------------ ext_95 inter-event gaps
+
+
+def test_interevent_gaps_matches_numpy_quantiles(spark):
+    """Gap quantiles equal numpy's linear-interpolation percentiles
+    over a Python recompute of per-user consecutive gaps."""
+    import numpy as np
+
+    from sparketl.operators.curation import interevent_gaps
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.selectExpr(
+        "user_id", "event_type", "event_id", "unix_micros(ts) AS us"
+    ).collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    gaps = {}
+    for stream in by_user.values():
+        stream.sort(key=lambda r: (r["us"], r["event_id"]))
+        for prev, cur in zip(stream, stream[1:]):
+            gaps.setdefault(cur["event_type"], []).append(cur["us"] - prev["us"])
+    got = interevent_gaps(ev).collect()
+    assert {r["event_type"] for r in got} == set(gaps)
+    for r in got:
+        xs = gaps[r["event_type"]]
+        assert r["n_gaps"] == len(xs)
+        for col, q in [("p50_us", 50), ("p90_us", 90), ("p99_us", 99)]:
+            assert r[col] == pytest.approx(np.percentile(xs, q), rel=1e-12)

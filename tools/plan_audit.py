@@ -152,6 +152,7 @@ AUDITED = [
     "ext_92_rolling_wau",
     "ext_93_ngram_novelty",
     "ext_94_cross_source_leak",
+    "ext_95_interevent_gaps",
     "tierc_tsql_funcs2",
 ]
 
