@@ -21,89 +21,44 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-5 rotation: the driver checks the FIRST 50 entries in iteration
-# order. Window layout: (a) the 16 entries whose only driver verdict is
-# round 1 — the stalest greens in the repo; (b) the 4 rows-only
-# sketch/LSH entries from the round-4 window, re-run for a fresh
-# rows-only verdict; (c) 24 of the 49 entries last checked in round 2,
-# front-loading the ones whose code changed this round (the ext_15
-# packing suite's adaptive prefix-sum bucket, the passage_marked
-# refactor under ext_14, the multimodal real decoders) and the
-# remaining rows-only sketches; (d) the 10 never-driver-checked
-# entries new this round (ext_66-74, ext_mm_audio) — a brand-new
-# operator with no driver verdict is strictly staler than a round-2
-# green. The deferred round-2 entries (the 12 tierc_* TPC-H-shape
-# queries — two judge-spot-checked in round 4 — plus six unchanged
-# batch ops and pii_scrub/scd2/canonical_docs/dup_clusters/tfidf/
-# collocations/decontaminate) queue first for round 6.
+# Round-6 rotation (VERDICT r5 task 1): the driver checks the FIRST 50
+# entries in iteration order. Window layout: (a) the 21 round-5
+# additions that have never had a driver verdict (ext_76–ext_95,
+# tierc_tsql_funcs2 — judge-checked 21/21 in r5, driver must confirm);
+# (b) ext_44_exact_percentiles, whose implementation changes this round
+# (mergeable exact quantiles, VERDICT task 2) alongside ext_85/86/95
+# already in (a); (c) the 12 tierc_* TPC-H-shape queries whose only
+# driver verdict is round 2 — the stalest greens left; (d) 16 of the
+# remaining round-2-only entries. After this window, no entry's latest
+# driver verdict is older than round 4 except ext_12_decontaminate and
+# ext_21_collocations (round-2 green, judge-rechecked r5 for pii_scrub's
+# sibling path; queued first for round 7).
 _FRONT = [
-    # (a) round-1-only verdicts — stalest
-    "join_02_left",
-    "join_03_star",
-    "join_semi_anti",
-    "lim_01_preview",
-    "lim_02_topk",
-    "prj_01_projection",
-    "prj_02_mapping_rename",
-    "prj_03_null_normalize",
-    "prj_04_stringify",
-    "set_intersect_except",
-    "set_union",
-    "srt_01_order_by",
-    "srt_02_limit_offset",
-    "subquery_above_avg",
-    "window_rank",
-    "window_running_sum",
-    # (b) round-4 rows-only entries — fresh rows-only verdict
-    "ext_02_minhash_lsh",
-    "ext_02_simhash",
-    "ext_03_ann_lsh",
-    "ext_55_countmin",
-    # (c) round-2 greens, changed-this-round and rows-only first
-    "ext_15_pack_positions",
-    "ext_15_pack_bins",
-    "ext_15_chunk_stats",
-    "ext_03_ann_ivf",
-    "ext_06_sessionize_stateful",
-    "ext_09_approx_quantiles",
-    "ext_09_hll_ndv",
-    "ext_16_heavy_hitters",
-    "ext_mm_decode",
-    "ext_mm_frames",
-    "ext_mm_resize",
-    "ext_03_label_centroids",
-    "ext_04_fingerprint",
-    "ext_04_gopher_flags",
-    "ext_04_length_histogram",
-    "ext_04_repetition",
-    "ext_05_json_extract",
-    "ext_06_sessionize",
-    "ext_14_passage_dedup",
-    # (d) never driver-checked — new this round
-    "ext_66_mixture_weights",
-    "ext_67_hash_split",
-    "ext_68_tv_drift",
-    "ext_mm_audio",
-    "ext_69_bpe_merges",
-    "ext_70_dedup_pipeline",
-    "ext_71_semdedup",
-    "ext_72_clean_corpus",
-    "ext_73_stream_join",
-    "ext_74_bpe_encode",
-    "ext_75_substring_dup",
-    # ---- end of the round-5 driver window (50 entries above) ----
-    # queued for round 6: the deferred round-2 entries
-    "ext_06_hourly_window",
-    "ext_05_from_json_struct",
-    "ext_07_asof_join",
-    "ext_07_range_join",
-    "ext_08_reservoir_per_group",
-    "ext_11_rolling_7d",
-    "ext_18_mix_sources",
-    "ext_20_winsorize",
-    "ext_22_funnel",
-    "ext_23_retention",
-    "ext_24_salted_join",
+    # (a) never driver-checked — added in round 5
+    "ext_76_stream_hourly",
+    "ext_77_shard_plan",
+    "ext_78_interleave",
+    "ext_79_snapshot_diff",
+    "ext_80_triplet_mining",
+    "ext_81_knn_eval",
+    "ext_82_lsh_dedup_pipeline",
+    "ext_83_skyline",
+    "ext_84_copurchase",
+    "ext_85_decile_binning",
+    "ext_86_mad_outliers",
+    "ext_87_incremental_view",
+    "ext_88_udtf_chunks",
+    "ext_89_grouped_corr",
+    "ext_90_triangles",
+    "ext_91_rrf_fusion",
+    "ext_92_rolling_wau",
+    "ext_93_ngram_novelty",
+    "ext_94_cross_source_leak",
+    "ext_95_interevent_gaps",
+    "tierc_tsql_funcs2",
+    # (b) changed this round — mergeable exact quantile rewrite
+    "ext_44_exact_percentiles",
+    # (c) round-2-only tierc greens — stalest remaining
     "tierc_exists_subquery",
     "tierc_line_status",
     "tierc_local_supplier_volume",
@@ -116,11 +71,25 @@ _FRONT = [
     "tierc_tsql_dates",
     "tierc_tsql_funcs",
     "tierc_tsql_top",
+    # (d) remaining round-2-only entries
+    "ext_06_hourly_window",
+    "ext_05_from_json_struct",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "ext_08_reservoir_per_group",
+    "ext_11_rolling_7d",
+    "ext_18_mix_sources",
+    "ext_20_winsorize",
+    "ext_22_funnel",
+    "ext_23_retention",
+    "ext_24_salted_join",
     "ext_13_pii_scrub",
     "ext_19_scd2",
     "ext_02_canonical_docs",
     "ext_02_dup_clusters",
     "ext_10_tfidf_topk",
+    # ---- end of the round-6 driver window (50 entries above) ----
+    # queued for round 7
     "ext_12_decontaminate",
     "ext_21_collocations",
 ]
