@@ -452,8 +452,13 @@ def gif_pixels(b: bytes) -> tuple[int, int, int, bytes]:
         indices = _gif_lzw_decode(min_code_size, bytes(data))
         if len(indices) < w * h:
             raise CodecError("short GIF pixel data")
+        n_pal = len(palette) // 3
         rgb = bytearray()
         for i in indices[: w * h]:
+            if i >= n_pal:
+                raise CodecError(
+                    f"GIF pixel index {i} exceeds palette size {n_pal}"
+                )
             rgb += palette[3 * i : 3 * i + 3]
         return w, h, 3, bytes(rgb)
     raise CodecError("GIF contains no image block")

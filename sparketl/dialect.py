@@ -263,11 +263,18 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
             "month": "month", "mm": "month", "m": "month",
             "day": "day", "dd": "day", "d": "day",
             "dayofyear": "dayofyear", "dy": "dayofyear",
-            "week": "weekofyear", "wk": "weekofyear", "ww": "weekofyear",
             "hour": "hour", "hh": "hour",
             "minute": "minute", "mi": "minute", "n": "minute",
             "second": "second", "ss": "second", "s": "second",
         }.get(part)
+        if part in ("week", "wk", "ww"):
+            # T-SQL counts calendar weeks from Jan 1 under DATEFIRST;
+            # Spark's weekofyear is ISO-8601 — the two diverge near
+            # year boundaries, so refuse rather than silently differ.
+            raise DialectError(
+                f"DATEPART({part}, ...) is not supported: T-SQL weeks "
+                "are DATEFIRST-dependent calendar weeks, not ISO weeks"
+            )
         if fn is None:
             raise DialectError(f"DATEPART({part}, ...) is not supported")
         return f"{fn}({d})"
@@ -282,7 +289,10 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
     if name == "square":
         if len(args) != 1:
             raise DialectError("SQUARE takes one argument")
-        return f"(({args[0]}) * ({args[0]}))"
+        # Evaluate the operand ONCE (matters for non-deterministic args
+        # like SQUARE(rand())) while keeping exact x*x multiplication —
+        # power(x, 2) rounds differently from x*x for ~0.1% of doubles.
+        return f"transform(array(({args[0]})), v -> v * v)[0]"
     # CONVERT
     if len(args) != 2:
         raise DialectError(

@@ -1165,7 +1165,8 @@ def incremental_agg_maintenance(old: DataFrame, new: DataFrame) -> DataFrame:
             F.when(F.col("o_text").isNull(), F.col("n_chars2"))
             .when(F.col("n_text").isNull(), -F.col("o_chars"))
             .when(
-                F.col("o_text") != F.col("n_text"),
+                (F.col("o_text") != F.col("n_text"))
+                | (F.col("o_chars") != F.col("n_chars2")),
                 F.col("n_chars2") - F.col("o_chars"),
             )
             .otherwise(F.lit(0))

@@ -331,6 +331,45 @@ def test_gif_error_paths():
         gif_pixels(bytes(g))
 
 
+def test_gif_pixel_index_beyond_palette_raises():
+    """A GIF whose LZW stream carries an index >= the palette entry
+    count must raise, not silently emit a short RGB buffer (the
+    min_code_size byte is independent of the declared palette size, so
+    a corrupt file can smuggle out-of-range literals)."""
+    import struct
+
+    import pytest as _pytest
+
+    from sparketl.codecs import CodecError, gif_pixels
+
+    w = h = 2
+    # screen descriptor: global palette flag, size bits 1 → 4 entries
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0x81, 0, 0])
+    palette = bytes(12)
+    img_desc = b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    # LZW with min_code_size 4: literals 0..15 are legal in the stream
+    # but only palette indices 0..3 exist
+    min_code, code_size = 4, 5
+    clear, end = 16, 17
+    acc = n_bits = 0
+    stream = bytearray()
+    for code in (clear, 10, 0, 0, 0, end):
+        acc |= code << n_bits
+        n_bits += code_size
+        while n_bits >= 8:
+            stream.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        stream.append(acc & 0xFF)
+    gif = (
+        header + palette + img_desc + bytes([min_code, len(stream)])
+        + bytes(stream) + b"\x00\x3b"
+    )
+    with _pytest.raises(CodecError, match="palette"):
+        gif_pixels(gif)
+
+
 def test_decode_images_real_gif_through_spark(spark):
     """fake=False mapInPandas route decodes GIF payloads next to
     PNG/BMP with no code change (sniff dispatch)."""

@@ -209,6 +209,12 @@ def test_datepart_rewrites():
     )
     with pytest.raises(DialectError):
         transpile("SELECT DATEPART(millisecond, d) FROM t")
+    # T-SQL week numbers are DATEFIRST-dependent calendar weeks; Spark
+    # only has ISO weekofyear, which diverges at year boundaries
+    # (e.g. 2024-12-30 is ISO week 1 but T-SQL week 53) — refuse.
+    for part in ("week", "wk", "ww"):
+        with pytest.raises(DialectError):
+            transpile(f"SELECT DATEPART({part}, d) FROM t")
 
 
 def test_stuff_square_replicate_sysdatetime():
@@ -216,7 +222,11 @@ def test_stuff_square_replicate_sysdatetime():
         transpile("SELECT STUFF(s, 2, 3, 'xy') FROM t")
         == "SELECT overlay(s, 'xy', 2, 3) FROM t"
     )
-    assert transpile("SELECT SQUARE(x + 1) FROM t") == "SELECT ((x + 1) * (x + 1)) FROM t"
+    # single evaluation of the operand, exact x*x arithmetic
+    assert (
+        transpile("SELECT SQUARE(x + 1) FROM t")
+        == "SELECT transform(array((x + 1)), v -> v * v)[0] FROM t"
+    )
     assert transpile("SELECT REPLICATE('a', 4) FROM t") == "SELECT repeat('a', 4) FROM t"
     assert transpile("SELECT SYSDATETIME()") == "SELECT current_timestamp()"
     with pytest.raises(DialectError):
