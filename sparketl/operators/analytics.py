@@ -512,33 +512,31 @@ def q_ext_43_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_percentiles(events: DataFrame) -> DataFrame:
     """Exact p25/p50/p75/p95/p99 of ``value`` per event type.
 
-    ``percentile()`` is Spark's exact (sort-based) quantile with linear
-    interpolation — the same definition as DuckDB's quantile_cont, so
-    the doubles match bit-for-bit. Exact percentiles shuffle the full
-    value column per group; that is the point of this operator as the
-    small-group profiler — the sketch sibling (ext_09_approx_quantiles,
-    KLL-style bounded state) is the 100 TB default when groups are
-    fact-table sized.
+    Computed by MSD radix selection (`operators/quantiles.py`), NOT by
+    ``percentile()`` — the built-in is an ObjectHashAggregate whose
+    buffer holds the whole column per group, an executor OOM at 100 TB.
+    The radix path is four map-combinable count passes with per-task
+    state bounded by the 2^16 digit alphabet, and its interpolation
+    reproduces ``percentile()`` ≡ DuckDB ``quantile_cont`` bit-for-bit,
+    so the oracle hash is unchanged. ``n`` is the non-null value count,
+    which equals COUNT(*) here (value is non-nullable in the fixture).
+    The sketch sibling (ext_09_approx_quantiles) remains the one-pass
+    alternative when a single scan matters more than exactness.
     """
-    return (
-        events.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.expr(
-                "percentile(value, array(0.25D, 0.5D, 0.75D, 0.95D, 0.99D))"
-            ).alias("q"),
-        )
-        .select(
-            "event_type",
-            "n",
-            F.col("q")[0].alias("p25"),
-            F.col("q")[1].alias("p50"),
-            F.col("q")[2].alias("p75"),
-            F.col("q")[3].alias("p95"),
-            F.col("q")[4].alias("p99"),
-        )
-        .orderBy("event_type")
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    qs = exact_group_quantiles(
+        events, ["event_type"], "value", [0.25, 0.5, 0.75, 0.95, 0.99]
     )
+    return qs.select(
+        "event_type",
+        F.col("n_values").alias("n"),
+        F.col("qs")[0].alias("p25"),
+        F.col("qs")[1].alias("p50"),
+        F.col("qs")[2].alias("p75"),
+        F.col("qs")[3].alias("p95"),
+        F.col("qs")[4].alias("p99"),
+    ).orderBy("event_type")
 
 
 def q_ext_44_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:

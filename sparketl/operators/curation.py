@@ -1029,14 +1029,14 @@ def decile_binning(lineitem: DataFrame) -> DataFrame:
     definition), so bin edges — and therefore every assignment — are
     engine-exact. Output: per-decile row count and exact DECIMAL
     revenue sum."""
-    # ONE percentile aggregate with an array of percentages: a single
-    # shared buffer computes all nine edges in one pass (nine separate
-    # percentile() calls each buffer the whole column — measured 9×
-    # slower at sf0.1)
-    qs = ", ".join(str(i / 10.0) for i in range(1, 10))
-    th = lineitem.agg(
-        F.expr(f"percentile(l_extendedprice, array({qs})) AS th")
-    )
+    # all nine edges via MSD radix selection (operators/quantiles.py):
+    # bounded per-task state instead of percentile()'s whole-column
+    # ObjectHashAggregate buffer, same doubles bit-for-bit
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    th = exact_group_quantiles(
+        lineitem, [], "l_extendedprice", [i / 10.0 for i in range(1, 10)]
+    ).select(F.col("qs").alias("th"))
     binned = lineitem.select(
         "l_extendedprice",
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
@@ -1074,13 +1074,23 @@ def mad_outliers(lineitem: DataFrame, k: float = 3.0) -> DataFrame:
     that, unlike z-scores (ext_31's stddev family), is itself immune
     to the outliers it hunts.
 
-    Two exact-percentile passes (median, then median of absolute
-    deviations), each a per-group aggregate with the group-keyed
-    result broadcast back — no windows, no sort of the full table.
-    Engine-exact: percentile ≡ quantile_cont, and the threshold
-    compare is one multiply each side."""
-    med = lineitem.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.5)").alias("med")
+    Two exact-median passes (median, then median of absolute
+    deviations), each via MSD radix selection
+    (`operators/quantiles.py`) — bounded per-task state instead of
+    percentile()'s whole-column aggregation buffer — with the
+    group-keyed result broadcast back: no windows, no sort of the full
+    table. Engine-exact: the radix path reproduces percentile ≡
+    quantile_cont bit-for-bit, and the threshold compare is one
+    multiply each side."""
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    # med is 3 rows on top of a multi-pass lineage and is re-read by
+    # every consumer of dev — checkpoint it so dev recomputation costs
+    # one broadcast join, not a re-run of the median selection
+    med = (
+        exact_group_quantiles(lineitem, ["l_returnflag"], "l_extendedprice", [0.5])
+        .select("l_returnflag", F.col("qs")[0].alias("med"))
+        .localCheckpoint(eager=False)
     )
     dev = lineitem.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
@@ -1088,9 +1098,9 @@ def mad_outliers(lineitem: DataFrame, k: float = 3.0) -> DataFrame:
         "med",
         F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("l_returnflag").agg(
-        F.expr("percentile(adev, 0.5)").alias("mad")
-    )
+    mad = exact_group_quantiles(
+        dev, ["l_returnflag"], "adev", [0.5], checkpoint_base=True
+    ).select("l_returnflag", F.col("qs")[0].alias("mad"))
     return (
         dev.join(F.broadcast(mad), "l_returnflag")
         .groupBy("l_returnflag")
@@ -1585,11 +1595,16 @@ def interevent_gaps(events: DataFrame) -> DataFrame:
     is one user's stream, so the window never concentrates the table
     on one task (the unpartitioned-window trap). Ordering is
     (ts, event_id): event_id is unique, making lag deterministic even
-    under timestamp ties. ``percentile`` on the bigint gaps matches
-    DuckDB's ``quantile_cont`` bit-for-bit (continuous interpolation),
-    so the profile is oracle-hashable; one array-percentile aggregate
-    computes all three quantiles in a single pass."""
+    under timestamp ties. Quantiles come from MSD radix selection
+    (`operators/quantiles.py`) on the bigint gaps — bounded per-task
+    state instead of percentile()'s whole-column buffer — whose
+    interpolation reproduces ``percentile`` ≡ DuckDB ``quantile_cont``
+    bit-for-bit, so the profile stays oracle-hashable. The lag
+    derivation is localCheckpointed once so the four digit passes
+    don't re-run the window."""
     from pyspark.sql import Window as W
+
+    from sparketl.operators.quantiles import exact_group_quantiles
 
     ev = spread(events).select(
         "user_id",
@@ -1601,23 +1616,21 @@ def interevent_gaps(events: DataFrame) -> DataFrame:
     g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).filter(
         F.col("gap_us").isNotNull()
     )
-    return (
-        g.groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_gaps"),
-            F.expr(
-                "percentile(gap_us, array(0.5D, 0.9D, 0.99D))"
-            ).alias("p"),
-        )
-        .select(
-            "event_type",
-            "n_gaps",
-            F.col("p")[0].alias("p50_us"),
-            F.col("p")[1].alias("p90_us"),
-            F.col("p")[2].alias("p99_us"),
-        )
-        .orderBy("event_type")
+    qs = exact_group_quantiles(
+        g,
+        ["event_type"],
+        "gap_us",
+        [0.5, 0.9, 0.99],
+        value_kind="bigint",
+        checkpoint_base=True,
     )
+    return qs.select(
+        "event_type",
+        F.col("n_values").alias("n_gaps"),
+        F.col("qs")[0].alias("p50_us"),
+        F.col("qs")[1].alias("p90_us"),
+        F.col("qs")[2].alias("p99_us"),
+    ).orderBy("event_type")
 
 
 def q_ext_95_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:

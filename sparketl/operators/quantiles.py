@@ -1,0 +1,254 @@
+"""Distributed EXACT quantiles with bounded per-task state.
+
+Spark's ``percentile()`` is an ObjectHashAggregate whose buffer holds
+every value of the group — exact, but O(group) memory in ONE
+aggregation buffer, which at 100 TB (billions of rows per group) is an
+executor OOM. This module computes the SAME bit-for-bit result with a
+most-significant-digit radix selection over a 64-bit order-preserving
+key:
+
+1. Map every value to a signed-bigint key whose UNSIGNED order equals
+   the value order (doubles via the classic IEEE-754 bit flip, done in
+   one Arrow-vectorized pandas UDF; bigints via a sign-bit XOR that is
+   pure Spark SQL).
+2. Resolve each requested order statistic 16 bits at a time: a
+   histogram over the next 16-bit digit is a plain map-combinable
+   ``groupBy().count()`` (per-key state = one long), a per-target
+   prefix sum over at most 65 536 histogram rows picks the digit
+   containing the residual rank, and the next pass descends into that
+   digit. Four passes fully determine the 64-bit key — i.e. the exact
+   order statistic — without any task ever holding more than 65 536
+   counters.
+3. Interpolate with the exact arithmetic Spark's Percentile uses
+   (``(hi - pos) * v_lo + (pos - lo) * v_hi`` with ``pos = p*(n-1)``),
+   so results match ``percentile()`` — and therefore DuckDB's
+   ``quantile_cont`` — bit for bit.
+
+Scale shape: 4 scans of a two-column projection (vs 1 scan + an
+unbounded buffer for ``percentile()``); every shuffle carries counts,
+not values; per-task state is bounded by the 2^16 digit alphabet times
+the (tiny) number of outstanding targets. The reference has no
+quantile operator at all (SQL_DATA_INTEGRATION_TOOL.py:273 delegates
+to SQL Server); this is the [EXT] scale path for the exact-percentile
+family (ext_44/85/86/95).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType
+
+_DIGIT = 65536  # 16-bit digits -> 4 passes over a 64-bit key
+
+
+# DataType objects, not DDL strings: string types are parsed against an
+# active session, which does not exist at import time
+@F.pandas_udf(LongType())
+def _double_sort_key(v):
+    """IEEE-754 double -> signed bigint whose UNSIGNED order equals the
+    double order (negatives: flip all bits; positives: flip sign bit).
+    -0.0 sorts just below +0.0 and NaN sorts last, matching Java's
+    Double ordering used inside Spark's percentile()."""
+    import numpy as np
+    import pandas as pd
+
+    b = v.to_numpy(dtype="float64").view(np.int64)
+    return pd.Series(np.where(b < 0, ~b, b ^ np.int64(-(2**63))))
+
+
+@F.pandas_udf(DoubleType())
+def _double_from_key(k):
+    """Inverse of :func:`_double_sort_key`."""
+    import numpy as np
+    import pandas as pd
+
+    a = k.to_numpy(dtype="int64")
+    b = np.where(a < 0, a ^ np.int64(-(2**63)), ~a)
+    return pd.Series(b.view(np.float64))
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    pcts: list[float],
+    *,
+    value_kind: str = "double",
+    checkpoint_base: bool = False,
+) -> DataFrame:
+    """Per-group exact quantiles of ``value_col`` at ``pcts``.
+
+    Returns one row per group: ``group_cols…, n_values bigint (non-null
+    count), qs array<double>`` in the order of ``pcts`` — bit-for-bit
+    equal to ``percentile(value_col, array(pcts…))``.
+
+    ``value_kind`` is ``'double'`` or ``'bigint'`` (the key transform
+    differs). ``checkpoint_base=True`` materializes the (group, key)
+    projection once via a lazy localCheckpoint — use when the input is
+    itself expensive (e.g. a window/lag derivation) so the four digit
+    passes don't recompute it.
+    """
+    if value_kind not in ("double", "bigint"):
+        raise ValueError(f"unsupported value_kind {value_kind!r}")
+    g = list(group_cols)
+    work = df
+    if not g:
+        # constant partition key: the histogram windows stay explicitly
+        # partitioned (bounded 65 536 rows) instead of tripping the
+        # unpartitioned-window warning
+        work = df.withColumn("_g", F.lit(0))
+        g = ["_g"]
+
+    base = work.select(*g, F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    if value_kind == "double":
+        base = base.select(*g, _double_sort_key("_v").alias("_k"))
+    else:
+        # sign-bit flip: unsigned order of the key == signed order of _v
+        base = base.select(*g, F.expr("_v ^ shiftleft(1L, 63)").alias("_k"))
+    if checkpoint_base:
+        base = base.localCheckpoint(eager=False)
+
+    # ---- pass 1: histogram over the top 16 bits (shared by all targets)
+    h0 = base.groupBy(*g, F.expr("shiftrightunsigned(_k, 48)").alias("_f")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wg = Window.partitionBy(*g)
+    wo = wg.orderBy("_f")
+    cum0 = h0.select(
+        *g,
+        "_f",
+        "_c",
+        (F.sum("_c").over(wo) - F.col("_c")).alias("_cb"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+
+    # ---- targets: the distinct order statistics the pcts need.
+    # pos = p * (n-1) in double arithmetic — exactly Spark's Percentile.
+    per_n = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    # Every frame below the histogram is TINY (≤ groups × targets
+    # rows) but sits on a lineage that re-scans the base; each is
+    # referenced 2-3 times downstream, so without truncation the DAG
+    # re-executes the base scan O(2^passes) times. A lazy
+    # localCheckpoint of each tiny frame pins the pass structure to
+    # exactly one base scan per digit pass.
+    tq = (
+        per_n.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pct"))
+        .select(
+            *g,
+            "_n",
+            "_i",
+            (F.col("_pct") * (F.col("_n") - F.lit(1)).cast("double")).alias(
+                "_pos"
+            ),
+        )
+        .select(
+            *g,
+            "_n",
+            "_i",
+            "_pos",
+            F.floor("_pos").cast("long").alias("_lo"),
+            F.ceil("_pos").cast("long").alias("_hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = tq.select(*g, F.explode(F.array("_lo", "_hi")).alias("_rank")).distinct()
+
+    # resolve the top digit for every target rank
+    t = (
+        ranks.join(cum0.select(*g, "_f", "_c", "_cb"), g)
+        .where(
+            (F.col("_cb") <= F.col("_rank"))
+            & (F.col("_rank") < F.col("_cb") + F.col("_c"))
+        )
+        .select(
+            *g,
+            "_rank",
+            F.col("_f").alias("_p"),
+            (F.col("_rank") - F.col("_cb")).alias("_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    # ---- passes 2-4: descend one 16-bit digit at a time. The prefix
+    # match is an equi-join key, so each pass is a broadcast hash join
+    # (targets are tiny) + a map-combinable count histogram.
+    for s in (32, 16, 0):
+        tb = F.broadcast(t)
+        cand = base.alias("b").join(
+            tb.alias("t"),
+            [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
+            + [
+                F.expr(f"shiftrightunsigned(b._k, {s + 16})")
+                == F.col("t._p")
+            ],
+        )
+        h = cand.groupBy(
+            *[F.col(f"t.{c}").alias(c) for c in g],
+            F.col("t._rank").alias("_rank"),
+            F.expr(f"shiftrightunsigned(b._k, {s}) & 65535").alias("_f"),
+        ).agg(F.count(F.lit(1)).alias("_c"))
+        wr = Window.partitionBy(*g, "_rank").orderBy("_f")
+        hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
+        t = (
+            hc.join(t, [*g, "_rank"])
+            .where(
+                (F.col("_cb") <= F.col("_r"))
+                & (F.col("_r") < F.col("_cb") + F.col("_c"))
+            )
+            .select(
+                *g,
+                "_rank",
+                F.expr("shiftleft(_p, 16) | _f").alias("_p"),
+                (F.col("_r") - F.col("_cb")).alias("_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    # _p now IS the full 64-bit key of the order statistic
+    if value_kind == "double":
+        vals = t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
+    else:
+        vals = t.select(
+            *g,
+            "_rank",
+            F.expr("_p ^ shiftleft(1L, 63)").cast("double").alias("_val"),
+        )
+
+    # ---- interpolation, exactly as Spark's Percentile.getPercentile
+    vlo = vals.select(*g, F.col("_rank").alias("_lo"), F.col("_val").alias("_vlo"))
+    vhi = vals.select(*g, F.col("_rank").alias("_hi"), F.col("_val").alias("_vhi"))
+    q = (
+        tq.join(vlo, [*g, "_lo"])
+        .join(vhi, [*g, "_hi"])
+        .select(
+            *g,
+            "_n",
+            "_i",
+            F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo"))
+            .otherwise(
+                (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
+                + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
+            )
+            .alias("_q"),
+        )
+    )
+    # pcts is static, so the array assembles from one conditional max
+    # per requested percentile — a plain HashAggregate (collect_list
+    # would reintroduce an ObjectHashAggregate, the node this module
+    # exists to avoid)
+    out = q.groupBy(*g).agg(
+        F.max("_n").alias("n_values"),
+        F.array(
+            *[
+                F.max(F.when(F.col("_i") == i, F.col("_q")))
+                for i in range(len(pcts))
+            ]
+        ).alias("qs"),
+    )
+    if not group_cols:
+        out = out.drop("_g")
+    return out

@@ -1,0 +1,122 @@
+"""MSD radix-selection exact quantiles (operators/quantiles.py).
+
+The contract is bit-for-bit equality with Spark's ``percentile()``
+(and therefore DuckDB's ``quantile_cont``), achieved WITHOUT the
+built-in's whole-column-per-group aggregation buffer. Each test
+compares against ``percentile()`` as the semantic twin on shapes that
+exercise the digit descent: negatives, heavy ties, single-element
+groups, exactly-integral rank positions, and the bigint key path.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _percentile_ref(df, group_col, value_col, pcts):
+    arr = ", ".join(f"{p}D" for p in pcts)
+    return {
+        r[group_col]: (list(r["q"]), r["n"])
+        for r in df.groupBy(group_col)
+        .agg(
+            F.expr(f"percentile({value_col}, array({arr}))").alias("q"),
+            F.count(value_col).alias("n"),
+        )
+        .collect()
+    }
+
+
+def _radix(df, group_cols, value_col, pcts, **kw):
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    return exact_group_quantiles(df, group_cols, value_col, pcts, **kw)
+
+
+def test_doubles_match_percentile_bit_for_bit(spark):
+    random.seed(7)
+    rows = []
+    for grp, n in (("one", 1), ("few", 9), ("ties", 400), ("wide", 3000)):
+        for _ in range(n):
+            if grp == "ties":
+                v = float(random.randint(-3, 3))
+            else:
+                v = random.choice(
+                    [
+                        round(random.uniform(-1e4, 1e4), 2),
+                        random.uniform(-1e12, 1e12),
+                        random.uniform(-1e-6, 1e-6),
+                    ]
+                )
+            rows.append((grp, v))
+    df = spark.createDataFrame(rows, "g string, v double")
+    pcts = [0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    ref = _percentile_ref(df, "g", "v", pcts)
+    got = _radix(df, ["g"], "v", pcts).collect()
+    assert len(got) == len(ref)
+    for r in got:
+        exp_q, exp_n = ref[r["g"]]
+        assert r["n_values"] == exp_n
+        # exact float equality on purpose: the driver hash uses repr()
+        assert list(r["qs"]) == exp_q, r["g"]
+
+
+def test_bigints_match_percentile_including_negatives(spark):
+    random.seed(11)
+    rows = [("a", random.randint(-(10**14), 10**14)) for _ in range(513)]
+    rows.append(("b", 42))
+    df = spark.createDataFrame(rows, "g string, v long")
+    pcts = [0.1, 0.5, 0.9]
+    ref = _percentile_ref(df, "g", "v", pcts)
+    got = _radix(df, ["g"], "v", pcts, value_kind="bigint").collect()
+    for r in got:
+        assert list(r["qs"]) == ref[r["g"]][0], r["g"]
+
+
+def test_integral_positions_hit_exact_order_statistics(spark):
+    # n = 5, p = 0.25 -> pos = 1.0 exactly: lower == higher, the result
+    # must be the order statistic itself with NO interpolation rounding
+    df = spark.createDataFrame(
+        [("g", v) for v in (10.0, 1.0, 7.0, 3.0, 5.0)], "g string, v double"
+    )
+    got = _radix(df, ["g"], "v", [0.0, 0.25, 0.5, 0.75, 1.0]).collect()[0]
+    assert list(got["qs"]) == [1.0, 3.0, 5.0, 7.0, 10.0]
+
+
+def test_nulls_are_skipped_like_percentile(spark):
+    df = spark.createDataFrame(
+        [("g", 1.0), ("g", None), ("g", 3.0), ("g", None), ("g", 2.0)],
+        "g string, v double",
+    )
+    got = _radix(df, ["g"], "v", [0.5]).collect()[0]
+    assert got["n_values"] == 3
+    assert list(got["qs"]) == [2.0]
+
+
+def test_ungrouped_mode_has_no_group_column(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = _radix(df, [], "v", [0.5, 0.9])
+    assert out.columns == ["n_values", "qs"]
+    row = out.collect()[0]
+    ref = df.agg(F.expr("percentile(v, array(0.5D, 0.9D))").alias("q")).collect()[0]
+    assert list(row["qs"]) == list(ref["q"])
+
+
+def test_no_full_column_aggregation_buffer_in_plan(spark):
+    """The executed plan must not contain the ObjectHashAggregate that
+    percentile() uses (its buffer is O(group) values) — the whole point
+    of the radix path. Counts/sums via hash aggregate are fine."""
+    df = spark.createDataFrame(
+        [("g", float(i % 97)) for i in range(5000)], "g string, v double"
+    )
+    out = _radix(df, ["g"], "v", [0.5, 0.99])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_rejects_unknown_value_kind(spark):
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError):
+        _radix(df, ["g"], "v", [0.5], value_kind="decimal")
