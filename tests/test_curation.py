@@ -840,3 +840,45 @@ def test_interevent_gaps_matches_numpy_quantiles(spark):
         assert r["n_gaps"] == len(xs)
         for col, q in [("p50_us", 50), ("p90_us", 90), ("p99_us", 99)]:
             assert r[col] == pytest.approx(np.percentile(xs, q), rel=1e-12)
+
+
+def test_cross_source_leak_hashed_equals_string_keyed(spark):
+    """ext_94 shuffles xxhash64(gram) bigints instead of gram strings;
+    the pair-count matrix must be identical to the string-keyed
+    formulation (no collisions at fixture scale — and the DuckDB
+    oracle re-proves it at sf0.01 each round)."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.curation import cross_source_leak
+    from sparketl.operators.dedup import shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["src_a"], r["src_b"]): r["n_shared_ngrams"]
+        for r in cross_source_leak(docs).collect()
+    }
+    sg = shingles(docs, n=5, keep=("source",)).select(
+        "source", F.explode("sh").alias("g")
+    )
+    srcs = (
+        sg.groupBy("g")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    ref_rows = (
+        srcs.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .count()
+        .collect()
+    )
+    ref = {(r["src_a"], r["src_b"]): r["count"] for r in ref_rows}
+    assert got == ref and len(got) > 0
