@@ -5,10 +5,17 @@ DELETE semantics (SNK-01/02, DML-01..03 — SURVEY §2.1/§3.2/§3.3) need
 transactions. Delta Lake is the production answer; its jars are not in
 this image, so this module implements the same core idea natively:
 
-- every table version is a JSON manifest listing immutable parquet
-  files (like a Delta log entry);
-- appends add files and write a new manifest — O(new data), no rewrite;
-- update/delete/overwrite write replacement files + a new manifest;
+- every table version is a JSON DELTA manifest recording only the
+  files it adds/removes relative to its parent (like a Delta log
+  entry) — a commit writes O(changed files) bytes, never the full
+  list;
+- every ``_CKPT_EVERY`` commits a compacted PARQUET checkpoint of the
+  full snapshot is written (Delta's checkpoint pattern): readers load
+  the nearest checkpoint plus at most ``_CKPT_EVERY`` deltas, never
+  the whole history, and the columnar layout means a stats-less read
+  (schema + file list) never parses the per-file stats/bloom blobs;
+- appends add files and write a new delta — O(new data), no rewrite;
+- update/delete/overwrite write replacement files + a new delta;
 - a version is COMMITTED the instant its fully-written manifest is
   ``os.link``ed to its final name — link is atomic and exclusive, so
   readers never see a partial manifest and two writers can never both
@@ -128,6 +135,10 @@ _PRUNABLE_STR = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?:==|=)\s*'([^']*)'\s*$"
 )
 
+# commits between compacted parquet checkpoints of the manifest log —
+# readers replay at most this many deltas above the nearest checkpoint
+_CKPT_EVERY = 20
+
 _BLOOM_M = 8192  # bits per (file, column) filter — 1 KiB in the manifest
 _BLOOM_K = 3
 _BLOOM_MAX_DISTINCT = 4096  # beyond this the filter saturates; skip it
@@ -221,6 +232,7 @@ class ManagedTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        self._snap_cache: dict[int, dict] = {}
 
     # -- layout ------------------------------------------------------------
     @property
@@ -252,12 +264,141 @@ class ManagedTable:
         with open(self._pointer, encoding="utf-8") as f:
             return int(f.read().strip())
 
-    def _manifest(self, version: int | None = None) -> dict:
-        v = version if version is not None else self._current_version()
+    def _ckpt_path(self, v: int) -> str:
+        return os.path.join(self._manifest_dir, f"v{v:06d}.ckpt.parquet")
+
+    def _read_log_entry(self, v: int) -> dict:
         with open(
             os.path.join(self._manifest_dir, f"v{v:06d}.json"), encoding="utf-8"
         ) as f:
             return json.load(f)
+
+    def _write_checkpoint(self, snap: dict) -> None:
+        """Best-effort compacted checkpoint: the full snapshot at one
+        version as PARQUET (one row per file; stats/blooms as JSON
+        string columns; schema/properties/version in the key-value
+        metadata). Columnar, so a stats-less load reads only the
+        ``file`` column; written to a tmp name then os.replace'd, so
+        readers see a whole checkpoint or none. Losing it is harmless —
+        reconstruction falls back to the previous base + deltas."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        files = snap["files"]
+        tbl = pa.table(
+            {
+                "file": files,
+                "stats": [json.dumps(snap["file_stats"].get(f, {})) for f in files],
+                "blooms": [json.dumps(snap["file_blooms"].get(f, {})) for f in files],
+            }
+        ).replace_schema_metadata(
+            {
+                "version": str(snap["version"]),
+                "schema": snap["schema"],
+                "properties": json.dumps(snap["properties"]),
+            }
+        )
+        path = self._ckpt_path(snap["version"])
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+
+    def _read_checkpoint(self, v: int, need_stats: bool) -> dict:
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(self._ckpt_path(v))
+        meta = pf.schema_arrow.metadata or {}
+        cols = ["file", "stats", "blooms"] if need_stats else ["file"]
+        tbl = pf.read(columns=cols)
+        files = tbl.column("file").to_pylist()
+        snap = {
+            "version": v,
+            "files": files,
+            "schema": meta[b"schema"].decode(),
+            "properties": json.loads(meta[b"properties"].decode()),
+            "file_stats": {},
+            "file_blooms": {},
+        }
+        if need_stats:
+            snap["file_stats"] = dict(
+                zip(files, (json.loads(s) for s in tbl.column("stats").to_pylist()))
+            )
+            snap["file_blooms"] = dict(
+                zip(files, (json.loads(s) for s in tbl.column("blooms").to_pylist()))
+            )
+        return snap
+
+    def _manifest(self, version: int | None = None, need_stats: bool = True) -> dict:
+        """Reconstruct the FULL snapshot at ``version`` from the nearest
+        base (parquet checkpoint, or a legacy full-JSON manifest) plus
+        the delta entries above it — never the whole history. Snapshots
+        of a published version are immutable, so they cache per
+        instance; callers must not mutate the returned dict.
+
+        ``need_stats=False`` skips loading per-file stats/bloom blobs
+        (read()/schema()/diff() don't need them) — against a checkpoint
+        base that is a single columnar read of file paths."""
+        v = version if version is not None else self._current_version()
+        cache = self._snap_cache
+        hit = cache.get(v)
+        if hit is not None and (not need_stats or hit["_has_stats"]):
+            return hit
+        # walk down from v collecting deltas until a base is found
+        deltas: list[dict] = []
+        base: dict | None = None
+        w = v
+        while w >= 1:
+            if os.path.exists(self._ckpt_path(w)):
+                base = self._read_checkpoint(w, need_stats)
+                break
+            entry = self._read_log_entry(w)
+            if "files" in entry:  # legacy full manifest IS a snapshot
+                base = entry
+                base.setdefault("file_stats", {})
+                base.setdefault("file_blooms", {})
+                break
+            deltas.append(entry)
+            w -= 1
+        if base is None:
+            base = {
+                "files": [],
+                "file_stats": {},
+                "file_blooms": {},
+                "schema": None,
+                "properties": {},
+            }
+        files = list(base["files"])
+        stats = dict(base["file_stats"])
+        blooms = dict(base["file_blooms"])
+        schema_json = base["schema"]
+        properties = base["properties"]
+        for d in reversed(deltas):
+            removed = set(d["removes"])
+            if removed:
+                files = [f for f in files if f not in removed]
+                for f in removed:
+                    stats.pop(f, None)
+                    blooms.pop(f, None)
+            files.extend(d["adds"])
+            if need_stats:
+                for f, sb in d["adds"].items():
+                    stats[f] = sb["s"]
+                    blooms[f] = sb["b"]
+            schema_json = d["schema"]
+            properties = d["properties"]
+        snap = {
+            "version": v,
+            "files": files,
+            "schema": schema_json,
+            "properties": properties,
+            "file_stats": stats,
+            "file_blooms": blooms,
+            "_has_stats": need_stats,
+        }
+        cache[v] = snap
+        if len(cache) > 8:  # keep the instance cache tiny
+            cache.pop(next(iter(cache)))
+        return snap
 
     def _publish(self, manifest: dict, new_v: int) -> bool:
         """Atomically publish manifest ``new_v``; False if a concurrent
@@ -309,39 +450,72 @@ class ManagedTable:
             base_version = self._current_version() if self.exists() else 0
         new_v = base_version + 1
         os.makedirs(self._manifest_dir, exist_ok=True)
-        # footer min/max stats ride in the manifest (Delta-style data
-        # skipping); retained files carry their stats forward, only the
-        # newly written files get a footer read — O(new files) metadata
-        # work per commit, no data scan ever.
-        base_m = self._manifest(base_version) if base_version >= 1 else {}
-        prev_stats = base_m.get("file_stats", {})
-        prev_blooms = base_m.get("file_blooms", {})
-        # `f in prev_stats` (not truthiness): a file with no numeric
+        # footer min/max stats ride in the log (Delta-style data
+        # skipping); retained files carry their stats forward through
+        # the delta replay, only the newly ADDED files get a footer
+        # read — O(new files) metadata work per commit, no data scan.
+        base_m = (
+            self._manifest(base_version)
+            if base_version >= 1
+            else {"files": [], "file_stats": {}, "file_blooms": {}}
+        )
+        base_set = set(base_m["files"])
+        files_set = set(files)
+        prev_stats = base_m["file_stats"]
+        prev_blooms = base_m["file_blooms"]
+        # `get(f) is not None` (not truthiness): a file with no numeric
         # columns has stats {} which must still carry forward, or its
         # footer would be re-read on every subsequent commit
-        file_stats = {
-            f: prev_stats[f] if prev_stats.get(f) is not None else _collect_file_stats(f)
+        adds = {
+            f: {
+                "s": prev_stats[f]
+                if prev_stats.get(f) is not None
+                else _collect_file_stats(f),
+                "b": prev_blooms[f]
+                if prev_blooms.get(f) is not None
+                else _collect_file_blooms(f),
+            }
             for f in files
-        }
-        file_blooms = {
-            f: prev_blooms[f]
-            if prev_blooms.get(f) is not None
-            else _collect_file_blooms(f)
-            for f in files
+            if f not in base_set
         }
         manifest = {
             "version": new_v,
-            "files": files,
             "schema": schema_json,
             "properties": properties,
-            "file_stats": file_stats,
-            "file_blooms": file_blooms,
+            "adds": adds,
+            "removes": [f for f in base_m["files"] if f not in files_set],
         }
         if not self._publish(manifest, new_v):
             raise ConcurrentWriteError(
                 f"version {new_v} was committed by a concurrent writer "
                 f"(snapshot read at v{base_version})"
             )
+        if new_v % _CKPT_EVERY == 0:
+            # compacted checkpoint: O(files) once per _CKPT_EVERY
+            # commits, amortized O(files/K) per commit; best-effort
+            # (a failed checkpoint only means readers replay more
+            # deltas from the previous base)
+            try:
+                file_stats = {
+                    f: adds[f]["s"] if f in adds else prev_stats.get(f, {})
+                    for f in files
+                }
+                file_blooms = {
+                    f: adds[f]["b"] if f in adds else prev_blooms.get(f, {})
+                    for f in files
+                }
+                self._write_checkpoint(
+                    {
+                        "version": new_v,
+                        "files": files,
+                        "schema": schema_json,
+                        "properties": properties,
+                        "file_stats": file_stats,
+                        "file_blooms": file_blooms,
+                    }
+                )
+            except OSError:
+                pass
         return new_v
 
     def _write_data(self, df: DataFrame) -> list[str]:
@@ -368,10 +542,12 @@ class ManagedTable:
 
     # -- reads --------------------------------------------------------------
     def schema(self) -> T.StructType:
-        return T.StructType.fromJson(json.loads(self._manifest()["schema"]))
+        return T.StructType.fromJson(
+            json.loads(self._manifest(need_stats=False)["schema"])
+        )
 
     def properties(self) -> dict:
-        return self._manifest()["properties"]
+        return self._manifest(need_stats=False)["properties"]
 
     def primary_key(self) -> list[str]:
         raw = self.properties().get("primary_key", "")
@@ -385,7 +561,7 @@ class ManagedTable:
         the result is exactly ``read().filter(where)`` — pruning only
         changes how much is scanned. At 100 TB this is the difference
         between touching 3 files and 30 000."""
-        m = self._manifest(version)
+        m = self._manifest(version, need_stats=bool(where))
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         files = self.candidate_files(where, version) if where else m["files"]
         if not files:
@@ -458,8 +634,11 @@ class ManagedTable:
         cannot contribute changes and are never read: an append-only
         history diffs by scanning ONLY the new files — O(changed data),
         not O(table) — the same pruning Delta's change-data-feed does."""
-        m_from = self._manifest(v_from)
-        m_to = self._manifest(v_to if v_to is not None else self._current_version())
+        m_from = self._manifest(v_from, need_stats=False)
+        m_to = self._manifest(
+            v_to if v_to is not None else self._current_version(),
+            need_stats=False,
+        )
         schema = T.StructType.fromJson(json.loads(m_to["schema"]))
         shared = set(m_from["files"]) & set(m_to["files"])
         from_only = [f for f in m_from["files"] if f not in shared]
@@ -890,9 +1069,15 @@ class ManagedTable:
         versions = self.history()
         keep = set(versions[-keep_versions:])
         keep.add(self._current_version())
+        # deleting a delta entry breaks reconstruction of every LATER
+        # version, so each kept version gets its own compacted
+        # checkpoint first — then the delta chain beneath it is free
+        for v in sorted(keep):
+            if not os.path.exists(self._ckpt_path(v)):
+                self._write_checkpoint(self._manifest(v))
         referenced: set[str] = set()
         for v in keep:
-            referenced.update(self._manifest(v)["files"])
+            referenced.update(self._manifest(v, need_stats=False)["files"])
         removed = 0
         for d in os.listdir(self.root):
             dpath = os.path.join(self.root, d)
@@ -910,6 +1095,13 @@ class ManagedTable:
         for v in versions:
             if v not in keep:
                 os.remove(os.path.join(self._manifest_dir, f"v{v:06d}.json"))
+                ckpt = self._ckpt_path(v)
+                if os.path.exists(ckpt):
+                    os.remove(ckpt)
+        # vacuumed versions must stop being readable, cached or not
+        self._snap_cache = {
+            v: s for v, s in self._snap_cache.items() if v in keep
+        }
         return removed
 
     def delete_where(self, predicate: str) -> int:

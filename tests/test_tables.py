@@ -761,3 +761,124 @@ def test_changes_classifies_cdf_row_types(spark, tmp_table_root):
     ]
     # unchanged key 3 produces no change rows at all
     assert all(r[0] != 3 for r in got)
+
+
+def test_commit_writes_delta_not_full_snapshot(spark, tmp_table_root):
+    """The log entry for one append must be O(files added in THAT
+    commit): after a wide multi-file append, a later 1-row append's
+    manifest stays small instead of re-listing every file + its 1 KiB
+    blooms (the old full-snapshot format grew linearly)."""
+    import json
+    import os
+
+    t = make(spark, tmp_table_root)
+    wide = spark.range(2000).selectExpr(
+        "id", "concat('n', id % 7) AS name", "cast(id as double) AS bal"
+    ).repartition(64)
+    t.append(wide)
+    assert len(t._manifest()["files"]) >= 64
+    v = t.append(spark.createDataFrame([(1, "a", 1.0)], SCHEMA))
+    entry_path = os.path.join(t._manifest_dir, f"v{v:06d}.json")
+    entry = json.load(open(entry_path))
+    assert "files" not in entry  # delta format, not a snapshot
+    assert len(entry["adds"]) <= 2 and entry["removes"] == []
+    # the 1-file delta is far smaller than the table's full metadata
+    assert os.path.getsize(entry_path) < 8_000
+
+
+def test_checkpoint_bounds_log_replay(spark, tmp_table_root, monkeypatch):
+    """Reading a snapshot loads the nearest parquet checkpoint plus at
+    most _CKPT_EVERY deltas — never the whole history."""
+    import os
+
+    from sparketl import tables as tb
+
+    monkeypatch.setattr(tb, "_CKPT_EVERY", 5)
+    t = make(spark, tmp_table_root)
+    for i in range(12):  # versions 2..13; checkpoints at v5 and v10
+        t.append(spark.createDataFrame([(i, "x", float(i))], SCHEMA))
+    assert os.path.exists(t._ckpt_path(5))
+    assert os.path.exists(t._ckpt_path(10))
+
+    fresh = tb.ManagedTable(spark, tmp_table_root)  # cold cache
+    opened: list[int] = []
+    orig = tb.ManagedTable._read_log_entry
+
+    def spy(self, v):
+        opened.append(v)
+        return orig(self, v)
+
+    monkeypatch.setattr(tb.ManagedTable, "_read_log_entry", spy)
+    snap = fresh._manifest()
+    assert snap["version"] == 13
+    # only the deltas above the v10 checkpoint are parsed
+    assert sorted(opened) == [11, 12, 13]
+    assert fresh.read().count() == 12
+    # snapshot content equals a full-replay reconstruction
+    nock = tb.ManagedTable(spark, tmp_table_root)
+    os.remove(nock._ckpt_path(5))
+    os.remove(nock._ckpt_path(10))
+    full = nock._manifest()
+    assert full["files"] == snap["files"]
+    assert full["file_stats"] == snap["file_stats"]
+    assert full["file_blooms"] == snap["file_blooms"]
+    assert full["properties"] == snap["properties"]
+
+
+def test_checkpoint_survives_pruned_reads_and_rewrites(spark, tmp_table_root, monkeypatch):
+    """Stat-pruned reads and copy-on-write updates behave identically
+    when the snapshot is reconstructed through a checkpoint."""
+    from sparketl import tables as tb
+
+    monkeypatch.setattr(tb, "_CKPT_EVERY", 3)
+    t = make(spark, tmp_table_root)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(i, f"n{i}", float(i * 100))], SCHEMA)
+        )
+    cold = tb.ManagedTable(spark, tmp_table_root)
+    # numeric min/max pruning through the checkpointed stats
+    cand = cold.candidate_files("bal > 350")
+    assert 0 < len(cand) < len(cold._manifest()["files"])
+    got = sorted(r["id"] for r in cold.read(where="bal > 350").collect())
+    assert got == [4, 5]
+    # bloom pruning on string equality
+    cand_s = cold.candidate_files("name = 'n2'")
+    assert len(cand_s) == 1
+    # copy-on-write delete on top of a checkpoint base
+    cold.delete_where("id = 3")
+    assert sorted(r["id"] for r in cold.read().collect()) == [0, 1, 2, 4, 5]
+
+
+def test_legacy_full_manifest_still_readable(spark, tmp_table_root):
+    """Tables written by the old full-snapshot format load unchanged:
+    a legacy entry acts as its own checkpoint base, and new delta
+    commits stack on top of it."""
+    import json
+    import os
+
+    t = make(spark, tmp_table_root)
+    t.append(spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], SCHEMA))
+    m = t._manifest()
+    legacy = {
+        "version": m["version"],
+        "files": list(m["files"]),
+        "schema": m["schema"],
+        "properties": dict(m["properties"]),
+        "file_stats": dict(m["file_stats"]),
+        "file_blooms": dict(m["file_blooms"]),
+    }
+    path = os.path.join(t._manifest_dir, f"v{m['version']:06d}.json")
+    os.remove(path)
+    with open(path, "w") as f:
+        json.dump(legacy, f)
+    fresh = ManagedTable(spark, t.root)
+    assert sorted(r["id"] for r in fresh.read().collect()) == [1, 2]
+    fresh.append(spark.createDataFrame([(3, "c", 3.0)], SCHEMA))
+    again = ManagedTable(spark, t.root)
+    assert sorted(r["id"] for r in again.read().collect()) == [1, 2, 3]
+    # stats carried through the legacy base still prune (empty writer
+    # files have {} stats and are conservatively kept)
+    cand = again.candidate_files("bal > 2.5")
+    assert len(cand) < len(again._manifest()["files"])
+    assert sorted(r["id"] for r in again.read(where="bal > 2.5").collect()) == [3]
