@@ -98,3 +98,110 @@ def test_extract_features_unit_norm_and_feeds_similarity(spark):
 
     a = sorted(tuple(r) for r in topk.collect())
     assert a == sorted(tuple(r) for r in rows)
+
+
+def _chart_pdf():
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"cat": ["a", "b", "c", "d"], "val": [10.0, 30.0, 20.0, 40.0]}
+    )
+
+
+def test_headless_bar_chart_png_roundtrip(tmp_path):
+    """SNK-03 without matplotlib: the built-in rasterizer writes a PNG
+    the stdlib codec decodes; bar pixels use the palette and cover an
+    area proportional to the values."""
+    from sparketl.codecs import image_pixels
+    from sparketl.reports import _PALETTE, export_chart
+
+    out = str(tmp_path / "bar.png")
+    export_chart(_chart_pdf(), "Bar Graph", "cat", "val", out)
+    w, h, ch, raw = image_pixels(open(out, "rb").read())
+    assert (w, h, ch) == (640, 400, 3)
+    px = memoryview(raw)
+    # corners stay background white
+    assert bytes(px[:3]) == b"\xff\xff\xff"
+    counts = []
+    for i in range(4):
+        c = bytes(bytearray(_PALETTE[i]))
+        n = sum(
+            1
+            for o in range(0, len(raw), 3)
+            if bytes(px[o : o + 3]) == c
+        )
+        counts.append(n)
+    assert all(n > 0 for n in counts)
+    # bar areas ordered like the values 10 < 20 < 30 < 40
+    assert counts[0] < counts[2] < counts[1] < counts[3]
+
+
+def test_headless_pie_chart_slice_areas(tmp_path):
+    from sparketl.codecs import image_pixels
+    from sparketl.reports import _PALETTE, export_chart
+
+    out = str(tmp_path / "pie.png")
+    export_chart(_chart_pdf(), "Pie Chart", "cat", "val", out)
+    w, h, ch, raw = image_pixels(open(out, "rb").read())
+    assert (w, h, ch) == (640, 400, 3)
+    px = memoryview(raw)
+    counts = []
+    for i in range(4):
+        c = bytes(bytearray(_PALETTE[i]))
+        counts.append(
+            sum(1 for o in range(0, len(raw), 3) if bytes(px[o : o + 3]) == c)
+        )
+    total = sum(counts)
+    assert total > 0.5 * 3.14159 * 190 * 190 * 0.9  # disc mostly filled
+    for i, v in enumerate([10.0, 30.0, 20.0, 40.0]):
+        assert abs(counts[i] / total - v / 100.0) < 0.02  # slice ∝ value
+
+
+def test_headless_line_chart_draws_polyline(tmp_path):
+    from sparketl.codecs import image_pixels
+    from sparketl.reports import _PALETTE, export_chart
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"x": [0, 1, 2, 3], "val": [0.0, 10.0, 5.0, 20.0]})
+    out = str(tmp_path / "line.png")
+    export_chart(pdf, "Line Graph", "x", "val", out)
+    w, h, ch, raw = image_pixels(open(out, "rb").read())
+    assert (w, h, ch) == (640, 400, 3)
+    c = bytes(bytearray(_PALETTE[0]))
+    px = memoryview(raw)
+    line_px = sum(1 for o in range(0, len(raw), 3) if bytes(px[o : o + 3]) == c)
+    # a connected polyline spans at least the plot width in pixels
+    assert line_px >= 640 - 70
+
+
+def test_headless_pdf_export_embeds_inflatable_raster(tmp_path):
+    """SNK-04: the minimal PDF wraps the same RGB raster as one
+    FlateDecode stream that inflates back to w*h*3 bytes."""
+    import re
+    import zlib
+
+    from sparketl.reports import export_chart
+
+    out = str(tmp_path / "report.pdf")
+    export_chart(_chart_pdf(), "Bar Graph", "cat", "val", out)
+    b = open(out, "rb").read()
+    assert b.startswith(b"%PDF-1.4")
+    assert b.rstrip().endswith(b"%%EOF")
+    m = re.search(rb"/FilterNone", b)
+    assert m is None
+    start = b.index(b"stream\n", b.index(b"/FlateDecode")) + len(b"stream\n")
+    end = b.index(b"\nendstream", start)
+    raw = zlib.decompress(b[start:end])
+    assert len(raw) == 640 * 400 * 3
+
+
+def test_headless_pie_rejects_nonpositive_total():
+    import pandas as pd
+    import pytest as _pytest
+
+    from sparketl.reports import ReportError, _render_chart_rgb
+
+    pdf = pd.DataFrame({"cat": ["a"], "val": [0.0]})
+    with _pytest.raises(ReportError):
+        _render_chart_rgb(pdf, "Pie Chart", "cat", "val")
