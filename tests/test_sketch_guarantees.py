@@ -108,3 +108,94 @@ def test_countmin_eps_bound_at_bench_scale(spark):
     for r in rows:
         assert r["cm_estimate"] >= r["exact_n"], r
         assert r["overcount"] <= eps_n, (r, eps_n)
+
+
+DOC_PLANT_BASE = 10_000_000
+N_DOC_PLANT = 30
+
+
+@pytest.fixture(scope="module")
+def docs_planted(spark):
+    """sf0.1 documents ∪ 30 planted near-duplicates: twin i is doc i
+    with only its LAST token replaced, so only the trailing 3 trigram
+    shingles change — true Jaccard (S-3)/(S+3) ≥ 0.9 for the ≥60-token
+    docs selected, comfortably above the 0.8 pipeline threshold."""
+    docs = load_table(spark, SF_BENCH, "documents")
+    base = (
+        docs.filter(F.size(F.split("text", " ")) >= 60)
+        .orderBy("doc_id")
+        .limit(N_DOC_PLANT)
+    )
+    twins = base.select(
+        (F.col("doc_id") + DOC_PLANT_BASE).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.split("text", " "), 1, F.size(F.split("text", " ")) - 1
+            ),
+            F.lit("qqnearduptoken"),
+        ).alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    planted_ids = [r["doc_id"] for r in base.select("doc_id").collect()]
+    assert len(planted_ids) == N_DOC_PLANT
+    return docs.unionByName(twins).cache(), planted_ids
+
+
+def test_lsh_dedup_pipeline_planted_twin_recall_floor(spark, docs_planted):
+    """ext_82 (rows-only): the LSH candidate stage must surface ≥0.9 of
+    the planted true near-dup pairs at sf0.1 — the exact pipeline
+    (ext_70) finds them all by construction, so this floors the LSH
+    swap's recall against it at bench scale."""
+    from sparketl.operators.dedup import minhash_lsh_candidates, shingles
+
+    corpus, planted_ids = docs_planted
+    # every planted pair really is a true pair under the 0.8 threshold
+    sh = shingles(corpus)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    pairs = spark.createDataFrame(
+        [(i, i + DOC_PLANT_BASE) for i in planted_ids], "doc_a long, doc_b long"
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            (
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double")
+            ).alias("j"),
+        )
+        .collect()
+    )
+    assert len(jac) == N_DOC_PLANT
+    assert all(r["j"] >= 0.8 for r in jac)
+
+    cand = minhash_lsh_candidates(corpus)
+    found = {
+        r["doc_a"]
+        for r in cand.filter(
+            (F.col("doc_b") - F.col("doc_a") == DOC_PLANT_BASE)
+        ).collect()
+        if r["doc_a"] in set(planted_ids)
+    }
+    recall = len(found) / N_DOC_PLANT
+    assert recall >= 0.9, f"LSH planted near-dup recall {recall}"
+
+
+def test_lsh_pipeline_report_counts_planted_removals(spark, docs_planted):
+    """End-to-end ext_82 on the planted corpus: the per-source removal
+    counts must account for (at least) the recalled planted twins —
+    the report actually removes what the candidate stage finds."""
+    from sparketl.operators.curation import lsh_dedup_pipeline_report
+
+    corpus, planted_ids = docs_planted
+    rep = lsh_dedup_pipeline_report(corpus).collect()
+    total_removed = sum(r["n_removed"] for r in rep)
+    assert total_removed >= int(0.9 * N_DOC_PLANT)
+    total_docs = sum(r["n_docs"] for r in rep)
+    assert total_docs == corpus.count()
