@@ -968,3 +968,68 @@ def cumulative_users(events: DataFrame) -> DataFrame:
 
 def q_ext_57_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulative_users(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_97: Spearman rank correlation via distributed global ranking
+# ---------------------------------------------------------------------------
+
+
+def spearman_price_date(orders: DataFrame) -> DataFrame:
+    """Per order priority, the Spearman rank correlation between total
+    price and order date — the monotone-association check a curator
+    runs before trusting a linear (Pearson, ext_89) summary.
+
+    Engine-exact by construction: ranks are ROW_NUMBER permutations
+    with the UNIQUE o_orderkey tiebreak (lineitem's
+    (orderkey, linenumber) is not unique in this fixture), so there is
+    no tie semantics to disagree on; Σd² is integer arithmetic
+    (DECIMAL(38,0) accumulation — n(n²-1)/3 overflows bigint past ~3M
+    rows/group); the only float op is the final
+    ρ = 1 − 6Σd²/(n(n²−1)), written as the same expression DuckDB
+    evaluates. Ranks come from `operators/ranking.with_global_rank` —
+    range-partitioned two-phase ranking, NEVER a global single-task
+    window — ordered with the group as the leading key, so
+    within-group rank = global rank − per-group min + 1 (one broadcast
+    join)."""
+    from sparketl.operators.ranking import with_global_rank
+
+    base = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").alias("_dt"),
+        "o_orderkey",
+    )
+    rx = with_global_rank(
+        base, ["o_orderpriority", "o_totalprice", "o_orderkey"], "_rx"
+    ).select("o_orderpriority", "o_orderkey", "_rx")
+    ry = with_global_rank(
+        base.select("o_orderpriority", "_dt", "o_orderkey"),
+        ["o_orderpriority", "_dt", "o_orderkey"],
+        "_ry",
+    ).select("o_orderkey", "_ry")
+    j = rx.join(ry, "o_orderkey")
+    mins = j.groupBy("o_orderpriority").agg(
+        F.min("_rx").alias("_mx"), F.min("_ry").alias("_my")
+    )
+    d = j.join(F.broadcast(mins), "o_orderpriority").select(
+        "o_orderpriority",
+        (
+            (F.col("_rx") - F.col("_mx")) - (F.col("_ry") - F.col("_my"))
+        ).alias("_d"),
+    )
+    agg = d.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("_d") * F.col("_d")).cast("decimal(38,0)")).alias("_s"),
+    )
+    return agg.selectExpr(
+        "o_orderpriority",
+        "CAST(n_rows AS BIGINT) AS n_rows",
+        "CAST(_s AS BIGINT) AS sum_d2",
+        "1 - 6 * CAST(_s AS DOUBLE) / (CAST(n_rows AS DOUBLE) * "
+        "(CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE) - 1)) AS rho",
+    ).orderBy("o_orderpriority")
+
+
+def q_ext_97_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spearman_price_date(load_table(spark, sf_dir, "orders"))

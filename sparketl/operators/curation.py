@@ -1656,3 +1656,46 @@ def interevent_gaps(events: DataFrame) -> DataFrame:
 
 def q_ext_95_interevent_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interevent_gaps(load_table(spark, sf_dir, "events"))
+
+# ---------------------------------------------------------------------------
+# ext_96: token-weighted document-length profile (exact weighted quantiles)
+# ---------------------------------------------------------------------------
+
+
+def token_weighted_length_profile(docs: DataFrame) -> DataFrame:
+    """Per source, the token-WEIGHTED median and p90 of document token
+    length — "half of this source's token mass lives in docs of ≤ N
+    tokens". The unweighted median answers where the median DOCUMENT
+    is; training budgets are spent in tokens, so the weighted form is
+    the one a curator sizes context windows and packing bins against
+    (a few long docs can hold most of the mass).
+
+    Exact at any scale via the weighted MSD radix selection in
+    `operators/quantiles.py`: weight-sum histograms (map-combinable,
+    ≤ 2^16 cells per task), integer thresholds ``ceil(num*W/den)`` —
+    no interpolation, no full-column buffer, and the DuckDB
+    cumulative-window oracle reproduces it bit for bit."""
+    from sparketl.operators.quantiles import exact_group_weighted_quantiles
+
+    t = spread(docs).select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    qs = exact_group_weighted_quantiles(
+        t,
+        ["source"],
+        "n_tokens",
+        "n_tokens",
+        [(1, 2), (9, 10)],
+        value_kind="bigint",
+    )
+    return qs.select(
+        "source",
+        F.col("total_weight").alias("total_tokens"),
+        F.col("qs")[0].alias("wmedian_len"),
+        F.col("qs")[1].alias("wp90_len"),
+    ).orderBy("source")
+
+
+def q_ext_96_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_weighted_length_profile(load_table(spark, sf_dir, "documents"))

@@ -2518,3 +2518,51 @@ EXT_ORACLES["ext_95_interevent_gaps"] = """
     GROUP BY event_type
     ORDER BY event_type
 """
+
+from sparketl.operators.curation import q_ext_96_weighted_median  # noqa: E402
+
+EXT_QUERIES["ext_96_weighted_median"] = q_ext_96_weighted_median
+EXT_ORACLES["ext_96_weighted_median"] = """
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents
+    ), w AS (
+      SELECT source, v,
+             SUM(v) OVER (PARTITION BY source ORDER BY v
+                          RANGE BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cw,
+             SUM(v) OVER (PARTITION BY source) AS tw
+      FROM t
+    )
+    SELECT source,
+           MAX(tw) AS total_tokens,
+           MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmedian_len,
+           MIN(CASE WHEN cw >= (9 * tw + 9) // 10 THEN v END) AS wp90_len
+    FROM w
+    GROUP BY source
+    ORDER BY source
+"""
+
+from sparketl.operators.analytics import q_ext_97_spearman  # noqa: E402
+
+EXT_QUERIES["ext_97_spearman"] = q_ext_97_spearman
+EXT_ORACLES["ext_97_spearman"] = """
+    WITH r AS (
+      SELECT o_orderpriority,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice, o_orderkey) AS rx,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY epoch_us(CAST(o_orderdate AS TIMESTAMP)),
+                        o_orderkey) AS ry
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS sum_d2,
+           1 - 6 * CAST(SUM((rx - ry) * (rx - ry)) AS DOUBLE)
+             / (CAST(COUNT(*) AS DOUBLE)
+                * (CAST(COUNT(*) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE) - 1))
+             AS rho
+    FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""

@@ -252,3 +252,153 @@ def exact_group_quantiles(
     if not group_cols:
         out = out.drop("_g")
     return out
+
+
+def exact_group_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    pcts: list[tuple[int, int]],
+    *,
+    value_kind: str = "double",
+    checkpoint_base: bool = False,
+) -> DataFrame:
+    """Per-group exact LOWER weighted quantiles: for each rational
+    percentage ``(num, den)`` the smallest value whose cumulative
+    weight reaches ``ceil(num*W/den)`` (W = total weight). Thresholds
+    are pure bigint arithmetic (``(num*W + den - 1) div den``), so the
+    result is engine-exact with no interpolation — a DuckDB
+    cumulative-window oracle reproduces it bit for bit.
+
+    Same MSD radix machinery as :func:`exact_group_quantiles`, with
+    weight-sum histograms instead of counts — still map-combinable,
+    still ≤ 2^16 aggregation cells per task, still four passes.
+    Rows with null values or non-positive weights are dropped (they
+    cannot carry quantile mass).
+
+    Returns ``group_cols…, total_weight bigint, qs array`` (element
+    type matches ``value_kind``), in ``pcts`` order.
+    """
+    if value_kind not in ("double", "bigint"):
+        raise ValueError(f"unsupported value_kind {value_kind!r}")
+    g = list(group_cols)
+    work = df
+    if not g:
+        work = df.withColumn("_g", F.lit(0))
+        g = ["_g"]
+    base = work.select(
+        *g,
+        F.col(value_col).alias("_v"),
+        F.col(weight_col).cast("long").alias("_w"),
+    ).where(F.col("_v").isNotNull() & (F.col("_w") > 0))
+    if value_kind == "double":
+        base = base.select(*g, _double_sort_key("_v").alias("_k"), "_w")
+    else:
+        base = base.select(
+            *g, F.expr("_v ^ shiftleft(1L, 63)").alias("_k"), "_w"
+        )
+    if checkpoint_base:
+        base = base.localCheckpoint(eager=False)
+
+    h0 = base.groupBy(*g, F.expr("shiftrightunsigned(_k, 48)").alias("_f")).agg(
+        F.sum("_w").alias("_c")
+    )
+    wg = Window.partitionBy(*g)
+    wo = wg.orderBy("_f")
+    cum0 = h0.select(
+        *g,
+        "_f",
+        "_c",
+        (F.sum("_c").over(wo) - F.col("_c")).alias("_cb"),
+        F.sum("_c").over(wg).alias("_n"),
+    )
+
+    per_w = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
+    pct_arr = F.array(
+        *[
+            F.struct(F.lit(int(num)).alias("num"), F.lit(int(den)).alias("den"))
+            for num, den in pcts
+        ]
+    )
+    tq = (
+        per_w.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pd"))
+        .select(
+            *g,
+            "_n",
+            "_i",
+            F.expr("(_pd.num * _n + _pd.den - 1) div _pd.den").alias("_kth"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = tq.select(*g, F.col("_kth").alias("_rank")).distinct()
+
+    # pass 1: the bucket where the cumulative weight first reaches _rank
+    t = (
+        ranks.join(cum0.select(*g, "_f", "_c", "_cb"), g)
+        .where(
+            (F.col("_cb") < F.col("_rank"))
+            & (F.col("_rank") <= F.col("_cb") + F.col("_c"))
+        )
+        .select(
+            *g,
+            "_rank",
+            F.col("_f").alias("_p"),
+            (F.col("_rank") - F.col("_cb")).alias("_r"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for s in (32, 16, 0):
+        tb = F.broadcast(t)
+        cand = base.alias("b").join(
+            tb.alias("t"),
+            [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
+            + [
+                F.expr(f"shiftrightunsigned(b._k, {s + 16})")
+                == F.col("t._p")
+            ],
+        )
+        h = cand.groupBy(
+            *[F.col(f"t.{c}").alias(c) for c in g],
+            F.col("t._rank").alias("_rank"),
+            F.expr(f"shiftrightunsigned(b._k, {s}) & 65535").alias("_f"),
+        ).agg(F.sum("b._w").alias("_c"))
+        wr = Window.partitionBy(*g, "_rank").orderBy("_f")
+        hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
+        t = (
+            hc.join(t, [*g, "_rank"])
+            .where(
+                (F.col("_cb") < F.col("_r"))
+                & (F.col("_r") <= F.col("_cb") + F.col("_c"))
+            )
+            .select(
+                *g,
+                "_rank",
+                F.expr("shiftleft(_p, 16) | _f").alias("_p"),
+                (F.col("_r") - F.col("_cb")).alias("_r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+
+    if value_kind == "double":
+        vals = t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
+    else:
+        vals = t.select(
+            *g, "_rank", F.expr("_p ^ shiftleft(1L, 63)").alias("_val")
+        )
+
+    q = tq.join(
+        vals.select(*g, F.col("_rank").alias("_kth"), "_val"), [*g, "_kth"]
+    )
+    out = q.groupBy(*g).agg(
+        F.max("_n").alias("total_weight"),
+        F.array(
+            *[
+                F.max(F.when(F.col("_i") == i, F.col("_val")))
+                for i in range(len(pcts))
+            ]
+        ).alias("qs"),
+    )
+    if not group_cols:
+        out = out.drop("_g")
+    return out

@@ -120,3 +120,76 @@ def test_rejects_unknown_value_kind(spark):
     df = spark.createDataFrame([("g", 1.0)], "g string, v double")
     with pytest.raises(ValueError):
         _radix(df, ["g"], "v", [0.5], value_kind="decimal")
+
+
+def test_weighted_quantiles_match_python_recompute(spark):
+    """Lower weighted quantile: smallest v with cumweight >= ceil(q*W).
+    Engine result must equal a direct Python recompute, including
+    negative values, duplicate values, and the bigint path."""
+    import random
+
+    from sparketl.operators.quantiles import exact_group_weighted_quantiles
+
+    random.seed(13)
+    rows = []
+    for grp, n in (("a", 1), ("b", 500), ("c", 2000)):
+        for _ in range(n):
+            rows.append(
+                (grp, random.randint(-1000, 1000), random.randint(1, 50))
+            )
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    pcts = [(1, 2), (9, 10), (99, 100)]
+    got = {
+        r["g"]: (r["total_weight"], list(r["qs"]))
+        for r in exact_group_weighted_quantiles(
+            df, ["g"], "v", "w", pcts, value_kind="bigint"
+        ).collect()
+    }
+    by_g = {}
+    for grp, v, w in rows:
+        by_g.setdefault(grp, []).append((v, w))
+    for grp, vw in by_g.items():
+        vw.sort()
+        total = sum(w for _, w in vw)
+        expect = []
+        for num, den in pcts:
+            k = -(-num * total // den)  # ceil
+            cum = 0
+            for v, w in vw:
+                cum += w
+                if cum >= k:
+                    expect.append(v)
+                    break
+        assert got[grp] == (total, expect), grp
+
+
+def test_weighted_quantiles_double_values_and_zero_weights(spark):
+    from sparketl.operators.quantiles import exact_group_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [
+            ("g", -2.5, 1),
+            ("g", 0.5, 0),  # zero weight: carries no mass, ignored
+            ("g", 1.25, 2),
+            ("g", 7.0, 1),
+            ("g", None, 9),  # null value ignored
+        ],
+        "g string, v double, w long",
+    )
+    row = exact_group_weighted_quantiles(
+        df, ["g"], "v", "w", [(1, 2), (1, 1)], value_kind="double"
+    ).collect()[0]
+    # W=4; median threshold ceil(2)=2 -> cum: -2.5(1), 1.25(3) -> 1.25
+    assert row["total_weight"] == 4
+    assert list(row["qs"]) == [1.25, 7.0]
+
+
+def test_weighted_quantiles_ungrouped(spark):
+    from sparketl.operators.quantiles import exact_group_weighted_quantiles
+
+    df = spark.createDataFrame(
+        [(float(i), 1) for i in range(1, 101)], "v double, w long"
+    )
+    out = exact_group_weighted_quantiles(df, [], "v", "w", [(1, 2)])
+    assert out.columns == ["total_weight", "qs"]
+    assert list(out.collect()[0]["qs"]) == [50.0]
