@@ -225,6 +225,8 @@ def main() -> None:
                     "ext_85_decile_binning": "radix-select exact quantiles (r6): 2.8->4.5s, bounded-state by design",
                     "ext_86_mad_outliers": "radix-select exact quantiles (r6): 2.2->5.5s, bounded-state by design",
                     "ext_95_interevent_gaps": "radix-select exact quantiles (r6): 1.0->2.3s, bounded-state by design",
+                    "ext_59_quality_buckets": "radix-select exact quantiles (r6): 1.5->3.6s, bounded-state by design",
+                    "ext_60_embedding_outliers": "radix-select exact quantiles (r6): 1.3->2.1s, bounded-state by design",
                     # r5 sub-second upticks re-baselined with 5-sample
                     # medians (r6): all within 0.82-1.05x of r4 = noise
                 },

@@ -287,15 +287,18 @@ def q_ext_30_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantile_outliers(events: DataFrame, q: float = 0.99) -> DataFrame:
     """Count of events whose value exceeds the per-type q-quantile.
 
-    Two passes over the fact table (quantile, then threshold filter),
-    but the quantile result is |types| rows → broadcast join, so the
-    second pass is scan+filter with no shuffle beyond the final tiny
-    aggregate. Spark's percentile() matches DuckDB's quantile_cont
-    bit-for-bit, keeping the double threshold oracle-hashable.
+    The per-type quantile comes from the MSD radix selection
+    (`operators/quantiles.py`, r6: bounded per-task state instead of
+    percentile()'s per-type whole-column buffer, same doubles
+    bit-for-bit ≡ DuckDB quantile_cont); the |types|-row result
+    broadcasts back, so the counting pass is scan+filter with no
+    shuffle beyond the final tiny aggregate.
     """
-    thresholds = events.groupBy("event_type").agg(
-        F.percentile("value", F.lit(q)).alias("p99")
-    )
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    thresholds = exact_group_quantiles(
+        events, ["event_type"], "value", [q]
+    ).select("event_type", F.col("qs")[0].alias("p99"))
     return (
         events.join(F.broadcast(thresholds), "event_type")
         .where(F.col("value") > F.col("p99"))
@@ -703,6 +706,13 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     land in the better bucket — deterministic without a tiebreak
     column. The final rollup is segment-count sized; monetary sums are
     exact decimals cast once.
+
+    The 12 thresholds run in ONE pass over the (already order-reduced)
+    per-customer table; if customer cardinality itself reaches
+    buffer-hostile scale, each column swaps to
+    `operators/quantiles.exact_group_quantiles` (bounded per-task
+    state, same doubles — the r6 swap made for every raw-fact-table
+    percentile in this repo) at the cost of 4 passes per column.
     """
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(

@@ -108,20 +108,30 @@ def quality_buckets(docs: DataFrame) -> DataFrame:
 
     Reuses :func:`sparketl.operators.textmine.lm_doc_score` (one
     corpus scan) for the per-document score, then: per-language 33/67
-    percentile thresholds via exact ``percentile`` — a mergeable
-    tree-aggregate, NOT a per-language sort — broadcast back as a
+    percentile thresholds via the MSD radix selection in
+    `operators/quantiles.py` (r6: the former exact ``percentile``
+    buffered every doc score per language — an OOM once a language is
+    billions of docs; the radix path is map-combinable counts with
+    bounded per-task state and reproduces ``percentile`` ≡ DuckDB
+    ``quantile_cont`` bit-for-bit) — broadcast back as a
     |languages|-row table, a codegen'd comparison to assign buckets,
     and a segment-sized rollup. Boundary ties land in the better
-    bucket; ``percentile`` matches DuckDB ``quantile_cont``
-    bit-for-bit, so the bucket assignment is engine-exact.
+    bucket. The scored frame is checkpointed once so the digit passes
+    don't re-run the LM-score join.
     """
+    from sparketl.operators.quantiles import exact_group_quantiles
     from sparketl.operators.textmine import lm_doc_score
 
     scores = lm_doc_score(docs).select("doc_id", "n_trigrams", "mean_p")
-    scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
-    th = scored.groupBy("lang").agg(
-        F.expr("percentile(mean_p, 0.67)").alias("t_head"),
-        F.expr("percentile(mean_p, 0.33)").alias("t_mid"),
+    scored = scores.join(docs.select("doc_id", "lang"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    th = exact_group_quantiles(
+        scored, ["lang"], "mean_p", [0.67, 0.33]
+    ).select(
+        "lang",
+        F.col("qs")[0].alias("t_head"),
+        F.col("qs")[1].alias("t_mid"),
     )
     bucket = (
         F.when(F.col("mean_p") > F.col("t_head"), F.lit("head"))
@@ -160,8 +170,12 @@ def embedding_outliers(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     broadcast. Each squared-difference term is quantized to bigint
     nanos BEFORE the per-vector sum, making the distance independent of
     accumulation order (a raw double sum would hash-mismatch on
-    partitioning alone); the p99 threshold is an exact ``percentile``
-    tree-aggregate per label. Nothing here sorts or collects the corpus.
+    partitioning alone); the p99 threshold comes from the MSD radix
+    selection in `operators/quantiles.py` (r6: bounded per-task state
+    instead of percentile()'s per-label whole-column buffer, same
+    doubles bit-for-bit). Nothing here sorts or collects the corpus;
+    the per-vector distance table is checkpointed once and shared by
+    the threshold passes and the final outlier count.
     """
     from sparketl.operators.similarity import label_centroids
 
@@ -179,10 +193,13 @@ def embedding_outliers(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
         .select("vec_id", "label", term_nano.alias("term_nano"))
         .groupBy("vec_id", "label")
         .agg(F.sum("term_nano").alias("d2_nano"))
+        .localCheckpoint(eager=False)
     )
-    th = d2.groupBy("label").agg(
-        F.expr("percentile(d2_nano, 0.99)").alias("p99_d2_nano")
-    )
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    th = exact_group_quantiles(
+        d2, ["label"], "d2_nano", [0.99], value_kind="bigint"
+    ).select("label", F.col("qs")[0].alias("p99_d2_nano"))
     return (
         d2.join(F.broadcast(th), "label")
         .groupBy("label")

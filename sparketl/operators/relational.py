@@ -605,20 +605,25 @@ def q_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_agg_07_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated quantiles (median / p95) per group — Spark's
-    percentile() matches DuckDB quantile_cont bit-for-bit (verified).
-    At scale, swap for approx_percentile with a documented error bound;
-    the exact form is the oracle baseline."""
+    """Exact interpolated quantiles (median / p95) per group via the
+    MSD radix selection (`operators/quantiles.py`, r6) — bit-for-bit
+    what percentile() ≡ DuckDB quantile_cont returns, without the
+    whole-column-per-group aggregation buffer, so the exact form IS
+    the scale form (no approx_percentile cutover needed)."""
+    from sparketl.operators.quantiles import exact_group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("percentile(l_extendedprice, 0.5)").alias("median_price"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("p95_price"),
-            F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
-        )
-        .orderBy("l_returnflag")
+    price = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("median_price"),
+        F.col("qs")[1].alias("p95_price"),
     )
+    qty = exact_group_quantiles(
+        li, ["l_returnflag"], "l_quantity", [0.5]
+    ).select("l_returnflag", F.col("qs")[0].alias("median_qty"))
+    return price.join(qty, "l_returnflag").orderBy("l_returnflag")
 
 
 def q_ext_08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,21 +695,27 @@ def q_ext_09_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     column). Sketch merge results depend on partition layout →
     rows-only driver check; pytest bounds the error vs the exact
     percentile (rank error ≤ n/accuracy)."""
+    from sparketl.operators.quantiles import exact_group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
-                "approx_median"
-            ),
-            F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias(
-                "approx_p95"
-            ),
-            F.expr("percentile(l_extendedprice, 0.5)").alias("exact_median"),
-            F.expr("percentile(l_extendedprice, 0.95)").alias("exact_p95"),
-        )
-        .orderBy("l_returnflag")
+    approx = li.groupBy("l_returnflag").agg(
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias(
+            "approx_median"
+        ),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias(
+            "approx_p95"
+        ),
     )
+    # exact reference columns via radix selection (r6): bounded state,
+    # same doubles as percentile()
+    exact = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("exact_median"),
+        F.col("qs")[1].alias("exact_p95"),
+    )
+    return approx.join(exact, "l_returnflag").orderBy("l_returnflag")
 
 
 def q_ext_08_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,10 +759,17 @@ def q_ext_20_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     second pass is map-side only. Counts, not clipped sums, are the
     output: clipping mixes interpolated doubles into the sum, whose
     addition order is engine-defined — counts are exact everywhere."""
+    from sparketl.operators.quantiles import exact_group_quantiles
+
     li = load_table(spark, sf_dir, "lineitem")
-    bounds = li.groupBy("l_returnflag").agg(
-        F.expr("percentile(l_extendedprice, 0.05)").alias("p05"),
-        F.expr("percentile(l_extendedprice, 0.95)").alias("p95"),
+    # bounds via radix selection (r6): bounded per-task state, same
+    # doubles as percentile()
+    bounds = exact_group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", [0.05, 0.95]
+    ).select(
+        "l_returnflag",
+        F.col("qs")[0].alias("p05"),
+        F.col("qs")[1].alias("p95"),
     )
     j = li.select("l_returnflag", "l_extendedprice").join(
         F.broadcast(bounds), "l_returnflag"
