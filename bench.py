@@ -90,6 +90,9 @@ HEADLINE = [
     "ext_93_ngram_novelty",
     "ext_94_cross_source_leak",
     "ext_95_interevent_gaps",
+    "ext_96_weighted_median",
+    "ext_97_spearman",
+    "ext_98_embedding_covariance",
 ]
 
 

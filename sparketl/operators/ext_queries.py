@@ -2566,3 +2566,37 @@ EXT_ORACLES["ext_97_spearman"] = """
              AS rho
     FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
+
+from sparketl.operators.similarity import q_ext_98_embedding_covariance  # noqa: E402
+
+EXT_QUERIES["ext_98_embedding_covariance"] = q_ext_98_embedding_covariance
+EXT_ORACLES["ext_98_embedding_covariance"] = """
+    WITH e AS (
+      SELECT vec_id,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), en AS (
+      SELECT vec_id, pos,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT) AS vn
+      FROM e
+    ), m AS (
+      SELECT pos,
+             CAST(SUM(vn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nano,
+             COUNT(*) AS n
+      FROM en GROUP BY pos
+    ), c AS (
+      SELECT vec_id, en.pos,
+             CAST(vn AS DOUBLE) - mean_nano AS cv, n
+      FROM en JOIN m ON en.pos = m.pos
+    )
+    SELECT CAST(a.pos AS INT) AS pos_i,
+           CAST(b.pos AS INT) AS pos_j,
+           CAST(MAX(a.n) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(FLOOR(a.cv * b.cv / 1e9) AS BIGINT)) AS BIGINT)
+             AS sum_nano,
+           CAST(SUM(CAST(FLOOR(a.cv * b.cv / 1e9) AS BIGINT)) AS DOUBLE)
+             / 1e9 / CAST(MAX(a.n) - 1 AS DOUBLE) AS cov
+    FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -472,3 +472,92 @@ def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one Lloyd iteration: recall vs brute force measured ≥0.88 on the
     # fixtures at every SF while halving training passes
     return ann_ivf_topk(emb, queries, k=10, n_iters=1).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ext_98: distributed embedding covariance (the PCA/whitening precursor)
+# ---------------------------------------------------------------------------
+
+
+def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding components —
+    the input to PCA / whitening / drift detection over a vector
+    corpus. Output is (pos_i, pos_j, n_vecs, sum_nano, cov) with
+    pos_i ≤ pos_j: dim(dim+1)/2 rows no matter the corpus size.
+
+    Scale shape: two map-combinable passes. Pass 1 is a 64-key
+    component-mean aggregate (bigint-nano quantized sums — exact,
+    order-independent). Pass 2 generates each vector's upper-triangle
+    centered products MAP-SIDE from the array itself (one
+    ``transform×transform`` over the broadcast mean array — no
+    exploded self-join, no shuffle of component rows) and folds them
+    into a dim²-key sum. Every shuffled value is a bigint; per-task
+    state is ≤ dim² counters.
+
+    Engine-exact: components quantize to bigint nanos before any sum;
+    the centered product re-quantizes (`floor(ci*cj/1e9)`) before the
+    final sum, so accumulation order cannot matter; the only float ops
+    (mean division, the product, the final cov division) are written
+    identically in the DuckDB oracle."""
+    e = spread(emb).select(
+        "vec_id", F.posexplode(vec_col).alias("pos", "v")
+    )
+    vn = F.expr("floor(CAST(v AS DOUBLE) * 1e9)")
+    means = (
+        e.select("pos", vn.alias("vn"))
+        .groupBy("pos")
+        .agg(F.sum("vn").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "pos",
+            F.expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)").alias("mean_nano"),
+            "n",
+        )
+    )
+    # dim-sized mean array broadcast back (never inlined as a literal —
+    # see the centroid gotcha in similarity._centroids_df)
+    marr = means.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, mean_nano))),"
+            " x -> x.mean_nano)"
+        ).alias("m"),
+        F.max("n").alias("n_vecs"),
+    )
+    terms = (
+        spread(emb)
+        .select(F.col(vec_col).alias("vec"))
+        .crossJoin(F.broadcast(marr))
+        .select(
+            "n_vecs",
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(vec) - 1), i ->"
+                    " transform(sequence(i, size(vec) - 1), j ->"
+                    " struct(i AS pos_i, j AS pos_j,"
+                    " floor((CAST(floor(CAST(vec[i] AS DOUBLE) * 1e9) AS DOUBLE) - m[i])"
+                    " * (CAST(floor(CAST(vec[j] AS DOUBLE) * 1e9) AS DOUBLE) - m[j])"
+                    " / 1e9) AS t))))"
+                )
+            ).alias("p"),
+        )
+    )
+    return (
+        terms.groupBy(F.col("p.pos_i").alias("pos_i"), F.col("p.pos_j").alias("pos_j"))
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.sum("p.t").alias("sum_nano"),
+        )
+        .select(
+            "pos_i",
+            "pos_j",
+            "n_vecs",
+            "sum_nano",
+            F.expr(
+                "CAST(sum_nano AS DOUBLE) / 1e9 / CAST(n_vecs - 1 AS DOUBLE)"
+            ).alias("cov"),
+        )
+        .orderBy("pos_i", "pos_j")
+    )
+
+
+def q_ext_98_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_covariance(load_table(spark, sf_dir, "embeddings"))

@@ -163,3 +163,29 @@ def test_label_centroids_known_mean(spark):
     assert rows[(7, 0)] == (2, 2.0)
     assert rows[(7, 1)] == (2, 1.0)
     assert rows[(8, 0)] == (1, 10.0)
+
+
+def test_embedding_covariance_matches_numpy(spark):
+    """ext_98: the nano-quantized distributed covariance must agree
+    with numpy's dense covariance to quantization error, and the
+    diagonal must be non-negative."""
+    import numpy as np
+
+    from sparketl.operators.similarity import embedding_covariance
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = embedding_covariance(emb).collect()
+    X = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()],
+        dtype=np.float64,
+    )
+    ref = np.cov(X, rowvar=False)  # ddof=1, matching /(n-1)
+    dim = X.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        i, j = r["pos_i"], r["pos_j"]
+        assert r["n_vecs"] == X.shape[0]
+        assert abs(r["cov"] - ref[i][j]) < 1e-5, (i, j)
+        if i == j:
+            assert r["cov"] >= 0.0

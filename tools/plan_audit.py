@@ -52,6 +52,16 @@ BROADCAST_SCALAR_OK = {
     "ext_85_decile_binning",  # one-row percentile-threshold broadcast
     "ext_84_copurchase",  # one-row basket-count broadcast for lift
     "ext_92_rolling_wau",  # one-row (min_d, max_d) day-bounds broadcast
+    "ext_97_spearman",  # triangular self-join of the per-partition
+    # counts frame (≤ shuffle-width rows) computes rank offsets without
+    # a constant-partition window — bounded by partitions², not data
+}
+
+# Queries allowed to keep a one-pass percentile() buffer because its
+# input is already aggregate-reduced (per-customer, not a raw fact
+# table); the docstring names the exact_group_quantiles swap point.
+PERCENTILE_REDUCED_OK = {
+    "ext_49_rfm",
 }
 
 AUDITED = [
@@ -154,6 +164,9 @@ AUDITED = [
     "ext_94_cross_source_leak",
     "ext_95_interevent_gaps",
     "tierc_tsql_funcs2",
+    "ext_96_weighted_median",
+    "ext_97_spearman",
+    "ext_98_embedding_covariance",
 ]
 
 
@@ -174,6 +187,15 @@ def audit(name: str, text: str) -> list[str]:
         name not in QUADRATIC_OK and name not in BROADCAST_SCALAR_OK
     ):
         problems.append("unexpected nested-loop/cartesian join")
+    # percentile()'s aggregation buffer holds the whole column per
+    # group — replaced repo-wide (r6) by the bounded MSD radix
+    # selection; any reappearance over a fact table is a regression
+    if name not in PERCENTILE_REDUCED_OK and re.search(
+        r"ObjectHashAggregate[^\n]*percentile", text
+    ):
+        problems.append(
+            "percentile ObjectHashAggregate (unbounded per-group buffer)"
+        )
     # codegen stages render as "WholeStageCodegen (N)" in formatted
     # explain and as "*(N)" prefixes in the executed-plan string
     if "WholeStageCodegen" not in text and "*(" not in text:
