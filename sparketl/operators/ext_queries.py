@@ -2536,7 +2536,7 @@ EXT_ORACLES["ext_96_weighted_median"] = """
       FROM t
     )
     SELECT source,
-           MAX(tw) AS total_tokens,
+           CAST(MAX(tw) AS BIGINT) AS total_tokens,
            MIN(CASE WHEN cw >= (tw + 1) // 2 THEN v END) AS wmedian_len,
            MIN(CASE WHEN cw >= (9 * tw + 9) // 10 THEN v END) AS wp90_len
     FROM w
@@ -2600,3 +2600,9 @@ EXT_ORACLES["ext_98_embedding_covariance"] = """
     FROM c a JOIN c b ON a.vec_id = b.vec_id AND a.pos <= b.pos
     GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+from sparketl.operators.similarity import q_ext_99_pca_top_component  # noqa: E402
+
+EXT_QUERIES["ext_99_pca_top_component"] = q_ext_99_pca_top_component
+# rows-only: no SQL-expressible eigen twin; pytest asserts alignment
+# with numpy.linalg.eigh (see tests/test_dedup_similarity.py)

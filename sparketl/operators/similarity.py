@@ -561,3 +561,52 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
 
 def q_ext_98_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
+
+
+def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int = 100) -> DataFrame:
+    """Leading principal component of the embedding corpus: power
+    iteration on the dim×dim covariance from
+    :func:`embedding_covariance`.
+
+    Scale split: everything corpus-sized is the distributed,
+    map-combinable covariance pass; the eigen step touches only the
+    dim² covariance entries (a k·dim-class driver collect, the same
+    allowance as IVF centroids) and runs a FIXED-iteration power
+    method from the deterministic all-ones start — no RNG, so the
+    output is reproducible run to run. Rows-only driver check
+    (no SQL-expressible eigen twin); pytest asserts alignment with
+    ``numpy.linalg.eigh`` up to sign.
+
+    Output: one row per component position — (pos, loading, eigenvalue
+    explained variance); loadings form a unit vector."""
+    rows = embedding_covariance(emb, vec_col=vec_col).collect()
+    dim = max(r["pos_j"] for r in rows) + 1
+    cov = [[0.0] * dim for _ in range(dim)]
+    for r in rows:
+        cov[r["pos_i"]][r["pos_j"]] = r["cov"]
+        cov[r["pos_j"]][r["pos_i"]] = r["cov"]
+    v = [1.0 / (dim ** 0.5)] * dim
+    eigval = 0.0
+    for _ in range(n_iters):
+        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        norm = sum(x * x for x in w) ** 0.5
+        if norm == 0.0:
+            break
+        v = [x / norm for x in w]
+        eigval = norm
+    # sign convention: first nonzero loading positive
+    for x in v:
+        if x != 0.0:
+            if x < 0.0:
+                v = [-y for y in v]
+            break
+    spark = emb.sparkSession
+    out = spark.createDataFrame(
+        [(i, float(v[i]), float(eigval)) for i in range(dim)],
+        "pos int, loading double, eigenvalue double",
+    )
+    return out.orderBy("pos")
+
+
+def q_ext_99_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_top_component(load_table(spark, sf_dir, "embeddings"))

@@ -189,3 +189,26 @@ def test_embedding_covariance_matches_numpy(spark):
         assert abs(r["cov"] - ref[i][j]) < 1e-5, (i, j)
         if i == j:
             assert r["cov"] >= 0.0
+
+
+def test_pca_top_component_matches_numpy_eigh(spark):
+    """ext_99 (rows-only): the power-iteration leading component must
+    align with numpy's dense eigendecomposition (|cos| > 0.999) and
+    its eigenvalue must match the top eigenvalue."""
+    import numpy as np
+
+    from sparketl.operators.similarity import pca_top_component
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = pca_top_component(emb).collect()
+    v = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["pos"])])
+    eigval = rows[0]["eigenvalue"]
+    X = np.array(
+        [r["embedding"] for r in emb.collect()], dtype=np.float64
+    )
+    ref_vals, ref_vecs = np.linalg.eigh(np.cov(X, rowvar=False))
+    top = ref_vecs[:, -1]
+    assert abs(float(np.dot(v, top))) > 0.999
+    assert abs(eigval - ref_vals[-1]) < 1e-3 * max(1.0, abs(ref_vals[-1]))
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9

@@ -30,6 +30,8 @@ ROWS_ONLY_ALLOWED = {
     # iterative-training dependency; pytest vs pure-Python encode
     "ext_82_lsh_dedup_pipeline",  # MinHash banding via xxhash64 —
     # engine-specific; pytest proves equality with exact ext_70
+    "ext_99_pca_top_component",  # driver power iteration on the
+    # dim×dim covariance — no SQL eigen twin; pytest vs numpy eigh
 }
 
 
