@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from sparketl.io import load_table
+from sparketl.io import load_table, spread
 
 
 def q_ext_05_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -315,3 +315,48 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
 
 def q_ext_54_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_100: TTL-windowed dedup (batch twin of dropDuplicatesWithinWatermark)
+# ---------------------------------------------------------------------------
+
+
+def ttl_dedup_report(events: DataFrame, ttl_us: int = 600_000_000) -> DataFrame:
+    """Dedup with a time-to-live: a (user, event_type) occurrence is a
+    DUPLICATE only if the same key fired within the previous
+    ``ttl_us`` — the batch semantics of streaming's
+    ``dropDuplicatesWithinWatermark`` (streaming/windows.py), where
+    dedup state expires with the watermark. Batch and stream agree on
+    which rows survive, so this is the replayable/backfill form of the
+    streaming dedup (run it over history, get the same kept set the
+    stream would have produced).
+
+    One shuffle: the lag window partitions by the dedup key, so
+    per-task state is one key's stream; "kept" = first occurrence or
+    gap > TTL, a pure map over the lag. Output is the per-type
+    kept/dropped accounting. (ts, event_id) ordering makes lag
+    deterministic under timestamp ties; µs bigints keep the oracle
+    hashable."""
+    ev = spread(events).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    g = ev.withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+    kept = F.col("gap_us").isNull() | (F.col("gap_us") > F.lit(ttl_us))
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum((~kept).cast("long")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_ext_100_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ttl_dedup_report(load_table(spark, sf_dir, "events"))

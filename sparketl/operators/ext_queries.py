@@ -2606,3 +2606,25 @@ from sparketl.operators.similarity import q_ext_99_pca_top_component  # noqa: E4
 EXT_QUERIES["ext_99_pca_top_component"] = q_ext_99_pca_top_component
 # rows-only: no SQL-expressible eigen twin; pytest asserts alignment
 # with numpy.linalg.eigh (see tests/test_dedup_similarity.py)
+
+from sparketl.operators.events_ops import q_ext_100_ttl_dedup  # noqa: E402
+
+EXT_QUERIES["ext_100_ttl_dedup"] = q_ext_100_ttl_dedup
+EXT_ORACLES["ext_100_ttl_dedup"] = """
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                 ) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 600000000
+                         THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+    FROM g GROUP BY event_type ORDER BY event_type
+"""

@@ -335,3 +335,36 @@ def test_cumulative_users_equals_prefix_distinct(spark):
            for r in cumulative_users(e).collect()]
     # only first-appearance days emit rows by design
     assert got == [(0, 1, 1), (1, 2, 3)]
+
+
+def test_ttl_dedup_matches_python_recompute(spark):
+    """ext_100: TTL dedup kept/dropped accounting vs a direct Python
+    replay of each (user, type) stream."""
+    from sparketl.io import load_table
+    from sparketl.operators.events_ops import ttl_dedup_report
+    from tests.conftest import SF_SMOKE
+
+    ttl = 600_000_000
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ev.selectExpr(
+        "user_id", "event_type", "event_id", "unix_micros(ts) AS us"
+    ).collect()
+    streams = {}
+    for r in rows:
+        streams.setdefault((r["user_id"], r["event_type"]), []).append(r)
+    kept = {}
+    total = {}
+    for (_, etype), s in streams.items():
+        s.sort(key=lambda r: (r["us"], r["event_id"]))
+        prev = None
+        for r in s:
+            total[etype] = total.get(etype, 0) + 1
+            if prev is None or r["us"] - prev > ttl:
+                kept[etype] = kept.get(etype, 0) + 1
+            prev = r["us"]
+    got = ttl_dedup_report(ev, ttl_us=ttl).collect()
+    assert {r["event_type"] for r in got} == set(total)
+    for r in got:
+        assert r["n_events"] == total[r["event_type"]]
+        assert r["n_kept"] == kept[r["event_type"]]
+        assert r["n_dropped"] == total[r["event_type"]] - kept[r["event_type"]]
