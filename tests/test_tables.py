@@ -882,3 +882,43 @@ def test_legacy_full_manifest_still_readable(spark, tmp_table_root):
     cand = again.candidate_files("bal > 2.5")
     assert len(cand) < len(again._manifest()["files"])
     assert sorted(r["id"] for r in again.read(where="bal > 2.5").collect()) == [3]
+
+
+def test_concurrent_appends_across_checkpoint_boundaries(spark, tmp_path, monkeypatch):
+    """Racing appends whose rebases cross several checkpoint writes:
+    every batch survives, each version reconstructs, and a cold reader
+    sees the same snapshot the writers produced."""
+    import threading
+
+    from sparketl import tables as tb
+
+    monkeypatch.setattr(tb, "_CKPT_EVERY", 3)
+    root = str(tmp_path / "t")
+    tbl = tb.ManagedTable(spark, root)
+    first = spark.createDataFrame([(0, 0.0)], "id long, v double")
+    tbl.create(first.schema)
+
+    n_writers, errors = 8, []
+
+    def write(i: int) -> None:
+        try:
+            tb.ManagedTable(spark, root).append(
+                spark.createDataFrame([(i + 1, float(i))], "id long, v double")
+            )
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=write, args=(i,)) for i in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    cold = tb.ManagedTable(spark, root)
+    assert cold._current_version() == 1 + n_writers
+    got = sorted(r["id"] for r in cold.read().collect())
+    assert got == list(range(1, n_writers + 1))
+    import os
+
+    assert os.path.exists(cold._ckpt_path(3))
+    assert os.path.exists(cold._ckpt_path(9))
