@@ -96,18 +96,36 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     if min_partitions is None:
         min_partitions = df.sparkSession.sparkContext.defaultParallelism
-    # Cheap parallelism probe: spread() is called on freshly-scanned
-    # frames, so the leaf file count bounds the scan parallelism —
-    # reading it is pure metadata (no job, no RDD lineage conversion,
-    # which `df.rdd.getNumPartitions()` would force on every call).
-    # A many-file input (the cluster case) short-circuits untouched;
-    # the RDD probe remains for few/no-file frames, where the scan may
-    # still split large files into enough partitions by size.
-    n_files = len(df.inputFiles())
-    if n_files >= min_partitions:
+    # Pure-metadata parallelism probe — no job, no DataFrame→RDD
+    # lineage conversion anywhere (df.rdd.getNumPartitions() would
+    # force one on every call). The leaf file COUNT bounds scan
+    # parallelism from below; large files additionally split at
+    # maxPartitionBytes, so estimated splits = Σ ceil(size/split) per
+    # file. A many-file or big-file input (the cluster case)
+    # short-circuits untouched; only genuinely narrow scans — and
+    # fileless in-memory frames, which at fixture scale shuffle for
+    # pennies — pay the round-robin repartition.
+    files = df.inputFiles()
+    if len(files) >= min_partitions:
         return df
-    if df.rdd.getNumPartitions() >= min_partitions:
-        return df
+    if files:
+        raw = df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+        ).strip().lower()
+        units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        digits = raw.rstrip("kmgb")
+        suffix = raw[len(digits):].rstrip("b")
+        max_split = int(digits) * units.get(suffix, 1) if digits else 128 << 20
+        est = 0
+        for f in files:
+            p = f[7:] if f.startswith("file:") and f[5:7] == "//" else f
+            try:
+                size = os.path.getsize(p)
+            except OSError:
+                size = 0
+            est += max(1, -(-size // max_split))
+            if est >= min_partitions:
+                return df
     return df.repartition(min_partitions)
 
 

@@ -135,6 +135,10 @@ _PRUNABLE_STR = re.compile(
     r"^\s*([A-Za-z_][A-Za-z_0-9]*)\s*(?:==|=)\s*'([^']*)'\s*$"
 )
 
+# `col IN (items)` — the one parenthesized form the pruner parses;
+# items are comma-separated numeric or 'string' literals
+_IN_LIST = re.compile(r"(?i)\b([A-Za-z_]\w*)\s+IN\s*\(([^()]*)\)")
+
 # commits between compacted parquet checkpoints of the manifest log —
 # readers replay at most this many deltas above the nearest checkpoint
 _CKPT_EVERY = 20
@@ -577,44 +581,90 @@ class ManagedTable:
         conjunct the pruner cannot parse is ignored (never prunes), so
         the result is always a superset of the matching files.
 
-        Pruning only fires for a pure conjunction of comparisons: a
-        predicate containing a top-level OR / NOT / parenthesis (or IN,
-        BETWEEN — anything beyond bare comparisons) disables pruning
-        entirely, because an AND-split of ``a > 5 AND b = 1 OR c = 2``
-        would treat ``a > 5`` as required and silently drop rows that
-        match only the OR branch."""
+        Structure handled (r6): SQL precedence is honored by splitting
+        on top-level OR first (a file survives if ANY disjunct admits
+        it), then AND within each disjunct; ``BETWEEN a AND b`` with
+        numeric bounds rewrites to its two comparisons BEFORE the AND
+        split; ``col IN (…)`` prunes as a disjunction of equality
+        checks (numeric via min/max, strings via the Bloom filter).
+        NOT — and any parenthesis outside an IN list — still disables
+        pruning entirely: a free-form boolean tree needs a real parser,
+        and an unparsable predicate must stay conservative. Any
+        conjunct (or IN item) the pruner cannot parse simply never
+        prunes, preserving the superset guarantee."""
         m = self._manifest(version)
         if not where:
             return list(m["files"])
-        if re.search(r"(?i)\bOR\b|\bNOT\b|\bIN\b|\bBETWEEN\b|[()]", where):
+        stripped = _IN_LIST.sub("", where)
+        if re.search(r"(?i)\bNOT\b|[()]", stripped):
             return list(m["files"])
+        # BETWEEN rewrites before the AND split would misparse it
+        where2 = re.sub(
+            r"(?i)\b([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
+            r"\s+AND\s+(-?\d+(?:\.\d+)?)",
+            r"\1 >= \2 AND \1 <= \3",
+            where,
+        )
         stats = m.get("file_stats", {})
         blooms = m.get("file_blooms", {})
-        conjuncts: list[tuple] = []
-        for c in re.split(r"(?i)\bAND\b", where):
+
+        def parse_conjunct(c: str):
             num = _PRUNABLE.match(c)
             if num:
-                conjuncts.append(("num", num.group(1), num.group(2), float(num.group(3))))
-                continue
+                return ("num", num.group(1), num.group(2), float(num.group(3)))
             s = _PRUNABLE_STR.match(c)
             if s:
-                conjuncts.append(("str", s.group(1), "=", s.group(2)))
-            # else: unparsable conjunct — never prunes
+                return ("str", s.group(1), "=", s.group(2))
+            i = _IN_LIST.fullmatch(c.strip())
+            if i:
+                items = []
+                for raw in i.group(2).split(","):
+                    raw = raw.strip()
+                    sm = re.fullmatch(r"'([^']*)'", raw)
+                    if sm:
+                        items.append(("str", sm.group(1)))
+                        continue
+                    nm = re.fullmatch(r"-?\d+(?:\.\d+)?", raw)
+                    if nm:
+                        items.append(("num", float(raw)))
+                        continue
+                    return None  # unparsable item — conjunct never prunes
+                if items:
+                    return ("in", i.group(1), None, items)
+            return None
+
+        disjuncts = []
+        for d in re.split(r"(?i)\bOR\b", where2):
+            conjuncts = []
+            for c in re.split(r"(?i)\bAND\b", d):
+                parsed = parse_conjunct(c)
+                if parsed is not None:
+                    conjuncts.append(parsed)
+            disjuncts.append(conjuncts)
+
+        def conjunct_admits(fs: dict, fb: dict, kind, col, op, lit) -> bool:
+            if kind == "num":
+                return _file_might_match(fs, col, op, lit)
+            if kind == "str":
+                return col not in fb or _bloom_might_contain(fb[col], lit)
+            # IN: any item might match
+            for item_kind, v in lit:
+                if item_kind == "num":
+                    if _file_might_match(fs, col, "=", v):
+                        return True
+                else:
+                    if col not in fb or _bloom_might_contain(fb[col], v):
+                        return True
+            return False
+
         keep = []
         for f in m["files"]:
             fs = stats.get(f, {})
             fb = blooms.get(f, {})
-            ok = True
-            for kind, col, op, lit in conjuncts:
-                if kind == "num":
-                    if not _file_might_match(fs, col, op, lit):
-                        ok = False
-                        break
-                else:  # string equality via Bloom filter
-                    if col in fb and not _bloom_might_contain(fb[col], lit):
-                        ok = False
-                        break
-            if ok:
+            if any(
+                all(conjunct_admits(fs, fb, *c) for c in conj)
+                for conj in disjuncts
+            ):
                 keep.append(f)
         return keep
 

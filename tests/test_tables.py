@@ -922,3 +922,39 @@ def test_concurrent_appends_across_checkpoint_boundaries(spark, tmp_path, monkey
 
     assert os.path.exists(cold._ckpt_path(3))
     assert os.path.exists(cold._ckpt_path(9))
+
+
+def test_pruning_handles_in_between_and_or(spark, tmp_table_root):
+    """r6 pruner extension: IN lists, numeric BETWEEN, and top-level OR
+    prune files while staying a superset of the matching set."""
+    t = make(spark, tmp_table_root)
+    for i in range(6):
+        t.append(
+            spark.createDataFrame([(i, f"n{i}", float(i * 100))], SCHEMA)
+        )
+    total = len(t._manifest()["files"])
+
+    def check(where, expect_ids):
+        cand = t.candidate_files(where)
+        assert len(cand) < total, where
+        got = sorted(r["id"] for r in t.read(where=where).collect())
+        ref = sorted(
+            r["id"] for r in t.read().filter(where).collect()
+        )
+        assert got == ref == expect_ids, where
+
+    check("id IN (1, 3)", [1, 3])
+    check("name IN ('n2', 'n4')", [2, 4])
+    check("bal BETWEEN 150 AND 350", [2, 3])
+    check("bal < 100 OR bal > 450", [0, 5])
+    check("id IN (1, 2) AND bal > 150", [2])
+    # precedence: AND binds tighter than OR
+    check("id = 0 OR id = 5 AND bal > 450", [0, 5])
+    # NOT still disables pruning but stays correct
+    assert len(t.candidate_files("NOT (id = 1)")) == total
+    got = sorted(r["id"] for r in t.read(where="NOT (id = 1)").collect())
+    assert got == [0, 2, 3, 4, 5]
+    # NOT IN must not be misread as a prunable IN
+    assert len(t.candidate_files("id NOT IN (1, 2)")) == total
+    got = sorted(r["id"] for r in t.read(where="id NOT IN (1, 2)").collect())
+    assert got == [0, 3, 4, 5]
