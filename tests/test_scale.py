@@ -74,3 +74,47 @@ def test_bucketed_join_has_no_exchange(spark, warehouse_tables):
         assert "Exchange" not in plan, "bucketed join still shuffles"
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """Partition-layout pruning end to end: a hive-partitioned write
+    (sources.write_parquet partition_by) serves (a) static pruning — a
+    literal partition predicate lists only that directory — and (b)
+    DYNAMIC partition pruning, where the partition filter is a runtime
+    subquery fed by the broadcast dim side of a join. At 100 TB the
+    partitioned layout is what turns a full scan into reading one
+    day/type directory."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = str(tmp_path / "ev_by_type")
+    ev.write.partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    types = sorted(r[0] for r in ev.select("event_type").distinct().collect())
+    assert len(types) >= 3
+
+    # (a) static: the scan's PartitionFilters carry the literal and the
+    # file index lists only the matching directory
+    one = fact.where(F.col("event_type") == types[0]).groupBy().count()
+    n_one = one.collect()[0][0]
+    assert n_one == ev.where(F.col("event_type") == types[0]).count()
+    static_plan = one._jdf.queryExecution().executedPlan().toString()
+    # the literal lands in PartitionFilters (directory listing), not a
+    # post-scan DataFilter
+    pf_line = next(
+        ln for ln in static_plan.splitlines() if "PartitionFilters" in ln
+    )
+    assert f"= {types[0]}" in pf_line or f"= {types[0]})" in static_plan
+
+    # (b) dynamic: joining against a filtered (broadcastable) dim frame
+    # injects a dynamicpruning subquery into the scan's PartitionFilters
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(types)], "event_type string, w int"
+    )
+    j = (
+        fact.join(dim.where(F.col("w") < 1), "event_type")
+        .groupBy("event_type")
+        .count()
+    )
+    rows = j.collect()
+    assert [r["event_type"] for r in rows] == [types[0]]
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
