@@ -157,6 +157,7 @@ def transpile(sql: str) -> str:
                 "datepart",
                 "stuff",
                 "square",
+                "choose",
             ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
@@ -286,6 +287,18 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
             raise DialectError("STUFF takes (string, start, length, replace)")
         s, start, length, rep = args
         return f"overlay({s}, {rep}, {start}, {length})"
+    if name == "choose":
+        # CHOOSE(i, v1, …, vn): 1-based pick, NULL when i is NULL/0/
+        # out of range (T-SQL semantics). The lambda evaluates i ONCE;
+        # the in-range guard keeps ANSI element lookup from throwing.
+        if len(args) < 2:
+            raise DialectError("CHOOSE takes (index, v1, ...)")
+        n = len(args) - 1
+        vals = ", ".join(args[1:])
+        return (
+            f"transform(array(CAST(({args[0]}) AS INT)), ix -> "
+            f"if(ix >= 1 AND ix <= {n}, array({vals})[ix - 1], NULL))[0]"
+        )
     if name == "square":
         if len(args) != 1:
             raise DialectError("SQUARE takes one argument")

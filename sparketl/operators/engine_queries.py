@@ -1105,3 +1105,37 @@ ENGINE_ORACLES["tierc_tsql_funcs2"] = """
            repeat('*', CAST(day(o_orderdate) AS INT) % 5) AS stars
     FROM orders ORDER BY o_orderkey LIMIT 100
 """
+
+
+def q_tierc_tsql_funcs3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-6 T-SQL scalar additions via the shim (SURVEY §4.3):
+    IIF, CHOOSE (1-based, NULL out of range), LEFT/RIGHT, SPACE."""
+    return _run(
+        spark,
+        sf_dir,
+        """
+        SELECT TOP 100 [o_orderkey],
+               IIF([o_totalprice] > 150000, 'big', 'small') AS size_tag,
+               CHOOSE(DATEPART(qq, [o_orderdate]),
+                      'Q1', 'Q2', 'Q3', 'Q4') AS quarter_name,
+               LEFT([o_orderpriority], 1) AS pri_code,
+               RIGHT([o_orderpriority], 3) AS pri_tail,
+               CONCAT(LEFT([o_orderstatus], 1), SPACE(1),
+                      [o_orderpriority]) AS status_line
+        FROM orders ORDER BY [o_orderkey]
+        """,
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_funcs3"] = q_tierc_tsql_funcs3
+ENGINE_ORACLES["tierc_tsql_funcs3"] = """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 150000 THEN 'big' ELSE 'small' END
+             AS size_tag,
+           CASE quarter(o_orderdate) WHEN 1 THEN 'Q1' WHEN 2 THEN 'Q2'
+                WHEN 3 THEN 'Q3' WHEN 4 THEN 'Q4' END AS quarter_name,
+           LEFT(o_orderpriority, 1) AS pri_code,
+           RIGHT(o_orderpriority, 3) AS pri_tail,
+           LEFT(o_orderstatus, 1) || ' ' || o_orderpriority AS status_line
+    FROM orders ORDER BY o_orderkey LIMIT 100
+"""

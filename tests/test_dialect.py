@@ -231,3 +231,31 @@ def test_stuff_square_replicate_sysdatetime():
     assert transpile("SELECT SYSDATETIME()") == "SELECT current_timestamp()"
     with pytest.raises(DialectError):
         transpile("SELECT STUFF(s, 2, 3) FROM t")
+
+
+def test_choose_and_iif_rewrites():
+    assert (
+        transpile("SELECT IIF(a > 1, 'x', 'y') FROM t")
+        == "SELECT if(a > 1, 'x', 'y') FROM t"
+    )
+    out = transpile("SELECT CHOOSE(n, 'a', 'b', 'c') FROM t")
+    assert out == (
+        "SELECT transform(array(CAST((n) AS INT)), ix -> "
+        "if(ix >= 1 AND ix <= 3, array('a', 'b', 'c')[ix - 1], NULL))[0] FROM t"
+    )
+    with pytest.raises(DialectError):
+        transpile("SELECT CHOOSE(n) FROM t")
+
+
+def test_choose_runtime_semantics(spark):
+    """T-SQL CHOOSE: 1-based pick; NULL for 0, out-of-range, or NULL
+    index — including under ANSI mode (vanilla driver sessions)."""
+    from sparketl.engine import Engine
+
+    e = Engine(spark)
+    rows = e.execute(
+        "SELECT CHOOSE(i, 'a', 'b') AS c FROM "
+        "(SELECT 1 AS i UNION ALL SELECT 2 UNION ALL SELECT 0 "
+        "UNION ALL SELECT 9 UNION ALL SELECT CAST(NULL AS INT)) v"
+    ).collect()
+    assert sorted((r["c"] or "~") for r in rows) == ["a", "b", "~", "~", "~"]
