@@ -89,7 +89,15 @@ _FRONT = [
     "ext_02_dup_clusters",
     "ext_10_tfidf_topk",
     # ---- end of the round-6 driver window (50 entries above) ----
-    # queued for round 7
+    # queued for round 7: the six round-6 additions (never
+    # driver-checked — builder + judge-recipe verified only) first,
+    # then the two remaining round-2 entries
+    "ext_96_weighted_median",
+    "ext_97_spearman",
+    "ext_98_embedding_covariance",
+    "ext_99_pca_top_component",
+    "ext_100_ttl_dedup",
+    "tierc_tsql_funcs3",
     "ext_12_decontaminate",
     "ext_21_collocations",
 ]
