@@ -39,8 +39,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
-_DIGIT = 65536  # 16-bit digits -> 4 passes over a 64-bit key
-
 
 # DataType objects, not DDL strings: string types are parsed against an
 # active session, which does not exist at import time

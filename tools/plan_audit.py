@@ -55,6 +55,8 @@ BROADCAST_SCALAR_OK = {
     "ext_97_spearman",  # triangular self-join of the per-partition
     # counts frame (≤ shuffle-width rows) computes rank offsets without
     # a constant-partition window — bounded by partitions², not data
+    "ext_98_embedding_covariance",  # one-row dim-sized mean-array
+    # broadcast for the map-side centered products
 }
 
 # Queries allowed to keep a one-pass percentile() buffer because its
@@ -167,6 +169,8 @@ AUDITED = [
     "ext_96_weighted_median",
     "ext_97_spearman",
     "ext_98_embedding_covariance",
+    "ext_100_ttl_dedup",
+    "tierc_tsql_funcs3",
 ]
 
 
