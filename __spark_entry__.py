@@ -97,6 +97,7 @@ _FRONT = [
     "ext_98_embedding_covariance",
     "ext_99_pca_top_component",
     "ext_100_ttl_dedup",
+    "ext_101_stream_ttl_dedup",
     "tierc_tsql_funcs3",
     "ext_12_decontaminate",
     "ext_21_collocations",

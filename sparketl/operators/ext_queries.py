@@ -2628,3 +2628,30 @@ EXT_ORACLES["ext_100_ttl_dedup"] = """
                          THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
     FROM g GROUP BY event_type ORDER BY event_type
 """
+
+from sparketl.streaming.stateful import run_streaming_ttl_dedup  # noqa: E402
+
+
+def q_ext_101_stream_ttl_dedup(spark, sf_dir: str):
+    """Stateful streaming TTL dedup (applyInPandasWithState, event-time
+    state eviction) driven over the staged finite fixture — the kept
+    set is deterministic and equals the batch lag predicate, so this
+    STREAMING query has a full SQL oracle (the ext_61 pattern)."""
+    return run_streaming_ttl_dedup(spark, sf_dir)
+
+
+EXT_QUERIES["ext_101_stream_ttl_dedup"] = q_ext_101_stream_ttl_dedup
+EXT_ORACLES["ext_101_stream_ttl_dedup"] = """
+    WITH g AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             epoch_us(CAST(ts AS TIMESTAMP))
+               - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                 ) AS gap_us
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, us AS ts_us
+    FROM g WHERE gap_us IS NULL OR gap_us > 600000000
+"""

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -210,6 +211,106 @@ def run_streaming_sessionize(
         return spark.sql(f"SELECT * FROM {name}").withColumn(
             "total_value", (F.col("total_value_cents") / 100.0)
         ).drop("total_value_cents")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
+TTL_KEPT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("ts_us", LongType()),
+    ]
+)
+
+# state: the key's last-seen event time (kept or not — the batch lag
+# compares against ANY previous occurrence)
+TTL_STATE_SCHEMA = StructType([StructField("last_us", LongType())])
+
+
+def _ttl_dedup_fn(ttl_us: int):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        user_id, etype = key
+        if state.hasTimedOut:
+            # the watermark passed last + ttl: every future event is
+            # necessarily > ttl away, so dropping the state cannot
+            # change any later keep/drop decision
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        rows: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(zip(ts_us, pdf["event_id"].tolist()))
+        rows.sort()  # (ts, event_id): the batch twin's lag ordering
+        kept: list[tuple[int, str, int, int]] = []
+        for ts, eid in rows:
+            if last is None or ts - last > ttl_us:
+                kept.append((user_id, etype, int(eid), ts))
+            last = ts
+        if last is not None:
+            state.update((last,))
+            wm_ms = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last + ttl_us) // 1000, wm_ms + 1))
+        if kept:
+            yield pd.DataFrame(
+                kept, columns=["user_id", "event_type", "event_id", "ts_us"]
+            )
+
+    return fn
+
+
+def streaming_ttl_dedup(
+    events: DataFrame, ttl_us: int = 600_000_000, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful streaming twin of ``events_ops.ttl_dedup_report``
+    (ext_100): emit an occurrence only when the same (user, type) key
+    has NOT fired within ``ttl_us``. State is ONE timestamp per active
+    key and is evicted by event-time timeout once the watermark passes
+    ``last + ttl`` — at that point eviction is semantics-free (any
+    later event clears the TTL by construction), which is exactly why
+    TTL dedup, unlike unbounded dropDuplicates, has bounded state on
+    an unbounded key space. The batch form replayed over history
+    produces the same kept set (pytest drives both)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id", "event_type")
+        .applyInPandasWithState(
+            _ttl_dedup_fn(ttl_us),
+            outputStructType=TTL_KEPT_SCHEMA,
+            stateStructType=TTL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_streaming_ttl_dedup(
+    spark: SparkSession, sf_dir: str, ttl_us: int = 600_000_000, n_chunks: int = 4
+) -> DataFrame:
+    """Drive the streaming TTL dedup over the staged finite fixture."""
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        kept = streaming_ttl_dedup(read_staged_stream(spark, stage), ttl_us)
+        name = f"ttl_{uuid.uuid4().hex[:8]}"
+        q = (
+            kept.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(
+            f"SELECT user_id, event_type, event_id, ts_us FROM {name}"
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
 

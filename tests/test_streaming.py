@@ -543,3 +543,35 @@ def test_stream_quality_monitor_metrics_match_batch(spark, tmp_path):
     for r in rows:
         assert 0 < r["n_users"] <= r["n_events"]
         assert 0 <= r["n_null_props"] <= r["n_events"]
+
+
+def test_streaming_ttl_dedup_equals_batch_replay(spark):
+    """The stateful streaming TTL dedup must keep exactly the rows the
+    batch form (ext_100's lag predicate) keeps — cross-batch state
+    included (4 staged chunks split user streams mid-TTL)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.streaming.stateful import run_streaming_ttl_dedup
+    from tests.conftest import SF_SMOKE
+
+    ttl = 600_000_000
+    got = {
+        r["event_id"]
+        for r in run_streaming_ttl_dedup(spark, SF_SMOKE, ttl_us=ttl).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    batch = ev.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    expect = {
+        r["event_id"]
+        for r in batch.filter(
+            F.col("gap").isNull() | (F.col("gap") > ttl)
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+    # and it really deduplicates something
+    assert len(got) < ev.count()
