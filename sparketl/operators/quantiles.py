@@ -226,7 +226,16 @@ def exact_group_quantiles(
             *g,
             "_n",
             "_i",
-            F.when(F.col("_lo") == F.col("_hi"), F.col("_vlo"))
+            # the _vlo == _vhi branch mirrors Spark's
+            # Percentile.getPercentile lowerKey == higherKey
+            # short-circuit: NUMERIC equality, so interpolating
+            # (-0.0, +0.0) returns -0.0 exactly as percentile() does
+            # (plain interpolation would produce +0.0)
+            F.when(
+                (F.col("_lo") == F.col("_hi"))
+                | (F.col("_vlo") == F.col("_vhi")),
+                F.col("_vlo"),
+            )
             .otherwise(
                 (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
                 + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")

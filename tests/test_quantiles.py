@@ -193,3 +193,38 @@ def test_weighted_quantiles_ungrouped(spark):
     out = exact_group_weighted_quantiles(df, [], "v", "w", [(1, 2)])
     assert out.columns == ["total_weight", "qs"]
     assert list(out.collect()[0]["qs"]) == [50.0]
+
+
+def test_adversarial_float_shapes_property(spark):
+    """Property check on hostile IEEE shapes: subnormals, ±0.0,
+    extreme exponents, dense ties — the radix keys must order exactly
+    like Spark's percentile() and reproduce its doubles bit for bit."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    values = st.one_of(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.sampled_from(
+            [0.0, -0.0, 5e-324, -5e-324, 1.7976931348623157e308, -1.0, 1.0]
+        ),
+        st.integers(min_value=-5, max_value=5).map(float),
+    )
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(values, min_size=1, max_size=40))
+    def check(xs):
+        df = spark.createDataFrame([("g", float(v)) for v in xs], "g string, v double")
+        pcts = [0.0, 0.37, 0.5, 0.93, 1.0]
+        arr = ", ".join(f"{p}D" for p in pcts)
+        ref = (
+            df.groupBy("g")
+            .agg(F.expr(f"percentile(v, array({arr}))").alias("q"))
+            .collect()[0]["q"]
+        )
+        got = _radix(df, ["g"], "v", pcts).collect()[0]["qs"]
+        for a, b in zip(ref, got):
+            # repr-level equality, matching the driver hash; +0.0/-0.0
+            # must round-trip distinctly
+            assert repr(a) == repr(b), (xs, list(ref), list(got))
+
+    check()
