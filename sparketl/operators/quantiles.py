@@ -27,15 +27,30 @@ key:
 Scale shape: 4 scans of a two-column projection (vs 1 scan + an
 unbounded buffer for ``percentile()``); every shuffle carries counts,
 not values; per-task state is bounded by the 2^16 digit alphabet times
-the (tiny) number of outstanding targets. The reference has no
-quantile operator at all (SQL_DATA_INTEGRATION_TOOL.py:273 delegates
-to SQL Server); this is the [EXT] scale path for the exact-percentile
-family (ext_44/85/86/95).
+the (tiny) number of outstanding targets.
+:func:`exact_multi_group_quantiles` fuses INDEPENDENT value columns
+into one selection — the per-column keys ride a single scan via
+``posexplode`` and share the same four histogram jobs, keyed by a
+phase column — so e.g. three quintile-threshold columns cost 4 passes
+total, not 12.
+
+Memory note (long-lived sessions): each call pins a handful of lazy
+``localCheckpoint`` RDDs (tiny target frames; plus the full
+(group, key) projection under ``checkpoint_base=True``). They are
+released when the result DataFrame's lineage is garbage-collected, not
+eagerly — callers issuing MANY selections inside one long-lived session
+should drop result references promptly (or call
+``spark.sparkContext._jsc.sc().cleaner()`` hygiene via normal GC) and
+reserve ``checkpoint_base`` for genuinely expensive lineages.
+
+The reference has no quantile operator at all
+(SQL_DATA_INTEGRATION_TOOL.py:273 delegates to SQL Server); this is the
+[EXT] scale path for the exact-percentile family (ext_44/49/85/86/95).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType
 
@@ -66,49 +81,31 @@ def _double_from_key(k):
     return pd.Series(b.view(np.float64))
 
 
-def exact_group_quantiles(
-    df: DataFrame,
-    group_cols: list[str],
-    value_col: str,
-    pcts: list[float],
-    *,
-    value_kind: str = "double",
-    checkpoint_base: bool = False,
-) -> DataFrame:
-    """Per-group exact quantiles of ``value_col`` at ``pcts``.
-
-    Returns one row per group: ``group_cols…, n_values bigint (non-null
-    count), qs array<double>`` in the order of ``pcts`` — bit-for-bit
-    equal to ``percentile(value_col, array(pcts…))``.
-
-    ``value_kind`` is ``'double'`` or ``'bigint'`` (the key transform
-    differs). ``checkpoint_base=True`` materializes the (group, key)
-    projection once via a lazy localCheckpoint — use when the input is
-    itself expensive (e.g. a window/lag derivation) so the four digit
-    passes don't recompute it.
-    """
-    if value_kind not in ("double", "bigint"):
-        raise ValueError(f"unsupported value_kind {value_kind!r}")
-    g = list(group_cols)
-    work = df
-    if not g:
-        # constant partition key: the histogram windows stay explicitly
-        # partitioned (bounded 65 536 rows) instead of tripping the
-        # unpartitioned-window warning
-        work = df.withColumn("_g", F.lit(0))
-        g = ["_g"]
-
-    base = work.select(*g, F.col(value_col).alias("_v")).where(
-        F.col("_v").isNotNull()
-    )
+def _key_expr(col: Column, value_kind: str) -> Column:
+    """Order-preserving bigint key for ``col`` (null -> null)."""
     if value_kind == "double":
-        base = base.select(*g, _double_sort_key("_v").alias("_k"))
-    else:
-        # sign-bit flip: unsigned order of the key == signed order of _v
-        base = base.select(*g, F.expr("_v ^ shiftleft(1L, 63)").alias("_k"))
-    if checkpoint_base:
-        base = base.localCheckpoint(eager=False)
+        # the pandas UDF sees nulls as NaN, so mask them back to null
+        # AFTER key conversion (when() keeps the Arrow batch vectorized)
+        return F.when(col.isNotNull(), _double_sort_key(col))
+    return F.when(
+        col.isNotNull(), col.cast("long").bitwiseXOR(F.expr("shiftleft(1L, 63)"))
+    )
 
+
+def _radix_quantiles(
+    base: DataFrame,
+    g: list[str],
+    pct_col: Column,
+    n_q: int,
+    decode,
+) -> DataFrame:
+    """Shared MSD radix selection over a keyed base ``(*g, _k)``.
+
+    ``pct_col`` is a Column evaluating (per group row) to the
+    array<double> of requested percentiles; ``n_q`` its max length;
+    ``decode`` maps the resolved key frame ``(*g, _rank, _p)`` to
+    ``(*g, _rank, _val double)``. Returns ``*g, n_values, qs``.
+    """
     # ---- pass 1: histogram over the top 16 bits (shared by all targets)
     h0 = base.groupBy(*g, F.expr("shiftrightunsigned(_k, 48)").alias("_f")).agg(
         F.count(F.lit(1)).alias("_c")
@@ -126,7 +123,6 @@ def exact_group_quantiles(
     # ---- targets: the distinct order statistics the pcts need.
     # pos = p * (n-1) in double arithmetic — exactly Spark's Percentile.
     per_n = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
-    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
     # Every frame below the histogram is TINY (≤ groups × targets
     # rows) but sits on a lineage that re-scans the base; each is
     # referenced 2-3 times downstream, so without truncation the DAG
@@ -134,7 +130,7 @@ def exact_group_quantiles(
     # localCheckpoint of each tiny frame pins the pass structure to
     # exactly one base scan per digit pass.
     tq = (
-        per_n.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pct"))
+        per_n.select(*g, "_n", F.posexplode(pct_col).alias("_i", "_pct"))
         .select(
             *g,
             "_n",
@@ -207,14 +203,7 @@ def exact_group_quantiles(
         )
 
     # _p now IS the full 64-bit key of the order statistic
-    if value_kind == "double":
-        vals = t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
-    else:
-        vals = t.select(
-            *g,
-            "_rank",
-            F.expr("_p ^ shiftleft(1L, 63)").cast("double").alias("_val"),
-        )
+    vals = decode(t, g)
 
     # ---- interpolation, exactly as Spark's Percentile.getPercentile
     vlo = vals.select(*g, F.col("_rank").alias("_lo"), F.col("_val").alias("_vlo"))
@@ -247,53 +236,176 @@ def exact_group_quantiles(
     # per requested percentile — a plain HashAggregate (collect_list
     # would reintroduce an ObjectHashAggregate, the node this module
     # exists to avoid)
-    out = q.groupBy(*g).agg(
+    return q.groupBy(*g).agg(
         F.max("_n").alias("n_values"),
         F.array(
             *[
                 F.max(F.when(F.col("_i") == i, F.col("_q")))
-                for i in range(len(pcts))
+                for i in range(n_q)
             ]
         ).alias("qs"),
     )
-    if not group_cols:
-        out = out.drop("_g")
-    return out
 
 
-def exact_group_weighted_quantiles(
+def _decode_for_kind(value_kind: str):
+    def decode(t: DataFrame, g: list[str]) -> DataFrame:
+        if value_kind == "double":
+            return t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
+        return t.select(
+            *g,
+            "_rank",
+            F.expr("_p ^ shiftleft(1L, 63)").cast("double").alias("_val"),
+        )
+
+    return decode
+
+
+def exact_group_quantiles(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
-    weight_col: str,
-    pcts: list[tuple[int, int]],
+    pcts: list[float],
     *,
     value_kind: str = "double",
     checkpoint_base: bool = False,
 ) -> DataFrame:
-    """Per-group exact LOWER weighted quantiles: for each rational
-    percentage ``(num, den)`` the smallest value whose cumulative
-    weight reaches ``ceil(num*W/den)`` (W = total weight). Thresholds
-    are pure bigint arithmetic (``(num*W + den - 1) div den``), so the
-    result is engine-exact with no interpolation — a DuckDB
-    cumulative-window oracle reproduces it bit for bit.
+    """Per-group exact quantiles of ``value_col`` at ``pcts``.
 
-    Same MSD radix machinery as :func:`exact_group_quantiles`, with
-    weight-sum histograms instead of counts — still map-combinable,
-    still ≤ 2^16 aggregation cells per task, still four passes.
-    Rows with null values or non-positive weights are dropped (they
-    cannot carry quantile mass).
+    Returns one row per group: ``group_cols…, n_values bigint (non-null
+    count), qs array<double>`` in the order of ``pcts`` — bit-for-bit
+    equal to ``percentile(value_col, array(pcts…))``.
 
-    Returns ``group_cols…, total_weight bigint, qs array`` (element
-    type matches ``value_kind``), in ``pcts`` order.
+    ``value_kind`` is ``'double'`` or ``'bigint'`` (the key transform
+    differs). ``checkpoint_base=True`` materializes the (group, key)
+    projection once via a lazy localCheckpoint — use when the input is
+    itself expensive (e.g. a window/lag derivation) so the four digit
+    passes don't recompute it.
     """
     if value_kind not in ("double", "bigint"):
         raise ValueError(f"unsupported value_kind {value_kind!r}")
     g = list(group_cols)
     work = df
     if not g:
+        # constant partition key: the histogram windows stay explicitly
+        # partitioned (bounded 65 536 rows) instead of tripping the
+        # unpartitioned-window warning
         work = df.withColumn("_g", F.lit(0))
         g = ["_g"]
+
+    base = work.select(*g, F.col(value_col).alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+    if value_kind == "double":
+        base = base.select(*g, _double_sort_key("_v").alias("_k"))
+    else:
+        # sign-bit flip: unsigned order of the key == signed order of _v
+        base = base.select(*g, F.expr("_v ^ shiftleft(1L, 63)").alias("_k"))
+    if checkpoint_base:
+        base = base.localCheckpoint(eager=False)
+
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    out = _radix_quantiles(
+        base, g, pct_arr, len(pcts), _decode_for_kind(value_kind)
+    )
+    if not group_cols:
+        out = out.drop("_g")
+    return out
+
+
+def exact_multi_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    specs: list[tuple[str, str, list[float]]],
+    *,
+    checkpoint_base: bool = False,
+) -> DataFrame:
+    """Exact quantiles for SEVERAL independent value columns in ONE
+    radix selection.
+
+    ``specs`` is a list of ``(value_col, value_kind, pcts)``. The
+    per-column sort keys ride a single scan of ``df`` (``posexplode``
+    over the key array) and all columns share the same four digit
+    passes, keyed by a phase column — so k columns cost 4 histogram
+    jobs total instead of 4k. Use this when several unrelated columns
+    need thresholds over the same input (e.g. RFM's three quintile
+    columns).
+
+    Returns one row per group per spec: ``group_cols…, _ph int (index
+    into specs), n_values (per-column non-null count), qs
+    array<double>`` — each ``(group, _ph=i)`` row bit-for-bit equal to
+    ``percentile(specs[i].value_col, specs[i].pcts)``. ``qs`` has
+    length ``max(len(pcts))``; trailing elements are null for specs
+    with fewer percentiles.
+    """
+    if not specs:
+        raise ValueError("specs must be non-empty")
+    for _, kind, _ in specs:
+        if kind not in ("double", "bigint"):
+            raise ValueError(f"unsupported value_kind {kind!r}")
+    g = list(group_cols)
+    work = df
+    if not g:
+        work = df.withColumn("_g", F.lit(0))
+        g = ["_g"]
+
+    keys = [_key_expr(F.col(col), kind) for col, kind, _ in specs]
+    base = (
+        work.select(*g, F.posexplode(F.array(*keys)).alias("_ph", "_k"))
+        .where(F.col("_k").isNotNull())
+    )
+    if checkpoint_base:
+        base = base.localCheckpoint(eager=False)
+
+    g2 = [*g, "_ph"]
+    # static per-phase percentile arrays via a when-chain on _ph
+    n_q = max(len(p) for _, _, p in specs)
+    pct_col = F.array(*[F.lit(float(p)) for p in specs[-1][2]])
+    for i in range(len(specs) - 2, -1, -1):
+        pct_col = F.when(
+            F.col("_ph") == i,
+            F.array(*[F.lit(float(p)) for p in specs[i][2]]),
+        ).otherwise(pct_col)
+
+    dbl_phases = [i for i, (_, kind, _) in enumerate(specs) if kind == "double"]
+
+    def decode(t: DataFrame, gg: list[str]) -> DataFrame:
+        big = F.expr("_p ^ shiftleft(1L, 63)").cast("double")
+        if not dbl_phases:
+            val = big
+        elif len(dbl_phases) == len(specs):
+            val = _double_from_key("_p")
+        else:
+            val = F.when(
+                F.col("_ph").isin(dbl_phases), _double_from_key("_p")
+            ).otherwise(big)
+        return t.select(*gg, "_rank", val.alias("_val"))
+
+    out = _radix_quantiles(base, g2, pct_col, n_q, decode)
+    if not group_cols:
+        out = out.drop("_g")
+    return out
+
+
+def _weighted_base(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    value_kind: str,
+    checkpoint_base: bool,
+) -> tuple[DataFrame, list[str], bool]:
+    """Keyed ``(*g, _k, _w)`` projection for the weighted paths. Rows
+    with null values or non-positive weights are dropped (they cannot
+    carry quantile mass)."""
+    if value_kind not in ("double", "bigint"):
+        raise ValueError(f"unsupported value_kind {value_kind!r}")
+    g = list(group_cols)
+    work = df
+    synthetic = False
+    if not g:
+        work = df.withColumn("_g", F.lit(0))
+        g = ["_g"]
+        synthetic = True
     base = work.select(
         *g,
         F.col(value_col).alias("_v"),
@@ -307,13 +419,18 @@ def exact_group_weighted_quantiles(
         )
     if checkpoint_base:
         base = base.localCheckpoint(eager=False)
+    return base, g, synthetic
 
+
+def _weighted_cum0(base: DataFrame, g: list[str]) -> DataFrame:
+    """Pass-1 weight histogram over the top 16 bits with per-group
+    cumulative-before and total weight."""
     h0 = base.groupBy(*g, F.expr("shiftrightunsigned(_k, 48)").alias("_f")).agg(
         F.sum("_w").alias("_c")
     )
     wg = Window.partitionBy(*g)
     wo = wg.orderBy("_f")
-    cum0 = h0.select(
+    return h0.select(
         *g,
         "_f",
         "_c",
@@ -321,26 +438,15 @@ def exact_group_weighted_quantiles(
         F.sum("_c").over(wg).alias("_n"),
     )
 
-    per_w = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
-    pct_arr = F.array(
-        *[
-            F.struct(F.lit(int(num)).alias("num"), F.lit(int(den)).alias("den"))
-            for num, den in pcts
-        ]
-    )
-    tq = (
-        per_w.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pd"))
-        .select(
-            *g,
-            "_n",
-            "_i",
-            F.expr("(_pd.num * _n + _pd.den - 1) div _pd.den").alias("_kth"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    ranks = tq.select(*g, F.col("_kth").alias("_rank")).distinct()
 
-    # pass 1: the bucket where the cumulative weight first reaches _rank
+def _weighted_descend(
+    base: DataFrame, g: list[str], ranks: DataFrame, cum0: DataFrame
+) -> DataFrame:
+    """Resolve, per group, the smallest key whose cumulative weight
+    reaches each ``_rank`` threshold. Returns ``*g, _rank, _p`` (the
+    full 64-bit key). Same 4-pass MSD descent as the unweighted path,
+    with weight-sum histograms — still map-combinable, still ≤ 2^16
+    aggregation cells per task."""
     t = (
         ranks.join(cum0.select(*g, "_f", "_c", "_cb"), g)
         .where(
@@ -386,7 +492,60 @@ def exact_group_weighted_quantiles(
             )
             .localCheckpoint(eager=False)
         )
+    return t
 
+
+def exact_group_weighted_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    pcts: list[tuple[int, int]],
+    *,
+    value_kind: str = "double",
+    checkpoint_base: bool = False,
+) -> DataFrame:
+    """Per-group exact LOWER weighted quantiles: for each rational
+    percentage ``(num, den)`` the smallest value whose cumulative
+    weight reaches ``ceil(num*W/den)`` (W = total weight). Thresholds
+    are pure bigint arithmetic (``(num*W + den - 1) div den``), so the
+    result is engine-exact with no interpolation — a DuckDB
+    cumulative-window oracle reproduces it bit for bit.
+
+    Same MSD radix machinery as :func:`exact_group_quantiles`, with
+    weight-sum histograms instead of counts — still map-combinable,
+    still ≤ 2^16 aggregation cells per task, still four passes.
+    Rows with null values or non-positive weights are dropped (they
+    cannot carry quantile mass).
+
+    Returns ``group_cols…, total_weight bigint, qs array`` (element
+    type matches ``value_kind``), in ``pcts`` order.
+    """
+    base, g, synthetic = _weighted_base(
+        df, group_cols, value_col, weight_col, value_kind, checkpoint_base
+    )
+    cum0 = _weighted_cum0(base, g)
+
+    per_w = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
+    pct_arr = F.array(
+        *[
+            F.struct(F.lit(int(num)).alias("num"), F.lit(int(den)).alias("den"))
+            for num, den in pcts
+        ]
+    )
+    tq = (
+        per_w.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pd"))
+        .select(
+            *g,
+            "_n",
+            "_i",
+            F.expr("(_pd.num * _n + _pd.den - 1) div _pd.den").alias("_kth"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ranks = tq.select(*g, F.col("_kth").alias("_rank")).distinct()
+
+    t = _weighted_descend(base, g, ranks, cum0)
     if value_kind == "double":
         vals = t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
     else:
@@ -406,6 +565,122 @@ def exact_group_weighted_quantiles(
             ]
         ).alias("qs"),
     )
-    if not group_cols:
+    if synthetic:
+        out = out.drop("_g")
+    return out
+
+
+def exact_group_weighted_quantiles_interp(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col: str,
+    pcts: list[float],
+    *,
+    value_kind: str = "double",
+    checkpoint_base: bool = False,
+) -> DataFrame:
+    """Per-group exact INTERPOLATED weighted quantiles — the
+    continuous ``quantile_cont`` semantics over the multiset where
+    each value repeats ``weight`` times, computed WITHOUT expanding:
+    ``pos = p*(W-1)`` (W = total weight), the bracketing expanded-rank
+    values come from two cumulative-weight thresholds ``floor(pos)+1``
+    and ``ceil(pos)+1`` resolved by the same 4-pass MSD radix descent
+    as the lower-quantile path, and interpolation uses the exact
+    arithmetic Spark's Percentile / DuckDB's ``quantile_cont`` use
+    (``(hi-pos)*v_lo + (pos-lo)*v_hi``) — so the result is bit-for-bit
+    what ``percentile()`` / ``quantile_cont`` would return on the
+    weight-expanded table, at any scale, with bounded per-task state.
+
+    With all weights 1 this reduces exactly to
+    :func:`exact_group_quantiles`. Rows with null values or
+    non-positive weights are dropped.
+
+    Returns ``group_cols…, total_weight bigint, qs array<double>`` in
+    ``pcts`` order.
+    """
+    base, g, synthetic = _weighted_base(
+        df, group_cols, value_col, weight_col, value_kind, checkpoint_base
+    )
+    cum0 = _weighted_cum0(base, g)
+
+    per_w = cum0.groupBy(*g).agg(F.max("_n").alias("_n"))
+    pct_arr = F.array(*[F.lit(float(p)) for p in pcts])
+    # pos over the EXPANDED multiset: p * (W - 1), double arithmetic —
+    # exactly what percentile() would compute with n = W rows
+    tq = (
+        per_w.select(*g, "_n", F.posexplode(pct_arr).alias("_i", "_pct"))
+        .select(
+            *g,
+            "_n",
+            "_i",
+            (F.col("_pct") * (F.col("_n") - F.lit(1)).cast("double")).alias(
+                "_pos"
+            ),
+        )
+        .select(
+            *g,
+            "_n",
+            "_i",
+            "_pos",
+            F.floor("_pos").cast("long").alias("_lo"),
+            F.ceil("_pos").cast("long").alias("_hi"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # expanded 0-based rank r = cumulative-weight threshold r+1
+    ranks = (
+        tq.select(*g, F.explode(F.array("_lo", "_hi")).alias("_rk"))
+        .select(*g, (F.col("_rk") + F.lit(1)).alias("_rank"))
+        .distinct()
+    )
+
+    t = _weighted_descend(base, g, ranks, cum0)
+    if value_kind == "double":
+        vals = t.select(*g, "_rank", _double_from_key("_p").alias("_val"))
+    else:
+        vals = t.select(
+            *g,
+            "_rank",
+            F.expr("_p ^ shiftleft(1L, 63)").cast("double").alias("_val"),
+        )
+
+    vlo = vals.select(
+        *g, (F.col("_rank") - 1).alias("_lo"), F.col("_val").alias("_vlo")
+    )
+    vhi = vals.select(
+        *g, (F.col("_rank") - 1).alias("_hi"), F.col("_val").alias("_vhi")
+    )
+    q = (
+        tq.join(vlo, [*g, "_lo"])
+        .join(vhi, [*g, "_hi"])
+        .select(
+            *g,
+            "_n",
+            "_i",
+            # numeric-equality short-circuit, matching Percentile /
+            # quantile_cont (preserves -0.0 across (-0.0, +0.0) pairs)
+            F.when(
+                (F.col("_lo") == F.col("_hi"))
+                | (F.col("_vlo") == F.col("_vhi")),
+                F.col("_vlo"),
+            )
+            .otherwise(
+                (F.col("_hi").cast("double") - F.col("_pos")) * F.col("_vlo")
+                + (F.col("_pos") - F.col("_lo").cast("double")) * F.col("_vhi")
+            )
+            .alias("_q"),
+        )
+    )
+    out = q.groupBy(*g).agg(
+        F.max("_n").alias("total_weight"),
+        F.array(
+            *[
+                F.max(F.when(F.col("_i") == i, F.col("_q")))
+                for i in range(len(pcts))
+            ]
+        ).alias("qs"),
+    )
+    if synthetic:
         out = out.drop("_g")
     return out

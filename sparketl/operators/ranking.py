@@ -35,7 +35,8 @@ def with_global_rank(
     rank_col: str = "_rank",
     partitions: int | None = None,
 ) -> DataFrame:
-    """Add an exact 1-based dense total-order rank over ``order_cols``.
+    """Add an exact 1-based row_number-style permutation rank over
+    ``order_cols``.
 
     The combined ``order_cols`` key must be unique (append a tiebreak
     column if needed) — ranks are then a deterministic permutation,

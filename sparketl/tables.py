@@ -518,7 +518,12 @@ class ManagedTable:
                         "file_blooms": file_blooms,
                     }
                 )
-            except OSError:
+            except Exception:
+                # best-effort by design, and the version is ALREADY
+                # durably published via os.link above — any error here
+                # (OSError, pyarrow ArrowException, encoding) must not
+                # surface as a failed commit, or the caller would retry
+                # an append that landed and duplicate data
                 pass
         return new_v
 

@@ -228,3 +228,144 @@ def test_adversarial_float_shapes_property(spark):
             assert repr(a) == repr(b), (xs, list(ref), list(got))
 
     check()
+
+
+def test_multi_group_quantiles_matches_singles(spark):
+    """Phase-fused selection: k columns in ONE 4-pass run must equal k
+    independent exact_group_quantiles calls (and thus percentile()),
+    across mixed value kinds, per-column nulls, and uneven pct lists."""
+    import random
+
+    from sparketl.operators.quantiles import exact_multi_group_quantiles
+
+    random.seed(23)
+    rows = []
+    for grp, n in (("a", 7), ("b", 900)):
+        for i in range(n):
+            rows.append(
+                (
+                    grp,
+                    round(random.uniform(-1e5, 1e5), 3),
+                    random.randint(-(10**9), 10**9),
+                    None if i % 11 == 0 else random.uniform(-1.0, 1.0),
+                )
+            )
+    df = spark.createDataFrame(rows, "g string, x double, y long, z double")
+    specs = [
+        ("x", "double", [0.2, 0.4, 0.6, 0.8]),
+        ("y", "bigint", [0.5, 0.99]),
+        ("z", "double", [0.1, 0.5, 0.9]),
+    ]
+    fused = {
+        (r["g"], r["_ph"]): (r["n_values"], list(r["qs"]))
+        for r in exact_multi_group_quantiles(df, ["g"], specs).collect()
+    }
+    n_q = max(len(p) for _, _, p in specs)
+    for ph, (col, kind, pcts) in enumerate(specs):
+        single = _radix(df, ["g"], col, pcts, value_kind=kind).collect()
+        for r in single:
+            n, qs = fused[(r["g"], ph)]
+            assert n == r["n_values"], (ph, r["g"])
+            assert qs[: len(pcts)] == list(r["qs"]), (ph, r["g"])
+            assert all(q is None for q in qs[len(pcts) :]), (ph, r["g"])
+    assert len(fused) == 2 * len(specs)
+
+
+def test_multi_group_quantiles_ungrouped(spark):
+    from sparketl.operators.quantiles import exact_multi_group_quantiles
+
+    df = spark.createDataFrame(
+        [(float(i), i * 10) for i in range(101)], "x double, y long"
+    )
+    out = exact_multi_group_quantiles(
+        df, [], [("x", "double", [0.5]), ("y", "bigint", [0.5])]
+    )
+    assert out.columns == ["_ph", "n_values", "qs"]
+    got = {r["_ph"]: list(r["qs"]) for r in out.collect()}
+    assert got == {0: [50.0], 1: [500.0]}
+
+
+def test_multi_no_object_hash_aggregate(spark):
+    from sparketl.operators.quantiles import exact_multi_group_quantiles
+
+    df = spark.createDataFrame(
+        [("g", float(i % 97), i % 13) for i in range(4000)],
+        "g string, x double, y long",
+    )
+    out = exact_multi_group_quantiles(
+        df, ["g"], [("x", "double", [0.5]), ("y", "bigint", [0.9])]
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "percentile" not in plan.lower()
+    assert "ObjectHashAggregate" not in plan
+
+
+def test_weighted_interp_matches_percentile_on_expanded(spark):
+    """quantile_cont semantics over the weight-expanded multiset,
+    WITHOUT expanding: must equal percentile() run on the literally
+    expanded table, bit for bit (same interpolation arithmetic)."""
+    import random
+
+    from sparketl.operators.quantiles import (
+        exact_group_weighted_quantiles_interp,
+    )
+
+    random.seed(31)
+    rows = []
+    for grp, n in (("one", 1), ("b", 400)):
+        for _ in range(n):
+            rows.append(
+                (grp, round(random.uniform(-100.0, 100.0), 4), random.randint(1, 9))
+            )
+    df = spark.createDataFrame(rows, "g string, v double, w int")
+    pcts = [0.0, 0.25, 0.5, 0.777, 1.0]
+    arr = ", ".join(f"{p}D" for p in pcts)
+    expanded = df.select(
+        "g", F.explode(F.expr("array_repeat(v, w)")).alias("v")
+    )
+    ref = {
+        r["g"]: list(r["q"])
+        for r in expanded.groupBy("g")
+        .agg(F.expr(f"percentile(v, array({arr}))").alias("q"))
+        .collect()
+    }
+    got = exact_group_weighted_quantiles_interp(
+        df, ["g"], "v", "w", pcts
+    ).collect()
+    for r in got:
+        assert [repr(a) for a in r["qs"]] == [repr(b) for b in ref[r["g"]]], r["g"]
+
+
+def test_weighted_interp_unit_weights_reduce_to_unweighted(spark):
+    from sparketl.operators.quantiles import (
+        exact_group_weighted_quantiles_interp,
+    )
+
+    df = spark.createDataFrame(
+        [("g", float(i), 1) for i in range(10)], "g string, v double, w int"
+    )
+    pcts = [0.15, 0.5, 0.85]
+    got = exact_group_weighted_quantiles_interp(
+        df, ["g"], "v", "w", pcts
+    ).collect()[0]
+    ref = _radix(df, ["g"], "v", pcts).collect()[0]
+    assert list(got["qs"]) == list(ref["qs"])
+    assert got["total_weight"] == 10
+
+
+def test_weighted_interp_drops_nulls_and_nonpositive_weights(spark):
+    from sparketl.operators.quantiles import (
+        exact_group_weighted_quantiles_interp,
+    )
+
+    df = spark.createDataFrame(
+        [("g", 1.0, 3), ("g", None, 5), ("g", 2.0, 0), ("g", 3.0, 1)],
+        "g string, v double, w int",
+    )
+    row = exact_group_weighted_quantiles_interp(
+        df, ["g"], "v", "w", [0.5]
+    ).collect()[0]
+    # expanded multiset = [1,1,1,3]; pos = 0.5*3 = 1.5 -> (1+1)/2 = 1.0
+    assert row["total_weight"] == 4
+    assert list(row["qs"]) == [1.0]
