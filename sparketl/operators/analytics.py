@@ -700,19 +700,19 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
     arithmetic). Scores come from exact 20/40/60/80 percentile
     thresholds (score = 1 + number of thresholds beaten), NOT a global
     ntile: ntile needs a total sort of the customer table into ONE
-    partition, which straggles once customers reach cluster scale,
-    while ``percentile`` is a mergeable tree-aggregate (one tiny
-    all-reduce, broadcast back as a single row). Boundary ties all
-    land in the better bucket — deterministic without a tiebreak
-    column. The final rollup is segment-count sized; monetary sums are
-    exact decimals cast once.
+    partition, which straggles once customers reach cluster scale.
+    Boundary ties all land in the better bucket — deterministic
+    without a tiebreak column. The final rollup is segment-count
+    sized; monetary sums are exact decimals cast once.
 
-    The 12 thresholds run in ONE pass over the (already order-reduced)
-    per-customer table; if customer cardinality itself reaches
-    buffer-hostile scale, each column swaps to
-    `operators/quantiles.exact_group_quantiles` (bounded per-task
-    state, same doubles — the r6 swap made for every raw-fact-table
-    percentile in this repo) at the cost of 4 passes per column.
+    The 12 thresholds come from ONE phase-fused MSD radix selection
+    (`operators/quantiles.exact_multi_group_quantiles`): all three
+    columns' keys ride the same 4 digit passes over the per-customer
+    table with ≤ 2^16-counter tasks, bit-for-bit what percentile()
+    returns — but with NO aggregation buffer proportional to customer
+    cardinality, which grows with the data. The per-customer frame is
+    lazily checkpointed so the digit passes and the scoring join share
+    one orders scan.
     """
     per_cust = orders.groupBy("o_custkey").agg(
         F.max(
@@ -721,26 +721,39 @@ def rfm_segments(orders: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(F.col("o_totalprice").cast("decimal(12,2)")).alias("monetary_dec"),
     )
+    from sparketl.operators.quantiles import exact_multi_group_quantiles
+
     max_day = per_cust.agg(F.max("last_day").alias("_max_day"))
-    m = per_cust.crossJoin(F.broadcast(max_day)).select(
-        "o_custkey",
-        (F.col("_max_day") - F.col("last_day")).alias("recency_days"),
-        "frequency",
-        F.col("monetary_dec").cast("double").alias("monetary"),
+    m = (
+        per_cust.crossJoin(F.broadcast(max_day))
+        .select(
+            "o_custkey",
+            (F.col("_max_day") - F.col("last_day")).alias("recency_days"),
+            "frequency",
+            F.col("monetary_dec").cast("double").alias("monetary"),
+        )
+        .localCheckpoint(eager=False)
     )
-    q = m.agg(
-        *[
-            F.expr(f"percentile(recency_days, {p})").alias(f"r{int(p * 100)}")
-            for p in (0.2, 0.4, 0.6, 0.8)
+    pcts = [0.2, 0.4, 0.6, 0.8]
+    thr = exact_multi_group_quantiles(
+        m,
+        [],
+        [
+            ("recency_days", "bigint", pcts),
+            ("frequency", "bigint", pcts),
+            ("monetary", "double", pcts),
         ],
+    )
+    # pivot the 3 threshold rows (one per phase) into the single wide
+    # row the broadcast scoring join wants
+    q = thr.agg(
         *[
-            F.expr(f"percentile(frequency, {p})").alias(f"f{int(p * 100)}")
-            for p in (0.2, 0.4, 0.6, 0.8)
-        ],
-        *[
-            F.expr(f"percentile(monetary, {p})").alias(f"m{int(p * 100)}")
-            for p in (0.2, 0.4, 0.6, 0.8)
-        ],
+            F.max(
+                F.when(F.col("_ph") == ph, F.col("qs")[j])
+            ).alias(f"{c}{int(p * 100)}")
+            for ph, c in enumerate("rfm")
+            for j, p in enumerate(pcts)
+        ]
     )
     # low recency is good (score 1); high frequency/monetary are good
     r_score = sum(

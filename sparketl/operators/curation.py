@@ -1035,7 +1035,11 @@ def decile_binning(lineitem: DataFrame) -> DataFrame:
     from sparketl.operators.quantiles import exact_group_quantiles
 
     th = exact_group_quantiles(
-        lineitem, [], "l_extendedprice", [i / 10.0 for i in range(1, 10)]
+        lineitem,
+        [],
+        "l_extendedprice",
+        [i / 10.0 for i in range(1, 10)],
+        checkpoint_base=True,
     ).select(F.col("qs").alias("th"))
     binned = lineitem.select(
         "l_extendedprice",
@@ -1088,15 +1092,28 @@ def mad_outliers(lineitem: DataFrame, k: float = 3.0) -> DataFrame:
     # every consumer of dev — checkpoint it so dev recomputation costs
     # one broadcast join, not a re-run of the median selection
     med = (
-        exact_group_quantiles(lineitem, ["l_returnflag"], "l_extendedprice", [0.5])
+        exact_group_quantiles(
+            lineitem,
+            ["l_returnflag"],
+            "l_extendedprice",
+            [0.5],
+            checkpoint_base=True,
+        )
         .select("l_returnflag", F.col("qs")[0].alias("med"))
         .localCheckpoint(eager=False)
     )
-    dev = lineitem.join(F.broadcast(med), "l_returnflag").select(
-        "l_returnflag",
-        "l_extendedprice",
-        "med",
-        F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+    # dev feeds BOTH the MAD selection's four digit passes and the
+    # final outlier count — one checkpoint means the lineitem scan +
+    # median broadcast join run once, not per consumer
+    dev = (
+        lineitem.join(F.broadcast(med), "l_returnflag")
+        .select(
+            "l_returnflag",
+            "l_extendedprice",
+            "med",
+            F.abs(F.col("l_extendedprice") - F.col("med")).alias("adev"),
+        )
+        .localCheckpoint(eager=False)
     )
     mad = exact_group_quantiles(
         dev, ["l_returnflag"], "adev", [0.5], checkpoint_base=True

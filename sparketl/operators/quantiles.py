@@ -16,9 +16,16 @@ key:
    ``groupBy().count()`` (per-key state = one long), a per-target
    prefix sum over at most 65 536 histogram rows picks the digit
    containing the residual rank, and the next pass descends into that
-   digit. Four passes fully determine the 64-bit key — i.e. the exact
-   order statistic — without any task ever holding more than 65 536
-   counters.
+   digit. At most four passes fully determine the 64-bit key — i.e.
+   the exact order statistic — without any task ever holding more
+   than 65 536 counters. The descent is ADAPTIVE: once every
+   outstanding target's bucket holds ≤ 2^16 rows (its count is known
+   from the previous histogram), one finish pass histograms the FULL
+   residual key — ≤ 2^16 distinct residuals per target by
+   construction, so the state bound is unchanged — and resolves the
+   exact key immediately. At petabyte scale that still means 3-4
+   passes (bucket counts shrink 65 536× per level); at small scale it
+   collapses the tail passes into one job.
 3. Interpolate with the exact arithmetic Spark's Percentile uses
    (``(hi - pos) * v_lo + (pos - lo) * v_hi`` with ``pos = p*(n-1)``),
    so results match ``percentile()`` — and therefore DuckDB's
@@ -92,6 +99,96 @@ def _key_expr(col: Column, value_kind: str) -> Column:
     )
 
 
+def _msd_descend(
+    base: DataFrame, g: list[str], t: DataFrame, *, weighted: bool
+) -> DataFrame:
+    """Adaptive 16-bit MSD descent shared by the count and weight
+    paths.
+
+    ``t`` carries, per outstanding target: the resolved prefix ``_p``
+    (bits above the current level), the residual rank ``_r`` inside
+    that prefix's bucket, and the bucket's row count / weight ``_bc``.
+    Each level either (a) finishes: when EVERY bucket holds ≤ 2^16
+    rows (weights ≥ 1, so bucket weight bounds distinct values too), a
+    single histogram over the FULL residual key — ≤ 2^16 distinct
+    residuals per target by construction — resolves the exact key in
+    one job; or (b) descends one more 16-bit digit. The per-task state
+    bound (2^16 aggregation cells × outstanding targets) is identical
+    in both shapes. The ``_bc`` probe is a one-scalar aggregate over
+    the checkpointed, ≤ groups×targets-row ``t`` — driver-appropriate
+    at any scale.
+
+    Returns ``*g, _rank, _p`` with ``_p`` the full 64-bit key.
+    """
+    if weighted:
+        # cumulative weight first REACHES the rank threshold
+        lo_pred = lambda cb, r, c: (cb < r) & (r <= cb + c)  # noqa: E731
+        agg = F.sum("b._w")
+    else:
+        lo_pred = lambda cb, r, c: (cb <= r) & (r < cb + c)  # noqa: E731
+        agg = F.count(F.lit(1))
+
+    for s in (32, 16, 0):
+        maxc = t.agg(F.max("_bc")).collect()[0][0]
+        tb = F.broadcast(t)
+        if maxc is None or maxc <= 65536:
+            # finish pass: histogram the full residual (low s+16 bits)
+            mask = (1 << (s + 16)) - 1
+            cand = base.alias("b").join(
+                tb.alias("t"),
+                [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
+                + [
+                    F.expr(f"shiftrightunsigned(b._k, {s + 16})")
+                    == F.col("t._p")
+                ],
+            )
+            h = cand.groupBy(
+                *[F.col(f"t.{c}").alias(c) for c in g],
+                F.col("t._rank").alias("_rank"),
+                F.expr(f"b._k & {mask}L").alias("_f"),
+            ).agg(agg.alias("_c"))
+            wr = Window.partitionBy(*g, "_rank").orderBy("_f")
+            hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
+            return (
+                hc.join(t, [*g, "_rank"])
+                .where(lo_pred(F.col("_cb"), F.col("_r"), F.col("_c")))
+                .select(
+                    *g,
+                    "_rank",
+                    F.expr(f"shiftleft(_p, {s + 16}) | _f").alias("_p"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        cand = base.alias("b").join(
+            tb.alias("t"),
+            [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
+            + [
+                F.expr(f"shiftrightunsigned(b._k, {s + 16})")
+                == F.col("t._p")
+            ],
+        )
+        h = cand.groupBy(
+            *[F.col(f"t.{c}").alias(c) for c in g],
+            F.col("t._rank").alias("_rank"),
+            F.expr(f"shiftrightunsigned(b._k, {s}) & 65535").alias("_f"),
+        ).agg(agg.alias("_c"))
+        wr = Window.partitionBy(*g, "_rank").orderBy("_f")
+        hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
+        t = (
+            hc.join(t.drop("_bc"), [*g, "_rank"])
+            .where(lo_pred(F.col("_cb"), F.col("_r"), F.col("_c")))
+            .select(
+                *g,
+                "_rank",
+                F.expr("shiftleft(_p, 16) | _f").alias("_p"),
+                (F.col("_r") - F.col("_cb")).alias("_r"),
+                F.col("_c").alias("_bc"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return t.select(*g, "_rank", "_p")
+
+
 def _radix_quantiles(
     base: DataFrame,
     g: list[str],
@@ -112,13 +209,16 @@ def _radix_quantiles(
     )
     wg = Window.partitionBy(*g)
     wo = wg.orderBy("_f")
+    # cum0 is bounded (≤ groups × 65 536 rows) but feeds BOTH the
+    # target frame and the pass-1 rank resolve — checkpoint it so the
+    # base scan + histogram shuffle + window run once, not twice
     cum0 = h0.select(
         *g,
         "_f",
         "_c",
         (F.sum("_c").over(wo) - F.col("_c")).alias("_cb"),
         F.sum("_c").over(wg).alias("_n"),
-    )
+    ).localCheckpoint(eager=False)
 
     # ---- targets: the distinct order statistics the pcts need.
     # pos = p * (n-1) in double arithmetic — exactly Spark's Percentile.
@@ -163,44 +263,13 @@ def _radix_quantiles(
             "_rank",
             F.col("_f").alias("_p"),
             (F.col("_rank") - F.col("_cb")).alias("_r"),
+            F.col("_c").alias("_bc"),
         )
         .localCheckpoint(eager=False)
     )
 
-    # ---- passes 2-4: descend one 16-bit digit at a time. The prefix
-    # match is an equi-join key, so each pass is a broadcast hash join
-    # (targets are tiny) + a map-combinable count histogram.
-    for s in (32, 16, 0):
-        tb = F.broadcast(t)
-        cand = base.alias("b").join(
-            tb.alias("t"),
-            [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
-            + [
-                F.expr(f"shiftrightunsigned(b._k, {s + 16})")
-                == F.col("t._p")
-            ],
-        )
-        h = cand.groupBy(
-            *[F.col(f"t.{c}").alias(c) for c in g],
-            F.col("t._rank").alias("_rank"),
-            F.expr(f"shiftrightunsigned(b._k, {s}) & 65535").alias("_f"),
-        ).agg(F.count(F.lit(1)).alias("_c"))
-        wr = Window.partitionBy(*g, "_rank").orderBy("_f")
-        hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
-        t = (
-            hc.join(t, [*g, "_rank"])
-            .where(
-                (F.col("_cb") <= F.col("_r"))
-                & (F.col("_r") < F.col("_cb") + F.col("_c"))
-            )
-            .select(
-                *g,
-                "_rank",
-                F.expr("shiftleft(_p, 16) | _f").alias("_p"),
-                (F.col("_r") - F.col("_cb")).alias("_r"),
-            )
-            .localCheckpoint(eager=False)
-        )
+    # passes 2-4: adaptive MSD descent (shared with the weighted path)
+    t = _msd_descend(base, g, t, weighted=False)
 
     # _p now IS the full 64-bit key of the order statistic
     vals = decode(t, g)
@@ -430,13 +499,15 @@ def _weighted_cum0(base: DataFrame, g: list[str]) -> DataFrame:
     )
     wg = Window.partitionBy(*g)
     wo = wg.orderBy("_f")
+    # bounded (≤ groups × 65 536 rows) and read by both the target
+    # frame and the pass-1 resolve — checkpoint to run pass 1 once
     return h0.select(
         *g,
         "_f",
         "_c",
         (F.sum("_c").over(wo) - F.col("_c")).alias("_cb"),
         F.sum("_c").over(wg).alias("_n"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _weighted_descend(
@@ -444,9 +515,9 @@ def _weighted_descend(
 ) -> DataFrame:
     """Resolve, per group, the smallest key whose cumulative weight
     reaches each ``_rank`` threshold. Returns ``*g, _rank, _p`` (the
-    full 64-bit key). Same 4-pass MSD descent as the unweighted path,
-    with weight-sum histograms — still map-combinable, still ≤ 2^16
-    aggregation cells per task."""
+    full 64-bit key). Same adaptive MSD descent as the unweighted
+    path, with weight-sum histograms — still map-combinable, still
+    ≤ 2^16 aggregation cells per task."""
     t = (
         ranks.join(cum0.select(*g, "_f", "_c", "_cb"), g)
         .where(
@@ -458,41 +529,11 @@ def _weighted_descend(
             "_rank",
             F.col("_f").alias("_p"),
             (F.col("_rank") - F.col("_cb")).alias("_r"),
+            F.col("_c").alias("_bc"),
         )
         .localCheckpoint(eager=False)
     )
-    for s in (32, 16, 0):
-        tb = F.broadcast(t)
-        cand = base.alias("b").join(
-            tb.alias("t"),
-            [F.col(f"b.{c}") == F.col(f"t.{c}") for c in g]
-            + [
-                F.expr(f"shiftrightunsigned(b._k, {s + 16})")
-                == F.col("t._p")
-            ],
-        )
-        h = cand.groupBy(
-            *[F.col(f"t.{c}").alias(c) for c in g],
-            F.col("t._rank").alias("_rank"),
-            F.expr(f"shiftrightunsigned(b._k, {s}) & 65535").alias("_f"),
-        ).agg(F.sum("b._w").alias("_c"))
-        wr = Window.partitionBy(*g, "_rank").orderBy("_f")
-        hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
-        t = (
-            hc.join(t, [*g, "_rank"])
-            .where(
-                (F.col("_cb") < F.col("_r"))
-                & (F.col("_r") <= F.col("_cb") + F.col("_c"))
-            )
-            .select(
-                *g,
-                "_rank",
-                F.expr("shiftleft(_p, 16) | _f").alias("_p"),
-                (F.col("_r") - F.col("_cb")).alias("_r"),
-            )
-            .localCheckpoint(eager=False)
-        )
-    return t
+    return _msd_descend(base, g, t, weighted=True)
 
 
 def exact_group_weighted_quantiles(

@@ -609,21 +609,36 @@ def q_agg_07_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     MSD radix selection (`operators/quantiles.py`, r6) — bit-for-bit
     what percentile() ≡ DuckDB quantile_cont returns, without the
     whole-column-per-group aggregation buffer, so the exact form IS
-    the scale form (no approx_percentile cutover needed)."""
-    from sparketl.operators.quantiles import exact_group_quantiles
+    the scale form (no approx_percentile cutover needed). The price
+    and quantity columns are PHASE-FUSED (r7): both ride one lineitem
+    scan and one set of digit passes instead of two selections."""
+    from sparketl.operators.quantiles import exact_multi_group_quantiles
 
     li = load_table(spark, sf_dir, "lineitem")
-    price = exact_group_quantiles(
-        li, ["l_returnflag"], "l_extendedprice", [0.5, 0.95]
-    ).select(
-        "l_returnflag",
-        F.col("qs")[0].alias("median_price"),
-        F.col("qs")[1].alias("p95_price"),
+    fused = exact_multi_group_quantiles(
+        li,
+        ["l_returnflag"],
+        [
+            ("l_extendedprice", "double", [0.5, 0.95]),
+            ("l_quantity", "double", [0.5]),
+        ],
+        checkpoint_base=True,
     )
-    qty = exact_group_quantiles(
-        li, ["l_returnflag"], "l_quantity", [0.5]
-    ).select("l_returnflag", F.col("qs")[0].alias("median_qty"))
-    return price.join(qty, "l_returnflag").orderBy("l_returnflag")
+    return (
+        fused.groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("_ph") == 0, F.col("qs")[0])).alias(
+                "median_price"
+            ),
+            F.max(F.when(F.col("_ph") == 0, F.col("qs")[1])).alias(
+                "p95_price"
+            ),
+            F.max(F.when(F.col("_ph") == 1, F.col("qs")[0])).alias(
+                "median_qty"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
 
 
 def q_ext_08_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -59,13 +59,6 @@ BROADCAST_SCALAR_OK = {
     # broadcast for the map-side centered products
 }
 
-# Queries allowed to keep a one-pass percentile() buffer because its
-# input is already aggregate-reduced (per-customer, not a raw fact
-# table); the docstring names the exact_group_quantiles swap point.
-PERCENTILE_REDUCED_OK = {
-    "ext_49_rfm",
-}
-
 AUDITED = [
     "flagship_pricing_summary",
     "join_03_star",
@@ -192,11 +185,9 @@ def audit(name: str, text: str) -> list[str]:
     ):
         problems.append("unexpected nested-loop/cartesian join")
     # percentile()'s aggregation buffer holds the whole column per
-    # group — replaced repo-wide (r6) by the bounded MSD radix
-    # selection; any reappearance over a fact table is a regression
-    if name not in PERCENTILE_REDUCED_OK and re.search(
-        r"ObjectHashAggregate[^\n]*percentile", text
-    ):
+    # group — replaced repo-wide (r6/r7, no exemptions) by the bounded
+    # MSD radix selection; ANY reappearance is a regression
+    if re.search(r"ObjectHashAggregate[^\n]*percentile", text):
         problems.append(
             "percentile ObjectHashAggregate (unbounded per-group buffer)"
         )
