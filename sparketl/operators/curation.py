@@ -1716,3 +1716,100 @@ def token_weighted_length_profile(docs: DataFrame) -> DataFrame:
 
 def q_ext_96_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_weighted_length_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_102: interpolated token-weighted length profile
+# ---------------------------------------------------------------------------
+
+
+def token_weighted_interp_profile(docs: DataFrame) -> DataFrame:
+    """Per source, the token-weighted CONTINUOUS (interpolated) p50 and
+    p90 of document token length — ext_96's lower-quantile sibling with
+    ``quantile_cont`` semantics over the multiset where each document
+    repeats token-count times.
+
+    Computed WITHOUT expanding (`operators/quantiles.
+    exact_group_weighted_quantiles_interp`): the bracketing
+    expanded-rank values come from two cumulative-weight thresholds
+    resolved by the bounded MSD radix descent, and the interpolation
+    uses percentile()'s exact arithmetic — so a DuckDB oracle that
+    LITERALLY expands via generate_series and runs quantile_cont
+    reproduces it bit for bit, while the engine side stays one
+    weight-histogram pipeline at any scale."""
+    from sparketl.operators.quantiles import (
+        exact_group_weighted_quantiles_interp,
+    )
+
+    t = spread(docs).select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    qs = exact_group_weighted_quantiles_interp(
+        t,
+        ["source"],
+        "n_tokens",
+        "n_tokens",
+        [0.5, 0.9],
+        value_kind="bigint",
+    )
+    return qs.select(
+        "source",
+        F.col("total_weight").alias("total_tokens"),
+        F.col("qs")[0].alias("wp50_interp"),
+        F.col("qs")[1].alias("wp90_interp"),
+    ).orderBy("source")
+
+
+def q_ext_102_weighted_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_weighted_interp_profile(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_103: stream-stream LEFT OUTER interval join (unmatched views kept)
+# ---------------------------------------------------------------------------
+
+
+def q_ext_103_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER conversion join over the
+    staged multi-batch fixture: every view row appears exactly once
+    per in-horizon purchase, or once with null purchase columns if it
+    never converted. A terminal flush record advances the watermark
+    past the fixture tail so the outer state fully closes
+    (`streaming.stateful.append_flush_chunk`); the collected
+    append-mode output must equal the batch LEFT interval join, which
+    is the oracle. Scale/state-eviction notes in
+    ``streaming.windows.streaming_view_purchase_left_join``."""
+    from sparketl.streaming.stateful import (
+        append_flush_chunk,
+        read_staged_stream,
+        stage_event_chunks,
+    )
+    from sparketl.streaming.windows import streaming_view_purchase_left_join
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    try:
+        append_flush_chunk(spark, stage)
+        stream = read_staged_stream(spark, stage)
+        joined = streaming_view_purchase_left_join(stream)
+        name = f"sslj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        # drop the watermark-flush sentinels (negative ids) — a batch
+        # filter on the sink table, so it cannot be pushed into the
+        # streaming scans the way an in-query filter would be
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .where(F.col("view_id") >= 0)
+            .orderBy("view_id", "purchase_id")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

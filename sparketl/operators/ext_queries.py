@@ -2655,3 +2655,42 @@ EXT_ORACLES["ext_101_stream_ttl_dedup"] = """
     SELECT user_id, event_type, event_id, us AS ts_us
     FROM g WHERE gap_us IS NULL OR gap_us > 600000000
 """
+
+from sparketl.operators.curation import q_ext_102_weighted_interp  # noqa: E402
+
+EXT_QUERIES["ext_102_weighted_interp"] = q_ext_102_weighted_interp
+EXT_ORACLES["ext_102_weighted_interp"] = """
+    WITH t AS (
+      SELECT source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      FROM documents
+    ), x AS (
+      SELECT source, v, unnest(range(0, v)) AS i FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS total_tokens,
+           quantile_cont(v, 0.5) AS wp50_interp,
+           quantile_cont(v, 0.9) AS wp90_interp
+    FROM x GROUP BY source ORDER BY source
+"""
+
+from sparketl.operators.curation import q_ext_103_stream_left_join  # noqa: E402
+
+EXT_QUERIES["ext_103_stream_left_join"] = q_ext_103_stream_left_join
+EXT_ORACLES["ext_103_stream_left_join"] = """
+    WITH v AS (
+      SELECT event_id AS view_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.view_id, v.user_id, v.v_us AS view_ts_us,
+           p.purchase_id, p.p_us AS purchase_ts_us, p.amount
+    FROM v LEFT JOIN p ON v.user_id = p.user_id
+       AND v.v_us <= p.p_us AND p.p_us <= v.v_us + 3600000000
+    ORDER BY v.view_id, p.purchase_id
+"""

@@ -24,6 +24,7 @@ order-independent.
 
 from __future__ import annotations
 
+import datetime
 import os
 import shutil
 import tempfile
@@ -512,3 +513,67 @@ def run_streaming_quality_monitor(
         return table
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def append_flush_chunk(
+    spark: SparkSession, stage_dir: str, margin_hours: int = 48,
+    n_flushes: int = 2,
+    event_types: tuple[str, ...] = ("view", "purchase"),
+) -> None:
+    """Append terminal sentinel events ``margin_hours`` past the
+    fixture's max event time, as the last-mtime staged files.
+
+    Outer stream-stream joins and other watermark-closed operators
+    only finalize a row once the watermark PASSES its interval; on a
+    finite fixture the watermark stops short of the tail by the
+    watermark delay, permanently withholding the last unmatched rows.
+    A real pipeline never ends, so the tail is a fixture artifact; the
+    flush records advance event time far enough that EVERY interval
+    closes and the driven result is the complete, deterministic batch
+    equivalent.
+
+    Two pushdown-driven subtleties, both load-bearing:
+
+    - The sentinels carry the consuming query's REAL ``event_types``
+      (negative user/event ids mark them), one row per type per flush
+      file. Catalyst pushes each join side's type filter through the
+      watermark node into the parquet scan, and a sentinel with a
+      synthetic type would be row-group-pruned BEFORE the watermark
+      node ever counts it — leaving the watermark parked at the
+      fixture tail. With per-type sentinel rows, each side's scan
+      passes its own sentinel and BOTH watermark nodes advance (the
+      global watermark is their min). Callers drop the negative-id
+      rows when reading the sink — a batch-context filter the
+      optimizer cannot push into the streaming scan.
+    - TWO flush files by default: Spark applies a batch's watermark
+      update starting from the NEXT micro-batch, so the batch reading
+      flush #1 still evicts with the old watermark; the batch reading
+      flush #2 runs with the advanced one and finalizes the tail
+      (``processAllAvailable`` is only guaranteed to cover batches
+      with data, so a trailing no-data batch would race ``stop()``).
+    """
+    batch = spark.read.parquet(stage_dir)
+    mx = batch.agg(F.max("ts").alias("m")).collect()[0]["m"]
+    parts = sorted(f for f in os.listdir(stage_dir) if f.endswith(".parquet"))
+    tmp = stage_dir + "-flush"
+    for j in range(n_flushes):
+        ts_j = mx + datetime.timedelta(hours=margin_hours * (j + 1))
+        flush = spark.createDataFrame(
+            [
+                # distinct negative user ids so sentinels can never
+                # satisfy an equi-join between the sides
+                (int(-1 - j * len(event_types) - i), ts_j,
+                 int(-1 - i), et, 0.0, "{}")
+                for i, et in enumerate(event_types)
+            ],
+            batch.schema,
+        )
+        flush.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = next(
+            f for f in sorted(os.listdir(tmp)) if f.endswith(".parquet")
+        )
+        idx = len(parts) + j
+        dst = os.path.join(stage_dir, f"part-{idx:04d}.parquet")
+        shutil.move(os.path.join(tmp, src), dst)
+        os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
+    shutil.rmtree(tmp, ignore_errors=True)

@@ -183,3 +183,57 @@ def streaming_view_purchase_join(
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         "amount",
     )
+
+
+def streaming_view_purchase_left_join(
+    events: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every view pairs with
+    the same user's purchases in the following ``horizon_s`` seconds,
+    and views that convert to NOTHING are still emitted (null purchase
+    columns) once the watermark proves no in-horizon purchase can
+    still arrive — the shape attribution pipelines need (inner joins
+    silently drop the non-converting majority).
+
+    This exercises Spark's OUTER-join state eviction: a buffered view
+    is held until ``watermark > v_ts + horizon``, then either its
+    matches or its null row are final. The watermark is applied BEFORE
+    the event-type filters, so any event on the stream (including a
+    terminal flush record) advances it — with a filtered-side
+    watermark the unmatched tail would never close on a finite
+    fixture. State ∝ rate × horizon on both sides, as in the inner
+    variant (``streaming_view_purchase_join``); the batch twin is the
+    identical LEFT join expression (pytest asserts stream ≡ batch).
+    """
+    wm = events.withWatermark("ts", watermark)
+    v = wm.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = wm.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+        ),
+        "leftOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.col("v_user").alias("user_id"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        "purchase_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "amount",
+    )

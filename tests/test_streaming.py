@@ -575,3 +575,51 @@ def test_streaming_ttl_dedup_equals_batch_replay(spark):
     assert got == expect and len(got) > 0
     # and it really deduplicates something
     assert len(got) < ev.count()
+
+
+def test_stream_left_outer_interval_join_equals_batch(spark):
+    """The LEFT OUTER stream-stream interval join (ext_103) must equal
+    the batch left interval join exactly: every in-horizon (view,
+    purchase) pair AND every never-converting view as a null row —
+    including the fixture-tail views the watermark only closes via the
+    flush sentinels, and with no sentinel leakage into the output."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = entrymod.queries()["ext_103_stream_left_join"](spark, SF_SMOKE)
+    got = {
+        (r["view_id"], r["purchase_id"], r["view_ts_us"], r["purchase_ts_us"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("us").alias("v_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+    )
+    expect = {
+        (r["view_id"], r["purchase_id"], r["v_us"], r["p_us"])
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("v_us") <= F.col("p_us"))
+            & (F.col("p_us") <= F.col("v_us") + 3_600_000_000),
+            "leftOuter",
+        ).collect()
+    }
+    assert got == expect
+    # the outer shape is real: some views converted, some did not
+    assert any(pid is None for _, pid, _, _ in got)
+    assert any(pid is not None for _, pid, _, _ in got)
+    # no sentinel rows leaked
+    assert all(vid >= 0 for vid, _, _, _ in got)
