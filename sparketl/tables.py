@@ -230,8 +230,90 @@ def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
     return mn <= lit <= mx  # = / ==
 
 
+def _compile_prune_predicate(where: str):
+    """Compile ``where`` into prunable disjuncts-of-conjuncts, or None
+    when the predicate cannot be pruned at all (NOT / free parens).
+    Module-level and returning only plain tuples so the compiled form
+    ships to executors for distributed checkpoint pruning."""
+    stripped = _IN_LIST.sub("", where)
+    if re.search(r"(?i)\bNOT\b|[()]", stripped):
+        return None
+    # BETWEEN rewrites before the AND split would misparse it
+    where2 = re.sub(
+        r"(?i)\b([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
+        r"\s+AND\s+(-?\d+(?:\.\d+)?)",
+        r"\1 >= \2 AND \1 <= \3",
+        where,
+    )
+
+    def parse_conjunct(c: str):
+        num = _PRUNABLE.match(c)
+        if num:
+            return ("num", num.group(1), num.group(2), float(num.group(3)))
+        s = _PRUNABLE_STR.match(c)
+        if s:
+            return ("str", s.group(1), "=", s.group(2))
+        i = _IN_LIST.fullmatch(c.strip())
+        if i:
+            items = []
+            for raw in i.group(2).split(","):
+                raw = raw.strip()
+                sm = re.fullmatch(r"'([^']*)'", raw)
+                if sm:
+                    items.append(("str", sm.group(1)))
+                    continue
+                nm = re.fullmatch(r"-?\d+(?:\.\d+)?", raw)
+                if nm:
+                    items.append(("num", float(raw)))
+                    continue
+                return None  # unparsable item — conjunct never prunes
+            if items:
+                return ("in", i.group(1), None, items)
+        return None
+
+    disjuncts = []
+    for d in re.split(r"(?i)\bOR\b", where2):
+        conjuncts = []
+        for c in re.split(r"(?i)\bAND\b", d):
+            parsed = parse_conjunct(c)
+            if parsed is not None:
+                conjuncts.append(parsed)
+        disjuncts.append(conjuncts)
+    return disjuncts
+
+
+def _prune_admits(disjuncts, fs: dict, fb: dict) -> bool:
+    """True iff the file (stats ``fs``, blooms ``fb``) might contain a
+    matching row under the compiled predicate."""
+
+    def conjunct_admits(kind, col, op, lit) -> bool:
+        if kind == "num":
+            return _file_might_match(fs, col, op, lit)
+        if kind == "str":
+            return col not in fb or _bloom_might_contain(fb[col], lit)
+        # IN: any item might match
+        for item_kind, v in lit:
+            if item_kind == "num":
+                if _file_might_match(fs, col, "=", v):
+                    return True
+            else:
+                if col not in fb or _bloom_might_contain(fb[col], v):
+                    return True
+        return False
+
+    return any(
+        all(conjunct_admits(*c) for c in conj) for conj in disjuncts
+    )
+
+
 class ManagedTable:
     """A versioned, mutable table rooted at a directory."""
+
+    # checkpoints larger than this many files prune distributed (as a
+    # Spark job over the checkpoint parquet) instead of materializing
+    # the full stats map on the driver; class-level so tests can lower
+    # it against synthetic manifests
+    DIST_PRUNE_FILES = 50_000
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -569,10 +651,22 @@ class ManagedTable:
         the predicate is then still applied to the surviving files, so
         the result is exactly ``read().filter(where)`` — pruning only
         changes how much is scanned. At 100 TB this is the difference
-        between touching 3 files and 30 000."""
-        m = self._manifest(version, need_stats=bool(where))
-        schema = T.StructType.fromJson(json.loads(m["schema"]))
-        files = self.candidate_files(where, version) if where else m["files"]
+        between touching 3 files and 30 000.
+
+        With ``where``, the schema comes from the commit-log entry
+        alone (every delta carries it) and the file list from
+        ``candidate_files`` — so a pruned read of a huge-checkpoint
+        table never builds the full driver-side snapshot."""
+        if where:
+            v = version if version is not None else self._current_version()
+            schema = T.StructType.fromJson(
+                json.loads(self._read_log_entry(v)["schema"])
+            )
+            files = self.candidate_files(where, v)
+        else:
+            m = self._manifest(version, need_stats=False)
+            schema = T.StructType.fromJson(json.loads(m["schema"]))
+            files = m["files"]
         if not files:
             df = self.spark.createDataFrame([], schema)
             return df.filter(where) if where else df
@@ -596,82 +690,92 @@ class ManagedTable:
         pruning entirely: a free-form boolean tree needs a real parser,
         and an unparsable predicate must stay conservative. Any
         conjunct (or IN item) the pruner cannot parse simply never
-        prunes, preserving the superset guarantee."""
-        m = self._manifest(version)
+        prunes, preserving the superset guarantee.
+
+        Scale (r7): when the snapshot's nearest checkpoint holds more
+        than ``DIST_PRUNE_FILES`` files, the prune runs as a SPARK JOB
+        over the checkpoint parquet (the Delta pattern): executors
+        evaluate the compiled predicate against each row's stats/bloom
+        JSON and only the SURVIVING paths return to the driver, which
+        then replays the ≤ _CKPT_EVERY delta entries above the
+        checkpoint. The driver never materializes the full
+        million-file stats map — only the (pruned) candidate list."""
+        v = version if version is not None else self._current_version()
         if not where:
-            return list(m["files"])
-        stripped = _IN_LIST.sub("", where)
-        if re.search(r"(?i)\bNOT\b|[()]", stripped):
-            return list(m["files"])
-        # BETWEEN rewrites before the AND split would misparse it
-        where2 = re.sub(
-            r"(?i)\b([A-Za-z_]\w*)\s+BETWEEN\s+(-?\d+(?:\.\d+)?)"
-            r"\s+AND\s+(-?\d+(?:\.\d+)?)",
-            r"\1 >= \2 AND \1 <= \3",
-            where,
-        )
+            return list(self._manifest(v)["files"])
+        disjuncts = _compile_prune_predicate(where)
+        if disjuncts is None or all(not c for c in disjuncts):
+            return list(self._manifest(v)["files"])
+        ckpt_v = self._nearest_ckpt_version(v)
+        if (
+            ckpt_v is not None
+            and self._ckpt_num_files(ckpt_v) > self.DIST_PRUNE_FILES
+        ):
+            return self._candidate_files_distributed(v, ckpt_v, disjuncts)
+        m = self._manifest(v)
         stats = m.get("file_stats", {})
         blooms = m.get("file_blooms", {})
+        return [
+            f
+            for f in m["files"]
+            if _prune_admits(disjuncts, stats.get(f, {}), blooms.get(f, {}))
+        ]
 
-        def parse_conjunct(c: str):
-            num = _PRUNABLE.match(c)
-            if num:
-                return ("num", num.group(1), num.group(2), float(num.group(3)))
-            s = _PRUNABLE_STR.match(c)
-            if s:
-                return ("str", s.group(1), "=", s.group(2))
-            i = _IN_LIST.fullmatch(c.strip())
-            if i:
-                items = []
-                for raw in i.group(2).split(","):
-                    raw = raw.strip()
-                    sm = re.fullmatch(r"'([^']*)'", raw)
-                    if sm:
-                        items.append(("str", sm.group(1)))
-                        continue
-                    nm = re.fullmatch(r"-?\d+(?:\.\d+)?", raw)
-                    if nm:
-                        items.append(("num", float(raw)))
-                        continue
-                    return None  # unparsable item — conjunct never prunes
-                if items:
-                    return ("in", i.group(1), None, items)
-            return None
+    def _nearest_ckpt_version(self, v: int) -> int | None:
+        """Checkpoint version the snapshot at ``v`` would rebuild from,
+        or None when the base is a legacy full-JSON manifest (or the
+        empty table)."""
+        w = v
+        while w >= 1:
+            if os.path.exists(self._ckpt_path(w)):
+                return w
+            if "files" in self._read_log_entry(w):
+                return None
+            w -= 1
+        return None
 
-        disjuncts = []
-        for d in re.split(r"(?i)\bOR\b", where2):
-            conjuncts = []
-            for c in re.split(r"(?i)\bAND\b", d):
-                parsed = parse_conjunct(c)
-                if parsed is not None:
-                    conjuncts.append(parsed)
-            disjuncts.append(conjuncts)
+    def _ckpt_num_files(self, w: int) -> int:
+        """File count of a checkpoint from its parquet FOOTER only —
+        no row data touches the driver for the threshold decision."""
+        import pyarrow.parquet as pq
 
-        def conjunct_admits(fs: dict, fb: dict, kind, col, op, lit) -> bool:
-            if kind == "num":
-                return _file_might_match(fs, col, op, lit)
-            if kind == "str":
-                return col not in fb or _bloom_might_contain(fb[col], lit)
-            # IN: any item might match
-            for item_kind, v in lit:
-                if item_kind == "num":
-                    if _file_might_match(fs, col, "=", v):
-                        return True
-                else:
-                    if col not in fb or _bloom_might_contain(fb[col], v):
-                        return True
-            return False
+        return pq.ParquetFile(self._ckpt_path(w)).metadata.num_rows
 
-        keep = []
-        for f in m["files"]:
-            fs = stats.get(f, {})
-            fb = blooms.get(f, {})
-            if any(
-                all(conjunct_admits(fs, fb, *c) for c in conj)
-                for conj in disjuncts
-            ):
-                keep.append(f)
-        return keep
+    def _candidate_files_distributed(
+        self, v: int, ckpt_v: int, disjuncts
+    ) -> list[str]:
+        """Distributed footer-stat prune: map the compiled predicate
+        over the checkpoint parquet's (file, stats, blooms) rows on
+        executors, collect only survivors, then apply the small delta
+        tail driver-side (removes drop survivors; added files carry
+        their stats inline in the delta entry and are pruned here)."""
+        dj = disjuncts
+
+        def prune_part(it):
+            for pdf in it:
+                keep = [
+                    _prune_admits(
+                        dj,
+                        json.loads(s) if s else {},
+                        json.loads(b) if b else {},
+                    )
+                    for s, b in zip(pdf["stats"], pdf["blooms"])
+                ]
+                yield pdf.loc[keep, ["file"]]
+
+        ck = self.spark.read.parquet(self._ckpt_path(ckpt_v)).select(
+            "file", "stats", "blooms"
+        )
+        files = [r["file"] for r in ck.mapInPandas(prune_part, "file string").collect()]
+        for w in range(ckpt_v + 1, v + 1):
+            d = self._read_log_entry(w)
+            removed = set(d["removes"])
+            if removed:
+                files = [f for f in files if f not in removed]
+            for f, sb in d["adds"].items():
+                if _prune_admits(dj, sb["s"], sb["b"]):
+                    files.append(f)
+        return files
 
     def history(self) -> list[int]:
         if not os.path.isdir(self._manifest_dir):

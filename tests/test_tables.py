@@ -958,3 +958,90 @@ def test_pruning_handles_in_between_and_or(spark, tmp_table_root):
     assert len(t.candidate_files("id NOT IN (1, 2)")) == total
     got = sorted(r["id"] for r in t.read(where="id NOT IN (1, 2)").collect())
     assert got == [0, 3, 4, 5]
+
+
+def test_distributed_checkpoint_prune_never_materializes_snapshot(
+    spark, tmp_path, monkeypatch
+):
+    """Above DIST_PRUNE_FILES, candidate_files must prune the
+    checkpoint as a Spark job: the driver-side checkpoint loader
+    (_read_checkpoint) is never called, only surviving paths return,
+    and the delta tail above the checkpoint still applies (removes
+    drop survivors; added files prune from their inline stats)."""
+    import json
+    import os
+
+    from sparketl.tables import _bloom_hashes
+
+    root = str(tmp_path / "bigtable")
+    tbl = ManagedTable(spark, root)
+    os.makedirs(tbl._manifest_dir)
+    schema_json = T.StructType([T.StructField("x", T.LongType())]).json()
+
+    n = 1200
+    monkeypatch.setattr(ManagedTable, "DIST_PRUNE_FILES", 1000)
+    files = [f"{root}/d-synth/f-{i:06d}.parquet" for i in range(n)]
+    # one string-bloom'd file to exercise the executor-side bloom path
+    bits = bytearray(8192 // 8)
+    for h in _bloom_hashes("hit"):
+        bits[h >> 3] |= 1 << (h & 7)
+    blooms = {files[7]: {"s": bits.hex()}}
+    tbl._write_checkpoint(
+        {
+            "version": 20,
+            "files": files,
+            "schema": schema_json,
+            "properties": {},
+            "file_stats": {f: {"x": [i, i]} for i, f in enumerate(files)},
+            "file_blooms": blooms,
+        }
+    )
+    with open(os.path.join(tbl._manifest_dir, "v000020.json"), "w") as fh:
+        json.dump(
+            {
+                "version": 20,
+                "schema": schema_json,
+                "properties": {},
+                "adds": {},
+                "removes": [],
+            },
+            fh,
+        )
+
+    def boom(*a, **k):
+        raise AssertionError("driver materialized the full snapshot")
+
+    monkeypatch.setattr(tbl, "_read_checkpoint", boom)
+
+    got = tbl.candidate_files("x >= 1190")
+    assert sorted(got) == files[1190:]
+    # bloom pruning also runs executor-side: bloom-less files stay
+    # (superset guarantee), the bloom'd file drops only on a miss
+    assert sorted(tbl.candidate_files("x <= 10 AND s = 'hit'")) == files[:11]
+    assert sorted(tbl.candidate_files("x <= 10 AND s = 'miss'")) == (
+        files[:7] + files[8:11]
+    )
+
+    # delta tail: v21 removes one survivor and adds one passing +
+    # one prunable file with inline stats
+    with open(os.path.join(tbl._manifest_dir, "v000021.json"), "w") as fh:
+        json.dump(
+            {
+                "version": 21,
+                "schema": schema_json,
+                "properties": {},
+                "adds": {
+                    f"{root}/d-extra/hi.parquet": {"s": {"x": [5000, 5001]}, "b": {}},
+                    f"{root}/d-extra/lo.parquet": {"s": {"x": [0, 1]}, "b": {}},
+                },
+                "removes": [files[1195]],
+            },
+            fh,
+        )
+    got2 = tbl.candidate_files("x >= 1190")
+    assert sorted(got2) == sorted(
+        [f for f in files[1190:] if f != files[1195]]
+        + [f"{root}/d-extra/hi.parquet"]
+    )
+    # the pruned-read schema path also avoids the snapshot loader
+    assert tbl._read_log_entry(21)["schema"] == schema_json
