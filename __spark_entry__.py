@@ -21,77 +21,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-6 rotation (VERDICT r5 task 1): the driver checks the FIRST 50
-# entries in iteration order. Window layout: (a) the 21 round-5
-# additions that have never had a driver verdict (ext_76–ext_95,
-# tierc_tsql_funcs2 — judge-checked 21/21 in r5, driver must confirm);
-# (b) ext_44_exact_percentiles, whose implementation changes this round
-# (mergeable exact quantiles, VERDICT task 2) alongside ext_85/86/95
-# already in (a); (c) the 12 tierc_* TPC-H-shape queries whose only
-# driver verdict is round 2 — the stalest greens left; (d) 16 of the
-# remaining round-2-only entries. After this window, no entry's latest
-# driver verdict is older than round 4 except ext_12_decontaminate and
-# ext_21_collocations (round-2 green, judge-rechecked r5 for pii_scrub's
-# sibling path; queued first for round 7).
+# Round-7 rotation (VERDICT r6 task 1): the driver checks the FIRST 50
+# entries in iteration order. Window layout: (a) the 7 round-6
+# additions that have never had a driver verdict plus the two
+# round-2-stale entries the r6 judge re-verified (ext_12/ext_21);
+# (b) the 5 round-7 additions (Q20/Q11/expression-join tierc shapes,
+# interpolated weighted quantiles, stream-stream left-outer join);
+# (c) the 11 queries whose implementation CHANGED this round — every
+# caller of the radix quantile machinery (adaptive descent + cum0
+# checkpoint + phase fusion; ext_49's percentile()->radix swap);
+# (d) 25 of the 43 entries whose latest driver verdict is round 3 —
+# the stalest greens left (alphabetical). The remaining 18 round-3
+# entries and the round-4 cohort queue for round 8.
 _FRONT = [
-    # (a) never driver-checked — added in round 5
-    "ext_76_stream_hourly",
-    "ext_77_shard_plan",
-    "ext_78_interleave",
-    "ext_79_snapshot_diff",
-    "ext_80_triplet_mining",
-    "ext_81_knn_eval",
-    "ext_82_lsh_dedup_pipeline",
-    "ext_83_skyline",
-    "ext_84_copurchase",
-    "ext_85_decile_binning",
-    "ext_86_mad_outliers",
-    "ext_87_incremental_view",
-    "ext_88_udtf_chunks",
-    "ext_89_grouped_corr",
-    "ext_90_triangles",
-    "ext_91_rrf_fusion",
-    "ext_92_rolling_wau",
-    "ext_93_ngram_novelty",
-    "ext_94_cross_source_leak",
-    "ext_95_interevent_gaps",
-    "tierc_tsql_funcs2",
-    # (b) changed this round — mergeable exact quantile rewrite
-    "ext_44_exact_percentiles",
-    # (c) round-2-only tierc greens — stalest remaining
-    "tierc_exists_subquery",
-    "tierc_line_status",
-    "tierc_local_supplier_volume",
-    "tierc_nation_volume",
-    "tierc_promo_revenue",
-    "tierc_scalar_subquery",
-    "tierc_shipping_priority",
-    "tierc_sql_passthrough",
-    "tierc_tsql_concat",
-    "tierc_tsql_dates",
-    "tierc_tsql_funcs",
-    "tierc_tsql_top",
-    # (d) remaining round-2-only entries
-    "ext_06_hourly_window",
-    "ext_05_from_json_struct",
-    "ext_07_asof_join",
-    "ext_07_range_join",
-    "ext_08_reservoir_per_group",
-    "ext_11_rolling_7d",
-    "ext_18_mix_sources",
-    "ext_20_winsorize",
-    "ext_22_funnel",
-    "ext_23_retention",
-    "ext_24_salted_join",
-    "ext_13_pii_scrub",
-    "ext_19_scd2",
-    "ext_02_canonical_docs",
-    "ext_02_dup_clusters",
-    "ext_10_tfidf_topk",
-    # ---- end of the round-6 driver window (50 entries above) ----
-    # queued for round 7: the six round-6 additions (never
-    # driver-checked — builder + judge-recipe verified only) first,
-    # then the two remaining round-2 entries
+    # (a) queued from round 6 — never driver-checked or round-2 stale
     "ext_96_weighted_median",
     "ext_97_spearman",
     "ext_98_embedding_covariance",
@@ -101,6 +44,68 @@ _FRONT = [
     "tierc_tsql_funcs3",
     "ext_12_decontaminate",
     "ext_21_collocations",
+    # (b) new in round 7
+    "tierc_promo_qty_suppliers",
+    "tierc_value_concentration",
+    "tierc_same_year_revenue",
+    "ext_102_weighted_interp",
+    "ext_103_stream_left_join",
+    # (c) changed in round 7 — radix quantile family
+    "agg_07_quantiles",
+    "ext_09_approx_quantiles",
+    "ext_20_winsorize",
+    "ext_31_outliers",
+    "ext_44_exact_percentiles",
+    "ext_49_rfm",
+    "ext_59_quality_buckets",
+    "ext_60_embedding_outliers",
+    "ext_85_decile_binning",
+    "ext_86_mad_outliers",
+    "ext_95_interevent_gaps",
+    # (d) stalest remaining (round-3 driver verdicts), alphabetical
+    "agg_02_value_counts",
+    "agg_06_pivot",
+    "ext_01_exact_dedup",
+    "ext_17_quantize",
+    "ext_27_transitions",
+    "ext_28_cdf",
+    "ext_29_fuzzy_join",
+    "ext_32_unpivot",
+    "ext_33_props_numbers",
+    "ext_34_trigram_lm",
+    "ext_35_chunk_overlap",
+    "ext_36_bag_dedup",
+    "ext_37_containment",
+    "ext_39_bloom_join",
+    "ext_40_hash_sample",
+    "ext_41_pagerank",
+    "ext_42_window_suite",
+    "ext_43_moment_stats",
+    "ext_45_histogram",
+    "ext_46_orphan_audit",
+    "ext_48_lm_score",
+    "ext_51_trend",
+    "ext_52_prefix_jaccard",
+    "prof_01_table_profile",
+    "tierc_acct_screening",
+    # ---- end of the round-7 driver window (50 entries above) ----
+    # queued for round 8: the rest of the round-3 cohort, then round 4
+    "tierc_custdist",
+    "tierc_disjunctive_revenue",
+    "tierc_forecast_revenue",
+    "tierc_lateral_topn",
+    "tierc_market_share",
+    "tierc_min_cost_supplier",
+    "tierc_priority_semijoin",
+    "tierc_product_profit",
+    "tierc_returned_items",
+    "tierc_scalar_funcs",
+    "tierc_small_qty_revenue",
+    "tierc_supplier_cnt",
+    "tierc_top_revenue_supplier",
+    "tierc_tsql_pagination",
+    "tierc_volume_customers",
+    "tierc_waiting_orders",
 ]
 
 

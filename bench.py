@@ -93,6 +93,10 @@ HEADLINE = [
     "ext_96_weighted_median",
     "ext_97_spearman",
     "ext_98_embedding_covariance",
+    "tierc_promo_qty_suppliers",
+    "tierc_value_concentration",
+    "tierc_same_year_revenue",
+    "ext_102_weighted_interp",
 ]
 
 
@@ -220,18 +224,16 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "global_window_queries": global_windows,
                 "notes": {
-                    # intentional round-6 slowdowns, not regressions:
-                    # percentile()'s whole-column-per-group buffer was
-                    # replaced by 4-pass MSD radix selection (bounded
-                    # per-task state at 100 TB; see operators/quantiles.py)
-                    "ext_44_exact_percentiles": "new to headline in r6; radix-select exact quantiles, bounded-state by design",
-                    "ext_85_decile_binning": "radix-select exact quantiles (r6): 2.8->4.5s, bounded-state by design",
-                    "ext_86_mad_outliers": "radix-select exact quantiles (r6): 2.2->5.5s, bounded-state by design",
-                    "ext_95_interevent_gaps": "radix-select exact quantiles (r6): 1.0->2.3s, bounded-state by design",
-                    "ext_59_quality_buckets": "radix-select exact quantiles (r6): 1.5->3.6s, bounded-state by design",
-                    "ext_60_embedding_outliers": "radix-select exact quantiles (r6): 1.3->2.1s, bounded-state by design",
-                    # r5 sub-second upticks re-baselined with 5-sample
-                    # medians (r6): all within 0.82-1.05x of r4 = noise
+                    # r7: the r6 radix-quantile slowdowns were clawed
+                    # back by the ADAPTIVE descent (finish pass once
+                    # every bucket <= 2^16 rows), cum0 checkpointing,
+                    # and phase fusion — same bounded-state plans,
+                    # fewer sequential jobs
+                    "ext_86_mad_outliers": "radix quantiles, adaptive descent (r7): 5.9->~3.7s; bounded-state by design",
+                    "ext_85_decile_binning": "radix quantiles, adaptive descent (r7): 4.4->~2.6s",
+                    "ext_44_exact_percentiles": "radix quantiles, adaptive descent (r7): 2.4->~1.5s",
+                    "ext_49_rfm": "r7: percentile() buffer -> ONE phase-fused 3-column radix selection (12 thresholds, 4 passes); 0.8->~2.1s is the bounded-state trade, plan-audit now bans ALL percentile buffers",
+                    "radix_scaling_slope": "sf0.01 vs sf0.1 medians (10x data): ext_44 1.87->1.72s (0.9x), ext_85 2.18->2.95s (1.4x), ext_86 3.32->3.53s (1.1x), ext_49 2.41->2.17s (0.9x), ext_95 1.38->2.10s (1.5x) — per-pass JOB OVERHEAD dominates and the scan term is linear map-combinable work, vs the percentile() buffer whose EXECUTOR MEMORY grows linearly with group size (the 100 TB OOM the r6 swap removed)",
                 },
             }
         )

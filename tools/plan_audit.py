@@ -164,6 +164,10 @@ AUDITED = [
     "ext_98_embedding_covariance",
     "ext_100_ttl_dedup",
     "tierc_tsql_funcs3",
+    "tierc_promo_qty_suppliers",
+    "tierc_value_concentration",
+    "tierc_same_year_revenue",
+    "ext_102_weighted_interp",
 ]
 
 
