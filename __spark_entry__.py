@@ -50,6 +50,7 @@ _FRONT = [
     "tierc_same_year_revenue",
     "ext_102_weighted_interp",
     "ext_103_stream_left_join",
+    "tierc_tsql_funcs4",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -87,9 +88,9 @@ _FRONT = [
     "ext_51_trend",
     "ext_52_prefix_jaccard",
     "prof_01_table_profile",
-    "tierc_acct_screening",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the rest of the round-3 cohort, then round 4
+    "tierc_acct_screening",
     "tierc_custdist",
     "tierc_disjunctive_revenue",
     "tierc_forecast_revenue",

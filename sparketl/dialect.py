@@ -78,6 +78,8 @@ _FUNC_MAP = {
     "iif": "if",  # IIF(cond, a, b) ≡ Spark if() — same 3-arg lazy form
     "replicate": "repeat",  # REPLICATE(s, n) ≡ repeat(s, n)
     "sysdatetime": "current_timestamp",
+    "sysutcdatetime": "current_timestamp",  # session tz is pinned UTC
+    "datefromparts": "make_date",  # DATEFROMPARTS(y,m,d) ≡ make_date
 }
 
 _TOKEN = re.compile(
@@ -154,10 +156,15 @@ def transpile(sql: str) -> str:
                 "dateadd",
                 "datediff",
                 "convert",
+                "try_convert",
                 "datepart",
+                "datename",
                 "stuff",
                 "square",
                 "choose",
+                "eomonth",
+                "quotename",
+                "patindex",
             ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
@@ -306,7 +313,52 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
         # like SQUARE(rand())) while keeping exact x*x multiplication —
         # power(x, 2) rounds differently from x*x for ~0.1% of doubles.
         return f"transform(array(({args[0]})), v -> v * v)[0]"
-    # CONVERT
+    if name == "eomonth":
+        # EOMONTH(d[, n]) — last day of d's month, offset n months
+        if len(args) == 1:
+            return f"last_day({args[0]})"
+        if len(args) == 2:
+            return f"last_day(add_months({args[0]}, {args[1]}))"
+        raise DialectError("EOMONTH takes (date[, month_offset])")
+    if name == "quotename":
+        # QUOTENAME(s) — default [bracket] quoting with ]-doubling;
+        # other quote characters are rare and refused rather than
+        # silently mis-quoted
+        if len(args) == 1:
+            return f"concat('[', replace({args[0]}, ']', ']]'), ']')"
+        raise DialectError(
+            "QUOTENAME with an explicit quote character is not supported"
+        )
+    if name == "datename":
+        if len(args) != 2:
+            raise DialectError("DATENAME takes (datepart, date)")
+        part, d = args[0].lower(), args[1]
+        if part in ("month", "mm", "m"):
+            return f"date_format({d}, 'MMMM')"
+        if part in ("weekday", "dw", "w"):
+            return f"date_format({d}, 'EEEE')"
+        raise DialectError(
+            f"DATENAME({part}, ...) is not supported: only month/weekday "
+            "names are language-stable under the us_english default"
+        )
+    if name == "patindex":
+        # PATINDEX('%literal%', s) — the contains-pattern subset maps
+        # exactly to locate (both return 0 on no match, 1-based hit).
+        # %/_/[] wildcards beyond a plain %...% wrap have LIKE
+        # semantics with no direct position function; refuse those.
+        if len(args) != 2:
+            raise DialectError("PATINDEX takes (pattern, expression)")
+        pat = args[0].strip()
+        m = re.fullmatch(r"'%([^%_\[\]]*)%'", pat)
+        if not m:
+            raise DialectError(
+                "PATINDEX supports only '%literal%' contains-patterns "
+                "(general LIKE wildcards have no position equivalent)"
+            )
+        lit = m.group(1).replace("''", "''")
+        return f"locate('{lit}', {args[1]})"
+    # CONVERT / TRY_CONVERT (TRY_CONVERT: null on failure ≡ try_cast)
+    cast_kw = "TRY_CAST" if name == "try_convert" else "CAST"
     if len(args) != 2:
         raise DialectError(
             "CONVERT with a style argument is not supported (style codes "
@@ -320,10 +372,10 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
     target = _CONVERT_TYPES[base]
     if target == "STRING" and param and "," not in param:
         # VARCHAR(n) truncates to n characters in T-SQL
-        return f"substr(CAST({expr} AS STRING), 1, {param})"
+        return f"substr({cast_kw}({expr} AS STRING), 1, {param})"
     if target == "DECIMAL" and param:
-        return f"CAST({expr} AS DECIMAL({param}))"
-    return f"CAST({expr} AS {target})"
+        return f"{cast_kw}({expr} AS DECIMAL({param}))"
+    return f"{cast_kw}({expr} AS {target})"
 
 
 def _parse_top_count(tokens, i: int) -> tuple[str | None, int]:

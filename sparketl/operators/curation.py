@@ -1805,10 +1805,23 @@ def q_ext_103_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
         # drop the watermark-flush sentinels (negative ids) — a batch
         # filter on the sink table, so it cannot be pushed into the
-        # streaming scans the way an in-query filter would be
+        # streaming scans the way an in-query filter would be. The
+        # null purchase columns of unmatched views map to -1 so the
+        # bigint columns stay integral through the driver's pandas
+        # compare (a nullable int demotes to float64 and re-renders)
         return (
             spark.sql(f"SELECT * FROM {name}")
             .where(F.col("view_id") >= 0)
+            .select(
+                "view_id",
+                "user_id",
+                "view_ts_us",
+                F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+                F.coalesce("purchase_ts_us", F.lit(-1)).alias(
+                    "purchase_ts_us"
+                ),
+                "amount",
+            )
             .orderBy("view_id", "purchase_id")
         )
     finally:

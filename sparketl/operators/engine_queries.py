@@ -1299,3 +1299,40 @@ ENGINE_ORACLES.update({
         ORDER BY nation, order_year
 """,
 })
+
+
+def q_tierc_tsql_funcs4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 T-SQL scalar additions via the shim (SURVEY §4.3):
+    EOMONTH (1- and 2-arg), DATENAME month/weekday, QUOTENAME
+    bracket-quoting with ]-doubling, PATINDEX contains-patterns,
+    TRY_CONVERT (null on failure), DATEFROMPARTS."""
+    return _run(spark, sf_dir, """
+        SELECT TOP 150 [o_orderkey],
+               EOMONTH([o_orderdate]) AS month_end,
+               EOMONTH([o_orderdate], 1) AS next_month_end,
+               DATENAME(month, [o_orderdate]) AS month_name,
+               DATENAME(weekday, [o_orderdate]) AS day_name,
+               QUOTENAME([o_orderstatus]) AS status_q,
+               PATINDEX('%URGENT%', [o_orderpriority]) AS urgent_pos,
+               ISNULL(TRY_CONVERT(INT, [o_orderstatus]), -1) AS status_int,
+               TRY_CONVERT(VARCHAR(5), [o_totalprice]) AS price5,
+               DATEFROMPARTS(2000, 6, 15) AS fixed_date
+        FROM orders ORDER BY [o_orderkey]
+""")
+
+
+ENGINE_QUERIES["tierc_tsql_funcs4"] = q_tierc_tsql_funcs4
+ENGINE_ORACLES["tierc_tsql_funcs4"] = """
+    SELECT o_orderkey,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end,
+           last_day(CAST(CAST(o_orderdate AS DATE)
+                         + INTERVAL 1 MONTH AS DATE)) AS next_month_end,
+           monthname(CAST(o_orderdate AS DATE)) AS month_name,
+           dayname(CAST(o_orderdate AS DATE)) AS day_name,
+           '[' || replace(o_orderstatus, ']', ']]') || ']' AS status_q,
+           CAST(strpos(o_orderpriority, 'URGENT') AS INT) AS urgent_pos,
+           COALESCE(TRY_CAST(o_orderstatus AS INT), -1) AS status_int,
+           substr(TRY_CAST(o_totalprice AS VARCHAR), 1, 5) AS price5,
+           DATE '2000-06-15' AS fixed_date
+    FROM orders ORDER BY o_orderkey LIMIT 150
+"""

@@ -2689,8 +2689,9 @@ EXT_ORACLES["ext_103_stream_left_join"] = """
       FROM events WHERE event_type = 'purchase'
     )
     SELECT v.view_id, v.user_id, v.v_us AS view_ts_us,
-           p.purchase_id, p.p_us AS purchase_ts_us, p.amount
+           COALESCE(p.purchase_id, -1) AS purchase_id,
+           COALESCE(p.p_us, -1) AS purchase_ts_us, p.amount
     FROM v LEFT JOIN p ON v.user_id = p.user_id
        AND v.v_us <= p.p_us AND p.p_us <= v.v_us + 3600000000
-    ORDER BY v.view_id, p.purchase_id
+    ORDER BY v.view_id, purchase_id
 """

@@ -259,3 +259,53 @@ def test_choose_runtime_semantics(spark):
         "UNION ALL SELECT 9 UNION ALL SELECT CAST(NULL AS INT)) v"
     ).collect()
     assert sorted((r["c"] or "~") for r in rows) == ["a", "b", "~", "~", "~"]
+
+
+def test_r7_scalar_rewrites():
+    from sparketl.dialect import transpile
+
+    assert transpile("SELECT EOMONTH(d) FROM t") == "SELECT last_day(d) FROM t"
+    assert (
+        transpile("SELECT EOMONTH(d, 2) FROM t")
+        == "SELECT last_day(add_months(d, 2)) FROM t"
+    )
+    assert (
+        transpile("SELECT QUOTENAME(c) FROM t")
+        == "SELECT concat('[', replace(c, ']', ']]'), ']') FROM t"
+    )
+    assert (
+        transpile("SELECT DATENAME(month, d), DATENAME(weekday, d) FROM t")
+        == "SELECT date_format(d, 'MMMM'), date_format(d, 'EEEE') FROM t"
+    )
+    assert (
+        transpile("SELECT PATINDEX('%abc%', c) FROM t")
+        == "SELECT locate('abc', c) FROM t"
+    )
+    assert (
+        transpile("SELECT TRY_CONVERT(INT, c) FROM t")
+        == "SELECT TRY_CAST(c AS INT) FROM t"
+    )
+    assert (
+        transpile("SELECT TRY_CONVERT(VARCHAR(5), c) FROM t")
+        == "SELECT substr(TRY_CAST(c AS STRING), 1, 5) FROM t"
+    )
+    assert (
+        transpile("SELECT DATEFROMPARTS(2000, 6, 15)")
+        == "SELECT make_date(2000, 6, 15)"
+    )
+
+
+def test_r7_scalar_rewrites_refuse_unfaithful_forms():
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    for bad in (
+        "SELECT DATENAME(week, d) FROM t",        # language/DATEFIRST traps
+        "SELECT PATINDEX('abc%', c) FROM t",       # anchored LIKE pattern
+        "SELECT PATINDEX('%a_c%', c) FROM t",      # _ wildcard
+        "SELECT QUOTENAME(c, '\"') FROM t",        # non-default quote char
+        "SELECT EOMONTH(d, 1, 2) FROM t",
+    ):
+        with pytest.raises(DialectError):
+            transpile(bad)

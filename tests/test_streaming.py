@@ -608,7 +608,12 @@ def test_stream_left_outer_interval_join_equals_batch(spark):
         F.col("us").alias("p_us"),
     )
     expect = {
-        (r["view_id"], r["purchase_id"], r["v_us"], r["p_us"])
+        (
+            r["view_id"],
+            -1 if r["purchase_id"] is None else r["purchase_id"],
+            r["v_us"],
+            -1 if r["p_us"] is None else r["p_us"],
+        )
         for r in v.join(
             p,
             (F.col("v_user") == F.col("p_user"))
@@ -619,7 +624,7 @@ def test_stream_left_outer_interval_join_equals_batch(spark):
     }
     assert got == expect
     # the outer shape is real: some views converted, some did not
-    assert any(pid is None for _, pid, _, _ in got)
-    assert any(pid is not None for _, pid, _, _ in got)
+    assert any(pid == -1 for _, pid, _, _ in got)
+    assert any(pid >= 0 for _, pid, _, _ in got)
     # no sentinel rows leaked
     assert all(vid >= 0 for vid, _, _, _ in got)
