@@ -25,13 +25,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries in iteration order. Window layout: (a) the 7 round-6
 # additions that have never had a driver verdict plus the two
 # round-2-stale entries the r6 judge re-verified (ext_12/ext_21);
-# (b) the 5 round-7 additions (Q20/Q11/expression-join tierc shapes,
-# interpolated weighted quantiles, stream-stream left-outer join);
+# (b) the round-7 additions (Q20/Q11/expression-join tierc shapes,
+# interpolated weighted quantiles, stream-stream left-outer join,
+# T-SQL funcs4, grouped OLS, streaming sliding window);
 # (c) the 11 queries whose implementation CHANGED this round — every
 # caller of the radix quantile machinery (adaptive descent + cum0
 # checkpoint + phase fusion; ext_49's percentile()->radix swap);
-# (d) 25 of the 43 entries whose latest driver verdict is round 3 —
-# the stalest greens left (alphabetical). The remaining 18 round-3
+# (d) 23 of the 43 entries whose latest driver verdict is round 3 —
+# the stalest greens left (alphabetical). The remaining 20 round-3
 # entries and the round-4 cohort queue for round 8.
 _FRONT = [
     # (a) queued from round 6 — never driver-checked or round-2 stale
@@ -51,6 +52,8 @@ _FRONT = [
     "ext_102_weighted_interp",
     "ext_103_stream_left_join",
     "tierc_tsql_funcs4",
+    "ext_104_grouped_ols",
+    "ext_105_stream_sliding",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -86,10 +89,10 @@ _FRONT = [
     "ext_46_orphan_audit",
     "ext_48_lm_score",
     "ext_51_trend",
-    "ext_52_prefix_jaccard",
-    "prof_01_table_profile",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the rest of the round-3 cohort, then round 4
+    "ext_52_prefix_jaccard",
+    "prof_01_table_profile",
     "tierc_acct_screening",
     "tierc_custdist",
     "tierc_disjunctive_revenue",

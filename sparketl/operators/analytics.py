@@ -1056,3 +1056,97 @@ def spearman_price_date(orders: DataFrame) -> DataFrame:
 
 def q_ext_97_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spearman_price_date(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_104: grouped multi-feature OLS via exact normal-equation sums
+# ---------------------------------------------------------------------------
+
+
+def grouped_ols2(
+    df: DataFrame,
+    group_cols: list[str],
+    y,
+    x1,
+    x2,
+    y_name: str = "y",
+) -> DataFrame:
+    """Per-group least-squares fit y = b0 + b1*x1 + b2*x2 — the
+    multi-feature extension of ext_51's slope/intercept.
+
+    Distributed-OLS layout: the only shuffle carries the nine exact
+    bigint normal-equation sums per group (n, Σx1, Σx2, Σy, Σx1²,
+    Σx1x2, Σx2², Σx1y, Σx2y) from a map-side-combinable aggregate —
+    the gram matrix of a 100 TB table is 9 numbers per group, never a
+    row-level collect. The 3×3 system is then solved *inside the plan*
+    by Cramer first-row cofactor expansion over doubles cast from the
+    exact bigints: no driver solve, no iteration, and because both
+    engines evaluate the identical expression tree over identical
+    bigints, the coefficient doubles are bit-identical in the DuckDB
+    oracle (same determinism argument as ext_51's slope).
+
+    Inputs x1/x2/y must be integer-valued Columns so the power sums
+    stay exact; products are accumulated as bigint (callers keep
+    magnitudes below ~3e9·rows — token/char counts qualify).
+    """
+    gx1 = x1.cast("bigint")
+    gx2 = x2.cast("bigint")
+    gy = y.cast("bigint")
+    base = df.select(
+        *group_cols,
+        gx1.alias("_x1"),
+        gx2.alias("_x2"),
+        gy.alias("_y"),
+    )
+    agg = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x1").alias("sx1"),
+        F.sum("_x2").alias("sx2"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("s11"),
+        F.sum(F.col("_x1") * F.col("_x2")).alias("s12"),
+        F.sum(F.col("_x2") * F.col("_x2")).alias("s22"),
+        F.sum(F.col("_x1") * F.col("_y")).alias("s1y"),
+        F.sum(F.col("_x2") * F.col("_y")).alias("s2y"),
+    )
+    n = F.col("n").cast("double")
+    sx1 = F.col("sx1").cast("double")
+    sx2 = F.col("sx2").cast("double")
+    sy = F.col("sy").cast("double")
+    s11 = F.col("s11").cast("double")
+    s12 = F.col("s12").cast("double")
+    s22 = F.col("s22").cast("double")
+    s1y = F.col("s1y").cast("double")
+    s2y = F.col("s2y").cast("double")
+
+    def det3(a, b, c, d, e, f_, g, h, i):
+        # first-row cofactor expansion, fixed association order
+        return a * (e * i - f_ * h) - b * (d * i - f_ * g) + c * (d * h - e * g)
+
+    det = det3(n, sx1, sx2, sx1, s11, s12, sx2, s12, s22)
+    d0 = det3(sy, sx1, sx2, s1y, s11, s12, s2y, s12, s22)
+    d1 = det3(n, sy, sx2, sx1, s1y, s12, sx2, s2y, s22)
+    d2 = det3(n, sx1, sy, sx1, s11, s1y, sx2, s12, s2y)
+    return agg.select(
+        *group_cols,
+        "n",
+        (d0 / det).alias("b0"),
+        (d1 / det).alias(f"b1_{y_name}"),
+        (d2 / det).alias(f"b2_{y_name}"),
+    ).orderBy(*group_cols)
+
+
+def q_ext_104_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language fit of n_chars against (token count, distinct-token
+    count) on documents — "how does length scale with vocabulary reuse"
+    as three coefficients per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return grouped_ols2(
+        docs,
+        ["lang"],
+        F.col("n_chars"),
+        F.size(toks),
+        F.size(F.array_distinct(toks)),
+        y_name="chars",
+    )

@@ -1826,3 +1826,30 @@ def q_ext_103_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ext_105: streaming hopping (sliding) window aggregate
+# ---------------------------------------------------------------------------
+
+
+def q_ext_105_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked 1h/30m hopping-window streaming aggregate over the
+    staged multi-chunk fixture (complete-mode memory sink, so the
+    finite-stream result equals the batch expansion — the oracle maps
+    every event to its two epoch-aligned window starts and
+    re-aggregates). Completes the streaming window shapes: tumbling
+    (ext_76), session (ext_72), interval joins (ext_73/103), TTL dedup
+    (ext_101) — this is the overlapping-window state-multiplier case;
+    notes in ``streaming.windows.streaming_sliding_agg``."""
+    from sparketl.streaming.stateful import read_staged_stream, stage_event_chunks
+    from sparketl.streaming.windows import run_stream_to_table, streaming_sliding_agg
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    try:
+        agg = streaming_sliding_agg(read_staged_stream(spark, stage))
+        return run_stream_to_table(agg, spark).orderBy(
+            "window_start_us", "event_type"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -2695,3 +2695,68 @@ EXT_ORACLES["ext_103_stream_left_join"] = """
        AND v.v_us <= p.p_us AND p.p_us <= v.v_us + 3600000000
     ORDER BY v.view_id, purchase_id
 """
+
+from sparketl.operators.analytics import q_ext_104_grouped_ols  # noqa: E402
+
+EXT_QUERIES["ext_104_grouped_ols"] = q_ext_104_grouped_ols
+EXT_ORACLES["ext_104_grouped_ols"] = """
+    WITH b AS (
+      SELECT lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+             CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS x2,
+             CAST(n_chars AS BIGINT) AS y
+      FROM documents
+    ), s AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS BIGINT) AS sx1,
+             CAST(SUM(x2) AS BIGINT) AS sx2,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+             CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+             CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+             CAST(SUM(x1 * y) AS BIGINT) AS s1y,
+             CAST(SUM(x2 * y) AS BIGINT) AS s2y
+      FROM b GROUP BY lang
+    ), d AS (
+      SELECT lang, n,
+             CAST(n AS DOUBLE) AS dn,
+             CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+             CAST(sy AS DOUBLE) AS dy,
+             CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+             CAST(s22 AS DOUBLE) AS d22,
+             CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+      FROM s
+    )
+    SELECT lang, n,
+           (dy * (d11 * d22 - d12 * d12) - dx1 * (d1y * d22 - d12 * d2y)
+              + dx2 * (d1y * d12 - d11 * d2y))
+           / (dn * (d11 * d22 - d12 * d12) - dx1 * (dx1 * d22 - d12 * dx2)
+              + dx2 * (dx1 * d12 - d11 * dx2)) AS b0,
+           (dn * (d1y * d22 - d12 * d2y) - dy * (dx1 * d22 - d12 * dx2)
+              + dx2 * (dx1 * d2y - d1y * dx2))
+           / (dn * (d11 * d22 - d12 * d12) - dx1 * (dx1 * d22 - d12 * dx2)
+              + dx2 * (dx1 * d12 - d11 * dx2)) AS b1_chars,
+           (dn * (d11 * d2y - d1y * d12) - dx1 * (dx1 * d2y - d1y * dx2)
+              + dy * (dx1 * d12 - d11 * dx2))
+           / (dn * (d11 * d22 - d12 * d12) - dx1 * (dx1 * d22 - d12 * dx2)
+              + dx2 * (dx1 * d12 - d11 * dx2)) AS b2_chars
+    FROM d ORDER BY lang
+"""
+
+from sparketl.operators.curation import q_ext_105_stream_sliding  # noqa: E402
+
+EXT_QUERIES["ext_105_stream_sliding"] = q_ext_105_stream_sliding
+EXT_ORACLES["ext_105_stream_sliding"] = """
+    WITH w AS (
+      SELECT time_bucket(INTERVAL 30 MINUTE, CAST(ts AS TIMESTAMP))
+               - k * INTERVAL 30 MINUTE AS wstart,
+             event_type, value
+      FROM events, (VALUES (0), (1)) offs(k)
+    )
+    SELECT epoch_us(CAST(wstart AS TIMESTAMP)) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+    FROM w GROUP BY 1, 2 ORDER BY 1, 2
+"""

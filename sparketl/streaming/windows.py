@@ -73,6 +73,43 @@ def streaming_hourly_agg(
     )
 
 
+def streaming_sliding_agg(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked HOPPING-window aggregate — each event lands in
+    width/slide overlapping windows (2 here), the streaming twin of the
+    batch ``events_ops.hopping_window_agg``.
+
+    State story at scale: overlap multiplies open-window state by
+    width/slide, but the watermark still closes every window slide-width
+    behind the event-time frontier, so state is (windows per slide ×
+    overlap × group cardinality) — bounded regardless of stream length.
+    The oracle expands each event into its two epoch-aligned window
+    starts (bucket, bucket - slide) and re-aggregates; Spark's
+    ``F.window(ts, width, slide)`` is epoch-aligned the same way, so the
+    finite-stream complete-mode result matches it exactly.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", width, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame,
     keys: list[str] | None = None,

@@ -368,3 +368,43 @@ def test_ttl_dedup_matches_python_recompute(spark):
         assert r["n_events"] == total[r["event_type"]]
         assert r["n_kept"] == kept[r["event_type"]]
         assert r["n_dropped"] == total[r["event_type"]] - kept[r["event_type"]]
+
+
+def test_grouped_ols2_matches_numpy(spark):
+    """Per-group normal-equation OLS coefficients ≡ numpy lstsq on the
+    same design matrix (rel tol — numpy solves via SVD, we use exact
+    bigint gram sums + Cramer)."""
+    import numpy as np
+
+    from sparketl.io import load_table
+    from sparketl.operators.analytics import grouped_ols2
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = F.split("text", " ")
+    got = {
+        r["lang"]: (r["b0"], r["b1_chars"], r["b2_chars"])
+        for r in grouped_ols2(
+            docs,
+            ["lang"],
+            F.col("n_chars"),
+            F.size(toks),
+            F.size(F.array_distinct(toks)),
+            y_name="chars",
+        ).collect()
+    }
+    rows = docs.select(
+        "lang",
+        F.size(toks).alias("x1"),
+        F.size(F.array_distinct(toks)).alias("x2"),
+        "n_chars",
+    ).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append((r["x1"], r["x2"], r["n_chars"]))
+    assert set(got) == set(by_lang) and len(got) >= 2
+    for lang, pts in by_lang.items():
+        a = np.array([[1.0, x1, x2] for x1, x2, _ in pts])
+        y = np.array([float(v) for _, _, v in pts])
+        ref, *_ = np.linalg.lstsq(a, y, rcond=None)
+        for mine, theirs in zip(got[lang], ref):
+            assert abs(mine - theirs) <= 1e-6 * max(1.0, abs(theirs))

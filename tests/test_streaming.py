@@ -628,3 +628,23 @@ def test_stream_left_outer_interval_join_equals_batch(spark):
     assert any(pid >= 0 for _, pid, _, _ in got)
     # no sentinel rows leaked
     assert all(vid >= 0 for vid, _, _, _ in got)
+
+
+def test_streaming_sliding_equals_batch(spark):
+    """Hopping-window streaming aggregate ≡ the batch hopping twin at
+    the same width/slide — overlap factor 2, complete-mode finite
+    stream."""
+    from sparketl.operators.events_ops import hopping_window_agg
+    from sparketl.streaming.windows import streaming_sliding_agg
+
+    batch = hopping_window_agg(
+        load_table(spark, SF_SMOKE, "events"), "1 hour", "30 minutes"
+    )
+    stream = streaming_sliding_agg(read_event_stream(spark, SF_SMOKE))
+    got = run_stream_to_table(stream, spark)
+    b = sorted(tuple(r) for r in batch.collect())
+    s = sorted(tuple(r) for r in got.collect())
+    assert b == s
+    # overlap factor: hopping n_events total = 2 × raw event count
+    n_raw = load_table(spark, SF_SMOKE, "events").count()
+    assert sum(r[2] for r in b) == 2 * n_raw

@@ -168,6 +168,7 @@ AUDITED = [
     "tierc_value_concentration",
     "tierc_same_year_revenue",
     "ext_102_weighted_interp",
+    "ext_104_grouped_ols",
 ]
 
 
