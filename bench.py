@@ -98,6 +98,7 @@ HEADLINE = [
     "tierc_same_year_revenue",
     "ext_102_weighted_interp",
     "ext_104_grouped_ols",
+    "ext_106_dsir_selection",
 ]
 
 

@@ -1853,3 +1853,96 @@ def q_ext_105_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ext_106: DSIR-style importance resampling (data selection)
+# ---------------------------------------------------------------------------
+
+
+def dsir_importance_rank(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 128,
+    top_k: int = 25,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    arXiv:2302.03169): rank pool documents by how target-domain-like
+    their hashed n-gram profile is, the standard pretraining-corpus
+    selection step ("pick web documents that look like Wikipedia").
+
+    Features are unigrams + bigrams hashed into ``n_buckets`` buckets
+    (the hashing trick — the feature space stays B-dimensional no
+    matter how large the corpus vocabulary grows, which is the whole
+    point at 100 TB). Two smoothed multinomials are fit over the
+    buckets — p from the ``target_source`` slice, q from the full pool
+    — and each document scores the sum over its feature occurrences of
+    log(p_b/q_b), i.e. the importance log-weight of the target
+    distribution against the pool.
+
+    Engine-exactness: the feature hash is a position-weighted
+    code-point sum scrambled by the Knuth multiplier — pure bigint
+    arithmetic, identical in the DuckDB oracle (ext_77's portability
+    device; xxhash64 would be Spark-only). Bucket counts and totals
+    are exact bigints; each log-ratio takes the correctly-rounded
+    double quotient of two exact bigint products, so both engines feed
+    ln() the same double, and the result quantizes to micro-nats
+    (floor, bigint) — per-doc scores are then exact integer sums.
+
+    Scale shape: one feature explode (map-side) feeds a 128-row
+    count aggregate; the log-ratio table broadcasts back into the
+    same exploded frame; per-doc scores are one map-combinable sum;
+    top-k is TakeOrderedAndProject. No shuffle ever carries more than
+    (doc_id, bucket) pairs; the model itself is 128 rows.
+    """
+    b_lit = F.lit(n_buckets)
+    tk = F.split("text", " ")
+    bigrams = F.zip_with(
+        F.slice(tk, 1, F.size(tk) - 1),
+        F.slice(tk, 2, F.size(tk) - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = docs.select(
+        "doc_id", "source", F.explode(F.concat(tk, bigrams)).alias("f")
+    )
+    wsum = F.aggregate(
+        F.transform(F.split("f", ""), lambda c, i: F.ascii(c) * (i + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fb = feats.select(
+        "doc_id",
+        "source",
+        (((wsum * F.lit(2654435761)) % F.lit(4294967296)) % b_lit).alias("b"),
+    )
+    cnt = fb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cq"),
+        F.count(F.when(F.col("source") == target_source, 1)).alias("cp"),
+    )
+    tot = cnt.agg(F.sum("cq").alias("Q"), F.sum("cp").alias("T"))
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            F.log(
+                ((F.col("cp") + 1) * (F.col("Q") + b_lit)).cast("double")
+                / ((F.col("cq") + 1) * (F.col("T") + b_lit)).cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("lr"),
+    )
+    return (
+        fb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_features"),
+            F.sum("lr").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(top_k)
+    )
+
+
+def q_ext_106_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dsir_importance_rank(load_table(spark, sf_dir, "documents"))

@@ -2760,3 +2760,41 @@ EXT_ORACLES["ext_105_stream_sliding"] = """
            CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
     FROM w GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+from sparketl.operators.curation import q_ext_106_dsir_selection  # noqa: E402
+
+EXT_QUERIES["ext_106_dsir_selection"] = q_ext_106_dsir_selection
+EXT_ORACLES["ext_106_dsir_selection"] = """
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS tk FROM documents
+    ), fx AS (
+      SELECT doc_id, source,
+             UNNEST(list_concat(tk,
+               list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])))
+               AS f
+      FROM t
+    ), fb AS (
+      SELECT doc_id, source,
+             ((list_sum(list_transform(string_split(f, ''),
+                 (c, i) -> ascii(c) * i)) * 2654435761) % 4294967296) % 128 AS b
+      FROM fx
+    ), cnt AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cq,
+             CAST(COUNT(*) FILTER (source = 'src0') AS BIGINT) AS cp
+      FROM fb GROUP BY b
+    ), tot AS (
+      SELECT CAST(SUM(cq) AS BIGINT) AS q_tot, CAST(SUM(cp) AS BIGINT) AS t_tot
+      FROM cnt
+    ), lr AS (
+      SELECT b, CAST(FLOOR(ln(
+               CAST((cp + 1) * (q_tot + 128) AS DOUBLE)
+               / CAST((cq + 1) * (t_tot + 128) AS DOUBLE)) * 1000000.0)
+             AS BIGINT) AS lr
+      FROM cnt, tot
+    )
+    SELECT fb.doc_id, COUNT(*) AS n_features,
+           CAST(SUM(lr.lr) AS BIGINT) AS score_micro
+    FROM fb JOIN lr USING (b)
+    GROUP BY fb.doc_id
+    ORDER BY score_micro DESC, doc_id LIMIT 25
+"""

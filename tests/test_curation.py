@@ -882,3 +882,59 @@ def test_cross_source_leak_hashed_equals_string_keyed(spark):
     )
     ref = {(r["src_a"], r["src_b"]): r["count"] for r in ref_rows}
     assert got == ref and len(got) > 0
+
+
+def test_dsir_scores_match_pure_python(spark):
+    """DSIR importance ranks ≡ a pure-Python recompute of the hashed
+    bigram model (exact integer micro-nat scores), and target-domain
+    docs dominate the top of their own ranking."""
+    import math
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import dsir_importance_rank
+
+    B = 128
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "source", "text").collect()
+
+    def features(text):
+        tks = text.split(" ")
+        return tks + [f"{a} {b}" for a, b in zip(tks, tks[1:])]
+
+    def bucket(f):
+        w = sum(ord(c) * (i + 1) for i, c in enumerate(f))
+        return ((w * 2654435761) % 4294967296) % B
+
+    cq = [0] * B
+    cp = [0] * B
+    per_doc: dict = {}
+    for r in rows:
+        bs = [bucket(f) for f in features(r.text)]
+        per_doc[r.doc_id] = bs
+        for b in bs:
+            cq[b] += 1
+            if r.source == "src0":
+                cp[b] += 1
+    q_tot, t_tot = sum(cq), sum(cp)
+    lr = [
+        math.floor(
+            math.log(
+                float((cp[b] + 1) * (q_tot + B))
+                / float((cq[b] + 1) * (t_tot + B))
+            )
+            * 1e6
+        )
+        for b in range(B)
+    ]
+    scores = {d: (len(bs), sum(lr[b] for b in bs)) for d, bs in per_doc.items()}
+    expected = sorted(
+        ((s, n, d) for d, (n, s) in scores.items()),
+        key=lambda t: (-t[0], t[2]),
+    )[:25]
+
+    got = dsir_importance_rank(docs).collect()
+    assert [(r.score_micro, r.n_features, r.doc_id) for r in got] == expected
+    # the selector must prefer target-domain docs: majority of top-25
+    src = {r.doc_id: r.source for r in rows}
+    n_target = sum(1 for r in got if src[r.doc_id] == "src0")
+    assert n_target >= 13

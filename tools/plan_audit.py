@@ -57,6 +57,8 @@ BROADCAST_SCALAR_OK = {
     # a constant-partition window — bounded by partitions², not data
     "ext_98_embedding_covariance",  # one-row dim-sized mean-array
     # broadcast for the map-side centered products
+    "ext_106_dsir_selection",  # one-row (Q, T) feature-total broadcast
+    # into the 128-row bucket-count frame for the smoothed log-ratios
 }
 
 AUDITED = [
@@ -169,6 +171,7 @@ AUDITED = [
     "tierc_same_year_revenue",
     "ext_102_weighted_interp",
     "ext_104_grouped_ols",
+    "ext_106_dsir_selection",
 ]
 
 
