@@ -1150,3 +1150,75 @@ def q_ext_104_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)),
         y_name="chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_107: per-group EWMA (sequential recurrence via applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+def ewma_daily_revenue(orders: DataFrame, alpha: float = 0.25) -> DataFrame:
+    """Exponentially-weighted moving average of daily revenue per order
+    priority — the classic smoothing recurrence s_t = α·x_t +
+    (1-α)·s_{t-1} (s_0 = x_0) that windows cannot express (every output
+    depends on the entire prefix, not a bounded frame).
+
+    This is the one operator family where applyInPandas is the RIGHT
+    scale tool rather than a fallback: the recurrence is inherently
+    sequential per group, but the input is the (priority, day) rollup —
+    each group's series is bounded by the calendar (≤ days rows, never
+    O(data)), so a 100 TB order table still reduces map-side to a few
+    thousand rows per group before a single Python batch touches it.
+
+    Engine-exactness: daily revenue is an exact decimal→bigint cents
+    rollup; x_t enters the recurrence as that bigint cast to double
+    (exactly representable); α = 0.25 and 1-α = 0.75 are exact binary
+    doubles, so each step is two exact-operand multiplies and one add —
+    the same two roundings in the Python loop and in the DuckDB
+    recursive-CTE oracle, hence bit-identical ewma doubles.
+    """
+    import pandas as pd
+
+    one_minus = 1.0 - alpha
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.expr(
+                "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "decimal(18,0)"
+                )
+            )
+            .cast("long")
+            .alias("rev_cents")
+        )
+    )
+
+    def smooth(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        out = []
+        s = None
+        for x in pdf["rev_cents"]:
+            x = float(x)
+            s = x if s is None else alpha * x + one_minus * s
+            out.append(s)
+        pdf["ewma_cents"] = out
+        return pdf
+
+    return (
+        daily.groupBy("o_orderpriority")
+        .applyInPandas(
+            smooth,
+            "o_orderpriority string, day bigint, rev_cents bigint, "
+            "ewma_cents double",
+        )
+        .orderBy("o_orderpriority", "day")
+    )
+
+
+def q_ext_107_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_daily_revenue(load_table(spark, sf_dir, "orders"))

@@ -2798,3 +2798,47 @@ EXT_ORACLES["ext_106_dsir_selection"] = """
     GROUP BY fb.doc_id
     ORDER BY score_micro DESC, doc_id LIMIT 25
 """
+
+from sparketl.operators.analytics import q_ext_107_ewma  # noqa: E402
+
+EXT_QUERIES["ext_107_ewma"] = q_ext_107_ewma
+EXT_ORACLES["ext_107_ewma"] = """
+    WITH RECURSIVE daily AS (
+      SELECT o_orderpriority,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS DECIMAL(18,0))) AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1, 2
+    ), seq AS (
+      SELECT o_orderpriority, day, rev_cents,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY day)
+               AS rn
+      FROM daily
+    ), e AS (
+      SELECT o_orderpriority, day, rev_cents, rn,
+             CAST(rev_cents AS DOUBLE) AS ewma_cents
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT s.o_orderpriority, s.day, s.rev_cents, s.rn,
+             0.25 * CAST(s.rev_cents AS DOUBLE) + 0.75 * e.ewma_cents
+      FROM seq s
+      JOIN e ON s.o_orderpriority = e.o_orderpriority AND s.rn = e.rn + 1
+    )
+    SELECT o_orderpriority, CAST(day AS BIGINT) AS day, rev_cents, ewma_cents
+    FROM e ORDER BY o_orderpriority, day
+"""
+
+from sparketl.operators.similarity import q_ext_108_jl_projection  # noqa: E402
+
+EXT_QUERIES["ext_108_jl_projection"] = q_ext_108_jl_projection
+EXT_ORACLES["ext_108_jl_projection"] = """
+    SELECT e.vec_id, e.label, CAST(t.j AS INT) AS j,
+           CAST(list_sum(list_transform(e.embedding, (x, i) ->
+             CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+             * (1 - 2 * ((((i * 2654435761 % 4294967296 // 65536) + 1)
+                          * ((t.j + 1) * 2246822519 % 4294967296 // 65536 + 1)
+                          // 131072) % 2))
+           )) AS BIGINT) AS v
+    FROM embeddings e, (SELECT UNNEST(range(0, 16)) AS j) t
+    ORDER BY e.vec_id, t.j
+"""

@@ -610,3 +610,71 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int =
 
 def q_ext_99_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext_108: Johnson-Lindenstrauss random projection (dimensionality cut)
+# ---------------------------------------------------------------------------
+
+
+def jl_project(emb: DataFrame, out_dims: int = 16) -> DataFrame:
+    """Random-sign (Achlioptas) Johnson-Lindenstrauss projection of the
+    embedding column to ``out_dims`` dimensions — the standard cheap
+    dimensionality cut in front of ANN indexing / clustering (distances
+    preserved within 1±ε w.h.p., JL lemma).
+
+    Scale shape: embarrassingly parallel — the projection "matrix" is
+    never materialized anywhere; each ±1 sign derives arithmetically
+    from (input-dim, output-dim) via a Knuth-style mixed hash, so a
+    billion-row projection is one map-only pass with zero shuffle,
+    zero broadcast, and zero driver state. This is the property a
+    stored-Gaussian-matrix implementation loses (the matrix must ship
+    to every task; resume/backfill must keep it versioned).
+
+    Engine-exactness: components quantize to exact micro-unit bigints
+    (float→double widening is exact; ×1e6 and floor round identically),
+    signs come from bit 17 of the mixed integer hash (low bits of a
+    Knuth product alternate with parity — useless), and each projected
+    coordinate is an exact bigint dot product. Output is long-form
+    ``vec_id, j, v`` plus the vector's label.
+    """
+    def term(x, i):
+        # ±1 from bit 17 of the PRODUCT of per-axis 16-bit scrambles: a
+        # linear mix of (i, j) makes every sign column a shifted copy of
+        # one base sequence (nearly parallel projection directions —
+        # measured mean |column dot| 30/64); the product form measures
+        # mean 4.9 / max 20, i.e. random-matrix-grade orthogonality,
+        # while every intermediate stays below 2^32 (bigint-safe in
+        # both engines).
+        a = ((i + F.lit(1)) * F.lit(2654435761) % F.lit(4294967296)) / F.lit(
+            65536
+        )
+        b = (
+            (F.col("j") + F.lit(1)) * F.lit(2246822519) % F.lit(4294967296)
+        ) / F.lit(65536)
+        prod = (a.cast("long") + 1) * (b.cast("long") + 1)
+        sign = F.lit(1) - F.lit(2) * (
+            (prod / F.lit(131072)).cast("long") % F.lit(2)
+        )
+        q = F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+        return q * sign
+
+    dot = F.aggregate(
+        F.transform("embedding", term),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.explode(F.sequence(F.lit(0), F.lit(out_dims - 1))).alias("j"),
+            "embedding",
+        )
+        .select("vec_id", "label", "j", dot.alias("v"))
+        .orderBy("vec_id", "j")
+    )
+
+
+def q_ext_108_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jl_project(load_table(spark, sf_dir, "embeddings"))

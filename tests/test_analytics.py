@@ -408,3 +408,29 @@ def test_grouped_ols2_matches_numpy(spark):
         ref, *_ = np.linalg.lstsq(a, y, rcond=None)
         for mine, theirs in zip(got[lang], ref):
             assert abs(mine - theirs) <= 1e-6 * max(1.0, abs(theirs))
+
+
+def test_ewma_matches_pandas_ewm(spark):
+    """Grouped EWMA recurrence ≡ pandas ewm(adjust=False) on each
+    group's day-ordered series (rel tol — pandas may associate the
+    two-product step differently in its C kernel)."""
+    from sparketl.io import load_table
+    from sparketl.operators.analytics import ewma_daily_revenue
+
+    got = ewma_daily_revenue(load_table(spark, SF_SMOKE, "orders")).collect()
+    assert len(got) > 100
+    import pandas as pd
+
+    df = pd.DataFrame(
+        [(r.o_orderpriority, r.day, r.rev_cents, r.ewma_cents) for r in got],
+        columns=["prio", "day", "rev", "ewma"],
+    )
+    for _, grp in df.groupby("prio"):
+        grp = grp.sort_values("day")
+        ref = grp["rev"].astype(float).ewm(alpha=0.25, adjust=False).mean()
+        assert (
+            (grp["ewma"] - ref).abs()
+            <= 1e-9 * ref.abs().clip(lower=1.0)
+        ).all()
+        # day-ordered output within each group
+        assert grp["day"].is_monotonic_increasing

@@ -212,3 +212,64 @@ def test_pca_top_component_matches_numpy_eigh(spark):
     assert abs(float(np.dot(v, top))) > 0.999
     assert abs(eigval - ref_vals[-1]) < 1e-3 * max(1.0, abs(ref_vals[-1]))
     assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-9
+
+
+def test_jl_projection_exact_and_distance_preserving(spark):
+    """JL projection ≡ a numpy recompute of the arithmetic sign matrix
+    (exact bigints), and projected cosine similarity correlates with
+    the original (the JL property at sanity level)."""
+    import numpy as np
+
+    from sparketl.io import load_table
+    from sparketl.operators.similarity import jl_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    got = jl_project(emb).collect()
+
+    d_in = len(rows[0].embedding)
+    d_out = 16
+    signs = np.empty((d_in, d_out), dtype=np.int64)
+    for i in range(d_in):
+        for j in range(d_out):
+            a = (((i + 1) * 2654435761) % 4294967296) >> 16
+            b = (((j + 1) * 2246822519) % 4294967296) >> 16
+            signs[i, j] = 1 - 2 * ((((a + 1) * (b + 1)) >> 17) % 2)
+    expected = {}
+    for r in rows:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1e6).astype(
+            np.int64
+        )
+        expected[r.vec_id] = q @ signs
+    assert len(got) == len(rows) * d_out
+    for g in got:
+        assert g.v == expected[g.vec_id][g.j], (g.vec_id, g.j)
+
+    # JL norm preservation: E||proj(x)||^2 = d_out * ||x||^2 for ±1
+    # signs; with d_out=16 the ratio concentrates around 1 (the
+    # fixture's embeddings are isotropic noise, so pairwise cosines
+    # are all ~0 and carry no signal to check — norms always do)
+    ratios = []
+    for r in rows:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * 1e6)
+        p = expected[r.vec_id].astype(float)
+        ratios.append((p @ p) / (d_out * (q @ q)))
+    ratios = np.array(ratios)
+    assert 0.8 <= np.median(ratios) <= 1.25, np.median(ratios)
+    assert (np.abs(np.log(ratios)) <= np.log(2.5)).mean() >= 0.9
+
+    # planted near-dup: a high-cosine pair must stay high after
+    # projection while orthogonal axes stay low (deterministic —
+    # the sign matrix is arithmetic, not sampled)
+    rng_u = np.ones(d_in)
+    rng_v = rng_u.copy()
+    rng_v[0] = -1.0  # cosine 62/64 with u
+    e1 = np.zeros(d_in)
+    e1[0] = 1.0
+    pu, pv, pe = rng_u @ signs, rng_v @ signs, e1 @ signs
+
+    def cos(a, b):
+        return a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+
+    assert cos(pu, pv) > 0.8, cos(pu, pv)
+    assert abs(cos(pu, pe)) < 0.6

@@ -172,6 +172,8 @@ AUDITED = [
     "ext_102_weighted_interp",
     "ext_104_grouped_ols",
     "ext_106_dsir_selection",
+    "ext_107_ewma",
+    "ext_108_jl_projection",
 ]
 
 
