@@ -101,6 +101,7 @@ HEADLINE = [
     "ext_106_dsir_selection",
     "ext_107_ewma",
     "ext_108_jl_projection",
+    "ext_109_zorder",
 ]
 
 

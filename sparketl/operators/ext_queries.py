@@ -2842,3 +2842,30 @@ EXT_ORACLES["ext_108_jl_projection"] = """
     FROM embeddings e, (SELECT UNNEST(range(0, 16)) AS j) t
     ORDER BY e.vec_id, t.j
 """
+
+from sparketl.operators.scaleops import q_ext_109_zorder, zorder_expr  # noqa: E402
+
+EXT_QUERIES["ext_109_zorder"] = q_ext_109_zorder
+EXT_ORACLES["ext_109_zorder"] = f"""
+    WITH base AS (
+      SELECT epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS d,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM orders
+    ), rng AS (
+      SELECT MIN(d) AS dmin, MAX(d) AS dmax, MIN(c) AS cmin, MAX(c) AS cmax
+      FROM base
+    ), q AS (
+      SELECT d, c,
+             (d - dmin) * 65535 // greatest(1, dmax - dmin) AS x,
+             (c - cmin) * 65535 // greatest(1, cmax - cmin) AS y
+      FROM base, rng
+    ), z AS (
+      SELECT d, c, {zorder_expr('x', 'y', intdiv='//')} AS z
+      FROM q
+    )
+    SELECT CAST(z // {(1 << 32) // 64} AS BIGINT) AS bucket,
+           COUNT(*) AS n,
+           CAST(MIN(d) AS BIGINT) AS min_day, CAST(MAX(d) AS BIGINT) AS max_day,
+           CAST(MIN(c) AS BIGINT) AS min_cents, CAST(MAX(c) AS BIGINT) AS max_cents
+    FROM z GROUP BY 1 ORDER BY bucket
+"""

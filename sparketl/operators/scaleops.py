@@ -234,3 +234,87 @@ def q_ext_41_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_node").alias("src"), F.col("s_node").alias("dst")
     ).union(pairs.select(F.col("s_node").alias("src"), F.col("c_node").alias("dst")))
     return pagerank_fixed(edges, n_iters=2, top_k=50)
+
+
+# ---------------------------------------------------------------------------
+# ext_109: Z-order (Morton) multidimensional clustering
+# ---------------------------------------------------------------------------
+
+
+def zorder_expr(x: str, y: str, bits: int = 16, intdiv: str = "div") -> str:
+    """SQL expression interleaving the low ``bits`` bits of ``x`` and
+    ``y`` into a Morton code — pure integer div/mod arithmetic, the
+    same term structure in Spark (``intdiv='div'``) and the DuckDB
+    oracle (``intdiv='//'``); operands are non-negative so both
+    divisions floor identically."""
+    terms = []
+    for k in range(bits):
+        terms.append(f"(({x} {intdiv} {1 << k}) % 2) * {1 << (2 * k)}")
+        terms.append(f"(({y} {intdiv} {1 << k}) % 2) * {1 << (2 * k + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_layout_stats(orders: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """Z-order clustering report: map (order date, price) onto a Morton
+    curve and show, per equal-width z-range bucket (a stand-in for an
+    output file), the min/max bounds of BOTH dimensions.
+
+    This is the lakehouse data-layout primitive (Delta/Iceberg
+    ``OPTIMIZE ZORDER BY``): writing files in z order makes per-file
+    min/max statistics tight on EVERY z-ordered column at once, so a
+    scan with a predicate on either column (or both) can skip most
+    files — a 1-D sort gives that property to its leading column only.
+    The report quantifies it: each bucket's (max-min) day span and
+    cents span are each ~1/√buckets of the global range, vs a day sort
+    whose cents span per bucket stays the FULL range.
+
+    Scale shape: min/max ranges are one map-combinable aggregate
+    broadcast back into a map-only quantize+interleave projection
+    (pure bigint div/mod — the identical expression string runs in the
+    oracle), then one n_buckets-row aggregate. At a real 100 TB write
+    the z value would feed ``repartitionByRange(z)`` + per-file stats;
+    the clustering math is exactly this.
+    """
+    base = orders.select(
+        F.expr(
+            "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000"
+        ).alias("d"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("c"),
+    )
+    rng = base.agg(
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.min("c").alias("cmin"),
+        F.max("c").alias("cmax"),
+    )
+    q = base.crossJoin(F.broadcast(rng)).select(
+        "d",
+        "c",
+        F.expr(
+            "(d - dmin) * 65535 div greatest(1L, dmax - dmin)"
+        ).alias("x"),
+        F.expr(
+            "(c - cmin) * 65535 div greatest(1L, cmax - cmin)"
+        ).alias("y"),
+    )
+    z = q.select(
+        "d", "c", F.expr(zorder_expr("x", "y")).alias("z")
+    )
+    bucket_width = (1 << 32) // n_buckets
+    return (
+        z.groupBy(F.expr(f"z div {bucket_width}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("d").alias("min_day"),
+            F.max("d").alias("max_day"),
+            F.min("c").alias("min_cents"),
+            F.max("c").alias("max_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def q_ext_109_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zorder_layout_stats(load_table(spark, sf_dir, "orders"))

@@ -92,3 +92,44 @@ def test_pagerank_two_iters_hub_stays_on_top(spark):
     )
     rows = pagerank_fixed(edges, n_iters=2).collect()
     assert rows[0]["node"] == 1
+
+
+def test_zorder_interleave_matches_python(spark):
+    """Morton-code SQL expression ≡ pure-Python bit interleave."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.scaleops import zorder_expr
+
+    pts = [(0, 0), (1, 0), (0, 1), (65535, 65535), (12345, 54321), (40000, 7)]
+    df = spark.createDataFrame(pts, "x long, y long").select(
+        "x", "y", F.expr(zorder_expr("x", "y")).alias("z")
+    )
+    for r in df.collect():
+        want = 0
+        for k in range(16):
+            want |= ((r.x >> k) & 1) << (2 * k)
+            want |= ((r.y >> k) & 1) << (2 * k + 1)
+        assert r.z == want, (r.x, r.y)
+
+
+def test_zorder_buckets_bound_both_dimensions(spark):
+    """The point of z-ordering: per-bucket spans shrink on BOTH columns
+    (a 1-D sort bounds only its leading column). Median bucket span
+    must be well under the global range on each dimension, and all
+    rows must land in a bucket."""
+    from sparketl.io import load_table
+    from sparketl.operators.scaleops import zorder_layout_stats
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = zorder_layout_stats(orders).collect()
+    assert sum(r.n for r in rows) == orders.count()
+    gmin_d = min(r.min_day for r in rows)
+    gmax_d = max(r.max_day for r in rows)
+    gmin_c = min(r.min_cents for r in rows)
+    gmax_c = max(r.max_cents for r in rows)
+    day_spans = sorted(r.max_day - r.min_day for r in rows)
+    cent_spans = sorted(r.max_cents - r.min_cents for r in rows)
+    med_d = day_spans[len(day_spans) // 2]
+    med_c = cent_spans[len(cent_spans) // 2]
+    assert med_d <= (gmax_d - gmin_d) / 3, (med_d, gmax_d - gmin_d)
+    assert med_c <= (gmax_c - gmin_c) / 3, (med_c, gmax_c - gmin_c)

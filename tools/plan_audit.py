@@ -59,6 +59,8 @@ BROADCAST_SCALAR_OK = {
     # broadcast for the map-side centered products
     "ext_106_dsir_selection",  # one-row (Q, T) feature-total broadcast
     # into the 128-row bucket-count frame for the smoothed log-ratios
+    "ext_109_zorder",  # one-row (min,max)-range broadcast for the
+    # Morton quantization
 }
 
 AUDITED = [
@@ -174,6 +176,7 @@ AUDITED = [
     "ext_106_dsir_selection",
     "ext_107_ewma",
     "ext_108_jl_projection",
+    "ext_109_zorder",
 ]
 
 
