@@ -1946,3 +1946,62 @@ def dsir_importance_rank(
 
 def q_ext_106_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_rank(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_110: custom Python DataSource (JSONL connector) round trip
+# ---------------------------------------------------------------------------
+
+
+def q_ext_110_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ``sparketl_jsonl`` Python DataSource end to end: stage
+    the documents table as newline-delimited JSON (the format training
+    corpora ship in), read it back through the custom connector with an
+    explicit schema, and aggregate per (lang, source) — counts, exact
+    char sums, and a Knuth-hash content checksum — which the oracle
+    computes from the original parquet, so any parse/projection/NULL
+    defect in the connector breaks the hash match. Connector scale
+    notes in ``sparketl.sources.pyds``."""
+    import tempfile
+
+    from sparketl.sources.pyds import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparketl-jsonl-")
+    try:
+        (
+            docs.select(
+                F.to_json(
+                    F.struct("doc_id", "text", "lang", "source", "n_chars")
+                ).alias("value")
+            ).write.mode("overwrite").text(stage)
+        )
+        register(spark)
+        back = (
+            spark.read.format("sparketl_jsonl")
+            .schema(
+                "doc_id bigint, text string, lang string, source string, "
+                "n_chars bigint"
+            )
+            .option("path", stage)
+            .load()
+        )
+        return (
+            back.groupBy("lang", "source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+                F.sum(F.length("text")).alias("sum_text_len"),
+                F.sum(
+                    (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+                ).alias("id_checksum"),
+            )
+            .orderBy("lang", "source")
+        )
+    finally:
+        # the staged text files are consumed lazily inside the returned
+        # plan, so defer cleanup to interpreter exit rather than pulling
+        # the directory out from under the scan
+        import atexit
+
+        atexit.register(shutil.rmtree, stage, True)

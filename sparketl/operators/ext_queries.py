@@ -2869,3 +2869,18 @@ EXT_ORACLES["ext_109_zorder"] = f"""
            CAST(MIN(c) AS BIGINT) AS min_cents, CAST(MAX(c) AS BIGINT) AS max_cents
     FROM z GROUP BY 1 ORDER BY bucket
 """
+
+from sparketl.operators.curation import q_ext_110_jsonl_source  # noqa: E402
+
+EXT_QUERIES["ext_110_jsonl_source"] = q_ext_110_jsonl_source
+EXT_ORACLES["ext_110_jsonl_source"] = """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           CAST(SUM((doc_id * 2654435761) % 4294967296) AS BIGINT)
+             AS id_checksum
+    FROM documents
+    GROUP BY lang, source
+    ORDER BY lang, source
+"""

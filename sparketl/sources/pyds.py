@@ -1,0 +1,106 @@
+"""Custom Python DataSource connector (PySpark 4 DataSource V2 API).
+
+The reference tool's extensibility story is "type SQL at the server"
+(SQL_DATA_INTEGRATION_TOOL.py:273); the Spark-native equivalent of a
+bespoke connector is the Python DataSource API — this module ships a
+real one (``sparketl_jsonl``: partitioned newline-delimited JSON, the
+interchange format LLM training corpora actually ship in) both as a
+useful source and as the documented template for attaching any format
+or system Spark lacks a reader for.
+
+Scale shape: one :class:`InputPartition` per file — the same
+parallelism unit as Spark's built-in file sources, so a million-file
+corpus fans out across executors with no driver bottleneck beyond the
+file listing (at real scale the listing itself comes from the
+catalog/manifest, as ManagedTable does). Parsing is stdlib ``json``
+per line inside the executor; projection happens at parse time (only
+schema fields are extracted), so adding columns to the files never
+costs the reader anything.
+
+Engine-exactness: values pass through as parsed (int/float/str/bool);
+missing keys and JSON nulls surface as SQL NULLs; field order follows
+the user schema, never the JSON key order.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class _FilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _JsonlReader(DataSourceReader):
+    def __init__(self, options, schema):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("sparketl_jsonl requires a 'path' option")
+        self._fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        if os.path.isdir(self._path):
+            files = sorted(
+                os.path.join(self._path, f)
+                for f in os.listdir(self._path)
+                if f.endswith((".jsonl", ".json", ".txt"))
+            )
+        else:
+            files = [self._path]
+        return [_FilePartition(p) for p in files]
+
+    def read(self, partition):
+        fields = self._fields
+        with open(partition.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(k) for k in fields)
+
+
+class JsonlDataSource(DataSource):
+    """``spark.read.format("sparketl_jsonl").schema(...).option("path",
+    dir).load()`` — register once per session via :func:`register`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "sparketl_jsonl"
+
+    def schema(self):
+        # schema inference: first non-empty line of the first file
+        # (documented convenience — production readers pass .schema())
+        reader = _JsonlReader(self.options, type("S", (), {"fields": []})())
+        first = reader.partitions()[0]
+        with open(first.path, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                rec = json.loads(line)
+                parts = []
+                for k, v in rec.items():
+                    if isinstance(v, bool):
+                        t = "boolean"
+                    elif isinstance(v, int):
+                        t = "bigint"
+                    elif isinstance(v, float):
+                        t = "double"
+                    else:
+                        t = "string"
+                    parts.append(f"{k} {t}")
+                return ", ".join(parts)
+        raise ValueError(f"no records in {first.path} to infer a schema from")
+
+    def reader(self, schema):
+        return _JsonlReader(self.options, schema)
+
+
+def register(spark) -> None:
+    """Idempotently register the connector on a session."""
+    spark.dataSource.register(JsonlDataSource)

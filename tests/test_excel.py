@@ -137,3 +137,56 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert sub.count() == want
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or "o_orderpriority" in plan
+
+def test_jsonl_datasource_roundtrip_nulls_and_inference(spark, tmp_path):
+    """Custom Python DataSource: full-row fidelity, missing-key and
+    JSON-null handling, multi-file partitioning, and schema
+    inference from the first record."""
+    import json
+
+    from sparketl.sources.pyds import register
+
+    f1 = tmp_path / "a.jsonl"
+    f2 = tmp_path / "b.jsonl"
+    f1.write_text(
+        "\n".join(
+            [
+                json.dumps({"id": 1, "name": "x", "score": 1.5, "ok": True}),
+                "",
+                json.dumps({"id": 2, "name": None, "score": 2.0, "ok": False}),
+            ]
+        )
+    )
+    f2.write_text(json.dumps({"id": 3, "score": 0.25}))  # name/ok missing
+
+    register(spark)
+    df = (
+        spark.read.format("sparketl_jsonl")
+        .schema("id bigint, name string, score double, ok boolean")
+        .option("path", str(tmp_path))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 2  # one per file
+    rows = sorted((r.id, r.name, r.score, r.ok) for r in df.collect())
+    assert rows == [
+        (1, "x", 1.5, True),
+        (2, None, 2.0, False),
+        (3, None, 0.25, None),
+    ]
+
+    # schema inference from the first record of the first file
+    inferred = (
+        spark.read.format("sparketl_jsonl").option("path", str(tmp_path)).load()
+    )
+    assert [f.name for f in inferred.schema.fields] == [
+        "id",
+        "name",
+        "score",
+        "ok",
+    ]
+    assert dict(inferred.dtypes) == {
+        "id": "bigint",
+        "name": "string",
+        "score": "double",
+        "ok": "boolean",
+    }
