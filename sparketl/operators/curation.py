@@ -2005,3 +2005,61 @@ def q_ext_110_jsonl_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         import atexit
 
         atexit.register(shutil.rmtree, stage, True)
+
+
+# ---------------------------------------------------------------------------
+# ext_111: custom Python DataSource STREAMING read (JSONL connector)
+# ---------------------------------------------------------------------------
+
+
+def q_ext_111_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive the ``sparketl_jsonl`` connector's partitioned
+    DataSourceStreamReader end to end: stage documents as four JSONL
+    files, stream them one file per micro-batch (offset = file-list
+    prefix length), and aggregate per (lang, source) in complete mode —
+    the finite-stream result must equal the batch aggregate over the
+    original parquet, which is the oracle (same invariant as ext_110's
+    batch read). Connector scale/recovery notes in
+    ``sparketl.sources.pyds``."""
+    import tempfile
+
+    from sparketl.sources.pyds import register
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparketl-jsonl-stream-")
+    (
+        docs.repartition(4)
+        .select(
+            F.to_json(
+                F.struct("doc_id", "text", "lang", "source", "n_chars")
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(stage)
+    )
+    register(spark)
+    stream = (
+        spark.readStream.format("sparketl_jsonl")
+        .schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("path", stage)
+        .load()
+    )
+    agg = stream.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.sum(
+            (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        ).alias("id_checksum"),
+    )
+    from sparketl.streaming.windows import run_stream_to_table
+
+    try:
+        return run_stream_to_table(agg, spark).orderBy("lang", "source")
+    finally:
+        import atexit
+
+        atexit.register(shutil.rmtree, stage, True)

@@ -2884,3 +2884,8 @@ EXT_ORACLES["ext_110_jsonl_source"] = """
     GROUP BY lang, source
     ORDER BY lang, source
 """
+
+from sparketl.operators.curation import q_ext_111_jsonl_stream  # noqa: E402
+
+EXT_QUERIES["ext_111_jsonl_stream"] = q_ext_111_jsonl_stream
+EXT_ORACLES["ext_111_jsonl_stream"] = EXT_ORACLES["ext_110_jsonl_source"]

@@ -190,3 +190,48 @@ def test_jsonl_datasource_roundtrip_nulls_and_inference(spark, tmp_path):
         "score": "double",
         "ok": "boolean",
     }
+
+
+def test_jsonl_datasource_stream_equals_batch(spark, tmp_path):
+    """Custom-connector streaming read ≡ its batch read: one file per
+    micro-batch, all files drained, same rows."""
+    import json
+
+    from sparketl.sources.pyds import register
+
+    for i in range(3):
+        (tmp_path / f"c{i}.jsonl").write_text(
+            "\n".join(
+                json.dumps({"id": i * 4 + j, "v": float(j)}) for j in range(4)
+            )
+        )
+    register(spark)
+    schema = "id bigint, v double"
+    batch = (
+        spark.read.format("sparketl_jsonl")
+        .schema(schema)
+        .option("path", str(tmp_path))
+        .load()
+    )
+    stream = (
+        spark.readStream.format("sparketl_jsonl")
+        .schema(schema)
+        .option("path", str(tmp_path))
+        .load()
+    )
+    import uuid
+
+    name = f"jls_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect())
+    want = sorted(tuple(r) for r in batch.collect())
+    assert got == want and len(got) == 12
