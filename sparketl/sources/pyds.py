@@ -31,7 +31,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -108,6 +110,9 @@ class JsonlDataSource(DataSource):
     def streamReader(self, schema):
         return _JsonlStreamReader(self.options, schema)
 
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
 
 def register(spark) -> None:
     """Idempotently register the connector on a session."""
@@ -157,3 +162,58 @@ class _JsonlStreamReader(DataSourceStreamReader):
 
     def stop(self) -> None:
         pass
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class _JsonlWriter(DataSourceWriter):
+    """Task-then-driver two-phase commit, the same atomicity contract as
+    ManagedTable: each task writes a uuid-named ``.tmp`` file and
+    reports it in its commit message; only the DRIVER's ``commit``
+    renames the batch into visibility (``.tmp`` → ``part-NNNNN.jsonl``,
+    in one deterministic order), and ``abort`` removes
+    every temp file — a reader never observes a torn multi-task write.
+    Speculative/retried tasks each write their own uuid file; only the
+    attempt whose message reaches commit() gets renamed, the rest stay
+    ``.tmp`` (ignored by the reader's extension filter) for vacuum.
+    """
+
+    def __init__(self, options, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("sparketl_jsonl requires a 'path' option")
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import uuid as _uuid
+
+        os.makedirs(self._path, exist_ok=True)
+        tmp = os.path.join(self._path, f"_{_uuid.uuid4().hex}.tmp")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict(), ensure_ascii=False))
+                fh.write("\n")
+                n += 1
+        return _JsonlCommit(tmp, n)
+
+    def commit(self, messages):
+        if self._overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith((".jsonl", ".json", ".txt")):
+                    os.unlink(os.path.join(self._path, f))
+        for i, m in enumerate(sorted(
+            (m for m in messages if m is not None), key=lambda m: m.tmp_path
+        )):
+            os.replace(
+                m.tmp_path, os.path.join(self._path, f"part-{i:05d}.jsonl")
+            )
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.unlink(m.tmp_path)

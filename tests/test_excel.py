@@ -235,3 +235,45 @@ def test_jsonl_datasource_stream_equals_batch(spark, tmp_path):
     got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect())
     want = sorted(tuple(r) for r in batch.collect())
     assert got == want and len(got) == 12
+
+
+def test_jsonl_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
+    """Custom-connector writer: two-phase commit leaves only committed
+    part files (no .tmp debris), round trip preserves rows, and
+    overwrite mode replaces prior visible files."""
+    import os
+
+    from sparketl.sources.pyds import register
+
+    register(spark)
+    out = str(tmp_path / "out")
+    schema = "id bigint, name string, score double"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.0), (3, "c", 0.25)], schema
+    ).repartition(2)
+    df.write.format("sparketl_jsonl").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert all(f.endswith(".jsonl") for f in files), files
+    assert not any(f.endswith(".tmp") for f in files)
+    back = (
+        spark.read.format("sparketl_jsonl")
+        .schema(schema)
+        .option("path", out)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    # overwrite replaces the visible set
+    df2 = spark.createDataFrame([(9, "z", 9.0)], schema)
+    df2.write.format("sparketl_jsonl").option("path", out).mode(
+        "overwrite"
+    ).save()
+    back2 = (
+        spark.read.format("sparketl_jsonl")
+        .schema(schema)
+        .option("path", out)
+        .load()
+    )
+    assert [tuple(r) for r in back2.collect()] == [(9, "z", 9.0)]
