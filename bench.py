@@ -102,6 +102,7 @@ HEADLINE = [
     "ext_107_ewma",
     "ext_108_jl_projection",
     "ext_109_zorder",
+    "ext_112_changepoint",
 ]
 
 

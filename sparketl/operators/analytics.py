@@ -1222,3 +1222,70 @@ def ewma_daily_revenue(orders: DataFrame, alpha: float = 0.25) -> DataFrame:
 
 def q_ext_107_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ewma_daily_revenue(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_112: CUSUM changepoint detection per group
+# ---------------------------------------------------------------------------
+
+
+def cusum_changepoint(orders: DataFrame) -> DataFrame:
+    """Most-likely level-shift day of daily revenue per order priority —
+    the classic CUSUM statistic argmax_t |Σ_{i≤t}(x_i - x̄)|, the
+    monitoring primitive behind "did this segment's run-rate change,
+    and when?".
+
+    Exactness device: the statistic is scaled by n so no division (and
+    no float mean) ever happens — D_t = n·S_t − t·total is pure bigint
+    over exact cents, so both the argmax location and the tie-break
+    (earliest day) are engine-exact. Scale shape: the calendar rollup
+    reduces each group to ≤ days rows; one window pass (partitioned by
+    group, never global) computes prefix sums; a rank-1 filter picks
+    the argmax. Magnitudes: |D| ≤ n·total ≈ 10^4·10^12 at 100 TB —
+    still inside bigint.
+    """
+    daily = (
+        orders.groupBy(
+            "o_orderpriority",
+            F.expr(
+                "unix_micros(cast(o_orderdate AS timestamp)) div 86400000000"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "decimal(18,0)"
+                )
+            )
+            .cast("long")
+            .alias("x")
+        )
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day")
+    wg = Window.partitionBy("o_orderpriority")
+    d = daily.select(
+        "o_orderpriority",
+        "day",
+        (
+            F.count(F.lit(1)).over(wg) * F.sum("x").over(w)
+            - F.row_number().over(w) * F.sum("x").over(wg)
+        ).alias("d_scaled"),
+        F.count(F.lit(1)).over(wg).alias("n_days"),
+    )
+    r = d.withColumn(
+        "_r",
+        F.row_number().over(
+            Window.partitionBy("o_orderpriority").orderBy(
+                F.abs(F.col("d_scaled")).desc(), F.col("day")
+            )
+        ),
+    )
+    return (
+        r.where(F.col("_r") == 1)
+        .select("o_orderpriority", "n_days", F.col("day").alias("cp_day"), "d_scaled")
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_ext_112_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cusum_changepoint(load_table(spark, sf_dir, "orders"))

@@ -2889,3 +2889,34 @@ from sparketl.operators.curation import q_ext_111_jsonl_stream  # noqa: E402
 
 EXT_QUERIES["ext_111_jsonl_stream"] = q_ext_111_jsonl_stream
 EXT_ORACLES["ext_111_jsonl_stream"] = EXT_ORACLES["ext_110_jsonl_source"]
+
+from sparketl.operators.analytics import q_ext_112_changepoint  # noqa: E402
+
+EXT_QUERIES["ext_112_changepoint"] = q_ext_112_changepoint
+EXT_ORACLES["ext_112_changepoint"] = """
+    WITH daily AS (
+      SELECT o_orderpriority,
+             epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS day,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                           AS DECIMAL(18,0))) AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2
+    ), d AS (
+      SELECT o_orderpriority, day,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               * CAST(SUM(x) OVER (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             - CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY day) AS BIGINT)
+               * CAST(SUM(x) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS d_scaled,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+               AS n_days
+      FROM daily
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+               ORDER BY ABS(d_scaled) DESC, day) AS _r
+      FROM d
+    )
+    SELECT o_orderpriority, n_days, CAST(day AS BIGINT) AS cp_day, d_scaled
+    FROM r WHERE _r = 1 ORDER BY o_orderpriority
+"""

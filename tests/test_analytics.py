@@ -434,3 +434,47 @@ def test_ewma_matches_pandas_ewm(spark):
         ).all()
         # day-ordered output within each group
         assert grp["day"].is_monotonic_increasing
+
+
+def test_cusum_changepoint_planted_shift(spark):
+    """CUSUM argmax lands exactly on a planted level shift, and the
+    scaled statistic matches a pure-Python recompute."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.analytics import cusum_changepoint
+
+    # 20 days at 100 cents, then 20 days at 500 cents → shift at day 19
+    rows = []
+    oid = 0
+    for day, cents in [(d, 100) for d in range(20)] + [
+        (d, 500) for d in range(20, 40)
+    ]:
+        rows.append((oid, float(cents) / 100.0, f"1994-01-{1:02d}", "P"))
+        oid += 1
+        rows[-1] = (oid, float(cents) / 100.0, day, "P")
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_totalprice double, d long, o_orderpriority string"
+    ).select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.expr("date_add(DATE '1970-01-01', cast(d as int))").alias(
+            "o_orderdate"
+        ),
+    )
+    got = cusum_changepoint(df).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.n_days == 40
+    # pure python: x_t = 100 or 500 cents, D_t = n*S_t - t*total
+    xs = [100] * 20 + [500] * 20
+    total = sum(xs)
+    best = None
+    s = 0
+    for t, x in enumerate(xs, start=1):
+        s += x
+        d = 40 * s - t * total
+        if best is None or abs(d) > abs(best[1]):
+            best = (t - 1, d)  # day index
+    assert r.cp_day == best[0] and r.d_scaled == best[1]
+    assert r.cp_day == 19  # the planted shift boundary

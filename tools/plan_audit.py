@@ -177,6 +177,7 @@ AUDITED = [
     "ext_107_ewma",
     "ext_108_jl_projection",
     "ext_109_zorder",
+    "ext_112_changepoint",
 ]
 
 
