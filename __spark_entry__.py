@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 11 queries whose implementation CHANGED this round — every
 # caller of the radix quantile machinery (adaptive descent + cum0
 # checkpoint + phase fusion; ext_49's percentile()->radix swap);
-# (d) 16 of the 43 entries whose latest driver verdict is round 3 —
-# the stalest greens left (alphabetical). The remaining 27 round-3
+# (d) 14 of the 43 entries whose latest driver verdict is round 3 —
+# the stalest greens left (alphabetical). The remaining 29 round-3
 # entries and the round-4 cohort queue for round 8.
 _FRONT = [
     # (a) queued from round 6 — never driver-checked or round-2 stale
@@ -61,6 +61,8 @@ _FRONT = [
     "ext_110_jsonl_source",
     "ext_111_jsonl_stream",
     "ext_112_changepoint",
+    "ext_113_weighted_sample",
+    "ext_114_sequence_packing",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -87,10 +89,10 @@ _FRONT = [
     "ext_35_chunk_overlap",
     "ext_36_bag_dedup",
     "ext_37_containment",
-    "ext_39_bloom_join",
-    "ext_40_hash_sample",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the rest of the round-3 cohort, then round 4
+    "ext_39_bloom_join",
+    "ext_40_hash_sample",
     "ext_41_pagerank",
     "ext_42_window_suite",
     "ext_43_moment_stats",

@@ -103,6 +103,8 @@ HEADLINE = [
     "ext_108_jl_projection",
     "ext_109_zorder",
     "ext_112_changepoint",
+    "ext_113_weighted_sample",
+    "ext_114_sequence_packing",
 ]
 
 

@@ -2063,3 +2063,112 @@ def q_ext_111_jsonl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         import atexit
 
         atexit.register(shutil.rmtree, stage, True)
+
+
+# ---------------------------------------------------------------------------
+# ext_113: weighted sampling via exponential keys (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def weighted_sample_topk(docs: DataFrame, k: int = 25) -> DataFrame:
+    """Weighted random sampling WITHOUT replacement, weights = token
+    counts — the Efraimidis-Spirakis A-ES scheme: draw u_i from a
+    deterministic per-doc hash, rank by ln(u_i)/w_i, keep the top k.
+    The distributed-sampling standard because it needs no global state:
+    every row computes its own key map-side and one top-k
+    (TakeOrderedAndProject) finishes the job — reshardable, resumable,
+    and reproducible, unlike sequential reservoir algorithms.
+
+    Engine-exactness: u_i = (knuth(doc_id)+1)/2^32 is an exact binary
+    double from exact bigints, so both engines feed ln() the same
+    value; the key quantizes to micro-nats (floor, bigint — ext_106's
+    device), and ties break on doc_id. ln(u)<0 so keys are negative;
+    larger (closer to zero) wins, which favors larger weights exactly
+    as A-ES prescribes.
+    """
+    toks = F.size(F.split("text", " "))
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    u = (h + F.lit(1)).cast("double") / F.lit(4294967296.0)
+    key = F.floor(F.log(u) / toks.cast("double") * F.lit(1000000.0)).cast(
+        "long"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            toks.alias("n_tokens"),
+            key.alias("key_micro"),
+        )
+        .orderBy(F.desc("key_micro"), "doc_id")
+        .limit(k)
+    )
+
+
+def q_ext_113_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_sample_topk(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_114: sequence-packing report (concat-and-chunk pretraining layout)
+# ---------------------------------------------------------------------------
+
+
+def sequence_packing_report(
+    docs: DataFrame, window: int = 4096, n_windows: int = 50
+) -> DataFrame:
+    """Pack the corpus into fixed-size context windows the way LLM
+    pretraining actually does it — concatenate documents in a
+    deterministic shuffled order and split at every ``window`` tokens —
+    and report, per context window, how many documents it touches, how
+    many start in it, whether it ends mid-document, and its token fill.
+
+    Scale shape: the global token offset of every document comes from
+    ``ranking.with_global_prefix_sum`` (two-phase range-partitioned
+    running sums — no single-task window); each document then explodes
+    into only the windows it overlaps (fanout = ⌈len/window⌉, almost
+    always 1-2), and one aggregate keyed by window id finishes. The
+    report is the packing-efficiency dashboard (documents fragmented
+    across boundaries vs window count) that decides window size and
+    shuffle granularity for a training run.
+    """
+    from sparketl.operators.ranking import with_global_prefix_sum
+
+    toks = F.size(F.split("text", " ")).cast("long")
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    base = docs.select("doc_id", h.alias("_h"), toks.alias("_len")).where(
+        F.col("_len") > 0
+    )
+    placed = with_global_prefix_sum(base, ["_h", "doc_id"], "_len", "_start")
+    spans = placed.select(
+        "doc_id",
+        "_len",
+        "_start",
+        F.explode(
+            F.sequence(
+                F.expr(f"_start div {window}"),
+                F.expr(f"(_start + _len - 1) div {window}"),
+            )
+        ).alias("w"),
+    ).where(F.col("w") < n_windows)
+    tok_in = F.least(
+        (F.col("w") + 1) * window, F.col("_start") + F.col("_len")
+    ) - F.greatest(F.col("w") * window, F.col("_start"))
+    starts = (F.col("_start") >= F.col("w") * window).cast("int")
+    crosses = (
+        F.col("_start") + F.col("_len") > (F.col("w") + 1) * window
+    ).cast("int")
+    return (
+        spans.groupBy(F.col("w").alias("window_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(starts).cast("bigint").alias("n_starting"),
+            F.sum(crosses).cast("bigint").alias("n_crossing_out"),
+            F.sum(tok_in).alias("tokens_in_window"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def q_ext_114_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sequence_packing_report(load_table(spark, sf_dir, "documents"))

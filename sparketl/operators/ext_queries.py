@@ -2920,3 +2920,53 @@ EXT_ORACLES["ext_112_changepoint"] = """
     SELECT o_orderpriority, n_days, CAST(day AS BIGINT) AS cp_day, d_scaled
     FROM r WHERE _r = 1 ORDER BY o_orderpriority
 """
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_113_weighted_sample,
+    q_ext_114_sequence_packing,
+)
+
+EXT_QUERIES["ext_113_weighted_sample"] = q_ext_113_weighted_sample
+EXT_ORACLES["ext_113_weighted_sample"] = """
+    SELECT doc_id, lang, source,
+           CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+           CAST(FLOOR(ln(CAST((doc_id * 2654435761) % 4294967296 + 1
+                              AS DOUBLE) / 4294967296.0)
+                      / CAST(len(string_split(text, ' ')) AS DOUBLE)
+                      * 1000000.0) AS BIGINT) AS key_micro
+    FROM documents
+    ORDER BY key_micro DESC, doc_id LIMIT 25
+"""
+
+EXT_QUERIES["ext_114_sequence_packing"] = q_ext_114_sequence_packing
+EXT_ORACLES["ext_114_sequence_packing"] = """
+    WITH base AS (
+      SELECT doc_id,
+             (doc_id * 2654435761) % 4294967296 AS h,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      FROM documents
+      WHERE len(string_split(text, ' ')) > 0
+    ), placed AS (
+      SELECT doc_id, len,
+             CAST(COALESCE(SUM(len) OVER (ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS start
+      FROM base
+    ), spans AS (
+      SELECT doc_id, len, start,
+             UNNEST(range(start // 4096, (start + len - 1) // 4096 + 1)) AS w
+      FROM placed
+    )
+    SELECT CAST(w AS BIGINT) AS window_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN start >= w * 4096 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_starting,
+           CAST(SUM(CASE WHEN start + len > (w + 1) * 4096 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_crossing_out,
+           CAST(SUM(least((w + 1) * 4096, start + len)
+                    - greatest(w * 4096, start)) AS BIGINT)
+             AS tokens_in_window
+    FROM spans
+    WHERE w < 50
+    GROUP BY w ORDER BY window_id
+"""

@@ -74,3 +74,49 @@ def with_global_rank(
         .withColumn(rank_col, F.row_number().over(wl) + F.col("_off"))
         .drop("_pid")
     )
+
+
+def with_global_prefix_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "_before",
+    partitions: int | None = None,
+) -> DataFrame:
+    """Add the exclusive global prefix sum of ``value_col`` over the
+    total order given by ``order_cols`` (which must be unique) — i.e.
+    ``SUM(value) OVER (ORDER BY order_cols ROWS UNBOUNDED PRECEDING)
+    - value`` — with the same two-phase layout as
+    :func:`with_global_rank`: range partitions carry local running
+    sums, and each partition adds the broadcast total of every
+    partition before it. No single-task window ever sees the table.
+    """
+    if not order_cols:
+        raise ValueError("order_cols must be non-empty")
+    if partitions is None:
+        partitions = df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(partitions, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_t"))
+    offs = (
+        totals.alias("a")
+        .join(
+            totals.alias("b"),
+            F.col("b._pid") < F.col("a._pid"),
+            "left",
+        )
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.coalesce(F.sum("b._t"), F.lit(0)).alias("_off"))
+    )
+    wl = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offs), "_pid")
+        .withColumn(
+            out_col,
+            F.sum(value_col).over(wl) - F.col(value_col) + F.col("_off"),
+        )
+        .drop("_pid")
+    )

@@ -938,3 +938,50 @@ def test_dsir_scores_match_pure_python(spark):
     src = {r.doc_id: r.source for r in rows}
     n_target = sum(1 for r in got if src[r.doc_id] == "src0")
     assert n_target >= 13
+
+
+def test_weighted_sample_favors_heavy_docs_and_matches_python(spark):
+    """A-ES weighted top-k ≡ pure-Python recompute of the quantized
+    exponential keys, and the selected set is weight-biased (mean
+    token count above the corpus mean)."""
+    import math
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import weighted_sample_topk
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    keys = []
+    for r in rows:
+        w = len(r.text.split(" "))
+        u = ((r.doc_id * 2654435761) % 4294967296 + 1) / 4294967296.0
+        keys.append((math.floor(math.log(u) / w * 1e6), -r.doc_id, r.doc_id, w))
+    keys.sort(reverse=True)
+    expected = [(k[2], k[0]) for k in keys[:25]]
+
+    got = weighted_sample_topk(docs).collect()
+    assert [(r.doc_id, r.key_micro) for r in got] == expected
+    corpus_mean = sum(k[3] for k in keys) / len(keys)
+    sel_mean = sum(r.n_tokens for r in got) / len(got)
+    assert sel_mean > corpus_mean
+
+
+def test_sequence_packing_invariants(spark):
+    """Concat-and-chunk packing: every non-final window holds exactly
+    `window` tokens, and window occupancy reconciles — docs in a window
+    = docs starting there + docs carried over from the previous one."""
+    from sparketl.io import load_table
+    from sparketl.operators.curation import sequence_packing_report
+
+    rows = sequence_packing_report(
+        load_table(spark, SF_SMOKE, "documents"), window=512, n_windows=40
+    ).collect()
+    assert len(rows) > 5
+    by_id = {r.window_id: r for r in rows}
+    last = max(by_id)
+    for wid, r in by_id.items():
+        if wid < last:
+            assert r.tokens_in_window == 512, (wid, r.tokens_in_window)
+        prev = by_id.get(wid - 1)
+        if prev is not None:
+            assert r.n_docs == r.n_starting + prev.n_crossing_out, wid

@@ -61,6 +61,9 @@ BROADCAST_SCALAR_OK = {
     # into the 128-row bucket-count frame for the smoothed log-ratios
     "ext_109_zorder",  # one-row (min,max)-range broadcast for the
     # Morton quantization
+    "ext_114_sequence_packing",  # with_global_prefix_sum's triangular
+    # self-join of the per-partition totals frame (≤ shuffle-width
+    # rows) — same bounded shape as ext_97's rank offsets
 }
 
 AUDITED = [
@@ -178,6 +181,8 @@ AUDITED = [
     "ext_108_jl_projection",
     "ext_109_zorder",
     "ext_112_changepoint",
+    "ext_113_weighted_sample",
+    "ext_114_sequence_packing",
 ]
 
 
