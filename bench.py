@@ -105,6 +105,7 @@ HEADLINE = [
     "ext_112_changepoint",
     "ext_113_weighted_sample",
     "ext_114_sequence_packing",
+    "ext_115_source_kl",
 ]
 
 

@@ -2172,3 +2172,79 @@ def sequence_packing_report(
 
 def q_ext_114_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_packing_report(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_115: per-source token-distribution KL divergence (content drift)
+# ---------------------------------------------------------------------------
+
+
+def source_token_kl(docs: DataFrame, n_buckets: int = 128) -> DataFrame:
+    """KL(source ‖ corpus) over hashed unigram buckets — the CONTENT
+    complement of ext_68's shape drift (TV over length buckets): a
+    source whose vocabulary usage diverges from the corpus (template
+    spam, language shift, scraper capturing boilerplate) scores high
+    even when its document-length profile looks normal.
+
+    ext_68 deliberately avoided KL because ln() is only 1-ulp portable;
+    ext_106 (DSIR) established the safe device this query reuses: both
+    engines feed ln() the correctly-rounded double quotient of two
+    exact bigint products (add-1-smoothed source bucket vs corpus
+    bucket probabilities), quantize to micro-nats with floor, and the
+    reported statistic is then the exact bigint sum Σ_b c_sb·lr_sb — a
+    token-weighted KL in micro-nats.
+
+    Scale shape: one token explode feeds a (source × 128)-cell count
+    aggregate; corpus bucket counts (128 rows) and per-source totals
+    (sources rows) broadcast back into that small frame; the final
+    statistic is one more map-combinable sum. The corpus never
+    materializes per-token weights or a vocabulary-sized model.
+    """
+    b_lit = F.lit(n_buckets)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("f"))
+    wsum = F.aggregate(
+        F.transform(F.split("f", ""), lambda c, i: F.ascii(c) * (i + F.lit(1))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    fb = toks.select(
+        "source",
+        (((wsum * F.lit(2654435761)) % F.lit(4294967296)) % b_lit).alias("b"),
+    )
+    sb = fb.groupBy("source", "b").agg(F.count(F.lit(1)).alias("c_sb"))
+    g = fb.groupBy("b").agg(F.count(F.lit(1)).alias("c_b"))
+    tot = fb.groupBy("source").agg(F.count(F.lit(1)).alias("t_s"))
+    q_tot = fb.agg(F.count(F.lit(1)).alias("q"))
+    lr = (
+        sb.join(F.broadcast(g), "b")
+        .join(F.broadcast(tot), "source")
+        .crossJoin(F.broadcast(q_tot))
+        .select(
+            "source",
+            "t_s",
+            "c_sb",
+            F.floor(
+                F.log(
+                    ((F.col("c_sb") + 1) * (F.col("q") + b_lit)).cast("double")
+                    / ((F.col("c_b") + 1) * (F.col("t_s") + b_lit)).cast(
+                        "double"
+                    )
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("lr"),
+        )
+    )
+    return (
+        lr.groupBy("source")
+        .agg(
+            F.max("t_s").alias("n_tokens"),
+            F.sum(F.col("c_sb") * F.col("lr")).alias("kl_weighted_micro"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_115_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_token_kl(load_table(spark, sf_dir, "documents"))

@@ -2970,3 +2970,35 @@ EXT_ORACLES["ext_114_sequence_packing"] = """
     WHERE w < 50
     GROUP BY w ORDER BY window_id
 """
+
+from sparketl.operators.curation import q_ext_115_source_kl  # noqa: E402
+
+EXT_QUERIES["ext_115_source_kl"] = q_ext_115_source_kl
+EXT_ORACLES["ext_115_source_kl"] = """
+    WITH fb AS (
+      SELECT source,
+             ((list_sum(list_transform(string_split(f, ''),
+                 (c, i) -> ascii(c) * i)) * 2654435761) % 4294967296) % 128 AS b
+      FROM (SELECT source, UNNEST(string_split(text, ' ')) AS f
+            FROM documents)
+    ), sb AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c_sb
+      FROM fb GROUP BY source, b
+    ), g AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c_b FROM fb GROUP BY b
+    ), tot AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS t_s FROM fb GROUP BY source
+    ), qt AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS q FROM fb
+    ), lr AS (
+      SELECT sb.source, tot.t_s, sb.c_sb,
+             CAST(FLOOR(ln(
+               CAST((sb.c_sb + 1) * (qt.q + 128) AS DOUBLE)
+               / CAST((g.c_b + 1) * (tot.t_s + 128) AS DOUBLE))
+               * 1000000.0) AS BIGINT) AS lr
+      FROM sb JOIN g USING (b) JOIN tot USING (source), qt
+    )
+    SELECT source, CAST(MAX(t_s) AS BIGINT) AS n_tokens,
+           CAST(SUM(c_sb * lr) AS BIGINT) AS kl_weighted_micro
+    FROM lr GROUP BY source ORDER BY source
+"""

@@ -985,3 +985,55 @@ def test_sequence_packing_invariants(spark):
         prev = by_id.get(wid - 1)
         if prev is not None:
             assert r.n_docs == r.n_starting + prev.n_crossing_out, wid
+
+
+def test_source_kl_matches_python_and_detects_planted_drift(spark):
+    """Per-source token KL ≡ pure-Python recompute, and a planted
+    divergent source scores far above the organic ones."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import source_token_kl
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    # plant a source whose vocabulary is disjoint boilerplate
+    planted = docs.limit(20).select(
+        "doc_id",
+        F.lit("zzzz qqqq zzzz qqqq zzzz qqqq zzzz qqqq").alias("text"),
+        "lang",
+        F.lit("src_planted").alias("source"),
+        "n_chars",
+    )
+    full = docs.unionByName(planted)
+    got = {r.source: (r.n_tokens, r.kl_weighted_micro)
+           for r in source_token_kl(full).collect()}
+
+    B = 128
+    def bucket(f):
+        w = sum(ord(c) * (i + 1) for i, c in enumerate(f))
+        return ((w * 2654435761) % 4294967296) % B
+
+    from collections import Counter
+    sb: dict = {}
+    gb: Counter = Counter()
+    for r in full.select("source", "text").collect():
+        for t in r.text.split(" "):
+            b = bucket(t)
+            sb.setdefault(r.source, Counter())[b] += 1
+            gb[b] += 1
+    q = sum(gb.values())
+    for src, cnt in sb.items():
+        t_s = sum(cnt.values())
+        kl = sum(
+            c * math.floor(
+                math.log((c + 1) * (q + B) / ((gb[b] + 1) * (t_s + B))) * 1e6
+            )
+            for b, c in cnt.items()
+        )
+        assert got[src] == (t_s, kl), src
+    organic_max = max(v[1] / v[0] for s, v in got.items() if s != "src_planted")
+    assert got["src_planted"][1] / got["src_planted"][0] > 4 * max(
+        organic_max, 1e-9
+    )

@@ -64,6 +64,8 @@ BROADCAST_SCALAR_OK = {
     "ext_114_sequence_packing",  # with_global_prefix_sum's triangular
     # self-join of the per-partition totals frame (≤ shuffle-width
     # rows) — same bounded shape as ext_97's rank offsets
+    "ext_115_source_kl",  # one-row corpus-total broadcast into the
+    # (sources × 128)-cell log-ratio frame
 }
 
 AUDITED = [
@@ -183,6 +185,7 @@ AUDITED = [
     "ext_112_changepoint",
     "ext_113_weighted_sample",
     "ext_114_sequence_packing",
+    "ext_115_source_kl",
 ]
 
 
