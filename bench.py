@@ -106,6 +106,7 @@ HEADLINE = [
     "ext_113_weighted_sample",
     "ext_114_sequence_packing",
     "ext_115_source_kl",
+    "ext_116_leakage_safe_folds",
 ]
 
 

@@ -363,3 +363,44 @@ def q_ext_02_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_members"))
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_116: leakage-safe cross-validation folds (fold by dup cluster)
+# ---------------------------------------------------------------------------
+
+
+def leakage_safe_folds(docs: DataFrame, n_folds: int = 5) -> DataFrame:
+    """Assign train/eval folds so near-duplicate documents NEVER split
+    across folds — the step that keeps a held-out set honest (a
+    hash-of-doc_id fold puts one copy of a duplicated page in train and
+    its twin in test, and the model "generalizes" by memorizing).
+
+    Unit of assignment is the near-dup CLUSTER (Jaccard ≥ 0.5
+    connected components, the ext_02 machinery): fold =
+    knuth(cluster_id) mod n_folds, singletons cluster to themselves.
+    Scale shape: the only extra work over clustering is a left join of
+    the corpus against the 2-column label table and pure bigint fold
+    arithmetic; clustering itself is the documented prefix-filter
+    pair-gen + O(diameter) min-label propagation.
+    """
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    labels = dup_clusters(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+    )
+    fold = (
+        (F.col("cluster_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % F.lit(n_folds)
+    return assigned.select(
+        "doc_id", "cluster_id", fold.cast("int").alias("fold")
+    ).orderBy("doc_id")
+
+
+def q_ext_116_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_folds(load_table(spark, sf_dir, "documents"))

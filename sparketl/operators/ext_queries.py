@@ -3002,3 +3002,41 @@ EXT_ORACLES["ext_115_source_kl"] = """
            CAST(SUM(c_sb * lr) AS BIGINT) AS kl_weighted_micro
     FROM lr GROUP BY source ORDER BY source
 """
+
+from sparketl.operators.dedup import q_ext_116_leakage_safe_folds  # noqa: E402
+
+EXT_QUERIES["ext_116_leakage_safe_folds"] = q_ext_116_leakage_safe_folds
+EXT_ORACLES["ext_116_leakage_safe_folds"] = """
+    WITH RECURSIVE s AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+              / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(l.cluster_id, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(((COALESCE(l.cluster_id, d.doc_id) * 2654435761)
+                 % 4294967296) % 5 AS INT) AS fold
+    FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    ORDER BY d.doc_id
+"""

@@ -273,3 +273,21 @@ def test_jl_projection_exact_and_distance_preserving(spark):
 
     assert cos(pu, pv) > 0.8, cos(pu, pv)
     assert abs(cos(pu, pe)) < 0.6
+
+
+def test_leakage_safe_folds_never_split_near_dups(spark, docs):
+    """Every near-dup pair lands in the same fold; folds cover all docs
+    and are reasonably balanced."""
+    from sparketl.operators.dedup import leakage_safe_folds, ngram_jaccard_pairs
+
+    folds = {r.doc_id: r.fold for r in leakage_safe_folds(docs).collect()}
+    assert len(folds) == docs.count()
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert folds[p.doc_a] == folds[p.doc_b], (p.doc_a, p.doc_b)
+    from collections import Counter
+
+    sizes = Counter(folds.values())
+    assert len(sizes) == 5
+    assert max(sizes.values()) < 2 * min(sizes.values())

@@ -186,6 +186,7 @@ AUDITED = [
     "ext_113_weighted_sample",
     "ext_114_sequence_packing",
     "ext_115_source_kl",
+    "ext_116_leakage_safe_folds",
 ]
 
 
