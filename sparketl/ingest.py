@@ -126,3 +126,52 @@ def ingest_update(
     set_cols = [c for c in casted.columns if c != identifier]
     with _tracked(table, progress, "ingest_update"):
         return table.keyed_update(casted, identifier, set_cols)
+
+
+def observed_append(
+    table: ManagedTable,
+    source: DataFrame,
+    raw_mapping: dict[str, str],
+    progress=None,
+) -> tuple[int, dict]:
+    """``ingest_append`` with in-flight data-quality counters via
+    Spark's ``Observation`` API: row count and null-cell totals of the
+    rows AS WRITTEN accumulate during the write job itself — zero
+    extra scans, unlike a separate audit query which would read the
+    batch twice (the difference between 1× and 2× input cost on a
+    100 TB ingest). Returns ``(new_version, metrics)``.
+
+    Placement subtlety: ``Observation.get`` keeps the FIRST action's
+    metrics, and the validation step runs a ``limit(1)``-style scan —
+    so the observe node attaches to the final written frame, after
+    validation, where the append write is the first (and only) action
+    through it. The reference logs only a row count after import
+    (tool:668-672); this is the engine-side upgrade.
+    """
+    from pyspark.sql import Observation
+
+    mapping = clean_mapping(raw_mapping)
+    if not mapping:
+        raise IngestError("No columns mapped")
+    mapped = normalize_nulls(apply_column_mapping(source, mapping))
+    validate_batch(mapped, mapping)
+    target_fields = [f for f in table.schema().fields if f.name in mapped.columns]
+    casted = cast_to_schema(mapped, T.StructType(target_fields))
+    full = casted
+    for f in table.schema().fields:
+        if f.name not in casted.columns:
+            full = full.withColumn(f.name, F.lit(None).cast(f.dataType))
+    sel = full.select([f.name for f in table.schema().fields])
+
+    cols = [F.col(c) for c in sel.columns]
+    null_cells = sum((c.isNull().cast("long") for c in cols), F.lit(0))
+    obs = Observation("ingest_quality")
+    observed = sel.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(null_cells).alias("n_null_cells"),
+        F.max(null_cells).alias("max_null_cells_in_row"),
+    )
+    with _tracked(table, progress, "observed_append"):
+        v = table.append(observed)
+    return v, dict(obs.get)

@@ -240,3 +240,23 @@ def test_ingest_update_reports_progress_and_group_cleanup(spark, table):
     assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
     got = {r["id"]: r["name"] for r in table.read().collect()}
     assert got == {1: "upd", 2: "b"}
+
+
+def test_observed_append_counts_ride_the_write(spark, table):
+    """Observation counters reflect the FULL written batch (not the
+    validation limit scan), with exact null-cell totals."""
+    from sparketl.ingest import observed_append
+
+    src = spark.createDataFrame(
+        [("1", "x", None), ("2", None, None), ("3", "z", "30")],
+        "A string, B string, C string",
+    )
+    v, metrics = observed_append(
+        table, src, {"A": "id", "B": "name", "C": "qty"}
+    )
+    assert v >= 1
+    assert metrics["n_rows"] == 3
+    # written rows: (1,x,NULL)=1 null, (2,NULL,NULL)=2, (3,z,30)=0
+    assert metrics["n_null_cells"] == 3
+    assert metrics["max_null_cells_in_row"] == 2
+    assert table.read().count() == 3
