@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 11 queries whose implementation CHANGED this round — every
 # caller of the radix quantile machinery (adaptive descent + cum0
 # checkpoint + phase fusion; ext_49's percentile()->radix swap);
-# (d) 12 of the 43 entries whose latest driver verdict is round 3 —
-# the stalest greens left (alphabetical). The remaining 31 round-3
+# (d) 10 of the 43 entries whose latest driver verdict is round 3 —
+# the stalest greens left (alphabetical). The remaining 33 round-3
 # entries and the round-4 cohort queue for round 8.
 _FRONT = [
     # (a) queued from round 6 — never driver-checked or round-2 stale
@@ -65,6 +65,8 @@ _FRONT = [
     "ext_114_sequence_packing",
     "ext_115_source_kl",
     "ext_116_leakage_safe_folds",
+    "tierc_sql_udf",
+    "tierc_variant_props",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -87,10 +89,10 @@ _FRONT = [
     "ext_29_fuzzy_join",
     "ext_32_unpivot",
     "ext_33_props_numbers",
-    "ext_34_trigram_lm",
-    "ext_35_chunk_overlap",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the rest of the round-3 cohort, then round 4
+    "ext_34_trigram_lm",
+    "ext_35_chunk_overlap",
     "ext_36_bag_dedup",
     "ext_37_containment",
     "ext_39_bloom_join",

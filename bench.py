@@ -107,6 +107,8 @@ HEADLINE = [
     "ext_114_sequence_packing",
     "ext_115_source_kl",
     "ext_116_leakage_safe_folds",
+    "tierc_sql_udf",
+    "tierc_variant_props",
 ]
 
 

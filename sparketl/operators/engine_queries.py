@@ -1336,3 +1336,91 @@ ENGINE_ORACLES["tierc_tsql_funcs4"] = """
            DATE '2000-06-15' AS fixed_date
     FROM orders ORDER BY o_orderkey LIMIT 150
 """
+
+
+def q_tierc_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 ``CREATE FUNCTION … RETURN
+    expr``) used inside an engine query — the way a reference user
+    ports a small T-SQL scalar UDF without leaving SQL. The function
+    body inlines into the plan at analysis time (no Python boundary, no
+    serialization — WholeStageCodegen still covers the whole pipeline),
+    so unlike an external UDF it costs nothing at 100 TB. The oracle
+    inlines the identical expression (the gate compares semantics, not
+    syntax)."""
+    load_tables(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'low'
+                    WHEN p < 150000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    return Engine(spark).execute(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               o_orderpriority,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY price_band(o_totalprice), o_orderpriority
+        ORDER BY band, o_orderpriority
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_sql_udf"] = q_tierc_sql_udf
+ENGINE_ORACLES["tierc_sql_udf"] = """
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY band, o_orderpriority
+"""
+
+
+def q_tierc_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON through the VARIANT type (Spark 4): parse
+    the events ``props`` column once into VARIANT and extract typed
+    fields with ``variant_get`` — the schemaless path for payloads
+    whose shape isn't known at ingest (ext_05's ``from_json`` needs a
+    declared schema; VARIANT defers typing to query time and keeps the
+    binary-encoded value columnar). ``try_variant_get`` surfaces
+    missing paths as NULL, counted here as absent. The oracle reads
+    the same fields with DuckDB's JSON operators."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT variant_get(parse_json(props), '$.k', 'int') % 10 AS k_mod,
+               COUNT(*) AS n,
+               CAST(SUM(variant_get(parse_json(props), '$.k', 'int'))
+                 AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN try_variant_get(parse_json(props),
+                     '$.missing', 'int') IS NULL THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_absent
+        FROM events
+        WHERE props IS NOT NULL
+        GROUP BY 1 ORDER BY k_mod
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_variant_props"] = q_tierc_variant_props
+ENGINE_ORACLES["tierc_variant_props"] = """
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+             AS BIGINT) AS sum_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.missing')
+                 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_absent
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1 ORDER BY k_mod
+"""

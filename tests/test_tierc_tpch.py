@@ -136,3 +136,51 @@ def test_r7_planner_shapes_run_and_hold_invariants(spark):
     sy = qs["tierc_same_year_revenue"](spark, SF_SMOKE)
     assert sy.count() > 0
     assert sy.where(F.col("n_items") <= 0).count() == 0
+
+
+def test_sql_udf_inlines_into_codegen(spark):
+    """The SQL-defined function must inline into the plan — no
+    BatchEvalPython / python UDF node, and the result matches the
+    inlined expression."""
+    from sparketl.operators.engine_queries import q_tierc_sql_udf
+
+    df = q_tierc_sql_udf(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+    rows = {(r.band, r.o_orderpriority): r.n for r in df.collect()}
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+    )
+    want = {
+        (r.band, r.o_orderpriority): r.n
+        for r in o.groupBy(band.alias("band"), "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert rows == want
+
+
+def test_variant_props_typed_extraction(spark):
+    """VARIANT extraction: typed k values match the JSON-schema path
+    (ext_05's from_json) and missing paths count as absent everywhere."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.engine_queries import q_tierc_variant_props
+
+    rows = q_tierc_variant_props(spark, SF_SMOKE).collect()
+    ev = load_table(spark, SF_SMOKE, "events").where(F.col("props").isNotNull())
+    n_events = ev.count()
+    assert sum(r.n for r in rows) == n_events
+    assert all(r.n_absent == r.n for r in rows)  # '$.missing' never present
+    want_sum = ev.select(
+        F.sum(F.get_json_object("props", "$.k").cast("long")).alias("s")
+    ).collect()[0].s
+    assert sum(r.sum_k for r in rows) == want_sum

@@ -187,6 +187,8 @@ AUDITED = [
     "ext_114_sequence_packing",
     "ext_115_source_kl",
     "ext_116_leakage_safe_folds",
+    "tierc_sql_udf",
+    "tierc_variant_props",
 ]
 
 
