@@ -38,8 +38,20 @@ class Engine:
         self.last_result: DataFrame | None = None  # tool:427-428, 1106-1107
 
     # -- Tier C pass-through (tool:269-280) ---------------------------------
-    def execute(self, sql: str, database: str | None = None) -> DataFrame:
+    def execute(
+        self,
+        sql: str,
+        database: str | None = None,
+        params: list | dict | None = None,
+    ) -> DataFrame:
         """Run SQL (T-SQL spellings accepted via the dialect shim).
+
+        ``params`` binds parameter markers the way the reference's
+        pyodbc path does (FLT-04, tool:1067-1075 passes user values as
+        ``?`` placeholders, never string-spliced): a list binds
+        positional ``?`` markers, a dict binds named ``:name`` markers.
+        Spark substitutes them AFTER parsing — same injection-safety
+        contract as the server-side prepared statement.
 
         Empty-query guard mirrors tool:1093-1095. The result is a lazy
         DataFrame — callers preview/aggregate/write it without a full
@@ -49,7 +61,10 @@ class Engine:
             raise QueryError("Query is empty")  # tool:1093-1095
         if database:
             self.catalog.use_database(database)  # tool:272 → 146-153
-        df = self.spark.sql(transpile(sql))
+        if params is None:
+            df = self.spark.sql(transpile(sql))
+        else:
+            df = self.spark.sql(transpile(sql), args=params)
         self.last_result = df
         return df
 

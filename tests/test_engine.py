@@ -79,3 +79,35 @@ def test_execute_script_empty_raises(spark):
 
     with pytest.raises(QueryError):
         Engine(spark).execute_script(" ;; ")
+
+
+def test_execute_positional_and_named_params(spark):
+    """Parameter binding parity with the reference's pyodbc `?`
+    placeholders (FLT-04): positional list binds `?`, dict binds
+    `:name`, and a malicious value stays a value (never spliced)."""
+    from sparketl.engine import Engine
+    from sparketl.io import load_tables
+
+    load_tables(spark, SF_SMOKE)
+    e = Engine(spark)
+    pos = e.execute(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = ?"
+        " AND o_totalprice > ?",
+        params=["1-URGENT", 100000.0],
+    ).collect()[0]
+    named = e.execute(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = :p"
+        " AND o_totalprice > :t",
+        params={"p": "1-URGENT", "t": 100000.0},
+    ).collect()[0]
+    want = e.execute(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = '1-URGENT'"
+        " AND o_totalprice > 100000.0"
+    ).collect()[0]
+    assert pos.n == named.n == want.n and want.n > 0
+
+    inj = e.execute(
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderpriority = ?",
+        params=["' OR '1'='1"],
+    ).collect()[0]
+    assert inj.n == 0  # bound as a value, not spliced into the query
