@@ -109,6 +109,7 @@ HEADLINE = [
     "ext_116_leakage_safe_folds",
     "tierc_sql_udf",
     "tierc_variant_props",
+    "tierc_tsql_funcs5",
 ]
 
 

@@ -80,6 +80,10 @@ _FUNC_MAP = {
     "sysdatetime": "current_timestamp",
     "sysutcdatetime": "current_timestamp",  # session tz is pinned UTC
     "datefromparts": "make_date",  # DATEFROMPARTS(y,m,d) ≡ make_date
+    # STRING_AGG(x, sep) [WITHIN GROUP (ORDER BY …)] ≡ Spark LISTAGG —
+    # identical argument and WITHIN GROUP syntax, name swap only
+    "string_agg": "listagg",
+    "unicode": "ascii",  # UNICODE(c) ≡ ascii(c) for the BMP code points
 }
 
 _TOKEN = re.compile(

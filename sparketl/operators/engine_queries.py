@@ -1424,3 +1424,36 @@ ENGINE_ORACLES["tierc_variant_props"] = """
     WHERE props IS NOT NULL
     GROUP BY 1 ORDER BY k_mod
 """
+
+
+def q_tierc_tsql_funcs5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth T-SQL scalar batch: STRING_AGG WITHIN GROUP (→ LISTAGG,
+    identical syntax), UNICODE (→ ascii), and REVERSE/TRANSLATE which
+    T-SQL and Spark spell identically (shim passthrough)."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT r_name,
+               STRING_AGG(n_name, '|') WITHIN GROUP (ORDER BY n_name)
+                 AS nations,
+               UNICODE(LEFT(r_name, 1)) AS first_cp,
+               REVERSE(r_name) AS rev_name,
+               TRANSLATE(r_name, 'AEIOU', 'aeiou') AS lowered_vowels
+        FROM region JOIN nation ON r_regionkey = n_regionkey
+        GROUP BY r_name
+        ORDER BY r_name
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_funcs5"] = q_tierc_tsql_funcs5
+ENGINE_ORACLES["tierc_tsql_funcs5"] = """
+    SELECT r_name,
+           string_agg(n_name, '|' ORDER BY n_name) AS nations,
+           ascii(substr(r_name, 1, 1)) AS first_cp,
+           reverse(r_name) AS rev_name,
+           translate(r_name, 'AEIOU', 'aeiou') AS lowered_vowels
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+"""

@@ -309,3 +309,11 @@ def test_r7_scalar_rewrites_refuse_unfaithful_forms():
     ):
         with pytest.raises(DialectError):
             transpile(bad)
+
+
+def test_string_agg_and_unicode_rewrites():
+    assert (
+        transpile("SELECT STRING_AGG(x, ',') WITHIN GROUP (ORDER BY x) FROM t")
+        == "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM t"
+    )
+    assert transpile("SELECT UNICODE('A')") == "SELECT ascii('A')"
