@@ -110,6 +110,7 @@ HEADLINE = [
     "tierc_sql_udf",
     "tierc_variant_props",
     "tierc_tsql_funcs5",
+    "tierc_recursive_spine",
 ]
 
 

@@ -1457,3 +1457,60 @@ ENGINE_ORACLES["tierc_tsql_funcs5"] = """
     GROUP BY r_name
     ORDER BY r_name
 """
+
+
+def q_tierc_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE through the engine (new in Spark 4): generate the
+    complete month spine between the first and last order date
+    recursively, then LEFT JOIN monthly revenue so zero-order months
+    surface — the coverage-gap report a calendar table would otherwise
+    require. Exercises the recursive planner shape (UnionLoop) the
+    pass-through surface gained in Spark 4; DuckDB runs the identical
+    recursion. Recursion depth = month count (bounded by the calendar,
+    not the data — the anchor aggregate is one map-combinable min/max)."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM spine
+          WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+        ),
+        monthly AS (
+          SELECT DATE_TRUNC('MONTH', o_orderdate) AS m,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS revenue
+          FROM orders GROUP BY 1
+        )
+        SELECT CAST(YEAR(spine.m) * 100 + MONTH(spine.m) AS INT) AS ym,
+               COALESCE(monthly.n_orders, 0) AS n_orders,
+               COALESCE(monthly.revenue, 0.0) AS revenue
+        FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+        ORDER BY ym
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_recursive_spine"] = q_tierc_recursive_spine
+ENGINE_ORACLES["tierc_recursive_spine"] = """
+    WITH RECURSIVE spine(m) AS (
+      SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM spine
+      WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+    ),
+    monthly AS (
+      SELECT DATE_TRUNC('MONTH', o_orderdate) AS m,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(YEAR(spine.m) * 100 + MONTH(spine.m) AS INT) AS ym,
+           COALESCE(monthly.n_orders, 0) AS n_orders,
+           COALESCE(monthly.revenue, 0.0) AS revenue
+    FROM spine LEFT JOIN monthly ON spine.m = monthly.m
+    ORDER BY ym
+"""

@@ -184,3 +184,32 @@ def test_variant_props_typed_extraction(spark):
         F.sum(F.get_json_object("props", "$.k").cast("long")).alias("s")
     ).collect()[0].s
     assert sum(r.sum_k for r in rows) == want_sum
+
+
+def test_recursive_spine_covers_every_month_no_gaps(spark):
+    """The recursive month spine is contiguous from first to last
+    order month, totals reconcile with the raw table, and any
+    zero-order months carry zero revenue."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.engine_queries import q_tierc_recursive_spine
+
+    rows = q_tierc_recursive_spine(spark, SF_SMOKE).collect()
+    yms = [r.ym for r in rows]
+
+    def nxt(ym):
+        return ym + 1 if ym % 100 < 12 else (ym // 100 + 1) * 100 + 1
+
+    for a, b in zip(yms, yms[1:]):
+        assert b == nxt(a), (a, b)
+    o = load_table(spark, SF_SMOKE, "orders")
+    assert sum(r.n_orders for r in rows) == o.count()
+    bounds = o.agg(
+        F.min(F.expr("year(o_orderdate)*100 + month(o_orderdate)")).alias("lo"),
+        F.max(F.expr("year(o_orderdate)*100 + month(o_orderdate)")).alias("hi"),
+    ).collect()[0]
+    assert yms[0] == bounds.lo and yms[-1] == bounds.hi
+    for r in rows:
+        if r.n_orders == 0:
+            assert r.revenue == 0.0

@@ -190,6 +190,7 @@ AUDITED = [
     "tierc_sql_udf",
     "tierc_variant_props",
     "tierc_tsql_funcs5",
+    "tierc_recursive_spine",
 ]
 
 
