@@ -111,6 +111,7 @@ HEADLINE = [
     "tierc_variant_props",
     "tierc_tsql_funcs5",
     "tierc_recursive_spine",
+    "tierc_pivot_sql",
 ]
 
 

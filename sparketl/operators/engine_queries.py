@@ -1514,3 +1514,48 @@ ENGINE_ORACLES["tierc_recursive_spine"] = """
     FROM spine LEFT JOIN monthly ON spine.m = monthly.m
     ORDER BY ym
 """
+
+
+def q_tierc_pivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT clause through the engine (the relational pivot
+    operator agg_06 exercises the DataFrame API; this is the
+    pass-through SQL planner shape a reference user types). Exact
+    DECIMAL sums per pivoted status cell; the oracle is the equivalent
+    conditional aggregation (the gate compares semantics, not
+    syntax)."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT * FROM (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(o_totalprice AS DECIMAL(12,2)) AS p
+          FROM orders
+        )
+        PIVOT (
+          CAST(SUM(p) AS DOUBLE) AS total, COUNT(*) AS n
+          FOR o_orderstatus IN ('F' AS f, 'O' AS o, 'P' AS pp)
+        )
+        ORDER BY o_orderpriority
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_pivot_sql"] = q_tierc_pivot_sql
+ENGINE_ORACLES["tierc_pivot_sql"] = """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS f_total,
+           COUNT(*) FILTER (o_orderstatus = 'F') AS f_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS o_total,
+           COUNT(*) FILTER (o_orderstatus = 'O') AS o_n,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                THEN CAST(o_totalprice AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS pp_total,
+           COUNT(*) FILTER (o_orderstatus = 'P') AS pp_n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+"""

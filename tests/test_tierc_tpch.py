@@ -213,3 +213,32 @@ def test_recursive_spine_covers_every_month_no_gaps(spark):
     for r in rows:
         if r.n_orders == 0:
             assert r.revenue == 0.0
+
+
+def test_pivot_sql_matches_dataframe_pivot(spark):
+    """SQL PIVOT clause ≡ the DataFrame groupBy().pivot() twin."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.engine_queries import q_tierc_pivot_sql
+
+    got = {r.o_orderpriority: r for r in q_tierc_pivot_sql(spark, SF_SMOKE).collect()}
+    o = load_table(spark, SF_SMOKE, "orders")
+    want = {
+        r.o_orderpriority: r
+        for r in o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)"))
+            .cast("double")
+            .alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(want) and len(got) == 5
+    for k, g in got.items():
+        w = want[k]
+        assert (g.f_total, g.f_n) == (w["F_total"], w["F_n"])
+        assert (g.o_total, g.o_n) == (w["O_total"], w["O_n"])
+        assert (g.pp_total, g.pp_n) == (w["P_total"], w["P_n"])

@@ -191,6 +191,7 @@ AUDITED = [
     "tierc_variant_props",
     "tierc_tsql_funcs5",
     "tierc_recursive_spine",
+    "tierc_pivot_sql",
 ]
 
 
