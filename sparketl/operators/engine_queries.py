@@ -1467,15 +1467,20 @@ def q_tierc_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     require. Exercises the recursive planner shape (UnionLoop) the
     pass-through surface gained in Spark 4; DuckDB runs the identical
     recursion. Recursion depth = month count (bounded by the calendar,
-    not the data — the anchor aggregate is one map-combinable min/max)."""
+    not the data — the anchor aggregate is one map-combinable min/max).
+    The upper bound rides THROUGH the recursion as a carried column:
+    a scalar subquery in the recursive step would re-scan orders on
+    every one of the ~80 iterations (measured 9.6 s → 2-3 s at
+    sf0.1)."""
     load_tables(spark, sf_dir)
     return Engine(spark).execute(
         """
-        WITH RECURSIVE spine(m) AS (
-          SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+        WITH RECURSIVE spine(m, hi) AS (
+          SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)),
+                 DATE_TRUNC('MONTH', MAX(o_orderdate))
+          FROM orders
           UNION ALL
-          SELECT m + INTERVAL '1' MONTH FROM spine
-          WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+          SELECT m + INTERVAL '1' MONTH, hi FROM spine WHERE m < hi
         ),
         monthly AS (
           SELECT DATE_TRUNC('MONTH', o_orderdate) AS m,
@@ -1495,11 +1500,12 @@ def q_tierc_recursive_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ENGINE_QUERIES["tierc_recursive_spine"] = q_tierc_recursive_spine
 ENGINE_ORACLES["tierc_recursive_spine"] = """
-    WITH RECURSIVE spine(m) AS (
-      SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+    WITH RECURSIVE spine(m, hi) AS (
+      SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)),
+             DATE_TRUNC('MONTH', MAX(o_orderdate))
+      FROM orders
       UNION ALL
-      SELECT m + INTERVAL 1 MONTH FROM spine
-      WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+      SELECT m + INTERVAL 1 MONTH, hi FROM spine WHERE m < hi
     ),
     monthly AS (
       SELECT DATE_TRUNC('MONTH', o_orderdate) AS m,
