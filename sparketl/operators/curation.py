@@ -1910,15 +1910,30 @@ def dsir_importance_rank(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    fb = feats.select(
-        "doc_id",
-        "source",
-        (((wsum * F.lit(2654435761)) % F.lit(4294967296)) % b_lit).alias("b"),
+    # per-(doc, bucket) counts reduce the exploded features ONCE; both
+    # the 128-row model and the per-doc scores derive from this far
+    # smaller frame, so the tokenize+hash explode runs a single time
+    # (it is the dominant cost — was two full passes). The lazy
+    # localCheckpoint pins that: without it the two downstream branches
+    # re-execute the explode.
+    db = (
+        feats.select(
+            "doc_id",
+            "source",
+            (((wsum * F.lit(2654435761)) % F.lit(4294967296)) % b_lit).alias(
+                "b"
+            ),
+        )
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
-    cnt = fb.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cq"),
-        F.count(F.when(F.col("source") == target_source, 1)).alias("cp"),
-    )
+    cnt = db.groupBy("b").agg(
+        F.sum("c").alias("cq"),
+        F.sum(F.when(F.col("source") == target_source, F.col("c"))).alias(
+            "_cp"
+        ),
+    ).select("b", "cq", F.coalesce("_cp", F.lit(0)).alias("cp"))
     tot = cnt.agg(F.sum("cq").alias("Q"), F.sum("cp").alias("T"))
     lr = cnt.crossJoin(F.broadcast(tot)).select(
         "b",
@@ -1933,11 +1948,11 @@ def dsir_importance_rank(
         .alias("lr"),
     )
     return (
-        fb.join(F.broadcast(lr), "b")
+        db.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_features"),
-            F.sum("lr").alias("score_micro"),
+            F.sum("c").alias("n_features"),
+            F.sum(F.col("c") * F.col("lr")).alias("score_micro"),
         )
         .orderBy(F.desc("score_micro"), "doc_id")
         .limit(top_k)

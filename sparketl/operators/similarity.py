@@ -638,40 +638,47 @@ def jl_project(emb: DataFrame, out_dims: int = 16) -> DataFrame:
     coordinate is an exact bigint dot product. Output is long-form
     ``vec_id, j, v`` plus the vector's label.
     """
-    def term(x, i):
+    def dot(j: int):
         # ±1 from bit 17 of the PRODUCT of per-axis 16-bit scrambles: a
         # linear mix of (i, j) makes every sign column a shifted copy of
         # one base sequence (nearly parallel projection directions —
         # measured mean |column dot| 30/64); the product form measures
         # mean 4.9 / max 20, i.e. random-matrix-grade orthogonality,
         # while every intermediate stays below 2^32 (bigint-safe in
-        # both engines).
-        a = ((i + F.lit(1)) * F.lit(2654435761) % F.lit(4294967296)) / F.lit(
-            65536
-        )
-        b = (
-            (F.col("j") + F.lit(1)) * F.lit(2246822519) % F.lit(4294967296)
-        ) / F.lit(65536)
-        prod = (a.cast("long") + 1) * (b.cast("long") + 1)
-        sign = F.lit(1) - F.lit(2) * (
-            (prod / F.lit(131072)).cast("long") % F.lit(2)
-        )
-        q = F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
-        return q * sign
+        # both engines). j is a PLAN-TIME literal, so its scramble
+        # constant-folds here in Python; only the i-side arithmetic
+        # runs per element.
+        b16 = (((j + 1) * 2246822519) % 4294967296) >> 16
 
-    dot = F.aggregate(
-        F.transform("embedding", term),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+        def term(x, i):
+            a = (
+                (i + F.lit(1)) * F.lit(2654435761) % F.lit(4294967296)
+            ) / F.lit(65536)
+            prod = (a.cast("long") + 1) * F.lit(b16 + 1)
+            sign = F.lit(1) - F.lit(2) * (
+                (prod / F.lit(131072)).cast("long") % F.lit(2)
+            )
+            q = F.floor(x.cast("double") * F.lit(1000000.0)).cast("long")
+            return q * sign
+
+        return F.aggregate(
+            F.transform("embedding", term),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    # all out_dims dot products evaluate in ONE pass per row (an array
+    # of 16 aggregates), then unpack long-form — the previous
+    # explode-then-aggregate shape fanned every embedding array out 16×
+    # before computing anything
     return (
         emb.select(
             "vec_id",
             "label",
-            F.explode(F.sequence(F.lit(0), F.lit(out_dims - 1))).alias("j"),
-            "embedding",
+            F.posexplode(F.array(*[dot(j) for j in range(out_dims)])).alias(
+                "j", "v"
+            ),
         )
-        .select("vec_id", "label", "j", dot.alias("v"))
         .orderBy("vec_id", "j")
     )
 
