@@ -31,8 +31,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) the 11 queries whose implementation CHANGED this round — every
 # caller of the radix quantile machinery (adaptive descent + cum0
 # checkpoint + phase fusion; ext_49's percentile()->radix swap);
-# (d) 6 of the 43 entries whose latest driver verdict is round 3 —
-# the stalest greens left (alphabetical). The remaining 37 round-3
+# (d) 5 of the 43 entries whose latest driver verdict is round 3 —
+# the stalest greens left (alphabetical). The remaining 38 round-3
 # entries and the round-4 cohort queue for round 8.
 _FRONT = [
     # (a) queued from round 6 — never driver-checked or round-2 stale
@@ -70,6 +70,7 @@ _FRONT = [
     "tierc_tsql_funcs5",
     "tierc_recursive_spine",
     "tierc_pivot_sql",
+    "ext_117_incremental_lsh",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -88,9 +89,9 @@ _FRONT = [
     "ext_01_exact_dedup",
     "ext_17_quantize",
     "ext_27_transitions",
-    "ext_28_cdf",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the rest of the round-3 cohort, then round 4
+    "ext_28_cdf",
     "ext_29_fuzzy_join",
     "ext_32_unpivot",
     "ext_33_props_numbers",

@@ -112,6 +112,7 @@ HEADLINE = [
     "tierc_tsql_funcs5",
     "tierc_recursive_spine",
     "tierc_pivot_sql",
+    "ext_117_incremental_lsh",
 ]
 
 

@@ -2263,3 +2263,142 @@ def source_token_kl(docs: DataFrame, n_buckets: int = 128) -> DataFrame:
 
 def q_ext_115_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_token_kl(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_117: incremental near-dup dedup against a persisted band registry
+# ---------------------------------------------------------------------------
+
+
+def incremental_minhash_dedup(
+    old_docs: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup dedup of an INGEST BATCH against an already-deduped
+    corpus — the incremental form of ext_82 that completes the dedup
+    lifecycle (exact incremental = the registry anti-join; TTL =
+    ext_100/101; this is the MinHash cell). The accepted corpus is
+    immutable: a new doc drops if it verifies against ANY old survivor,
+    or if it is a non-canonical member of a within-batch cluster.
+
+    Scale story: the persisted artifact is the (doc_id, band, bucket)
+    table — O(corpus × bands) rows that ONLY ever gets appended; a new
+    batch band-joins against it (bucket-partitioned equi-join, never a
+    corpus scan) plus within itself, and exact-Jaccard verification
+    touches candidate pairs only. Work per batch ∝ batch size ×
+    collision rate, independent of corpus size — re-running the full
+    ext_82 clustering per ingest would be O(corpus) every batch.
+
+    Returns per-source accounting of the new batch: n_docs,
+    n_dropped_vs_corpus, n_dropped_in_batch, n_kept. xxhash64 banding →
+    rows-only driver check; pytest recomputes the kept set from the
+    verified pair list in pure Python.
+    """
+    from sparketl.operators.dedup import banded_signatures, dup_clusters, shingles
+
+    old_b = banded_signatures(old_docs)  # production: read, not recompute
+    new_b = banded_signatures(new_docs)
+
+    sh_new = shingles(new_docs)
+    sh_old = shingles(old_docs)
+
+    def verified(cand, sh_a, sh_b):
+        sa = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        return (
+            cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn(
+                "jaccard",
+                inter.cast("double")
+                / (F.size("sh_a") + F.size("sh_b") - inter).cast("double"),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b")
+        )
+
+    # new × old: candidate = shared band bucket; drop the new side
+    no = (
+        new_b.alias("n")
+        .join(
+            old_b.alias("o"),
+            (F.col("n.band") == F.col("o.band"))
+            & (F.col("n.bucket") == F.col("o.bucket")),
+        )
+        .select(
+            F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    drop_vs_corpus = (
+        verified(no, sh_new, sh_old).select(F.col("doc_a").alias("doc_id")).distinct()
+    )
+
+    # new × new among the batch remainder: canonical-per-cluster keeps
+    nn = (
+        new_b.alias("a")
+        .join(
+            new_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    surviving_nn = (
+        verified(nn, sh_new, sh_new)
+        .join(
+            drop_vs_corpus.select(F.col("doc_id").alias("doc_a")),
+            "doc_a",
+            "left_anti",
+        )
+        .join(
+            drop_vs_corpus.select(F.col("doc_id").alias("doc_b")),
+            "doc_b",
+            "left_anti",
+        )
+    )
+    labels = dup_clusters(surviving_nn)
+    drop_in_batch = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+
+    marked = (
+        spread(new_docs)
+        .select("doc_id", "source")
+        .join(
+            F.broadcast(drop_vs_corpus.withColumn("_vs", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+        .join(
+            F.broadcast(drop_in_batch.withColumn("_in", F.lit(1))),
+            "doc_id",
+            "left",
+        )
+    )
+    vs = F.col("_vs").isNotNull()
+    inb = F.col("_in").isNotNull() & ~vs
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(vs.cast("long")).alias("n_dropped_vs_corpus"),
+            F.sum(inb.cast("long")).alias("n_dropped_in_batch"),
+            F.sum((~vs & ~inb.cast("boolean")).cast("long")).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_117_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic old/new split of the fixture (md5 coin, so every
+    source appears on both sides), then the incremental batch dedup."""
+    docs = load_table(spark, sf_dir, "documents")
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    return incremental_minhash_dedup(docs.filter(coin), docs.filter(~coin))

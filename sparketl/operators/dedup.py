@@ -169,18 +169,15 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     return sh.select("doc_id", mins.alias("sig"))
 
 
-def minhash_lsh_candidates(
+def banded_signatures(
     docs: DataFrame, num_hashes: int = 32, bands: int = 8
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
-
-    Each doc emits ``bands`` (band_id, bucket_hash) keys; the only
-    shuffle is the groupBy on those keys. Bucket sizes stay small when
-    rows/band ≥ 4, so the within-bucket pairing is cheap.
-    """
+    """(doc_id, band, bucket) LSH band table — the artifact an
+    incremental pipeline PERSISTS between ingest batches (bands per
+    doc, not pairs), so a new batch only ever band-joins against it."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(docs), num_hashes)
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.expr(
@@ -190,6 +187,18 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH band bucket.
+
+    Each doc emits ``bands`` (band_id, bucket_hash) keys; the only
+    shuffle is the groupBy on those keys. Bucket sizes stay small when
+    rows/band ≥ 4, so the within-bucket pairing is cheap.
+    """
+    banded = banded_signatures(docs, num_hashes, bands)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

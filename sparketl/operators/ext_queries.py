@@ -3040,3 +3040,10 @@ EXT_ORACLES["ext_116_leakage_safe_folds"] = """
     FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
     ORDER BY d.doc_id
 """
+
+from sparketl.operators.curation import q_ext_117_incremental_lsh  # noqa: E402
+
+EXT_QUERIES["ext_117_incremental_lsh"] = q_ext_117_incremental_lsh
+# no oracle: xxhash64 banding is engine-specific (same family as
+# ext_82); the driver records a rows-only check and pytest recomputes
+# the kept set from the verified pair list in pure Python

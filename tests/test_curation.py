@@ -1037,3 +1037,106 @@ def test_source_kl_matches_python_and_detects_planted_drift(spark):
     assert got["src_planted"][1] / got["src_planted"][0] > 4 * max(
         organic_max, 1e-9
     )
+
+
+def test_incremental_lsh_accounting_matches_python_replay(spark):
+    """The incremental batch-dedup accounting ≡ a pure-Python replay of
+    the drop rules over the verified pair lists, and the split covers
+    the corpus."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import (
+        incremental_minhash_dedup,
+        q_ext_117_incremental_lsh,
+    )
+    from sparketl.operators.dedup import banded_signatures, shingles
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    old, new = docs.filter(coin).cache(), docs.filter(~coin).cache()
+    got = {r.source: r for r in incremental_minhash_dedup(old, new).collect()}
+
+    # pair lists via the same building blocks (banding is xxhash64 —
+    # not Python-reproducible — but the DROP LOGIC is, given the pairs)
+    def pairs(bl, br, lt):
+        cond = (F.col("a.band") == F.col("b.band")) & (
+            F.col("a.bucket") == F.col("b.bucket")
+        )
+        if lt:
+            cond = cond & (F.col("a.doc_id") < F.col("b.doc_id"))
+        return (
+            bl.alias("a")
+            .join(br.alias("b"), cond)
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    def verify(cand, sh_a, sh_b):
+        sa = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+        sb = sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        j = inter.cast("double") / (
+            F.size("sh_a") + F.size("sh_b") - inter
+        ).cast("double")
+        return [
+            (r.doc_a, r.doc_b)
+            for r in cand.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .where(j >= 0.8)
+            .select("doc_a", "doc_b")
+            .collect()
+        ]
+
+    ob, nb = banded_signatures(old), banded_signatures(new)
+    no = verify(pairs(nb, ob, lt=False), shingles(new), shingles(old))
+    nn = verify(pairs(nb, nb, lt=True), shingles(new), shingles(new))
+
+    drop_vs = {a for a, _ in no}
+    adj = defaultdict(set)
+    for a, b in nn:
+        if a not in drop_vs and b not in drop_vs:
+            adj[a].add(b)
+            adj[b].add(a)
+    drop_in = set()
+    seen = set()
+    for start in sorted(adj):
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            x = stack.pop()
+            comp.append(x)
+            for y in adj[x] - seen:
+                seen.add(y)
+                stack.append(y)
+        root = min(comp)
+        drop_in |= set(comp) - {root}
+
+    src = {r.doc_id: r.source for r in new.select("doc_id", "source").collect()}
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for d, s in src.items():
+        w = want[s]
+        w[0] += 1
+        if d in drop_vs:
+            w[1] += 1
+        elif d in drop_in:
+            w[2] += 1
+        else:
+            w[3] += 1
+    assert set(got) == set(want)
+    for s, w in want.items():
+        g = got[s]
+        assert (
+            g.n_docs,
+            g.n_dropped_vs_corpus,
+            g.n_dropped_in_batch,
+            g.n_kept,
+        ) == tuple(w), s
+    assert sum(w[1] + w[2] for w in want.values()) > 0  # fixture has dups
