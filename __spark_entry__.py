@@ -30,10 +30,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # T-SQL funcs4, grouped OLS, streaming sliding window);
 # (c) the 11 queries whose implementation CHANGED this round — every
 # caller of the radix quantile machinery (adaptive descent + cum0
-# checkpoint + phase fusion; ext_49's percentile()->radix swap);
-# (d) 5 of the 43 entries whose latest driver verdict is round 3 —
-# the stalest greens left (alphabetical). The remaining 38 round-3
-# entries and the round-4 cohort queue for round 8.
+# checkpoint + phase fusion; ext_49's percentile()->radix swap).
+# The round-3 cohort (stalest greens left) and the round-4 cohort
+# queue for round 8.
 _FRONT = [
     # (a) queued from round 6 — never driver-checked or round-2 stale
     "ext_96_weighted_median",
@@ -71,6 +70,11 @@ _FRONT = [
     "tierc_recursive_spine",
     "tierc_pivot_sql",
     "ext_117_incremental_lsh",
+    "ext_118_grouped_anova",
+    "ext_119_chi2_independence",
+    "ext_120_temperature_mixture",
+    "ext_121_sorted_neighborhood",
+    "ext_122_benford_audit",
     # (c) changed in round 7 — radix quantile family
     "agg_07_quantiles",
     "ext_09_approx_quantiles",
@@ -83,14 +87,13 @@ _FRONT = [
     "ext_85_decile_binning",
     "ext_86_mad_outliers",
     "ext_95_interevent_gaps",
-    # (d) stalest remaining (round-3 driver verdicts), alphabetical
+    # ---- end of the round-7 driver window (50 entries above) ----
+    # queued for round 8: the round-3 cohort (stalest first), then round 4
     "agg_02_value_counts",
     "agg_06_pivot",
     "ext_01_exact_dedup",
     "ext_17_quantize",
     "ext_27_transitions",
-    # ---- end of the round-7 driver window (50 entries above) ----
-    # queued for round 8: the rest of the round-3 cohort, then round 4
     "ext_28_cdf",
     "ext_29_fuzzy_join",
     "ext_32_unpivot",

@@ -113,6 +113,11 @@ HEADLINE = [
     "tierc_recursive_spine",
     "tierc_pivot_sql",
     "ext_117_incremental_lsh",
+    "ext_118_grouped_anova",
+    "ext_119_chi2_independence",
+    "ext_120_temperature_mixture",
+    "ext_121_sorted_neighborhood",
+    "ext_122_benford_audit",
 ]
 
 

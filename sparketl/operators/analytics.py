@@ -1289,3 +1289,215 @@ def cusum_changepoint(orders: DataFrame) -> DataFrame:
 
 def q_ext_112_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum_changepoint(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_118: grouped one-way ANOVA — does value differ by factor, per group?
+# ---------------------------------------------------------------------------
+
+
+def grouped_anova(
+    docs: DataFrame,
+    group_col: str = "lang",
+    factor_col: str = "source",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """One-way ANOVA of ``value_col`` across ``factor_col`` levels,
+    independently per ``group_col`` — "does document length differ by
+    source, within each language?" — the distribution-audit companion
+    of ext_89's grouped correlation. The reference's profiling surface
+    (tool:273 pass-through) stops at single-column stats; a corpus
+    audit needs the between-source test to flag a scraper whose
+    documents are systematically longer/shorter than its peers.
+
+    Exactness device (ext_104/ext_51 family): every sum is an exact
+    bigint power sum; the treatment term Σ_g s_g²/n_g — a rational
+    whose float summation ORDER would differ between engines — is
+    quantized per factor cell with exact integer division
+    ((10⁶·s_g²) div n_g) and summed as bigints, so ssb/ssw are
+    engine-identical integers and the final F statistic is one shared
+    double expression over them. No float exists before that last
+    expression. (10⁶·s_g² fits bigint while Σvalue per cell < ~3M —
+    holds through sf10; beyond that drop the micro scale to 10³.)
+
+    Scale: two map-combinable aggregations (docs → factor cells →
+    groups); no window, no join, nothing driver-side. Groups with
+    k < 2 factors or no within-group freedom (n ≤ k) are excluded —
+    the statistic is undefined there.
+    """
+    v = F.col(value_col).cast("long")
+    cells = docs.groupBy(group_col, factor_col).agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(v).alias("s_g"),
+        F.sum(v * v).alias("ss_g"),
+    )
+    return (
+        cells.withColumn("t_micro", F.expr("(1000000 * s_g * s_g) div n_g"))
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("n_g").alias("n"),
+            F.sum("s_g").alias("s"),
+            F.sum("ss_g").alias("ss"),
+            F.sum("t_micro").alias("t_micro"),
+        )
+        .where((F.col("k") >= 2) & (F.col("n") > F.col("k")))
+        .withColumn(
+            "ssb_micro", F.col("t_micro") - F.expr("(1000000 * s * s) div n")
+        )
+        .withColumn(
+            "ssw_micro", F.lit(1000000) * F.col("ss") - F.col("t_micro")
+        )
+        .select(
+            group_col,
+            "k",
+            "n",
+            "ssb_micro",
+            "ssw_micro",
+            (
+                (F.col("ssb_micro").cast("double") / (F.col("k") - F.lit(1)))
+                / (F.col("ssw_micro").cast("double") / (F.col("n") - F.col("k")))
+            ).alias("f_stat"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_ext_118_grouped_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_anova(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_119: chi-squared independence — is length bucket independent of source?
+# ---------------------------------------------------------------------------
+
+
+def chi2_independence(
+    docs: DataFrame,
+    row_col: str = "source",
+    value_col: str = "n_chars",
+    bucket_width: int = 500,
+) -> DataFrame:
+    """Per-``row_col`` partial chi-squared statistic for independence
+    between ``row_col`` and the bucketed ``value_col`` — the
+    categorical counterpart of ext_118 (which tests means; this tests
+    the whole bucket distribution).
+
+    The textbook Σ(o−e)²/e needs the FULL R×C grid including zero
+    cells. This uses the algebraic identity
+    Σ_j (o_ij − e_ij)²/e_ij = Σ_j o_ij²·N/(r_i·c_j) − r_i,
+    whose terms vanish on zero cells — so only OBSERVED cells are
+    aggregated and no grid is ever materialized (at 100 TB the grid
+    would be sources × buckets dense; the observed frame is sparse).
+
+    Exactness: counts are bigints; each cell term is quantized with
+    exact integer division (1000·N·o²) div (r·c) and summed exactly —
+    no float anywhere. Under exact independence (o = r·c/N) every
+    partial is 0.
+
+    Scale: one cell aggregation, two margin aggregations broadcast
+    back, one one-row total broadcast — all map-combinable.
+    """
+    cells = docs.select(
+        row_col,
+        F.expr(f"CAST({value_col} AS BIGINT) div {bucket_width}").alias("b"),
+    )
+    o = cells.groupBy(row_col, "b").agg(F.count(F.lit(1)).alias("o"))
+    r = cells.groupBy(row_col).agg(F.count(F.lit(1)).alias("r"))
+    c = cells.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    nn = cells.agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("b").alias("n_b")
+    )
+    return (
+        o.join(F.broadcast(r), row_col)
+        .join(F.broadcast(c), "b")
+        .crossJoin(F.broadcast(nn))
+        .withColumn("term_milli", F.expr("(1000 * n * o * o) div (r * c)"))
+        .groupBy(row_col)
+        .agg(
+            F.max("r").alias("n_docs"),
+            F.max("n_b").alias("n_buckets"),
+            (F.sum("term_milli") - F.lit(1000) * F.max("r")).alias(
+                "partial_chi2_milli"
+            ),
+        )
+        .orderBy(row_col)
+    )
+
+
+def q_ext_119_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chi2_independence(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_122: Benford first-digit audit — fabricated-data screening
+# ---------------------------------------------------------------------------
+
+# floor(10⁶·log₁₀(1 + 1/d)) for d = 1..9 — fixed literals so both
+# engines consume identical constants (computing log10 in-engine would
+# reintroduce the 1-ulp portability risk the micro-nat device avoids)
+_BENFORD_MICRO = {
+    1: 301029,
+    2: 176091,
+    3: 124938,
+    4: 96910,
+    5: 79181,
+    6: 66946,
+    7: 57991,
+    8: 51152,
+    9: 45757,
+}
+
+
+def benford_audit(df: DataFrame, amount_col: str) -> DataFrame:
+    """First-significant-digit distribution of ``amount_col`` vs
+    Benford's law — the classic fabricated/synthetic-amount screen for
+    financial fact tables (TPC-H prices are uniform-ish, so they FAIL
+    Benford loudly; the point of the audit is the per-digit deviation
+    profile, not a pass verdict).
+
+    Portability: the first digit comes from the integer part via
+    explicit FLOOR (never a raw double→int CAST: Spark truncates,
+    DuckDB rounds) rendered through the exact bigint→string path.
+    Expected probabilities are shared micro-unit literals; the
+    per-digit chi-squared contribution is one identical double
+    expression over exact bigints, floored to milli-units.
+
+    Scale: a map + a 9-group aggregate + a one-row total broadcast.
+    """
+    digits = df.select(
+        F.substring(
+            F.floor(amount_col).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    n_tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    exp_map = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_MICRO.items() for x in kv]
+    )
+    exp_d = F.col("expected_micro").cast("double") / F.lit(1000000.0)
+    return (
+        digits.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("observed"))
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn("e_micro", exp_map[F.col("digit")].cast("long"))
+        .withColumn("expected_micro", F.col("n") * F.col("e_micro"))
+        .withColumn(
+            "chi2_contrib_milli",
+            F.floor(
+                (F.col("observed").cast("double") - exp_d)
+                * (F.col("observed").cast("double") - exp_d)
+                / exp_d
+                * F.lit(1000.0)
+            ).cast("long"),
+        )
+        .select("digit", "observed", "expected_micro", "chi2_contrib_milli")
+        .orderBy("digit")
+    )
+
+
+def q_ext_122_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return benford_audit(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )

@@ -413,3 +413,95 @@ def leakage_safe_folds(docs: DataFrame, n_folds: int = 5) -> DataFrame:
 
 def q_ext_116_leakage_safe_folds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_folds(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_121: sorted-neighborhood ER blocking — the non-hash blocking method
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_blocking(
+    docs: DataFrame,
+    window: int = 3,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """Sorted-neighborhood entity-resolution blocking: sort each
+    language's documents by a cheap blocking key (length, doc_id
+    tiebreak) and compare each document only against its next
+    ``window`` neighbors — the classic alternative to LSH banding
+    (ext_02/82) when a meaningful sort key exists. Near-identical
+    records have near-identical lengths, so they land adjacent and
+    pair up; total candidates are ≤ window·n instead of n²/buckets.
+
+    Verification is exact token-set Jaccard ≥ num/den, evaluated with
+    the integer cross-multiplication den·|∩| ≥ num·|∪| (no float
+    ratio). Returns per-language blocking accounting: n_candidates,
+    n_matched.
+
+    Scale: ONE window sort per language partition (all ``window``
+    leads ride the same sort — they are emitted as a struct array and
+    exploded, not one window pass per offset), then a map-side
+    verify + aggregate. Skew note: partitioning by language
+    concentrates a monolingual corpus; at scale the blocking key
+    should extend to (lang, length-band) which this sort order
+    already induces — split the window at band boundaries to
+    parallelize further.
+    """
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.array_distinct(F.split("text", " ")).alias("tk"),
+    )
+    win = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    # window expressions may not appear inside a generator: compute all
+    # leads in one projection (they share the single window sort), then
+    # explode the struct array in a second projection
+    stepped = toks.select(
+        "lang",
+        "tk",
+        *[
+            c
+            for j in range(1, window + 1)
+            for c in (
+                F.lead("doc_id", j).over(win).alias(f"_db{j}"),
+                F.lead("tk", j).over(win).alias(f"_tb{j}"),
+            )
+        ],
+    )
+    leads = F.array(
+        *[
+            F.struct(
+                F.col(f"_db{j}").alias("doc_b"), F.col(f"_tb{j}").alias("tk_b")
+            )
+            for j in range(1, window + 1)
+        ]
+    )
+    pairs = (
+        stepped.select("lang", "tk", F.explode(leads).alias("nb"))
+        .where(F.col("nb.doc_b").isNotNull())
+        .select("lang", "tk", F.col("nb.tk_b").alias("tk_b"))
+    )
+    inter = F.size(F.array_intersect("tk", "tk_b"))
+    uni = F.size("tk") + F.size("tk_b") - inter
+    return (
+        pairs.withColumn(
+            "m",
+            (F.lit(threshold_den) * inter >= F.lit(threshold_num) * uni).cast(
+                "long"
+            ),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum("m").alias("n_matched"),
+        )
+        .orderBy("lang")
+    )
+
+
+def q_ext_121_sorted_neighborhood(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return sorted_neighborhood_blocking(load_table(spark, sf_dir, "documents"))

@@ -3047,3 +3047,139 @@ EXT_QUERIES["ext_117_incremental_lsh"] = q_ext_117_incremental_lsh
 # no oracle: xxhash64 banding is engine-specific (same family as
 # ext_82); the driver records a rows-only check and pytest recomputes
 # the kept set from the verified pair list in pure Python
+
+from sparketl.operators.analytics import q_ext_118_grouped_anova  # noqa: E402
+
+EXT_QUERIES["ext_118_grouped_anova"] = q_ext_118_grouped_anova
+EXT_ORACLES["ext_118_grouped_anova"] = """
+    WITH g AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss_g
+      FROM documents GROUP BY lang, source
+    ), l AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(ss_g) AS BIGINT) AS ss,
+             CAST(SUM((1000000 * s_g * s_g) // n_g) AS BIGINT) AS t_micro
+      FROM g GROUP BY lang
+    )
+    SELECT lang, k, n,
+           t_micro - ((1000000 * s * s) // n) AS ssb_micro,
+           1000000 * ss - t_micro AS ssw_micro,
+           (CAST(t_micro - ((1000000 * s * s) // n) AS DOUBLE) / (k - 1))
+             / (CAST(1000000 * ss - t_micro AS DOUBLE) / (n - k)) AS f_stat
+    FROM l WHERE k >= 2 AND n > k
+    ORDER BY lang
+"""
+
+from sparketl.operators.analytics import (  # noqa: E402
+    q_ext_119_chi2_independence,
+)
+
+EXT_QUERIES["ext_119_chi2_independence"] = q_ext_119_chi2_independence
+EXT_ORACLES["ext_119_chi2_independence"] = """
+    WITH cells AS (
+      SELECT source, CAST(n_chars AS BIGINT) // 500 AS b FROM documents
+    ), o AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS o
+      FROM cells GROUP BY source, b
+    ), r AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS r FROM cells GROUP BY source
+    ), c AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY b
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT b) AS BIGINT) AS n_b
+      FROM cells
+    )
+    SELECT o.source, MAX(r.r) AS n_docs, MAX(nn.n_b) AS n_buckets,
+           SUM((1000 * nn.n * o.o * o.o) // (r.r * c.c)) - 1000 * MAX(r.r)
+             AS partial_chi2_milli
+    FROM o JOIN r USING (source) JOIN c USING (b), nn
+    GROUP BY o.source ORDER BY o.source
+"""
+
+from sparketl.operators.pipeline_ops import (  # noqa: E402
+    q_ext_120_temperature_mixture,
+)
+
+EXT_QUERIES["ext_120_temperature_mixture"] = q_ext_120_temperature_mixture
+EXT_ORACLES["ext_120_temperature_mixture"] = """
+    WITH tok AS (
+      SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS t_s FROM tok GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(t_s) AS BIGINT) AS t FROM per
+    ), w AS (
+      SELECT source, t_s, t,
+             CAST(FLOOR(sqrt(CAST(t_s AS DOUBLE) / CAST(t AS DOUBLE))
+                        * 1000000.0) AS BIGINT) AS sq_micro
+      FROM per, tot
+    ), z AS (
+      SELECT CAST(SUM(sq_micro) AS BIGINT) AS z FROM w
+    )
+    SELECT source, t_s AS n_tokens,
+           (1000000 * t_s) // t AS p_ppm,
+           (1000000 * sq_micro) // z AS weight_ppm,
+           (1000 * ((1000000 * sq_micro) // z)) // ((1000000 * t_s) // t)
+             AS boost_milli
+    FROM w, z ORDER BY source
+"""
+
+from sparketl.operators.dedup import q_ext_121_sorted_neighborhood  # noqa: E402
+
+EXT_QUERIES["ext_121_sorted_neighborhood"] = q_ext_121_sorted_neighborhood
+EXT_ORACLES["ext_121_sorted_neighborhood"] = """
+    WITH t AS (
+      SELECT lang, doc_id, n_chars,
+             list_distinct(string_split(text, ' ')) AS tk
+      FROM documents
+    ), p AS (
+      SELECT lang, tk,
+             lead(tk, 1) OVER w AS tk1,
+             lead(tk, 2) OVER w AS tk2,
+             lead(tk, 3) OVER w AS tk3
+      FROM t
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ), u AS (
+      SELECT lang, tk, tk1 AS tk_b FROM p WHERE tk1 IS NOT NULL
+      UNION ALL
+      SELECT lang, tk, tk2 FROM p WHERE tk2 IS NOT NULL
+      UNION ALL
+      SELECT lang, tk, tk3 FROM p WHERE tk3 IS NOT NULL
+    )
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN 2 * len(list_intersect(tk, tk_b))
+                    >= len(tk) + len(tk_b) - len(list_intersect(tk, tk_b))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM u GROUP BY lang ORDER BY lang
+"""
+
+from sparketl.operators.analytics import q_ext_122_benford_audit  # noqa: E402
+
+EXT_QUERIES["ext_122_benford_audit"] = q_ext_122_benford_audit
+EXT_ORACLES["ext_122_benford_audit"] = """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(l_extendedprice) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM lineitem
+    ), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+    e(digit, e_micro) AS (VALUES (1, 301029), (2, 176091), (3, 124938),
+      (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152),
+      (9, 45757))
+    SELECT d.digit, CAST(COUNT(*) AS BIGINT) AS observed,
+           nn.n * CAST(e.e_micro AS BIGINT) AS expected_micro,
+           CAST(FLOOR(
+             (CAST(COUNT(*) AS DOUBLE)
+              - CAST(nn.n * CAST(e.e_micro AS BIGINT) AS DOUBLE) / 1000000.0)
+             * (CAST(COUNT(*) AS DOUBLE)
+                - CAST(nn.n * CAST(e.e_micro AS BIGINT) AS DOUBLE) / 1000000.0)
+             / (CAST(nn.n * CAST(e.e_micro AS BIGINT) AS DOUBLE) / 1000000.0)
+             * 1000.0) AS BIGINT) AS chi2_contrib_milli
+    FROM d JOIN e ON d.digit = e.digit, nn
+    GROUP BY d.digit, nn.n, e.e_micro ORDER BY d.digit
+"""

@@ -751,3 +751,71 @@ def bpe_train_merges(
 
 def q_ext_69_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_train_merges(load_table(spark, sf_dir, "documents"), n_merges=8)
+
+
+# ---------------------------------------------------------------------------
+# ext_120: temperature-based source sampling weights (w_s ∝ p_s^α)
+# ---------------------------------------------------------------------------
+
+
+def temperature_mixture(docs: DataFrame, alpha: float = 0.5) -> DataFrame:
+    """Temperature-flattened source sampling weights ``w_s ∝ p_s^α``
+    — the standard device for upweighting low-resource sources (or
+    languages) in a training mixture: α = 1 keeps the natural token
+    distribution, α → 0 approaches uniform. Complements ext_66
+    (token-budget mixture planning): ext_66 answers "how many tokens
+    per source fit the budget", this answers "at what RATE should the
+    sampler draw from each source".
+
+    ``alpha`` ∈ {0.5, 0.25} — powers expressible as repeated sqrt,
+    which is IEEE correctly-rounded in both engines (a general pow()
+    is only 1-ulp portable and would break the oracle hash). p_s^0.25
+    is sqrt(sqrt(p_s)).
+
+    Exactness: token counts are exact bigints; each source's
+    flattened share is quantized to micro-units BEFORE the normalizing
+    sum (a float Σ over sources would be summation-order-dependent),
+    so the normalizer and the final ppm weights are exact integer
+    arithmetic. ``boost_milli`` = w_s/p_s in milli-units — >1000 means
+    the source is upsampled relative to its natural share.
+
+    Scale: one map + one per-source aggregate + two one-row
+    broadcasts; the heavy token count is map-combinable.
+    """
+    if alpha not in (0.5, 0.25):
+        raise ValueError("alpha must be 0.5 or 0.25 (repeated-sqrt exact)")
+    per = (
+        docs.select(
+            "source", F.size(F.split("text", " ")).cast("long").alias("nt")
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").alias("t_s"))
+    )
+    tot = per.agg(F.sum("t_s").alias("t"))
+    flat = F.sqrt(F.col("t_s").cast("double") / F.col("t").cast("double"))
+    if alpha == 0.25:
+        flat = F.sqrt(flat)
+    w = per.crossJoin(F.broadcast(tot)).withColumn(
+        "sq_micro", F.floor(flat * F.lit(1000000.0)).cast("long")
+    )
+    z = w.agg(F.sum("sq_micro").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .withColumn("p_ppm", F.expr("(1000000 * t_s) div t"))
+        .withColumn("weight_ppm", F.expr("(1000000 * sq_micro) div z"))
+        .withColumn("boost_milli", F.expr("(1000 * weight_ppm) div p_ppm"))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            "p_ppm",
+            "weight_ppm",
+            "boost_milli",
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_120_temperature_mixture(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return temperature_mixture(load_table(spark, sf_dir, "documents"))

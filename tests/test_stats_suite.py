@@ -1,0 +1,168 @@
+"""Semantics tests for the round-7 statistical-audit suite: grouped
+one-way ANOVA, chi-squared independence, temperature-based mixture
+weights, sorted-neighborhood ER blocking, and the Benford first-digit
+audit. Each test recomputes the exact integer-quantized statistic in
+pure Python over a small frame (the formulas use integer division, so
+Python's ``//`` mirrors Spark's ``div`` and DuckDB's ``//`` exactly).
+"""
+
+import math
+
+from sparketl.operators.analytics import (
+    benford_audit,
+    chi2_independence,
+    grouped_anova,
+)
+from sparketl.operators.dedup import sorted_neighborhood_blocking
+from sparketl.operators.pipeline_ops import temperature_mixture
+
+
+def _docs(spark, rows):
+    """rows: (doc_id, lang, source, n_chars, text)."""
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars int, text string"
+    )
+
+
+def test_grouped_anova_matches_integer_recompute(spark):
+    rows = [
+        (1, "en", "a", 100, "x"),
+        (2, "en", "a", 140, "x"),
+        (3, "en", "b", 300, "x"),
+        (4, "en", "b", 340, "x"),
+        (5, "en", "b", 320, "x"),
+        (6, "de", "a", 50, "x"),  # k=1 → filtered out
+    ]
+    got = {r["lang"]: r for r in grouped_anova(_docs(spark, rows)).collect()}
+    assert list(got) == ["en"]
+    # exact integer recompute
+    groups = {"a": [100, 140], "b": [300, 340, 320]}
+    n = sum(len(v) for v in groups.values())
+    s = sum(sum(v) for v in groups.values())
+    ss = sum(x * x for v in groups.values() for x in v)
+    t_micro = sum((1_000_000 * sum(v) * sum(v)) // len(v) for v in groups.values())
+    ssb = t_micro - (1_000_000 * s * s) // n
+    ssw = 1_000_000 * ss - t_micro
+    r = got["en"]
+    assert (r["k"], r["n"], r["ssb_micro"], r["ssw_micro"]) == (2, n, ssb, ssw)
+    assert r["f_stat"] == (ssb / (2 - 1)) / (ssw / (n - 2))
+
+
+def test_grouped_anova_equal_means_gives_zero_ssb(spark):
+    # both sources have identical values → between-group SS is exactly 0
+    rows = [
+        (i, "en", src, v, "x")
+        for i, (src, v) in enumerate(
+            [("a", 100), ("a", 200), ("b", 100), ("b", 200)]
+        )
+    ]
+    r = grouped_anova(_docs(spark, rows)).collect()[0]
+    assert r["ssb_micro"] == 0 and r["f_stat"] == 0.0
+
+
+def test_chi2_independence_zero_under_exact_independence(spark):
+    # balanced 2×2 design: o = r*c/N exactly → every partial is 0
+    rows = []
+    i = 0
+    for src in ("a", "b"):
+        for n_chars in (100, 600):  # buckets 0 and 1
+            for _ in range(4):
+                rows.append((i, "en", src, n_chars, "x"))
+                i += 1
+    out = chi2_independence(_docs(spark, rows)).collect()
+    assert {r["source"] for r in out} == {"a", "b"}
+    assert all(r["partial_chi2_milli"] == 0 for r in out)
+    assert all(r["n_docs"] == 8 and r["n_buckets"] == 2 for r in out)
+
+
+def test_chi2_independence_matches_integer_recompute(spark):
+    import collections
+
+    rows = [
+        (1, "en", "a", 100, "x"),
+        (2, "en", "a", 120, "x"),
+        (3, "en", "a", 700, "x"),
+        (4, "en", "b", 900, "x"),
+        (5, "en", "b", 800, "x"),
+        (6, "en", "b", 50, "x"),
+        (7, "en", "b", 60, "x"),
+    ]
+    o = collections.Counter((src, nc // 500) for _, _, src, nc, _ in rows)
+    r_m = collections.Counter(src for _, _, src, _, _ in rows)
+    c_m = collections.Counter(nc // 500 for _, _, src, nc, _ in rows)
+    n = len(rows)
+    want = {
+        src: sum(
+            (1000 * n * o[(src, b)] * o[(src, b)]) // (r_m[src] * c_m[b])
+            for b in c_m
+            if (src, b) in o
+        )
+        - 1000 * r_m[src]
+        for src in r_m
+    }
+    got = {
+        r["source"]: r["partial_chi2_milli"]
+        for r in chi2_independence(_docs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_temperature_mixture_matches_python_recompute(spark):
+    rows = [
+        (1, "en", "a", 10, "w w w w"),          # 4 tokens
+        (2, "en", "b", 10, "w w w w w w w w"),  # 8 tokens
+        (3, "en", "c", 10, "w w w w"),          # 4 tokens
+    ]
+    out = {r["source"]: r for r in temperature_mixture(_docs(spark, rows)).collect()}
+    toks = {"a": 4, "b": 8, "c": 4}
+    total = sum(toks.values())
+    sq = {s: math.floor(math.sqrt(t / total) * 1_000_000) for s, t in toks.items()}
+    z = sum(sq.values())
+    for s, t in toks.items():
+        r = out[s]
+        assert r["n_tokens"] == t
+        assert r["p_ppm"] == (1_000_000 * t) // total
+        assert r["weight_ppm"] == (1_000_000 * sq[s]) // z
+        assert r["boost_milli"] == (1000 * r["weight_ppm"]) // r["p_ppm"]
+    # temperature flattening: the rare sources get boosted above their
+    # natural share, the dominant one is downweighted
+    assert out["a"]["boost_milli"] > 1000 > out["b"]["boost_milli"]
+
+
+def test_sorted_neighborhood_candidate_count_and_match(spark):
+    # 5 en docs → window-3 candidates = 3n-6 = 9; one planted near-dup
+    # pair adjacent in length order must verify (Jaccard ≥ 0.5)
+    rows = [
+        (1, "en", "a", 10, "alpha beta gamma delta"),
+        (2, "en", "a", 11, "alpha beta gamma epsilon"),  # near-dup of 1
+        (3, "en", "a", 50, "zeta eta theta iota"),
+        (4, "en", "a", 90, "kappa lambda mu nu"),
+        (5, "en", "a", 130, "xi omicron pi rho"),
+        (6, "de", "b", 10, "eins zwei"),
+        (7, "de", "b", 20, "drei vier"),
+    ]
+    out = {r["lang"]: r for r in sorted_neighborhood_blocking(_docs(spark, rows)).collect()}
+    assert out["en"]["n_candidates"] == 3 * 5 - 6
+    assert out["en"]["n_matched"] == 1
+    # de: n=2 → only the j=1 pair
+    assert out["de"]["n_candidates"] == 1 and out["de"]["n_matched"] == 0
+
+
+def test_benford_audit_matches_integer_recompute(spark):
+    import collections
+
+    vals = [1.5, 19.0, 23.0, 29.99, 310.0, 35.0, 41.0, 99.0, 912.5]
+    df = spark.createDataFrame([(v,) for v in vals], "amount double")
+    out = {r["digit"]: r for r in benford_audit(df, "amount").collect()}
+    obs = collections.Counter(int(str(int(math.floor(v)))[0]) for v in vals)
+    n = len(vals)
+    e = {1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+         6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    assert set(out) == set(obs)
+    for d, r in out.items():
+        assert r["observed"] == obs[d]
+        assert r["expected_micro"] == n * e[d]
+        exp = n * e[d] / 1_000_000.0
+        assert r["chi2_contrib_milli"] == math.floor(
+            (obs[d] - exp) * (obs[d] - exp) / exp * 1000.0
+        )

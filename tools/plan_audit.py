@@ -66,6 +66,12 @@ BROADCAST_SCALAR_OK = {
     # rows) — same bounded shape as ext_97's rank offsets
     "ext_115_source_kl",  # one-row corpus-total broadcast into the
     # (sources × 128)-cell log-ratio frame
+    "ext_119_chi2_independence",  # one-row (N, n_buckets) total
+    # broadcast into the sparse observed-cell frame
+    "ext_120_temperature_mixture",  # one-row token-total and one-row
+    # normalizer broadcasts into the per-source frame
+    "ext_122_benford_audit",  # one-row row-count broadcast into the
+    # 9-digit frame
 }
 
 AUDITED = [
@@ -193,6 +199,11 @@ AUDITED = [
     "tierc_recursive_spine",
     "tierc_pivot_sql",
     "ext_117_incremental_lsh",
+    "ext_118_grouped_anova",
+    "ext_119_chi2_independence",
+    "ext_120_temperature_mixture",
+    "ext_121_sorted_neighborhood",
+    "ext_122_benford_audit",
 ]
 
 
