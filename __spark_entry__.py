@@ -75,10 +75,13 @@ _FRONT = [
     "ext_120_temperature_mixture",
     "ext_121_sorted_neighborhood",
     "ext_122_benford_audit",
-    # (c) changed in round 7 — radix quantile family
+    "ext_123_mannwhitney",
+    "ext_124_ks_test",
+    "ext_125_concentration",
+    # (c) changed in round 7 — radix quantile family (ext_09 rows-only
+    # and the r6-driver-green ext_20/ext_95 yield their slots to the
+    # new oracle entries above; all three stay sf0.1-verified locally)
     "agg_07_quantiles",
-    "ext_09_approx_quantiles",
-    "ext_20_winsorize",
     "ext_31_outliers",
     "ext_44_exact_percentiles",
     "ext_49_rfm",
@@ -86,9 +89,11 @@ _FRONT = [
     "ext_60_embedding_outliers",
     "ext_85_decile_binning",
     "ext_86_mad_outliers",
-    "ext_95_interevent_gaps",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the round-3 cohort (stalest first), then round 4
+    "ext_09_approx_quantiles",
+    "ext_20_winsorize",
+    "ext_95_interevent_gaps",
     "agg_02_value_counts",
     "agg_06_pivot",
     "ext_01_exact_dedup",

@@ -1501,3 +1501,184 @@ def q_ext_122_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return benford_audit(
         load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_123/124: rank-based two-sample tests (Mann-Whitney U, KS)
+# ---------------------------------------------------------------------------
+
+
+def _two_source_value_counts(docs: DataFrame, value_col: str = "n_chars"):
+    """Shared input frame for the two-sample tests: per language, tag
+    the lexicographic min/max source as samples A/B and aggregate to
+    per-distinct-value counts (t total, ca in A, cb in B) with
+    cumulative and partition totals. One small per-lang dim broadcast
+    + one aggregate + one ordered window over DISTINCT values — the
+    window partition is bounded by value cardinality (ext_28's CDF
+    shape), not row count, so a 100 TB corpus with ~10⁴ distinct
+    lengths per language stays tiny after the aggregate.
+    """
+    two = docs.groupBy("lang").agg(
+        F.min("source").alias("sa"), F.max("source").alias("sb")
+    )
+    d = (
+        docs.join(F.broadcast(two), "lang")
+        .where(
+            (F.col("source") == F.col("sa"))
+            | (F.col("source") == F.col("sb"))
+        )
+        .select(
+            "lang",
+            F.col(value_col).cast("long").alias("v"),
+            F.when(F.col("source") == F.col("sa"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("is_a"),
+        )
+    )
+    vc = d.groupBy("lang", "v").agg(
+        F.count(F.lit(1)).alias("t"),
+        F.sum("is_a").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("is_a")).alias("cb"),
+    )
+    wcum = Window.partitionBy("lang").orderBy("v")
+    wall = Window.partitionBy("lang")
+    return vc.select(
+        "lang",
+        "v",
+        "t",
+        "ca",
+        "cb",
+        (F.sum("t").over(wcum) - F.col("t")).alias("c_less"),
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"),
+    )
+
+
+def mann_whitney_u(docs: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Mann-Whitney U (rank-sum) test statistic between each
+    language's min- and max-named sources — the NONPARAMETRIC
+    complement of ext_118's ANOVA: sensitive to any stochastic-order
+    shift, not just mean differences, and immune to length outliers.
+
+    Exactness: tie-averaged ranks are rationals with denominator 2,
+    so everything is carried at 2× scale — the double-rank of value v
+    is the INTEGER 2·c_less(v) + t(v) + 1 — and U is reported as the
+    exact bigint ``u2_a`` = 2·U_A (with u2_a + u2_b = 2·n_a·n_b as
+    the built-in consistency identity). No float anywhere.
+
+    Scale: rides _two_source_value_counts (aggregate-then-window over
+    distinct values); the statistic is one more map-combinable sum.
+    """
+    vc2 = _two_source_value_counts(docs, value_col)
+    return (
+        vc2.withColumn("r2", 2 * F.col("c_less") + F.col("t") + 1)
+        .groupBy("lang")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.sum(F.col("ca") * F.col("r2")).alias("r2_a"),
+        )
+        .withColumn("u2_a", F.col("r2_a") - F.col("n_a") * (F.col("n_a") + 1))
+        .withColumn("u2_b", 2 * F.col("n_a") * F.col("n_b") - F.col("u2_a"))
+        .select("lang", "n_a", "n_b", "u2_a", "u2_b")
+        .orderBy("lang")
+    )
+
+
+def ks_two_sample(docs: DataFrame, value_col: str = "n_chars") -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between each language's
+    min- and max-named sources: D = sup_v |F_A(v) − F_B(v)|, the
+    whole-distribution drift test (ext_68's TV drift needs buckets;
+    KS is bucket-free and catches shape differences chi-squared
+    bucketing can smear out).
+
+    Exactness: D is the max over distinct values of
+    |cum_a·n_b − cum_b·n_a| — exact integer cross-multiplication, no
+    CDF floats; ``d_milli`` divides by n_a·n_b with exact integer
+    division at the very end.
+    """
+    vc2 = _two_source_value_counts(docs, value_col)
+    return (
+        vc2.withColumn(
+            "dn",
+            F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a")),
+        )
+        .groupBy("lang")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max("dn").alias("d_num"),
+        )
+        .withColumn("d_milli", F.expr("(1000 * d_num) div (n_a * n_b)"))
+        .select("lang", "n_a", "n_b", "d_num", "d_milli")
+        .orderBy("lang")
+    )
+
+
+def q_ext_123_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mann_whitney_u(load_table(spark, sf_dir, "documents"))
+
+
+def q_ext_124_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ks_two_sample(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_125: source-concentration report (HHI + Gini) per language
+# ---------------------------------------------------------------------------
+
+
+def source_concentration(docs: DataFrame) -> DataFrame:
+    """Per-language source-concentration audit of token mass:
+    Herfindahl-Hirschman index (Σ share²) and the Gini coefficient —
+    the two standard "is this language dominated by one crawler?"
+    numbers a mixture designer reads before trusting per-source
+    weights (ext_66/120 reweight sources; this flags languages where
+    reweighting cannot help because diversity is not there).
+
+    Exactness: HHI as (10⁶·Σt_s²) div T²; Gini via the rank identity
+    G = (2Σ i·t_s − (n+1)T)/(nT) with row_number ranks (t_s, source)
+    — every term an exact bigint, both ratios exact integer division.
+
+    Scale: token counts map-combine into a (lang × source) frame;
+    the rank window partitions are source-cardinality-sized.
+    """
+    tk = (
+        docs.select(
+            "lang",
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("nt"),
+        )
+        .groupBy("lang", "source")
+        .agg(F.sum("nt").alias("t_s"))
+    )
+    wr = Window.partitionBy("lang").orderBy("t_s", "source")
+    return (
+        tk.withColumn("i", F.row_number().over(wr).cast("long"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("t_s").alias("total_tokens"),
+            F.sum(F.col("t_s") * F.col("t_s")).alias("sum_sq"),
+            F.sum(F.col("i") * F.col("t_s")).alias("iws"),
+        )
+        .withColumn(
+            "hhi_ppm",
+            F.expr("(1000000 * sum_sq) div (total_tokens * total_tokens)"),
+        )
+        .withColumn(
+            "gini_milli",
+            F.expr(
+                "(1000 * (2 * iws - (n_sources + 1) * total_tokens))"
+                " div (n_sources * total_tokens)"
+            ),
+        )
+        .select("lang", "n_sources", "total_tokens", "hhi_ppm", "gini_milli")
+        .orderBy("lang")
+    )
+
+
+def q_ext_125_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return source_concentration(load_table(spark, sf_dir, "documents"))

@@ -3183,3 +3183,98 @@ EXT_ORACLES["ext_122_benford_audit"] = """
     FROM d JOIN e ON d.digit = e.digit, nn
     GROUP BY d.digit, nn.n, e.e_micro ORDER BY d.digit
 """
+
+from sparketl.operators.analytics import (  # noqa: E402
+    q_ext_123_mannwhitney,
+    q_ext_124_ks_test,
+    q_ext_125_concentration,
+)
+
+EXT_QUERIES["ext_123_mannwhitney"] = q_ext_123_mannwhitney
+EXT_ORACLES["ext_123_mannwhitney"] = """
+    WITH two AS (
+      SELECT lang, MIN(source) AS sa, MAX(source) AS sb
+      FROM documents GROUP BY lang
+    ), d AS (
+      SELECT d.lang, CAST(n_chars AS BIGINT) AS v,
+             CASE WHEN source = sa THEN 1 ELSE 0 END AS is_a
+      FROM documents d JOIN two USING (lang)
+      WHERE source = sa OR source = sb
+    ), vc AS (
+      SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS cb
+      FROM d GROUP BY lang, v
+    ), c AS (
+      SELECT lang, v, t, ca, cb,
+             CAST(SUM(t) OVER w - t AS BIGINT) AS c_less,
+             CAST(SUM(ca) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+             CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n_b
+      FROM vc WINDOW w AS (PARTITION BY lang ORDER BY v)
+    ), agg AS (
+      SELECT lang, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             CAST(SUM(ca * (2 * c_less + t + 1)) AS BIGINT) AS r2_a
+      FROM c GROUP BY lang
+    )
+    SELECT lang, n_a, n_b,
+           r2_a - n_a * (n_a + 1) AS u2_a,
+           2 * n_a * n_b - (r2_a - n_a * (n_a + 1)) AS u2_b
+    FROM agg ORDER BY lang
+"""
+
+EXT_QUERIES["ext_124_ks_test"] = q_ext_124_ks_test
+EXT_ORACLES["ext_124_ks_test"] = """
+    WITH two AS (
+      SELECT lang, MIN(source) AS sa, MAX(source) AS sb
+      FROM documents GROUP BY lang
+    ), d AS (
+      SELECT d.lang, CAST(n_chars AS BIGINT) AS v,
+             CASE WHEN source = sa THEN 1 ELSE 0 END AS is_a
+      FROM documents d JOIN two USING (lang)
+      WHERE source = sa OR source = sb
+    ), vc AS (
+      SELECT lang, v, CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(is_a) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(is_a) AS BIGINT) AS cb
+      FROM d GROUP BY lang, v
+    ), c AS (
+      SELECT lang,
+             CAST(SUM(ca) OVER w AS BIGINT) AS cum_a,
+             CAST(SUM(cb) OVER w AS BIGINT) AS cum_b,
+             CAST(SUM(ca) OVER (PARTITION BY lang) AS BIGINT) AS n_a,
+             CAST(SUM(cb) OVER (PARTITION BY lang) AS BIGINT) AS n_b
+      FROM vc WINDOW w AS (PARTITION BY lang ORDER BY v)
+    ), agg AS (
+      SELECT lang, MAX(n_a) AS n_a, MAX(n_b) AS n_b,
+             CAST(MAX(ABS(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num
+      FROM c GROUP BY lang
+    )
+    SELECT lang, n_a, n_b, d_num, (1000 * d_num) // (n_a * n_b) AS d_milli
+    FROM agg ORDER BY lang
+"""
+
+EXT_QUERIES["ext_125_concentration"] = q_ext_125_concentration
+EXT_ORACLES["ext_125_concentration"] = """
+    WITH tk AS (
+      SELECT lang, source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+                  AS BIGINT) AS t_s
+      FROM documents GROUP BY lang, source
+    ), r AS (
+      SELECT lang, t_s,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY t_s, source)
+                  AS BIGINT) AS i
+      FROM tk
+    ), a AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sources,
+             CAST(SUM(t_s) AS BIGINT) AS total_tokens,
+             CAST(SUM(t_s * t_s) AS BIGINT) AS sum_sq,
+             CAST(SUM(i * t_s) AS BIGINT) AS iws
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n_sources, total_tokens,
+           (1000000 * sum_sq) // (total_tokens * total_tokens) AS hhi_ppm,
+           (1000 * (2 * iws - (n_sources + 1) * total_tokens))
+             // (n_sources * total_tokens) AS gini_milli
+    FROM a ORDER BY lang
+"""

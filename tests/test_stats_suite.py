@@ -166,3 +166,87 @@ def test_benford_audit_matches_integer_recompute(spark):
         assert r["chi2_contrib_milli"] == math.floor(
             (obs[d] - exp) * (obs[d] - exp) / exp * 1000.0
         )
+
+
+def test_mann_whitney_matches_exact_recompute(spark):
+    from sparketl.operators.analytics import mann_whitney_u
+
+    # sample A = source "a" (min), B = source "z" (max); "m" excluded
+    rows = [
+        (1, "en", "a", 10, "x"),
+        (2, "en", "a", 20, "x"),
+        (3, "en", "a", 20, "x"),
+        (4, "en", "z", 20, "x"),
+        (5, "en", "z", 30, "x"),
+        (6, "en", "m", 999, "x"),  # not min/max source → excluded
+    ]
+    r = mann_whitney_u(_docs(spark, rows)).collect()[0]
+    a_vals, b_vals = [10, 20, 20], [20, 30]
+    # exact 2x-scaled rank-sum recompute
+    allv = sorted(a_vals + b_vals)
+    def dr2(v):
+        less = sum(1 for x in allv if x < v)
+        ties = sum(1 for x in allv if x == v)
+        return 2 * less + ties + 1
+    r2_a = sum(dr2(v) for v in a_vals)
+    u2_a = r2_a - len(a_vals) * (len(a_vals) + 1)
+    assert (r["n_a"], r["n_b"]) == (3, 2)
+    assert r["u2_a"] == u2_a
+    assert r["u2_a"] + r["u2_b"] == 2 * r["n_a"] * r["n_b"]
+
+
+def test_mann_whitney_detects_stochastic_shift(spark):
+    from sparketl.operators.analytics import mann_whitney_u
+
+    # B entirely above A → U_A = 0 (A never wins a pairwise comparison)
+    rows = [(i, "en", "a", v, "x") for i, v in enumerate([1, 2, 3])] + [
+        (10 + i, "en", "z", v, "x") for i, v in enumerate([100, 200, 300])
+    ]
+    r = mann_whitney_u(_docs(spark, rows)).collect()[0]
+    assert r["u2_a"] == 0 and r["u2_b"] == 2 * 9
+
+
+def test_ks_zero_for_identical_and_full_for_disjoint(spark):
+    from sparketl.operators.analytics import ks_two_sample
+
+    same = [(i, "en", "a", v, "x") for i, v in enumerate([5, 10, 15])] + [
+        (10 + i, "en", "z", v, "x") for i, v in enumerate([5, 10, 15])
+    ]
+    r = ks_two_sample(_docs(spark, same)).collect()[0]
+    assert r["d_num"] == 0 and r["d_milli"] == 0
+    disjoint = [(i, "en", "a", v, "x") for i, v in enumerate([1, 2])] + [
+        (10 + i, "en", "z", v, "x") for i, v in enumerate([50, 60])
+    ]
+    r = ks_two_sample(_docs(spark, disjoint)).collect()[0]
+    # at v=2: cum_a=2, cum_b=0 → D = 2*2 = n_a*n_b → d_milli = 1000
+    assert r["d_num"] == r["n_a"] * r["n_b"] and r["d_milli"] == 1000
+
+
+def test_concentration_uniform_vs_single_source(spark):
+    from sparketl.operators.analytics import source_concentration
+
+    # en: 4 equal sources → HHI = 1/4, Gini = 0
+    # de: everything in one source → HHI = 1, Gini → 0 (n=1)
+    rows = [(i, "en", f"s{i}", 10, "w w") for i in range(4)] + [
+        (10, "de", "only", 10, "w w w w")
+    ]
+    out = {r["lang"]: r for r in source_concentration(_docs(spark, rows)).collect()}
+    assert out["en"]["hhi_ppm"] == 250_000 and out["en"]["gini_milli"] == 0
+    assert out["de"]["hhi_ppm"] == 1_000_000 and out["de"]["n_sources"] == 1
+
+
+def test_concentration_gini_matches_recompute(spark):
+    from sparketl.operators.analytics import source_concentration
+
+    toks = {"a": 1, "b": 2, "c": 7}  # tokens per source (n_words)
+    rows = [
+        (i, "en", s, 10, " ".join(["w"] * t))
+        for i, (s, t) in enumerate(toks.items())
+    ]
+    r = source_concentration(_docs(spark, rows)).collect()[0]
+    total = sum(toks.values())
+    n = len(toks)
+    iws = sum((i + 1) * t for i, t in enumerate(sorted(toks.values())))
+    assert r["total_tokens"] == total
+    assert r["hhi_ppm"] == (1_000_000 * sum(t * t for t in toks.values())) // (total * total)
+    assert r["gini_milli"] == (1000 * (2 * iws - (n + 1) * total)) // (n * total)

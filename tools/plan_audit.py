@@ -204,6 +204,9 @@ AUDITED = [
     "ext_120_temperature_mixture",
     "ext_121_sorted_neighborhood",
     "ext_122_benford_audit",
+    "ext_123_mannwhitney",
+    "ext_124_ks_test",
+    "ext_125_concentration",
 ]
 
 
