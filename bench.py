@@ -121,6 +121,8 @@ HEADLINE = [
     "ext_123_mannwhitney",
     "ext_124_ks_test",
     "ext_125_concentration",
+    "ext_126_attribution",
+    "ext_127_conversion_lag",
 ]
 
 

@@ -360,3 +360,113 @@ def ttl_dedup_report(events: DataFrame, ttl_us: int = 600_000_000) -> DataFrame:
 
 def q_ext_100_ttl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ttl_dedup_report(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_126: first/last-touch conversion attribution
+# ---------------------------------------------------------------------------
+
+
+def touch_attribution(
+    events: DataFrame, conversion: str = "purchase"
+) -> DataFrame:
+    """Marketing-style conversion attribution: for every ``conversion``
+    event, the user's FIRST preceding non-conversion event type
+    (first-touch) and the LAST one (last-touch), rolled up to a
+    (first_touch × last_touch) matrix with purchase and unique-user
+    counts. Conversions with no preceding activity attribute to
+    'none'. The standard report a funnel analyst reads next to ext_22
+    (which counts stage reach, not credit assignment).
+
+    Both touches ride ONE user-partitioned window pass
+    (rows unbounded-preceding → 1-preceding, ordered by (ts,
+    event_id) — the unique tiebreaker makes first/last deterministic
+    under timestamp ties); per-partition state is one user's stream,
+    so the window never concentrates the table. The rollup is a
+    small categorical matrix — map-combinable counts.
+    """
+    ev = spread(events).select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr("unix_micros(ts)").alias("us"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonconv = F.when(F.col("event_type") != conversion, F.col("event_type"))
+    tagged = ev.select(
+        "event_type",
+        F.last(nonconv, ignorenulls=True).over(w).alias("lt"),
+        F.first(nonconv, ignorenulls=True).over(w).alias("ft"),
+        "user_id",
+    )
+    return (
+        tagged.where(F.col("event_type") == conversion)
+        .select(
+            F.coalesce("ft", F.lit("none")).alias("first_touch"),
+            F.coalesce("lt", F.lit("none")).alias("last_touch"),
+            "user_id",
+        )
+        .groupBy("first_touch", "last_touch")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("first_touch", "last_touch")
+    )
+
+
+def q_ext_126_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_127: first-view → first-purchase conversion-lag percentiles
+# ---------------------------------------------------------------------------
+
+
+def conversion_lag_profile(
+    events: DataFrame, from_type: str = "view", to_type: str = "purchase"
+) -> DataFrame:
+    """Exact p50/p90 of the per-user lag (µs) from first ``from_type``
+    to first ``to_type`` — "how long does a converting user take?"
+    Composes the funnel derivation with the MSD radix quantile
+    machinery: the per-user frame GROWS with the corpus (user
+    cardinality), so a percentile() buffer over it is exactly the
+    scale trap the plan audit bans; `exact_group_quantiles` keeps
+    per-task state ≤ 2^16 counters while reproducing ``percentile``
+    ≡ DuckDB ``quantile_cont`` bit-for-bit on the bigint gaps.
+    """
+    from sparketl.operators.quantiles import exact_group_quantiles
+
+    ev = spread(events).select(
+        "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    pu = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == from_type, F.col("us"))).alias(
+            "fv"
+        ),
+        F.min(F.when(F.col("event_type") == to_type, F.col("us"))).alias(
+            "fp"
+        ),
+    )
+    gaps = pu.where(
+        F.col("fv").isNotNull()
+        & F.col("fp").isNotNull()
+        & (F.col("fp") > F.col("fv"))
+    ).select((F.col("fp") - F.col("fv")).alias("gap_us"))
+    qs = exact_group_quantiles(
+        gaps, [], "gap_us", [0.5, 0.9], value_kind="bigint"
+    )
+    return qs.select(
+        F.col("n_values").alias("n_users"),
+        F.col("qs")[0].alias("p50_us"),
+        F.col("qs")[1].alias("p90_us"),
+    )
+
+
+def q_ext_127_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_lag_profile(load_table(spark, sf_dir, "events"))

@@ -3278,3 +3278,49 @@ EXT_ORACLES["ext_125_concentration"] = """
              // (n_sources * total_tokens) AS gini_milli
     FROM a ORDER BY lang
 """
+
+from sparketl.operators.events_ops import (  # noqa: E402
+    q_ext_126_attribution,
+    q_ext_127_conversion_lag,
+)
+
+EXT_QUERIES["ext_126_attribution"] = q_ext_126_attribution
+EXT_ORACLES["ext_126_attribution"] = """
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), tagged AS (
+      SELECT event_type, user_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                        END IGNORE NULLS) OVER w AS lt,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                         END IGNORE NULLS) OVER w AS ft
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(ft, 'none') AS first_touch,
+           COALESCE(lt, 'none') AS last_touch,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM tagged WHERE event_type = 'purchase'
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+EXT_QUERIES["ext_127_conversion_lag"] = q_ext_127_conversion_lag
+EXT_ORACLES["ext_127_conversion_lag"] = """
+    WITH ev AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), pu AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN us END) AS fv,
+             MIN(CASE WHEN event_type = 'purchase' THEN us END) AS fp
+      FROM ev GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           quantile_cont(fp - fv, 0.5) AS p50_us,
+           quantile_cont(fp - fv, 0.9) AS p90_us
+    FROM pu WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
+"""

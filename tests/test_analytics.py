@@ -478,3 +478,56 @@ def test_cusum_changepoint_planted_shift(spark):
             best = (t - 1, d)  # day index
     assert r.cp_day == best[0] and r.d_scaled == best[1]
     assert r.cp_day == 19  # the planted shift boundary
+
+
+def test_touch_attribution_first_last_and_none(spark):
+    from sparketl.operators.events_ops import touch_attribution
+
+    # user 1: view → click → purchase  (first=view, last=click)
+    # user 2: purchase with no prior activity → none/none
+    # user 3: click → purchase → view → purchase
+    #         (1st conv: first=click,last=click; 2nd: first=click,last=view)
+    e = _events(
+        spark,
+        [
+            (1, 1, "view", 1_000_000),
+            (2, 1, "click", 2_000_000),
+            (3, 1, "purchase", 3_000_000),
+            (4, 2, "purchase", 1_000_000),
+            (5, 3, "click", 1_000_000),
+            (6, 3, "purchase", 2_000_000),
+            (7, 3, "view", 3_000_000),
+            (8, 3, "purchase", 4_000_000),
+        ],
+    )
+    got = {
+        (r["first_touch"], r["last_touch"]): (r["n_purchases"], r["n_users"])
+        for r in touch_attribution(e).collect()
+    }
+    assert got == {
+        ("view", "click"): (1, 1),
+        ("none", "none"): (1, 1),
+        ("click", "click"): (1, 1),
+        ("click", "view"): (1, 1),
+    }
+
+
+def test_conversion_lag_percentile_semantics(spark):
+    from sparketl.operators.events_ops import conversion_lag_profile
+
+    # converting users with gaps 10, 20, 30 µs; user 4 purchases BEFORE
+    # viewing (excluded); user 5 never purchases (excluded)
+    e = _events(
+        spark,
+        [
+            (1, 1, "view", 100), (2, 1, "purchase", 110),
+            (3, 2, "view", 100), (4, 2, "purchase", 120),
+            (5, 3, "view", 100), (6, 3, "purchase", 130),
+            (7, 4, "purchase", 50), (8, 4, "view", 60),
+            (9, 5, "view", 100),
+        ],
+    )
+    r = conversion_lag_profile(e).collect()[0]
+    # percentile() interpolation over [10, 20, 30]: p50=20, p90=28
+    assert r["n_users"] == 3
+    assert r["p50_us"] == 20.0 and r["p90_us"] == 28.0
