@@ -3324,3 +3324,37 @@ EXT_ORACLES["ext_127_conversion_lag"] = """
            quantile_cont(fp - fv, 0.9) AS p90_us
     FROM pu WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv
 """
+
+from sparketl.streaming.stateful import run_streaming_attribution  # noqa: E402
+
+
+def q_ext_128_stream_attribution(spark, sf_dir: str):
+    """Stateful streaming first/last-touch attribution
+    (applyInPandasWithState, two-string state per user) driven over
+    the staged finite fixture — per-conversion credit is deterministic
+    and equals the batch window derivation, so this STREAMING query
+    has a full SQL oracle (the ext_101 pattern)."""
+    return run_streaming_attribution(spark, sf_dir)
+
+
+EXT_QUERIES["ext_128_stream_attribution"] = q_ext_128_stream_attribution
+EXT_ORACLES["ext_128_stream_attribution"] = """
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), tagged AS (
+      SELECT event_type, user_id, event_id,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                        END IGNORE NULLS) OVER w AS lt,
+             first_value(CASE WHEN event_type <> 'purchase' THEN event_type
+                         END IGNORE NULLS) OVER w AS ft
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           COALESCE(ft, 'none') AS first_touch,
+           COALESCE(lt, 'none') AS last_touch
+    FROM tagged WHERE event_type = 'purchase'
+"""

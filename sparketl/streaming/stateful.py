@@ -577,3 +577,112 @@ def append_flush_chunk(
         shutil.move(os.path.join(tmp, src), dst)
         os.utime(dst, (1_700_000_000 + idx, 1_700_000_000 + idx))
     shutil.rmtree(tmp, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# ext_128: stateful streaming first/last-touch attribution
+# ---------------------------------------------------------------------------
+
+ATTR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("first_touch", StringType()),
+        StructField("last_touch", StringType()),
+    ]
+)
+
+# per-user state: first and last non-conversion event type seen so far
+# ('' = none yet — Arrow round-trips '' more predictably than NULL in a
+# state struct, and the emit maps '' → 'none')
+ATTR_STATE_SCHEMA = StructType(
+    [StructField("first", StringType()), StructField("last", StringType())]
+)
+
+
+def _attribution_fn(conversion: str):
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        first, last = state.get if state.exists else ("", "")
+        rows: list[tuple[int, int, str]] = []
+        for pdf in pdfs:
+            ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+            rows.extend(
+                zip(ts_us, pdf["event_id"].tolist(), pdf["event_type"].tolist())
+            )
+        rows.sort()  # (ts, event_id): the batch window's ordering
+        out: list[tuple[int, int, str, str]] = []
+        for _ts, eid, etype in rows:
+            if etype == conversion:
+                out.append(
+                    (user_id, int(eid), first or "none", last or "none")
+                )
+            else:
+                if not first:
+                    first = etype
+                last = etype
+        state.update((first, last))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "event_id", "first_touch", "last_touch"]
+            )
+
+    return fn
+
+
+def streaming_attribution(
+    events: DataFrame, conversion: str = "purchase"
+) -> DataFrame:
+    """Streaming twin of ``events_ops.touch_attribution`` at the
+    per-conversion grain: as each ``conversion`` event arrives, emit it
+    tagged with the user's first and last preceding non-conversion
+    event types. State is TWO strings per user, updated in (ts,
+    event_id) order within each micro-batch, so the emitted credit
+    matches the batch window derivation exactly (pytest drives both;
+    the driver oracle is the batch SQL).
+
+    State-bound note (contrast with TTL dedup, whose eviction is
+    provably semantics-free): attribution state is genuinely
+    unbounded in the USER dimension — first-touch depends on the whole
+    history. Production bounds it with an inactivity horizon
+    (EventTimeTimeout evicting users idle past the attribution
+    window, exactly the plumbing ``_ttl_dedup_fn`` shows); that horizon
+    is a business rule, not an implementation detail, so the exact
+    finite-fixture form is the oracle-checkable one here.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribution_fn(conversion),
+        outputStructType=ATTR_OUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_streaming_attribution(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Drive streaming attribution over the staged finite fixture."""
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        tagged = streaming_attribution(read_staged_stream(spark, stage))
+        name = f"attr_{uuid.uuid4().hex[:8]}"
+        q = (
+            tagged.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.sql(
+            f"SELECT user_id, event_id, first_touch, last_touch FROM {name}"
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

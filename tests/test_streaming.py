@@ -648,3 +648,45 @@ def test_streaming_sliding_equals_batch(spark):
     # overlap factor: hopping n_events total = 2 × raw event count
     n_raw = load_table(spark, SF_SMOKE, "events").count()
     assert sum(r[2] for r in b) == 2 * n_raw
+
+
+def test_streaming_attribution_equals_batch_window(spark):
+    """Streaming first/last-touch credit must equal the batch window
+    derivation per conversion — cross-batch state included (the 4
+    staged chunks split user histories mid-journey, so first_touch
+    must survive micro-batch boundaries)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.streaming.stateful import run_streaming_attribution
+    from tests.conftest import SF_SMOKE
+
+    got = {
+        (r["event_id"], r["first_touch"], r["last_touch"])
+        for r in run_streaming_attribution(spark, SF_SMOKE).collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_type", "event_id", F.expr("unix_micros(ts)").alias("us")
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonconv = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    batch = ev.select(
+        "event_type",
+        "event_id",
+        F.coalesce(
+            F.first(nonconv, ignorenulls=True).over(w), F.lit("none")
+        ).alias("ft"),
+        F.coalesce(
+            F.last(nonconv, ignorenulls=True).over(w), F.lit("none")
+        ).alias("lt"),
+    ).where(F.col("event_type") == "purchase")
+    expect = {(r["event_id"], r["ft"], r["lt"]) for r in batch.collect()}
+    assert got == expect and len(got) > 0
+    # the state really carries across micro-batches: some purchase has
+    # a first_touch that differs from its last_touch
+    assert any(ft != lt for _, ft, lt in got)
