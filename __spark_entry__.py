@@ -81,21 +81,22 @@ _FRONT = [
     "ext_126_attribution",
     "ext_127_conversion_lag",
     "ext_128_stream_attribution",
+    "ext_129_lexical_diversity",
     # (c) changed in round 7 — radix quantile family (ext_09 rows-only
-    # and the r6-driver-green ext_20/44/60/85/95 yield their slots to
-    # the new oracle entries above; all six stay sf0.1-verified
+    # and the r6-driver-green ext_20/44/59/60/85/95 yield their slots
+    # to the new oracle entries above; all seven stay sf0.1-verified
     # locally, and the shared machinery change is still
-    # driver-exercised via agg_07/ext_31/49/59/86)
+    # driver-exercised via agg_07/ext_31/49/86)
     "agg_07_quantiles",
     "ext_31_outliers",
     "ext_49_rfm",
-    "ext_59_quality_buckets",
     "ext_86_mad_outliers",
     # ---- end of the round-7 driver window (50 entries above) ----
     # queued for round 8: the round-3 cohort (stalest first), then round 4
     "ext_09_approx_quantiles",
     "ext_20_winsorize",
     "ext_44_exact_percentiles",
+    "ext_59_quality_buckets",
     "ext_60_embedding_outliers",
     "ext_85_decile_binning",
     "ext_95_interevent_gaps",

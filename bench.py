@@ -123,6 +123,7 @@ HEADLINE = [
     "ext_125_concentration",
     "ext_126_attribution",
     "ext_127_conversion_lag",
+    "ext_129_lexical_diversity",
 ]
 
 

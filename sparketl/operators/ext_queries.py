@@ -3358,3 +3358,33 @@ EXT_ORACLES["ext_128_stream_attribution"] = """
            COALESCE(lt, 'none') AS last_touch
     FROM tagged WHERE event_type = 'purchase'
 """
+
+from sparketl.operators.textmine import q_ext_129_lexical_diversity  # noqa: E402
+
+EXT_QUERIES["ext_129_lexical_diversity"] = q_ext_129_lexical_diversity
+EXT_ORACLES["ext_129_lexical_diversity"] = """
+    WITH tf AS (
+      SELECT source, UNNEST(string_split(text, ' ')) AS tok FROM documents
+    ), cnt AS (
+      SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tf GROUP BY source, tok
+    ), tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY source
+    ), agg AS (
+      SELECT cnt.source,
+             MAX(tot.t) AS n_tokens,
+             CAST(COUNT(*) AS BIGINT) AS n_types,
+             CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hapax,
+             CAST(SUM(c * CAST(FLOOR(ln(CAST(tot.t AS DOUBLE)
+                                        / CAST(c AS DOUBLE)) * 1000000.0)
+                               AS BIGINT)) AS BIGINT) AS h_sum_micro
+      FROM cnt JOIN tot USING (source)
+      GROUP BY cnt.source
+    )
+    SELECT source, n_tokens, n_types, n_hapax,
+           (1000 * n_types) // n_tokens AS ttr_milli,
+           (1000 * n_hapax) // n_types AS hapax_milli,
+           h_sum_micro // n_tokens AS entropy_micro
+    FROM agg ORDER BY source
+"""

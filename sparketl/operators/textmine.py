@@ -378,3 +378,72 @@ def prefix_jaccard_join(
 
 def q_ext_52_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_jaccard_join(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_129: lexical-diversity profile (TTR, hapax rate, unigram entropy)
+# ---------------------------------------------------------------------------
+
+
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-source lexical-diversity profile: type-token ratio, hapax
+    rate (share of vocabulary seen exactly once), and unigram Shannon
+    entropy — the trio that separates template/boilerplate spam (low
+    TTR, low entropy: few types repeated) from organic text, and
+    machine-generated gibberish (hapax rate → 1) from both. Rounds out
+    the text-audit family: ext_115 measures divergence FROM the
+    corpus, this measures internal diversity.
+
+    Exactness: entropy needs ln() (1-ulp portable only), so each
+    distinct token's contribution uses the ext_106 micro-nat device —
+    ln of the correctly-rounded double quotient of two exact bigints
+    (t/c), floored to micro-nats, weighted by the exact count c and
+    summed as bigints. H = Σ c·⌊10⁶·ln(t/c)⌋ div t micro-nats/token.
+    TTR and hapax rate are pure integer ratios.
+
+    Scale: one token explode into a (source × vocabulary) count
+    aggregate (map-combinable; the shuffle carries one row per
+    distinct (source, token)), per-source totals broadcast back, one
+    final per-source rollup. No driver state, no window.
+    """
+    tf = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").alias("t"))
+    return (
+        tf.join(F.broadcast(tot), "source")
+        .withColumn(
+            "h_term",
+            F.col("c")
+            * F.floor(
+                F.log(F.col("t").cast("double") / F.col("c").cast("double"))
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .groupBy("source")
+        .agg(
+            F.max("t").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum((F.col("c") == 1).cast("long")).alias("n_hapax"),
+            F.sum("h_term").alias("h_sum_micro"),
+        )
+        .withColumn("ttr_milli", F.expr("(1000 * n_types) div n_tokens"))
+        .withColumn("hapax_milli", F.expr("(1000 * n_hapax) div n_types"))
+        .withColumn("entropy_micro", F.expr("h_sum_micro div n_tokens"))
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            "ttr_milli",
+            "hapax_milli",
+            "entropy_micro",
+        )
+        .orderBy("source")
+    )
+
+
+def q_ext_129_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lexical_diversity(load_table(spark, sf_dir, "documents"))

@@ -147,3 +147,32 @@ def test_prefix_jaccard_equals_bruteforce(spark):
     assert set(got) == set(want) and len(got) > 0
     for k in got:
         assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_lexical_diversity_recompute(spark):
+    import math
+
+    from sparketl.operators.textmine import lexical_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x x x y"),          # tokens 4, types 2, hapax 1 (y)
+            (2, "a", "x z"),              # + z hapax → tokens 6, types 3
+            (3, "b", "p q r s"),          # all hapax
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r["source"]: r for r in lexical_diversity(docs).collect()}
+    a = out["a"]
+    assert (a["n_tokens"], a["n_types"], a["n_hapax"]) == (6, 3, 2)
+    assert a["ttr_milli"] == (1000 * 3) // 6
+    assert a["hapax_milli"] == (1000 * 2) // 3
+    # entropy: counts {x:4, y:1, z:1}, H = Σ c*floor(1e6*ln(6/c)) // 6
+    h = sum(
+        c * math.floor(1_000_000 * math.log(6 / c)) for c in (4, 1, 1)
+    ) // 6
+    assert a["entropy_micro"] == h
+    b = out["b"]
+    # uniform distribution: entropy = ln(4) micro-nats, max for 4 types
+    assert b["hapax_milli"] == 1000
+    assert b["entropy_micro"] == (4 * math.floor(1_000_000 * math.log(4))) // 4

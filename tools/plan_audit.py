@@ -209,6 +209,7 @@ AUDITED = [
     "ext_125_concentration",
     "ext_126_attribution",
     "ext_127_conversion_lag",
+    "ext_129_lexical_diversity",
 ]
 
 
