@@ -3095,8 +3095,8 @@ EXT_ORACLES["ext_119_chi2_independence"] = """
       FROM cells
     )
     SELECT o.source, MAX(r.r) AS n_docs, MAX(nn.n_b) AS n_buckets,
-           SUM((1000 * nn.n * o.o * o.o) // (r.r * c.c)) - 1000 * MAX(r.r)
-             AS partial_chi2_milli
+           CAST(SUM((1000 * nn.n * o.o * o.o) // (r.r * c.c))
+                AS BIGINT) - 1000 * MAX(r.r) AS partial_chi2_milli
     FROM o JOIN r USING (source) JOIN c USING (b), nn
     GROUP BY o.source ORDER BY o.source
 """
