@@ -3388,3 +3388,87 @@ EXT_ORACLES["ext_129_lexical_diversity"] = """
            h_sum_micro // n_tokens AS entropy_micro
     FROM agg ORDER BY source
 """
+
+# ---------------------------------------------------------------------------
+# Round 8: portable-hash sketches — the rows-only debt retired.
+# ext_55 (count-min) and ext_09 (HyperLogLog) moved from xxhash64 /
+# HLL++ opaque state to the md5-derived phash.h60, which DuckDB
+# computes identically — both sketches now have FULL SQL oracles that
+# rebuild the sketch cell-for-cell / register-for-register.
+# ---------------------------------------------------------------------------
+
+EXT_ORACLES["ext_55_countmin"] = """
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), exact_c AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_n FROM toks GROUP BY tok
+    ), seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    cells AS (
+      SELECT seed,
+             CAST(('0x' || substr(md5('cm' || CAST(seed AS VARCHAR)
+                                        || ':' || tok), 1, 15)) AS BIGINT)
+               % 16384 AS bucket
+      FROM toks CROSS JOIN seeds
+    ), sketch AS (
+      SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cells GROUP BY seed, bucket
+    ), top AS (
+      SELECT tok, exact_n FROM exact_c ORDER BY exact_n DESC, tok LIMIT 30
+    ), probes AS (
+      SELECT tok, exact_n, seed,
+             CAST(('0x' || substr(md5('cm' || CAST(seed AS VARCHAR)
+                                        || ':' || tok), 1, 15)) AS BIGINT)
+               % 16384 AS bucket
+      FROM top CROSS JOIN seeds
+    )
+    SELECT p.tok, p.exact_n,
+           MIN(cnt) AS cm_estimate,
+           MIN(cnt) - p.exact_n AS overcount
+    FROM probes p JOIN sketch USING (seed, bucket)
+    GROUP BY p.tok, p.exact_n
+    ORDER BY p.exact_n DESC, p.tok
+"""
+
+EXT_ORACLES["ext_09_hll_ndv"] = """
+    WITH h AS (
+      SELECT o_orderpriority AS g,
+             CAST(('0x' || substr(md5('hll:' || CAST(o_custkey AS VARCHAR)),
+                                  1, 15)) AS BIGINT) AS hh
+      FROM orders
+    ), regs AS (
+      SELECT g, hh // 4503599627370496 AS idx,
+             MAX(CASE WHEN hh % 4503599627370496 = 0 THEN 53
+                 ELSE 53 - length(bin(hh % 4503599627370496)) END) AS m_reg
+      FROM h GROUP BY g, hh // 4503599627370496
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_reg AS INT))
+                  AS BIGINT) AS z_present
+      FROM regs GROUP BY g
+    ), ex AS (
+      SELECT o_orderpriority AS g,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_exact
+      FROM orders GROUP BY o_orderpriority
+    ), est AS (
+      SELECT g, CAST(256 - n_present AS BIGINT) AS v_zero,
+             CAST(z_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+                  AS BIGINT) AS z_scaled
+      FROM pg
+    ), est2 AS (
+      SELECT g, v_zero, z_scaled,
+             4.2399330249068963e+20 / CAST(z_scaled AS DOUBLE) AS raw_est
+      FROM est
+    ), est3 AS (
+      SELECT g, v_zero, z_scaled,
+             CAST(FLOOR(CASE WHEN raw_est <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw_est END) AS BIGINT) AS hll_estimate
+      FROM est2
+    )
+    SELECT est3.g AS o_orderpriority, ndv_exact, v_zero, z_scaled,
+           hll_estimate,
+           (1000 * abs(hll_estimate - ndv_exact)) // ndv_exact
+             AS abs_err_permille
+    FROM est3 JOIN ex USING (g)
+    ORDER BY o_orderpriority
+"""

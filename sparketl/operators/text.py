@@ -179,28 +179,119 @@ def q_ext_04_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ext_09_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate distinct-token count per language via HLL++
-    (approx_count_distinct) next to the exact NDV. The sketch is the
-    100 TB path: fixed-size state, map-side mergeable, no
-    shuffle-the-universe distinct. HLL merge is commutative/associative
-    → deterministic result regardless of partitioning (rows-only
-    driver check; pytest bounds the relative error vs exact)."""
-    d = load_table(spark, sf_dir, "documents")
-    toks = d.select("lang", F.explode(F.split("text", " ")).alias("token"))
-    return (
-        toks.groupBy("lang")
-        .agg(
-            F.approx_count_distinct("token", rsd=0.02).alias("ndv_approx"),
-            F.countDistinct("token").alias("ndv_exact"),
+# HyperLogLog constants (m = 256 registers, p = 8): the estimate
+# numerator alpha_m·m²·2^53 is folded into ONE shared decimal literal
+# so both engines parse the identical double and the single division
+# by the exact integer Z is correctly rounded everywhere.
+_HLL_M = 256
+_HLL_NUMERATOR = "4.2399330249068963e+20"  # 0.7213/(1+1.079/256)·256²·2^53
+
+
+def hll_ndv(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Explicit HyperLogLog NDV estimate per group, next to the exact
+    NDV — fixed 256-register state, map-side mergeable via max(), no
+    shuffle-the-universe distinct (the 100 TB NDV path; Spark's
+    built-in `approx_count_distinct` is the same algorithm with an
+    opaque binary sketch).
+
+    Round 8: built from the portable md5 hash (`phash.h60`) with every
+    register exact — idx = top 8 bits, rank = 52-bit leading-zero
+    count via the minimal-binary-string length (`bin()` is identical
+    in Spark and DuckDB), and Z carried as the exact bigint
+    Σ 2^(53−M_j) — so DuckDB reproduces the sketch REGISTER-FOR-
+    REGISTER and the estimate bit-for-bit: a sketch operator with a
+    full SQL oracle (was rows-only via HLL++'s engine-opaque state).
+    The standard small-range linear-counting branch (raw ≤ 2.5m with
+    empty registers) uses one ln() of an exact quotient, floored.
+    """
+    from sparketl.operators.phash import h60
+
+    h = h60(F.concat(F.lit("hll:"), F.col(value_col).cast("string")))
+    regs = (
+        df.select(
+            F.col(group_col).alias("g"),
+            h.alias("h"),
+            F.col(value_col).alias("v"),
         )
-        .orderBy("lang")
+        .select(
+            "g",
+            "v",
+            F.expr("h div 4503599627370496").alias("idx"),  # top 8 bits
+            F.expr("h % 4503599627370496").alias("low"),  # low 52 bits
+        )
+        .withColumn(
+            "rank",
+            F.expr("CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END"),
+        )
+        .groupBy("g", "idx")
+        .agg(F.max("rank").alias("m_reg"))
     )
+    exact = (
+        df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.countDistinct(value_col).alias("ndv_exact"))
+    )
+    per_group = regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_reg AS INT))")
+        ).alias("z_present"),
+    )
+    est = (
+        per_group.withColumn("v_zero", F.lit(_HLL_M) - F.col("n_present"))
+        .withColumn(
+            "z_scaled",
+            F.col("z_present") + F.col("v_zero") * F.lit(1 << 53),
+        )
+        .withColumn(
+            "raw_est", F.expr(f"{_HLL_NUMERATOR} / CAST(z_scaled AS DOUBLE)")
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                "CAST(FLOOR(CASE WHEN raw_est <= 640.0 AND v_zero > 0 "
+                "THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) "
+                "ELSE raw_est END) AS BIGINT)"
+            ),
+        )
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias(group_col),
+            "ndv_exact",
+            "v_zero",
+            "z_scaled",
+            "hll_estimate",
+            F.expr(
+                "(1000 * abs(hll_estimate - ndv_exact)) div ndv_exact"
+            ).alias("abs_err_permille"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_ext_09_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority HLL estimate of distinct ordering customers (the
+    exact NDV rides along for the error audit; pytest bounds the
+    relative error). sf0.01 exercises the raw-estimate branch
+    (NDV ≈ 4-5x the register count), sf0.001 the linear-counting
+    small-range branch."""
+    o = load_table(spark, sf_dir, "orders")
+    return hll_ndv(o, "o_orderpriority", "o_custkey")
 
 
 # ---------------------------------------------------------------------------
 # ext_55: Count-Min sketch frequency estimates
 # ---------------------------------------------------------------------------
+
+
+def _cm_bucket(tok, seed, width: int):
+    """Portable count-min bucket: h60('cm<seed>:<tok>') % width."""
+    from sparketl.operators.phash import h60
+
+    return h60(
+        F.concat(F.lit("cm"), seed.cast("string"), F.lit(":"), tok)
+    ) % F.lit(width)
 
 
 def countmin_token_estimates(
@@ -209,46 +300,36 @@ def countmin_token_estimates(
     """Count-Min frequency estimates for the corpus's top-k tokens,
     next to their exact counts.
 
-    The sketch is built relationally: each of ``depth`` seeded
-    xxhash64 rows buckets every token into ``width`` counters — one
-    groupBy over (seed, bucket), fixed d×w state, fully mergeable
-    (the 100 TB shape: partial sketches combine by cell-wise sum, and
-    the aggregate is map-side combinable by construction). A point
+    The sketch is built relationally: each of ``depth`` seeded hash
+    rows buckets every token into ``width`` counters — one groupBy
+    over (seed, bucket), fixed d×w state, fully mergeable (the 100 TB
+    shape: partial sketches combine by cell-wise sum, and the
+    aggregate is map-side combinable by construction). A point
     estimate is min over the d counters the token hashes to —
     overestimate-only, within εN with probability 1−δ for
     w=⌈e/ε⌉, d=⌈ln 1/δ⌉. Exact counts ride along for the error
-    audit (pytest asserts est ≥ exact and the εN bound). xxhash64 is
-    engine-specific → rows-only driver check.
+    audit (pytest asserts est ≥ exact and the εN bound).
+
+    Round 8: the bucket hash moved from xxhash64 to the portable
+    md5-derived ``phash.h60`` — DuckDB computes the identical sketch,
+    so this is now a FULL-oracle driver check (was rows-only). The
+    seed fan-out is a single-scan explode, not a ``depth``-way union.
     """
     toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
     exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_n"))
     seeds = list(range(depth))
-    cells = None
-    for s in seeds:
-        c = toks.select(
-            F.lit(s).alias("seed"),
-            F.pmod(F.xxhash64(F.col("tok"), F.lit(s)), F.lit(width)).alias("bucket"),
-        )
-        cells = c if cells is None else cells.union(c)
+    seed_col = F.explode(F.array(*[F.lit(s) for s in seeds])).alias("seed")
+    cells = toks.select("tok", seed_col).select(
+        "seed", _cm_bucket(F.col("tok"), F.col("seed"), width).alias("bucket")
+    )
     sketch = cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
     top = exact.orderBy(F.desc("exact_n"), "tok").limit(k)
-    probes = top.select(
+    probes = top.select("tok", "exact_n", seed_col).select(
         "tok",
         "exact_n",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(s).alias("seed"),
-                        F.pmod(
-                            F.xxhash64(F.col("tok"), F.lit(s)), F.lit(width)
-                        ).alias("bucket"),
-                    )
-                    for s in seeds
-                ]
-            )
-        ).alias("p"),
-    ).select("tok", "exact_n", "p.seed", "p.bucket")
+        "seed",
+        _cm_bucket(F.col("tok"), F.col("seed"), width).alias("bucket"),
+    )
     est = (
         probes.join(F.broadcast(sketch), ["seed", "bucket"])
         .groupBy("tok", "exact_n")

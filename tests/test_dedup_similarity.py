@@ -140,16 +140,21 @@ def test_dup_clusters_equal_bfs_components(spark, docs):
 
 
 def test_hll_ndv_error_bound_and_determinism(spark, docs):
+    """The portable 256-register HLL (r8) stays within the ~3x
+    standard-error envelope of 1.04/sqrt(256) and is deterministic
+    across runs; sf0.001 exercises the linear-counting branch
+    (ndv << m), sf0.01-scale inputs the raw branch (pytest at smoke
+    scale; the driver oracle covers sf0.01)."""
     from sparketl.operators.text import q_ext_09_hll_ndv
     from tests.conftest import SF_SMOKE
 
-    a = {r["lang"]: (r["ndv_approx"], r["ndv_exact"])
+    a = {r["o_orderpriority"]: (r["hll_estimate"], r["ndv_exact"])
          for r in q_ext_09_hll_ndv(spark, SF_SMOKE).collect()}
-    b = {r["lang"]: (r["ndv_approx"], r["ndv_exact"])
+    b = {r["o_orderpriority"]: (r["hll_estimate"], r["ndv_exact"])
          for r in q_ext_09_hll_ndv(spark, SF_SMOKE).collect()}
     assert a == b and len(a) == 5
-    for lang, (approx, exact) in a.items():
-        assert abs(approx - exact) / exact < 0.1, (lang, approx, exact)
+    for prio, (approx, exact) in a.items():
+        assert abs(approx - exact) / exact < 0.2, (prio, approx, exact)
 
 
 def test_label_centroids_known_mean(spark):

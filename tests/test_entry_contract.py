@@ -20,10 +20,8 @@ ROWS_ONLY_ALLOWED = {
     "ext_03_ann_lsh",
     "ext_03_ann_ivf",
     "ext_06_sessionize_stateful",
-    "ext_09_hll_ndv",
     "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
-    "ext_55_countmin",
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
