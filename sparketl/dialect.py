@@ -526,3 +526,294 @@ def split_statements(script: str) -> list[str]:
     if s:
         stmts.append(s)
     return stmts
+
+
+# ---------------------------------------------------------------------------
+# MERGE statement parser (round 8): the T-SQL MERGE front-end.
+#
+# SQL Server's general upsert/sync statement (the reference's users run
+# it through the pass-through surface, tool:273). Spark SQL only
+# supports MERGE INTO against v2 row-level-operation catalogs, which
+# plain parquet is not — so the engine parses the statement here and
+# executes it via ManagedTable.merge (copy-on-write, file-pruned).
+# Grammar accepted (T-SQL, plus Delta's INSERT *):
+#
+#   MERGE [INTO] <table> [[AS] alias]
+#   USING (<subquery>) | <table> [[AS] alias]
+#   ON <condition>
+#   { WHEN MATCHED [AND <cond>] THEN { UPDATE SET c = e, ... | DELETE }
+#   | WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN
+#         INSERT [(c, ...)] VALUES (e, ...) | INSERT *
+#   | WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN
+#         { UPDATE SET c = e, ... | DELETE } }...  [;]
+#
+# Every captured expression is re-qualified (user aliases → target./
+# source.) and individually transpiled, so T-SQL spellings work inside
+# MERGE conditions and assignments too.
+# ---------------------------------------------------------------------------
+
+
+class _MergeLexer:
+    def __init__(self, sql: str):
+        self.sql = sql
+        self.toks = [
+            m
+            for m in _TOKEN.finditer(sql)
+            if m.lastgroup != "comment"
+            and not (m.lastgroup == "other" and m.group().isspace())
+        ]
+        self.i = 0
+
+    def peek(self, k: int = 0) -> str | None:
+        j = self.i + k
+        return self.toks[j].group() if j < len(self.toks) else None
+
+    def peek_lower(self, k: int = 0) -> str | None:
+        t = self.peek(k)
+        return t.lower() if t is not None else None
+
+    def next(self) -> str:
+        t = self.toks[self.i]
+        self.i += 1
+        return t.group()
+
+    def expect_word(self, *alternatives: str) -> str:
+        t = self.peek_lower()
+        if t not in alternatives:
+            raise DialectError(
+                f"MERGE parse error: expected {'/'.join(alternatives).upper()}"
+                f", got {self.peek()!r}"
+            )
+        return self.next().lower()
+
+    def at_end(self) -> bool:
+        return self.i >= len(self.toks) or (
+            self.peek() == ";" and self.i == len(self.toks) - 1
+        )
+
+    def capture_until(self, stop_words: set[str]) -> str:
+        """Raw source text from here to the first depth-0 stop word
+        (or end); consumes up to but not including the stop token."""
+        if self.i >= len(self.toks):
+            raise DialectError("MERGE parse error: unexpected end of statement")
+        start = self.toks[self.i].start()
+        depth = 0
+        end = len(self.sql)
+        while self.i < len(self.toks):
+            t = self.toks[self.i]
+            g = t.group()
+            if g == "(":
+                depth += 1
+            elif g == ")":
+                depth -= 1
+            elif depth == 0 and (
+                g.lower() in stop_words or (g == ";" and ";" in stop_words)
+            ):
+                end = t.start()
+                break
+            self.i += 1
+        else:
+            end = len(self.sql)
+        return self.sql[start:end].strip()
+
+    def capture_parens(self) -> str:
+        """Consume a balanced ( ... ) group, returning the inner text."""
+        if self.peek() != "(":
+            raise DialectError("MERGE parse error: expected '('")
+        open_tok = self.toks[self.i]
+        self.next()
+        depth = 1
+        while self.i < len(self.toks):
+            g = self.next()
+            if g == "(":
+                depth += 1
+            elif g == ")":
+                depth -= 1
+                if depth == 0:
+                    close = self.toks[self.i - 1]
+                    return self.sql[open_tok.end() : close.start()].strip()
+        raise DialectError("MERGE parse error: unbalanced parentheses")
+
+
+def _split_top_level_commas(text: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for m in _TOKEN.finditer(text):
+        g = m.group()
+        if m.lastgroup in ("comment", "string"):
+            continue
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth -= 1
+        elif g == "," and depth == 0:
+            parts.append(text[start : m.start()].strip())
+            start = m.end()
+    parts.append(text[start:].strip())
+    return [p for p in parts if p]
+
+
+def _requalify(expr: str, alias_map: dict[str, str]) -> str:
+    """Rewrite ``<alias>.`` qualifiers to ``target.``/``source.``."""
+    if not alias_map:
+        return expr
+    out = []
+    toks = list(_TOKEN.finditer(expr))
+    for j, m in enumerate(toks):
+        g = m.group()
+        if (
+            m.lastgroup == "word"
+            and g.lower() in alias_map
+            and j + 1 < len(toks)
+            and toks[j + 1].group() == "."
+        ):
+            out.append(alias_map[g.lower()])
+        else:
+            out.append(g)
+    return "".join(out)
+
+
+def _name_or_error(lex: _MergeLexer, what: str) -> str:
+    t = lex.peek()
+    if t is None or lex.toks[lex.i].lastgroup not in ("word", "bracket"):
+        raise DialectError(f"MERGE parse error: expected {what}")
+    g = lex.next()
+    return g[1:-1] if g.startswith("[") else g
+
+
+_MERGE_KEYWORDS = {"when", "on", "using", ";"}
+
+
+def parse_merge(sql: str) -> dict | None:
+    """Parse a MERGE statement into an executable spec, or return
+    ``None`` when the statement is not a MERGE. The spec's expressions
+    are already re-qualified and transpiled Spark SQL:
+
+    ``{"target": str, "source_table": str | None,
+       "source_subquery": str | None, "condition": str,
+       "clauses": [(category, action, payload, condition|None)]}``
+
+    where payload is an assignments dict (update), a values dict /
+    ``None`` for INSERT * (insert-by-name), or a positional expr list
+    (INSERT VALUES without a column list).
+    """
+    lex = _MergeLexer(sql)
+    if lex.peek_lower() != "merge":
+        return None
+    lex.next()
+    if lex.peek_lower() == "into":
+        lex.next()
+    target = _name_or_error(lex, "target table name")
+    alias_map: dict[str, str] = {target.lower(): "target"}
+    if lex.peek_lower() == "as":
+        lex.next()
+    if lex.peek_lower() not in _MERGE_KEYWORDS:
+        alias_map[lex.next().lower()] = "target"
+    lex.expect_word("using")
+    source_table = source_subquery = None
+    if lex.peek() == "(":
+        source_subquery = lex.capture_parens()
+    else:
+        source_table = _name_or_error(lex, "source table name")
+        alias_map[source_table.lower()] = "source"
+    if lex.peek_lower() == "as":
+        lex.next()
+    if lex.peek_lower() not in _MERGE_KEYWORDS:
+        alias_map[lex.next().lower()] = "source"
+    lex.expect_word("on")
+
+    def fix(expr: str) -> str:
+        return transpile(_requalify(expr, alias_map)).strip()
+
+    condition = fix(lex.capture_until({"when"}))
+    if not condition:
+        raise DialectError("MERGE parse error: empty ON condition")
+
+    clauses: list[tuple] = []
+    while lex.peek_lower() == "when":
+        lex.next()
+        if lex.peek_lower() == "matched":
+            lex.next()
+            category = "matched"
+        else:
+            lex.expect_word("not")
+            lex.expect_word("matched")
+            category = "not_matched"
+            if lex.peek_lower() == "by":
+                lex.next()
+                which = lex.expect_word("target", "source")
+                if which == "source":
+                    category = "by_source"
+        cond = None
+        if lex.peek_lower() == "and":
+            lex.next()
+            cond = fix(lex.capture_until({"then"}))
+        lex.expect_word("then")
+        verb = lex.expect_word("update", "delete", "insert")
+        if verb == "delete":
+            if category == "not_matched":
+                raise DialectError("WHEN NOT MATCHED supports only INSERT")
+            clauses.append((category, "delete", None, cond))
+        elif verb == "update":
+            if category == "not_matched":
+                raise DialectError("WHEN NOT MATCHED supports only INSERT")
+            lex.expect_word("set")
+            raw = lex.capture_until({"when", ";"})
+            assigns: dict[str, str] = {}
+            for part in _split_top_level_commas(raw):
+                col, eq, val = part.partition("=")
+                if not eq:
+                    raise DialectError(f"bad SET assignment: {part!r}")
+                name = col.strip()
+                if name.startswith("[") and name.endswith("]"):
+                    name = name[1:-1]
+                if "." in name:  # strip a target qualifier on the LHS
+                    name = name.split(".")[-1]
+                assigns[name] = fix(val)
+            clauses.append((category, "update", assigns, cond))
+        else:  # insert
+            if category != "not_matched":
+                raise DialectError(
+                    "INSERT is only valid in WHEN NOT MATCHED [BY TARGET]"
+                )
+            if lex.peek() == "*":
+                lex.next()
+                clauses.append((category, "insert", None, cond))
+            else:
+                cols = None
+                if lex.peek() == "(" :
+                    first = lex.capture_parens()
+                    if lex.peek_lower() == "values":
+                        cols = [
+                            c[1:-1] if c.startswith("[") else c
+                            for c in _split_top_level_commas(first)
+                        ]
+                    else:
+                        raise DialectError(
+                            "MERGE parse error: expected VALUES after the "
+                            "INSERT column list"
+                        )
+                lex.expect_word("values")
+                vals = [fix(v) for v in _split_top_level_commas(lex.capture_parens())]
+                if cols is not None:
+                    if len(cols) != len(vals):
+                        raise DialectError(
+                            "INSERT column list and VALUES lengths differ"
+                        )
+                    clauses.append((category, "insert", dict(zip(cols, vals)), cond))
+                else:
+                    clauses.append((category, "insert", list(vals), cond))
+    if not clauses:
+        raise DialectError("MERGE requires at least one WHEN clause")
+    if lex.peek() == ";":
+        lex.next()
+    if lex.i < len(lex.toks):
+        raise DialectError(
+            f"MERGE parse error: unexpected trailing {lex.peek()!r}"
+        )
+    return {
+        "target": target,
+        "source_table": source_table,
+        "source_subquery": source_subquery,
+        "condition": condition,
+        "clauses": clauses,
+    }

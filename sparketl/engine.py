@@ -36,6 +36,13 @@ class Engine:
             os.getcwd(), "saved_queries.json"
         )
         self.last_result: DataFrame | None = None  # tool:427-428, 1106-1107
+        self.managed_tables: dict = {}  # MERGE targets, name → ManagedTable
+
+    def register_managed(self, name: str, table) -> None:
+        """Expose a ManagedTable to SQL statements that need row-level
+        writes (currently MERGE — plain parquet has no v2 row-level
+        catalog, so `spark.sql` cannot serve those)."""
+        self.managed_tables[name.lower()] = table
 
     # -- Tier C pass-through (tool:269-280) ---------------------------------
     def execute(
@@ -61,10 +68,60 @@ class Engine:
             raise QueryError("Query is empty")  # tool:1093-1095
         if database:
             self.catalog.use_database(database)  # tool:272 → 146-153
+        from sparketl.dialect import parse_merge
+
+        spec = parse_merge(sql)
+        if spec is not None:
+            return self._execute_merge(spec)
         if params is None:
             df = self.spark.sql(transpile(sql))
         else:
             df = self.spark.sql(transpile(sql), args=params)
+        self.last_result = df
+        return df
+
+    def _execute_merge(self, spec: dict) -> DataFrame:
+        """Execute a parsed MERGE statement against a registered
+        ManagedTable (see ``dialect.parse_merge`` for the grammar).
+        Returns a one-row (version BIGINT) DataFrame — the statement's
+        committed table version, the analogue of pyodbc's rowcount-only
+        DML result."""
+        target = self.managed_tables.get(spec["target"].lower())
+        if target is None:
+            raise QueryError(
+                f"MERGE target '{spec['target']}' is not a registered "
+                "managed table (Engine.register_managed)"
+            )
+        if spec["source_subquery"] is not None:
+            source = self.spark.sql(transpile(spec["source_subquery"]))
+        else:
+            name = spec["source_table"]
+            reg = self.managed_tables.get(name.lower())
+            source = reg.read() if reg is not None else self.spark.table(name)
+        builder = target.merge(source, spec["condition"])
+        table_cols = [f.name for f in target.schema().fields]
+        for category, action, payload, cond in spec["clauses"]:
+            if action == "delete":
+                if category == "matched":
+                    builder.when_matched_delete(cond)
+                else:
+                    builder.when_not_matched_by_source_delete(cond)
+            elif action == "update":
+                if category == "matched":
+                    builder.when_matched_update(payload, cond)
+                else:
+                    builder.when_not_matched_by_source_update(payload, cond)
+            else:  # insert
+                if isinstance(payload, list):  # positional VALUES
+                    if len(payload) != len(table_cols):
+                        raise QueryError(
+                            "INSERT VALUES without a column list must match "
+                            f"the table's {len(table_cols)} columns"
+                        )
+                    payload = dict(zip(table_cols, payload))
+                builder.when_not_matched_insert(payload, cond)
+        version = builder.execute()
+        df = self.spark.createDataFrame([(version,)], "version: bigint")
         self.last_result = df
         return df
 

@@ -1129,6 +1129,21 @@ class ManagedTable:
 
         return self._pruned_rewrite(prune, transform, may_create_rows=True)
 
+    def merge(self, source: DataFrame, condition: str) -> "MergeBuilder":
+        """General MERGE (T-SQL ``MERGE INTO`` / Delta ``merge``):
+        returns a builder that accumulates WHEN clauses and executes
+        them as ONE atomic copy-on-write commit. ``condition``
+        references columns as ``target.<col>`` / ``source.<col>``.
+
+        The reference's surface is SQL Server, where MERGE is the
+        standard upsert/sync statement (tool:273 ships arbitrary
+        user SQL); ``keyed_update``/``upsert`` cover its two common
+        shapes, this covers the general statement — conditional
+        clauses, DELETE actions, and T-SQL's WHEN NOT MATCHED BY
+        SOURCE. See ``Engine.execute`` for the SQL-string front-end.
+        """
+        return MergeBuilder(self, source, condition)
+
     @staticmethod
     def _zorder_col(df: DataFrame, cols: list[str]):
         """Morton (Z-order) key over exactly two numeric columns: each
@@ -1337,3 +1352,236 @@ def incremental_agg(
         .filter(F.col(count_col) > 0)
     )
     return merged
+
+
+class MergeBuilder:
+    """Accumulates MERGE ``WHEN`` clauses and executes them as one
+    atomic copy-on-write commit (T-SQL MERGE semantics, SQL Server's
+    general upsert statement — the reference's pass-through surface).
+
+    Clause semantics (all T-SQL):
+
+    - clauses are tried in DECLARATION order within their row
+      category; the first clause whose condition holds fires, the
+      rest are skipped for that row;
+    - a matched target row that no matched-clause fires on (or with
+      no matched clauses at all) carries through unchanged, as does
+      a target-only row with no BY SOURCE clause;
+    - a source-only row that no insert clause fires on is dropped;
+    - a target row matched by MORE THAN ONE source row raises
+      ``TableError`` when any WHEN MATCHED clause exists — SQL
+      Server's "attempted to UPDATE or DELETE the same row more than
+      once" rule (Delta enforces the same);
+    - assignment / condition / value expressions are Spark SQL
+      referencing ``target.<col>`` and ``source.<col>``; unqualified
+      names are resolved by Spark only when unambiguous.
+
+    Scale: the rewrite is file-pruned exactly like ``upsert`` when
+    the ON condition is a single numeric-key equality — only files
+    whose footer range intersects the source's [min, max] key are
+    read and rewritten. WHEN NOT MATCHED BY SOURCE clauses act on
+    target rows in NON-candidate files too, so their presence forces
+    a full rewrite (correctness over pruning).
+    """
+
+    def __init__(self, table: ManagedTable, source: DataFrame, condition: str):
+        self.table = table
+        self.source = source
+        self.condition = condition
+        # (category, action, assignments, clause_condition)
+        self._clauses: list[tuple[str, str, dict | None, str | None]] = []
+
+    # -- clause builders (each returns self for chaining) -------------------
+
+    def when_matched_update(
+        self, assignments: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        self._clauses.append(("matched", "update", dict(assignments), condition))
+        return self
+
+    def when_matched_delete(self, condition: str | None = None) -> "MergeBuilder":
+        self._clauses.append(("matched", "delete", None, condition))
+        return self
+
+    def when_not_matched_insert(
+        self,
+        values: dict[str, str] | None = None,
+        condition: str | None = None,
+    ) -> "MergeBuilder":
+        """``values=None`` is INSERT-by-name (Delta's ``INSERT *``):
+        every target column takes ``source.<col>``."""
+        self._clauses.append(
+            ("not_matched", "insert", dict(values) if values else None, condition)
+        )
+        return self
+
+    def when_not_matched_by_source_update(
+        self, assignments: dict[str, str], condition: str | None = None
+    ) -> "MergeBuilder":
+        self._clauses.append(
+            ("by_source", "update", dict(assignments), condition)
+        )
+        return self
+
+    def when_not_matched_by_source_delete(
+        self, condition: str | None = None
+    ) -> "MergeBuilder":
+        self._clauses.append(("by_source", "delete", None, condition))
+        return self
+
+    # -- execution -----------------------------------------------------------
+
+    _EQ_COND = re.compile(
+        r"^\s*(?:target\.(\w+)\s*=\s*source\.(\w+)"
+        r"|source\.(\w+)\s*=\s*target\.(\w+))\s*$",
+        re.IGNORECASE,
+    )
+
+    def _validate(self) -> None:
+        if not self._clauses:
+            raise TableError("MERGE requires at least one WHEN clause")
+        table_cols = {f.name for f in self.table.schema().fields}
+        for cat, action, assigns, _cond in self._clauses:
+            if action == "update":
+                bad = [c for c in assigns if c not in table_cols]
+                if bad:
+                    raise TableError(f"unknown columns in UPDATE SET: {bad}")
+            if action == "insert" and assigns is not None:
+                bad = [c for c in assigns if c not in table_cols]
+                if bad:
+                    raise TableError(f"unknown columns in INSERT: {bad}")
+
+    def _check_duplicate_matches(self) -> None:
+        """SQL Server rule: error when any WHEN MATCHED clause exists
+        and one target row is matched by multiple source rows."""
+        tgt = (
+            self.table.read()
+            .withColumn("_sparketl_tid", F.monotonically_increasing_id())
+            .alias("target")
+        )
+        src = self.source.alias("source")
+        dup = (
+            tgt.join(src, F.expr(self.condition), "inner")
+            .groupBy("_sparketl_tid")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise TableError(
+                "MERGE attempted to UPDATE or DELETE the same target row "
+                "more than once (a target row matches multiple source rows)"
+            )
+
+    def execute(self) -> int:
+        self._validate()
+        has_matched = any(c[0] == "matched" for c in self._clauses)
+        has_by_source = any(c[0] == "by_source" for c in self._clauses)
+        if has_matched:
+            self._check_duplicate_matches()
+
+        # file pruning: single numeric-key equality AND no BY SOURCE
+        # clauses (those must see target rows in non-candidate files)
+        prune = None
+        m = self._EQ_COND.match(self.condition)
+        if m is not None and not has_by_source:
+            key = m.group(1) or m.group(4)
+            src_key = m.group(2) or m.group(3)
+            bounds = self.source.agg(
+                F.min(src_key).alias("mn"), F.max(src_key).alias("mx")
+            ).first()
+            if (
+                bounds["mn"] is not None
+                and isinstance(bounds["mn"], (int, float))
+                and not isinstance(bounds["mn"], bool)
+            ):
+                prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+
+        table_cols = [f.name for f in self.table.schema().fields]
+        clauses = list(self._clauses)
+        condition = self.condition
+        source = self.source
+        has_insert = any(c[1] == "insert" for c in clauses)
+
+        def transform(target_df: DataFrame) -> DataFrame:
+            tgt = (
+                target_df.withColumn("_sparketl_t", F.lit(1))
+                .withColumn("_sparketl_tid", F.monotonically_increasing_id())
+                .alias("target")
+            )
+            src = source.withColumn("_sparketl_s", F.lit(1)).alias("source")
+            how = "full" if has_insert else "left"
+            joined = tgt.join(src, F.expr(condition), how)
+            t_here = F.col("target._sparketl_t").isNotNull()
+            s_here = F.col("source._sparketl_s").isNotNull()
+            cat_pred = {
+                "matched": t_here & s_here,
+                "not_matched": s_here & ~t_here,
+                "by_source": t_here & ~s_here,
+            }
+            # first-match-wins action id per row; 0 = no clause fires
+            action = None
+            for i, (cat, _act, _assigns, cond) in enumerate(clauses, start=1):
+                pred = cat_pred[cat]
+                if cond is not None:
+                    pred = pred & F.expr(cond)
+                action = (
+                    F.when(pred, F.lit(i))
+                    if action is None
+                    else action.when(pred, F.lit(i))
+                )
+            joined = joined.withColumn("_sparketl_a", action.otherwise(F.lit(0)))
+            # drop deletes and unfired source-only rows
+            delete_ids = [
+                i for i, c in enumerate(clauses, start=1) if c[1] == "delete"
+            ]
+            keep = ~F.col("_sparketl_a").isin(delete_ids) if delete_ids else F.lit(True)
+            keep = keep & (t_here | (F.col("_sparketl_a") != 0))
+            joined = joined.filter(keep)
+            # output columns: per target column, CASE over fired clause
+            out_cols = []
+            for c in table_cols:
+                col = F.col(f"target.{c}")
+                for i, (cat, act, assigns, _cond) in enumerate(clauses, start=1):
+                    if act == "update" and c in assigns:
+                        col = F.when(
+                            F.col("_sparketl_a") == i, F.expr(assigns[c])
+                        ).otherwise(col)
+                    elif act == "insert":
+                        if assigns is None:
+                            val = F.col(f"source.{c}")
+                        elif c in assigns:
+                            val = F.expr(assigns[c])
+                        else:
+                            val = F.lit(None)
+                        col = F.when(
+                            F.col("_sparketl_a") == i, val
+                        ).otherwise(col)
+                out_cols.append(col.alias(c))
+            projected = joined.select(
+                t_here.alias("_sparketl_th"),
+                F.col("_sparketl_a"),
+                F.col("target._sparketl_tid").alias("_sparketl_tid"),
+                *out_cols,
+            )
+            if not has_matched:
+                # without matched clauses a target row matched by k
+                # source rows fans out to k identical pass-through
+                # copies (with matched clauses the duplicate-match
+                # check already forbade fan-out) — keep one per target
+                # row id; the dedup shuffle keys on the unique tid, so
+                # there is no skew, and fired rows (inserts/by-source)
+                # bypass it untouched
+                fired = projected.filter(
+                    ~F.col("_sparketl_th") | (F.col("_sparketl_a") != 0)
+                )
+                passthrough = projected.filter(
+                    F.col("_sparketl_th") & (F.col("_sparketl_a") == 0)
+                ).dropDuplicates(["_sparketl_tid"])
+                projected = fired.unionByName(passthrough)
+            return projected.select(table_cols)
+
+        return self.table._pruned_rewrite(
+            prune, transform, may_create_rows=has_insert
+        )
