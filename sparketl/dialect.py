@@ -101,6 +101,7 @@ _TOKEN = re.compile(
 
 def transpile(sql: str) -> str:
     """Rewrite a T-SQL-flavored statement into Spark SQL."""
+    sql = _rewrite_qualify(sql)
     out: list[str] = []
     limit_from_top: str | None = None
     depth = 0
@@ -174,6 +175,17 @@ def transpile(sql: str) -> str:
                 out.append(_rewrite_call(lower, args))
                 i = next_i
                 continue
+            elif lower in ("cross", "outer") and _next_word(tokens, i) == "apply":
+                # T-SQL CROSS/OUTER APPLY (subquery) alias → Spark's
+                # [LEFT] JOIN LATERAL. The subquery is transpiled as
+                # its own statement, so TOP/OFFSET/T-SQL functions work
+                # inside it (the correlated-TOP idiom APPLY exists for).
+                j = _word_index(tokens, i)
+                inner, next_i = _capture_parens(sql, tokens, j)
+                joiner = "JOIN LATERAL" if lower == "cross" else "LEFT JOIN LATERAL"
+                out.append(f"{joiner} ({transpile(inner)})")
+                i = next_i
+                continue
             elif lower in _FUNC_MAP and _next_nonspace(tokens, i) == "(":
                 out.append(_FUNC_MAP[lower])
             else:
@@ -183,6 +195,145 @@ def transpile(sql: str) -> str:
     if limit_from_top is not None:
         result = f"{result} LIMIT {limit_from_top}"
     return result
+
+
+def _next_word(tokens, i: int) -> str | None:
+    """The next WORD token's lowercase text after index *i* (skipping
+    whitespace), or None when something else comes first."""
+    for j in range(i + 1, len(tokens)):
+        g = tokens[j].group()
+        if g.isspace():
+            continue
+        return g.lower() if tokens[j].lastgroup == "word" else None
+    return None
+
+
+def _word_index(tokens, i: int) -> int:
+    """Index of the next non-space token after *i*."""
+    for j in range(i + 1, len(tokens)):
+        if not tokens[j].group().isspace():
+            return j
+    return len(tokens)
+
+
+def _capture_parens(sql: str, tokens, i: int) -> tuple[str, int]:
+    """Capture the balanced ``( ... )`` group that follows token *i*
+    (skipping whitespace); returns (inner_text, index_after_close).
+    Raises when what follows is not parenthesized — T-SQL APPLY of a
+    bare table-valued function has no Spark rewrite here."""
+    k = _word_index(tokens, i)
+    if k >= len(tokens) or tokens[k].group() != "(":
+        raise DialectError(
+            "APPLY supports only a parenthesized subquery operand"
+        )
+    depth = 0
+    start = tokens[k].end()
+    while k < len(tokens):
+        g = tokens[k].group()
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth -= 1
+            if depth == 0:
+                return sql[start : tokens[k].start()], k + 1
+        k += 1
+    raise DialectError("unbalanced parentheses after APPLY")
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """Rewrite a depth-0 ``QUALIFY <pred>`` clause (Teradata/Snowflake/
+    DuckDB extension; not in Spark's grammar) into the equivalent
+    subquery filter:
+
+        SELECT * EXCEPT (__sparketl_q)
+        FROM (<select-list>, (<pred>) AS __sparketl_q <from..having>)
+        WHERE __sparketl_q  <order-by/limit tail>
+
+    The predicate must be self-contained (window functions spelled
+    out, not select-list aliases — same restriction Spark puts on
+    HAVING). QUALIFY inside a subquery/CTE, under DISTINCT, or next
+    to a set operator raises instead of rewriting wrongly."""
+    tokens = list(_TOKEN.finditer(sql))
+    depth = 0
+    q_idx = first_select = first_from = None
+    for idx, m in enumerate(tokens):
+        g = m.group()
+        if m.lastgroup == "other":
+            if g == "(":
+                depth += 1
+            elif g == ")":
+                depth = max(0, depth - 1)
+            continue
+        if m.lastgroup != "word":
+            continue
+        w = g.lower()
+        if depth > 0:
+            if w == "qualify":
+                raise DialectError(
+                    "QUALIFY inside a subquery or CTE is not supported: "
+                    "the shim rewrites only the outermost query"
+                )
+            continue
+        if w == "select" and first_select is None:
+            first_select = idx
+        elif w == "from" and first_select is not None and first_from is None:
+            first_from = idx
+        elif w == "qualify":
+            q_idx = idx
+            break
+    if q_idx is None:
+        return sql
+    if first_select is None or first_from is None:
+        raise DialectError("QUALIFY outside a SELECT ... FROM query")
+    if _next_word(tokens, first_select) == "distinct":
+        raise DialectError(
+            "QUALIFY with DISTINCT is not supported: the rewrite adds a "
+            "helper column, which would change the DISTINCT row set"
+        )
+    prev_nonspace = None
+    depth = 0
+    for m in tokens[:q_idx]:
+        g = m.group()
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth = max(0, depth - 1)
+        if (
+            depth == 0
+            and m.lastgroup == "word"
+            and g.lower() in ("union", "intersect", "except")
+            # `* EXCEPT (...)` is a projection, not the set operator
+            and not (g.lower() == "except" and prev_nonspace == "*")
+        ):
+            raise DialectError("QUALIFY with set operators is not supported")
+        if not g.isspace():
+            prev_nonspace = g
+    # predicate runs to the first depth-0 ORDER/LIMIT/OFFSET/';'
+    depth = 0
+    pred_end = len(sql)
+    for m in tokens[q_idx + 1 :]:
+        g = m.group()
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth -= 1
+        elif depth == 0 and (
+            (m.lastgroup == "word" and g.lower() in ("order", "limit", "offset"))
+            or g == ";"
+        ):
+            pred_end = m.start()
+            break
+    pred = sql[tokens[q_idx].end() : pred_end].strip()
+    if not pred:
+        raise DialectError("QUALIFY requires a predicate")
+    prefix = sql[: tokens[first_select].start()]
+    select_list = sql[tokens[first_select].start() : tokens[first_from].start()]
+    mid = sql[tokens[first_from].start() : tokens[q_idx].start()]
+    tail = sql[pred_end:]
+    return (
+        f"{prefix}SELECT * EXCEPT (__sparketl_q) FROM ({select_list}, "
+        f"({pred}) AS __sparketl_q {mid}) WHERE __sparketl_q {tail}"
+    )
 
 
 def _parse_call_args(sql: str, tokens, i: int) -> tuple[list[str], int]:

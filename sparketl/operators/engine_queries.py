@@ -1565,3 +1565,113 @@ ENGINE_ORACLES["tierc_pivot_sql"] = """
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority
 """
+
+
+# ---------------------------------------------------------------------------
+# Round 8: QUALIFY and CROSS/OUTER APPLY planner shapes
+# ---------------------------------------------------------------------------
+
+
+def q_tierc_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY clause through the engine (Teradata/Snowflake/DuckDB
+    extension — Spark's grammar lacks it, so the dialect shim rewrites
+    it into a subquery filter with a helper column dropped by
+    `* EXCEPT`). Top-3 orders per priority by price; DuckDB runs the
+    QUALIFY spelling natively, making the rewrite's semantics the
+    oracle-checked contract. One window shuffle on the partition key;
+    the filter runs before any row leaves the exchange stage."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT o_orderpriority, o_orderkey, o_totalprice
+        FROM orders
+        QUALIFY RANK() OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_qualify"] = q_tierc_qualify
+ENGINE_ORACLES["tierc_qualify"] = """
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY RANK() OVER (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice DESC, o_orderkey) <= 3
+    ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey
+"""
+
+
+def q_tierc_cross_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL CROSS APPLY with a correlated TOP — the idiom APPLY
+    exists for (top-N-per-entity without self-join gymnastics). The
+    shim transpiles the subquery independently (so TOP works inside)
+    and rewrites APPLY to Spark's JOIN LATERAL; Catalyst plans it as
+    a partitioned window top-k, not a per-row re-scan. DuckDB's
+    LATERAL runs the identical semantics as the oracle."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c
+        CROSS APPLY (
+          SELECT TOP 2 o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+        ) t
+        WHERE c.c_custkey <= 150
+        ORDER BY c.c_custkey, t.o_orderkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_cross_apply"] = q_tierc_cross_apply
+ENGINE_ORACLES["tierc_cross_apply"] = """
+    SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) t
+    WHERE c.c_custkey <= 150
+    ORDER BY c.c_custkey, t.o_orderkey
+"""
+
+
+def q_tierc_outer_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL OUTER APPLY (latest order per customer, NULLs for
+    customers who never ordered) → LEFT JOIN LATERAL. The preserved
+    null rows are the semantic difference from CROSS APPLY and what
+    this entry pins down."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT c.c_custkey,
+               t.o_orderkey AS last_orderkey,
+               t.o_totalprice AS last_price
+        FROM customer c
+        OUTER APPLY (
+          SELECT TOP 1 o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) t
+        WHERE c.c_custkey <= 300
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_outer_apply"] = q_tierc_outer_apply
+ENGINE_ORACLES["tierc_outer_apply"] = """
+    SELECT c.c_custkey,
+           t.o_orderkey AS last_orderkey,
+           t.o_totalprice AS last_price
+    FROM customer c
+    LEFT JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+    ) t ON TRUE
+    WHERE c.c_custkey <= 300
+    ORDER BY c.c_custkey
+"""

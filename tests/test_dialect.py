@@ -317,3 +317,58 @@ def test_string_agg_and_unicode_rewrites():
         == "SELECT listagg(x, ',') WITHIN GROUP (ORDER BY x) FROM t"
     )
     assert transpile("SELECT UNICODE('A')") == "SELECT ascii('A')"
+
+
+# -- round 8: QUALIFY + APPLY rewrites ---------------------------------------
+
+
+def test_qualify_rewrites_to_subquery_filter():
+    from sparketl.dialect import transpile
+
+    out = transpile(
+        "SELECT id, g FROM t QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY id) = 1 ORDER BY g"
+    )
+    assert "EXCEPT (__sparketl_q)" in out
+    assert out.rstrip().endswith("ORDER BY g")
+    assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
+
+
+def test_qualify_refusals():
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    with pytest.raises(DialectError, match="DISTINCT"):
+        transpile("SELECT DISTINCT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1")
+    with pytest.raises(DialectError, match="subquery or CTE"):
+        transpile(
+            "SELECT * FROM (SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1)"
+        )
+    with pytest.raises(DialectError, match="set operators"):
+        transpile(
+            "SELECT g FROM t UNION ALL SELECT g FROM t "
+            "QUALIFY RANK() OVER (ORDER BY g) = 1"
+        )
+
+
+def test_apply_rewrites_and_refusal():
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    out = transpile(
+        "SELECT * FROM a CROSS APPLY (SELECT TOP 2 x FROM b "
+        "WHERE b.k = a.k ORDER BY x) s"
+    )
+    assert "JOIN LATERAL" in out and "LIMIT 2" in out and "TOP" not in out
+    out2 = transpile("SELECT * FROM a OUTER APPLY (SELECT 1 AS one) s")
+    assert "LEFT JOIN LATERAL" in out2
+    # bare TVF operand has no rewrite
+    with pytest.raises(DialectError, match="parenthesized"):
+        transpile("SELECT * FROM a CROSS APPLY some_tvf(a.k) s")
+    # words CROSS/OUTER not followed by APPLY pass through untouched
+    assert "CROSS JOIN" in transpile("SELECT * FROM a CROSS JOIN b")
+    assert "FULL OUTER JOIN" in transpile(
+        "SELECT * FROM a FULL OUTER JOIN b ON a.k = b.k"
+    )
