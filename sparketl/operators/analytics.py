@@ -1682,3 +1682,292 @@ def source_concentration(docs: DataFrame) -> DataFrame:
 
 def q_ext_125_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_concentration(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_130: grouped Welch t-test — unequal-variance mean comparison
+# ---------------------------------------------------------------------------
+
+
+def welch_ttest_one_vs_rest(
+    docs: DataFrame, group_col: str = "source", value_col: str = "n_chars"
+) -> DataFrame:
+    """Welch's unequal-variance t-test of each group's mean
+    ``value_col`` against the REST of the corpus — the per-source
+    length-drift screen that completes the audit suite (ANOVA ext_118
+    tests all means jointly; this localizes WHICH source deviates,
+    with no equal-variance assumption).
+
+    Exactness (the ext_104/ext_51 device): per-group (n, Σx, Σx²) are
+    exact bigints; the rest-of-corpus stats are exact SUBTRACTIONS
+    from one broadcast total — no second scan, no float order
+    dependence. The t statistic and Welch–Satterthwaite df are then
+    ONE closed-form double expression over those exact operands
+    (identical tree in the oracle → bit-identical doubles), floored
+    to micro/milli units. Σx² of a bigint char count stays < 2^63 up
+    to ~10^5 chars/doc × 10^9 docs — the quantization headroom is
+    documented, not assumed.
+
+    Scale: one map-combinable aggregate over (group) + a one-row
+    total broadcast. No shuffle beyond the group count.
+    """
+    g = docs.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col(value_col).cast("bigint")).alias("s"),
+        F.sum(
+            (F.col(value_col).cast("bigint") * F.col(value_col).cast("bigint"))
+        ).alias("q"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nt"), F.sum("s").alias("st"), F.sum("q").alias("qt")
+    )
+    # Welch needs both sample variances: groups (or rests) of size < 2
+    # are excluded up front — the t is undefined there, and DuckDB
+    # raises on CAST(NaN AS BIGINT) where Spark yields NULL, so the
+    # guard is also what keeps the oracle portable at smoke scale
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .withColumn("n_rest", F.col("nt") - F.col("n"))
+        .filter((F.col("n") >= 2) & (F.col("n_rest") >= 2))
+        .withColumn("s_rest", F.col("st") - F.col("s"))
+        .withColumn("q_rest", F.col("qt") - F.col("q"))
+        .withColumn(
+            "ua",
+            F.expr(
+                "((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)"
+                " - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))"
+                " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+                " / CAST(n AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "ub",
+            F.expr(
+                "((CAST(n_rest AS DOUBLE) * CAST(q_rest AS DOUBLE)"
+                " - CAST(s_rest AS DOUBLE) * CAST(s_rest AS DOUBLE))"
+                " / (CAST(n_rest AS DOUBLE) * CAST(n_rest - 1 AS DOUBLE)))"
+                " / CAST(n_rest AS DOUBLE)"
+            ),
+        )
+        .withColumn(
+            "t_stat",
+            F.expr(
+                "(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"
+                " - CAST(s_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))"
+                " / sqrt(ua + ub)"
+            ),
+        )
+        .withColumn(
+            "df_w",
+            F.expr(
+                "(ua + ub) * (ua + ub) / "
+                "(ua * ua / CAST(n - 1 AS DOUBLE)"
+                " + ub * ub / CAST(n_rest - 1 AS DOUBLE))"
+            ),
+        )
+        .select(
+            F.col("g").alias(group_col),
+            "n",
+            "n_rest",
+            F.expr("(1000 * s) div n").alias("mean_milli"),
+            F.expr("(1000 * s_rest) div n_rest").alias("rest_mean_milli"),
+            F.expr("CAST(FLOOR(t_stat * 1000000.0) AS BIGINT)").alias(
+                "t_micro"
+            ),
+            F.expr("CAST(FLOOR(df_w * 1000.0) AS BIGINT)").alias("df_milli"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def q_ext_130_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return welch_ttest_one_vs_rest(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# ext_131: lag-k autocorrelation per event-type series
+# ---------------------------------------------------------------------------
+
+
+def grouped_autocorrelation(
+    events: DataFrame, lags: tuple[int, ...] = (1, 7)
+) -> DataFrame:
+    """Lag-k autocorrelation of each event type's ``value`` series
+    (ordered by event time) — the seasonality/burstiness probe for
+    event telemetry, and the diagnostic behind the EWMA/CUSUM
+    monitors (ext_107/112): a high lag-k ACF says the control chart
+    needs a wider baseline window.
+
+    Exactness: ``value`` is quantized to milli-units per row (one
+    identical double multiply + floor in both engines), so the lag
+    products P = Σ x_t·x_{t+k}, head/tail sums and Σx, Σx² are ALL
+    exact bigints (x ~ 5·10^5 milli ⇒ products ~2.5·10^11, ×10^7
+    rows < 2^63 — headroom documented). The textbook centered form
+    r_k = (P − m(A+B) + (n−k)m²) / (Q − S²/n) is then one shared
+    closed-form double tree over exact operands, floored to micro.
+
+    Scale: one window pass per lag (lag() over the event-time order
+    within each type — the same partition-key shuffle serves every
+    lag) + a map-combinable aggregate. No global window.
+    """
+    base = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.expr("CAST(FLOOR(value * 1000.0) AS BIGINT)").alias("x"),
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    per_lag = []
+    for k in lags:
+        lagged = base.select(
+            "event_type",
+            "x",
+            F.lag("x", k).over(w).alias("x_prev"),
+        )
+        per_lag.append(
+            lagged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("s"),
+                F.sum(F.col("x") * F.col("x")).alias("q"),
+                F.count("x_prev").alias("n_pairs"),
+                F.sum(F.col("x") * F.col("x_prev")).alias("p"),
+                F.sum(
+                    F.when(F.col("x_prev").isNotNull(), F.col("x"))
+                ).alias("a_tail"),
+                F.sum(
+                    F.when(F.col("x_prev").isNotNull(), F.col("x_prev"))
+                ).alias("b_head"),
+            )
+            .withColumn("lag", F.lit(k))
+        )
+    u = per_lag[0]
+    for d in per_lag[1:]:
+        u = u.unionByName(d)
+    return (
+        u.withColumn(
+            "acf",
+            F.expr(
+                "(CAST(p AS DOUBLE)"
+                " - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+                "   * CAST(a_tail + b_head AS DOUBLE)"
+                " + CAST(n_pairs AS DOUBLE)"
+                "   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))"
+                "   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))"
+                " / (CAST(q AS DOUBLE)"
+                "    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)"
+                "      / CAST(n AS DOUBLE))"
+            ),
+        )
+        .select(
+            "event_type",
+            "lag",
+            "n",
+            "n_pairs",
+            F.expr("CAST(FLOOR(acf * 1000000.0) AS BIGINT)").alias(
+                "acf_micro"
+            ),
+        )
+        .orderBy("event_type", "lag")
+    )
+
+
+def q_ext_131_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return grouped_autocorrelation(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_132: triangle count of the supplier co-supply graph
+# ---------------------------------------------------------------------------
+
+
+def cosupply_triangles(lineitem: DataFrame, min_shared_parts: int = 2) -> DataFrame:
+    """Triangle count and global clustering coefficient of the
+    co-supply graph (suppliers are nodes; an edge joins suppliers
+    shipping ≥ ``min_shared_parts`` distinct parts in common) — the
+    graph-density audit that complements the pagerank walk (ext_41):
+    clustering says whether supply overlaps are cliquish or
+    hub-and-spoke.
+
+    Algorithm (the standard distributed triangle count): orient every
+    edge from the lower to the higher endpoint under the total order
+    (degree, id), join wedges src→v, src→w (v < w in that order),
+    then probe the oriented edge v→w. Orientation bounds every node's
+    out-degree by O(√|E|) even on hub-heavy graphs, so the wedge join
+    never explodes — counting on the raw undirected edges would
+    square the hub degree. Edge generation is bounded per part by
+    that part's supplier count (tens), never corpus-sized; all counts
+    are exact bigints and the clustering coefficient is an integer
+    division (3·T·10⁶ div wedges).
+    """
+    ps = lineitem.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    pairs = (
+        ps.alias("a")
+        .join(ps.alias("b"), F.expr("a.p = b.p AND a.s < b.s"))
+        .select(F.expr("a.s").alias("u"), F.expr("b.s").alias("v"))
+    )
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= min_shared_parts)
+        .select("u", "v")
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    o = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.expr(
+                "CASE WHEN (du, u) < (dv, v) THEN u ELSE v END"
+            ).alias("src"),
+            F.expr(
+                "CASE WHEN (du, u) < (dv, v) THEN v ELSE u END"
+            ).alias("dst"),
+            F.expr(
+                "CASE WHEN (du, u) < (dv, v) THEN dv ELSE du END"
+            ).alias("ddeg"),
+        )
+    )
+    tri = (
+        o.alias("p1")
+        .join(
+            o.alias("p2"),
+            F.expr(
+                "p1.src = p2.src AND (p1.ddeg, p1.dst) < (p2.ddeg, p2.dst)"
+            ),
+        )
+        .join(
+            o.alias("p3"),
+            F.expr("p3.src = p1.dst AND p3.dst = p2.dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    counts = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    wedges = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges"),
+    )
+    return (
+        wedges.crossJoin(F.broadcast(counts))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("(3 * n_triangles * 1000000) div n_wedges").alias(
+                "clustering_micro"
+            ),
+        )
+    )
+
+
+def q_ext_132_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosupply_triangles(load_table(spark, sf_dir, "lineitem"))

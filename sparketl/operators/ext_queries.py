@@ -3472,3 +3472,242 @@ EXT_ORACLES["ext_09_hll_ndv"] = """
     FROM est3 JOIN ex USING (g)
     ORDER BY o_orderpriority
 """
+
+from sparketl.operators.analytics import (  # noqa: E402
+    q_ext_130_welch_ttest,
+    q_ext_131_autocorr,
+)
+
+EXT_QUERIES["ext_130_welch_ttest"] = q_ext_130_welch_ttest
+EXT_ORACLES["ext_130_welch_ttest"] = """
+    WITH g AS (
+      SELECT source AS g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s,
+             CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                  AS BIGINT) AS q
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(s) AS BIGINT) AS st,
+             CAST(SUM(q) AS BIGINT) AS qt FROM g
+    ), w AS (
+      SELECT g.g, n, s, q,
+             nt - n AS n_rest, st - s AS s_rest, qt - q AS q_rest
+      FROM g CROSS JOIN tot
+      WHERE n >= 2 AND nt - n >= 2
+    ), e AS (
+      SELECT g, n, n_rest, s, s_rest,
+        ((CAST(n AS DOUBLE) * CAST(q AS DOUBLE)
+          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+         / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))) / CAST(n AS DOUBLE)
+          AS ua,
+        ((CAST(n_rest AS DOUBLE) * CAST(q_rest AS DOUBLE)
+          - CAST(s_rest AS DOUBLE) * CAST(s_rest AS DOUBLE))
+         / (CAST(n_rest AS DOUBLE) * CAST(n_rest - 1 AS DOUBLE)))
+         / CAST(n_rest AS DOUBLE) AS ub
+      FROM w
+    )
+    SELECT g AS source, n, n_rest,
+           (1000 * s) // n AS mean_milli,
+           (1000 * s_rest) // n_rest AS rest_mean_milli,
+           CAST(FLOOR(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                        - CAST(s_rest AS DOUBLE) / CAST(n_rest AS DOUBLE))
+                       / sqrt(ua + ub)) * 1000000.0) AS BIGINT) AS t_micro,
+           CAST(FLOOR(((ua + ub) * (ua + ub)
+                       / (ua * ua / CAST(n - 1 AS DOUBLE)
+                          + ub * ub / CAST(n_rest - 1 AS DOUBLE)))
+                      * 1000.0) AS BIGINT) AS df_milli
+    FROM e ORDER BY source
+"""
+
+EXT_QUERIES["ext_131_autocorr"] = q_ext_131_autocorr
+EXT_ORACLES["ext_131_autocorr"] = """
+    WITH base AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             CAST(FLOOR(value * 1000.0) AS BIGINT) AS x
+      FROM events
+    ), l AS (
+      SELECT event_type, x,
+             lag(x, 1) OVER w AS x1,
+             lag(x, 7) OVER w AS x7
+      FROM base
+      WINDOW w AS (PARTITION BY event_type ORDER BY us, event_id)
+    ), u AS (
+      SELECT event_type, 1 AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(COUNT(x1) AS BIGINT) AS n_pairs,
+             CAST(SUM(x * x1) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN x1 IS NOT NULL THEN x END) AS BIGINT)
+               AS a_tail,
+             CAST(SUM(x1) AS BIGINT) AS b_head
+      FROM l GROUP BY event_type
+      UNION ALL
+      SELECT event_type, 7 AS lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s,
+             CAST(SUM(x * x) AS BIGINT) AS q,
+             CAST(COUNT(x7) AS BIGINT) AS n_pairs,
+             CAST(SUM(x * x7) AS BIGINT) AS p,
+             CAST(SUM(CASE WHEN x7 IS NOT NULL THEN x END) AS BIGINT)
+               AS a_tail,
+             CAST(SUM(x7) AS BIGINT) AS b_head
+      FROM l GROUP BY event_type
+    )
+    SELECT event_type, lag, n, n_pairs,
+           CAST(FLOOR(((CAST(p AS DOUBLE)
+                 - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(a_tail + b_head AS DOUBLE)
+                 + CAST(n_pairs AS DOUBLE)
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                   * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                / (CAST(q AS DOUBLE)
+                   - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                     / CAST(n AS DOUBLE))) * 1000000.0) AS BIGINT)
+             AS acf_micro
+    FROM u ORDER BY event_type, lag
+"""
+
+from sparketl.operators.analytics import q_ext_132_triangles  # noqa: E402
+
+EXT_QUERIES["ext_132_triangles"] = q_ext_132_triangles
+EXT_ORACLES["ext_132_triangles"] = """
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    ), edges AS (
+      SELECT a.s AS u, b.s AS v
+      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+      GROUP BY a.s, b.s
+      HAVING COUNT(*) >= 2
+    ), deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+      ) GROUP BY node
+    ), o AS (
+      SELECT CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.u ELSE e.v END
+               AS src,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN e.v ELSE e.u END
+               AS dst,
+             CASE WHEN (du.deg, e.u) < (dv.deg, e.v) THEN dv.deg
+                  ELSE du.deg END AS ddeg
+      FROM edges e
+      JOIN deg du ON du.node = e.u
+      JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM o p1
+      JOIN o p2 ON p1.src = p2.src
+               AND (p1.ddeg, p1.dst) < (p2.ddeg, p2.dst)
+      JOIN o p3 ON p3.src = p1.dst AND p3.dst = p2.dst
+    ), counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges
+    ), wedges AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+             CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           (3 * n_triangles * 1000000) // n_wedges AS clustering_micro
+    FROM wedges CROSS JOIN counts CROSS JOIN tri
+"""
+
+from sparketl.operators.similarity import q_ext_133_kmeans  # noqa: E402
+
+EXT_QUERIES["ext_133_kmeans"] = q_ext_133_kmeans
+# The oracle unrolls the two Lloyd iterations as CTE rounds; every
+# step is exact integer arithmetic (see kmeans_fixed), so the runs
+# agree assignment-for-assignment. range(64) pins the fixture's dim.
+EXT_ORACLES["ext_133_kmeans"] = """
+    WITH cells AS (
+      SELECT vec_id, u AS d,
+             CAST(FLOOR(CAST(embedding[u + 1] AS DOUBLE) * 1000.0)
+                  AS BIGINT) AS x
+      FROM embeddings, range(64) t(u)
+    ), a0 AS (
+      SELECT vec_id, CAST(vec_id % 4 AS INT) AS c FROM embeddings
+    ), cent1 AS (
+      SELECT c, d,
+             (1000 * CAST(SUM(x) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS cq
+      FROM cells JOIN a0 USING (vec_id) GROUP BY c, d
+    ), d1 AS (
+      SELECT cells.vec_id, cent1.c,
+             CAST(SUM((x * 1000 - cq) * (x * 1000 - cq)) AS BIGINT) AS dist
+      FROM cells JOIN cent1 USING (d) GROUP BY cells.vec_id, cent1.c
+    ), a1 AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d1 JOIN (SELECT vec_id, MIN(dist) AS md FROM d1
+                    GROUP BY vec_id) m USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), cent2 AS (
+      SELECT c, d,
+             (1000 * CAST(SUM(x) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS cq
+      FROM cells JOIN a1 USING (vec_id) GROUP BY c, d
+    ), d2 AS (
+      SELECT cells.vec_id, cent2.c,
+             CAST(SUM((x * 1000 - cq) * (x * 1000 - cq)) AS BIGINT) AS dist
+      FROM cells JOIN cent2 USING (d) GROUP BY cells.vec_id, cent2.c
+    ), a2 AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d2 JOIN (SELECT vec_id, MIN(dist) AS md FROM d2
+                    GROUP BY vec_id) m USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), cent3 AS (
+      SELECT c, d,
+             (1000 * CAST(SUM(x) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+               AS cq
+      FROM cells JOIN a2 USING (vec_id) GROUP BY c, d
+    ), sizes AS (
+      SELECT c, CAST(COUNT(*) AS BIGINT) AS n_members FROM a2 GROUP BY c
+    ), fin AS (
+      SELECT c,
+             CAST(MAX(CASE WHEN d = 0 THEN cq END) AS BIGINT) AS c0,
+             CAST(MAX(CASE WHEN d = 1 THEN cq END) AS BIGINT) AS c1,
+             CAST(MAX(CASE WHEN d = 2 THEN cq END) AS BIGINT) AS c2,
+             CAST(MAX(CASE WHEN d = 3 THEN cq END) AS BIGINT) AS c3,
+             CAST(SUM(cq) AS BIGINT) AS c_sum
+      FROM cent3 GROUP BY c
+    )
+    SELECT fin.c, n_members, c0, c1, c2, c3, c_sum
+    FROM fin JOIN sizes USING (c) ORDER BY fin.c
+"""
+
+
+def q_ext_134_stream_sessions(spark, sf_dir: str):
+    """Stateful streaming sessionization with the end-of-stream flush
+    sentinel (applyInPandasWithState; see
+    streaming.stateful.run_streaming_sessionize_flush) — every session
+    closes via watermark timeout, so this STREAMING query equals the
+    batch gaps-and-islands derivation and carries a full SQL oracle
+    (the ext_101 pattern, closing EXT-06's stateful rows-only gap)."""
+    from sparketl.streaming.stateful import run_streaming_sessionize_flush
+
+    return run_streaming_sessionize_flush(spark, sf_dir)
+
+
+EXT_QUERIES["ext_134_stream_sessions"] = q_ext_134_stream_sessions
+EXT_ORACLES["ext_134_stream_sessions"] = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
+      FROM events
+    ), flag AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, us,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS sid
+      FROM flag
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+"""

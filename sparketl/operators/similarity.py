@@ -685,3 +685,89 @@ def jl_project(emb: DataFrame, out_dims: int = 16) -> DataFrame:
 
 def q_ext_108_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jl_project(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext_133: fixed-iteration k-means over the embedding table
+# ---------------------------------------------------------------------------
+
+
+def kmeans_fixed(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
+    """Lloyd's k-means with a FIXED iteration count and deterministic
+    init (cluster j starts as the mean of rows with vec_id % k == j) —
+    the embedding-space clustering pass behind corpus mixing /
+    semantic bucketing, expressed so an engine with no ML library can
+    oracle it: every step is exact integer arithmetic, so DuckDB
+    reproduces the run assignment-for-assignment via unrolled CTEs.
+
+    Exactness devices: per-dim values quantize to milli bigints (one
+    identical double multiply + floor per cell); centroids are exact
+    integer divisions cq = (1000·Σx) div n (micro units); distances
+    compare Σ(1000·x − cq)² in exact bigints (≈10^13 max — headroom
+    documented); argmin ties break to the lowest cluster id via a
+    struct-min. NO floats flow between iterations, so there is no
+    divergence to accumulate.
+
+    Scale: the cell frame is |rows|×dim; each iteration is one
+    cell-level join against a BROADCAST k×dim centroid table, one
+    (vec, cluster) aggregate, and one vec-level argmin — all
+    map-combinable shuffles keyed on vec_id. The iteration count is a
+    declarative unrolled DAG (no driver collect at all); real
+    convergence loops would checkpoint the assignment between rounds
+    exactly as ext_41's pagerank does.
+    """
+    cells = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "xf"),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr("CAST(FLOOR(CAST(xf AS DOUBLE) * 1000.0) AS BIGINT)").alias(
+            "x"
+        ),
+    )
+    assign = emb.select(
+        "vec_id", (F.col("vec_id") % F.lit(k)).cast("int").alias("c")
+    )
+
+    def centroids(a: DataFrame) -> DataFrame:
+        return (
+            cells.join(a, "vec_id")
+            .groupBy("c", "d")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("c", "d", F.expr("(1000 * s) div n").alias("cq"))
+        )
+
+    for _ in range(iters):
+        cents = centroids(assign)
+        dists = (
+            cells.join(F.broadcast(cents), "d")
+            .withColumn("dx", F.col("x") * F.lit(1000) - F.col("cq"))
+            .groupBy("vec_id", "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+        assign = (
+            dists.groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "c")).alias("m"))
+            .select("vec_id", F.col("m.c").alias("c"))
+        )
+
+    final = centroids(assign)
+    sizes = assign.groupBy("c").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        final.groupBy("c")
+        .agg(
+            *[
+                F.max(F.when(F.col("d") == j, F.col("cq"))).alias(f"c{j}")
+                for j in range(4)
+            ],
+            F.sum("cq").alias("c_sum"),
+        )
+        .join(sizes, "c")
+        .select("c", "n_members", "c0", "c1", "c2", "c3", "c_sum")
+        .orderBy("c")
+    )
+
+
+def q_ext_133_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_fixed(load_table(spark, sf_dir, "embeddings"))

@@ -686,3 +686,74 @@ def run_streaming_attribution(
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def run_streaming_sessionize_flush(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, n_chunks: int = 4
+) -> DataFrame:
+    """Stateful streaming sessionization with an END-OF-STREAM FLUSH —
+    the finite-backfill pattern: after the staged chunks, one sentinel
+    event (user_id = −1) far in the future pushes the watermark past
+    every open session's ``last_ts + gap``, so the event-time timeouts
+    fire and EVERY session closes. The emitted set then equals the
+    batch gaps-and-islands sessionization exactly — chunking-
+    independent by construction — which upgrades the stateful
+    sessionizer (EXT-06) from a rows-only check to a FULL SQL oracle,
+    the ext_101 pattern.
+
+    The sentinel's own state is filtered out (user_id < 0); output
+    drops the value column — session identity is (user, start, end,
+    n) and the cents totals stay covered by the stream≡batch pytest
+    on the rows-only variant."""
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        schema = spark.read.parquet(
+            os.path.join(stage, sorted(os.listdir(stage))[0])
+        ).schema
+        hi = load_table(spark, sf_dir, "events").agg(F.max("ts")).first()[0]
+        far = hi + datetime.timedelta(days=3650)
+        sentinel = spark.range(1).select(
+            *[
+                F.lit(-1).cast("long").alias(f.name)
+                if f.name in ("event_id", "user_id")
+                else F.lit(far).cast("timestamp").alias(f.name)
+                if f.name == "ts"
+                else F.lit("flush").cast(f.dataType).alias(f.name)
+                if f.name == "event_type"
+                else F.lit(0.0).alias(f.name)
+                if f.name == "value"
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+        raw = stage + "-sentinel"
+        sentinel.coalesce(1).write.mode("overwrite").parquet(raw)
+        part = next(f for f in sorted(os.listdir(raw)) if f.endswith(".parquet"))
+        dst = os.path.join(stage, "part-9999.parquet")
+        shutil.move(os.path.join(raw, part), dst)
+        os.utime(dst, (1_700_000_000 + 9999, 1_700_000_000 + 9999))
+        shutil.rmtree(raw, ignore_errors=True)
+
+        stream = read_staged_stream(spark, stage)
+        sessions = streaming_sessionize(stream, gap_minutes=gap_minutes)
+        name = f"sessions_flush_{uuid.uuid4().hex[:8]}"
+        q = (
+            sessions.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .filter(F.col("user_id") >= 0)
+            .select(
+                "user_id", "session_start_us", "session_end_us", "n_events"
+            )
+            .orderBy("user_id", "session_start_us")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

@@ -250,3 +250,106 @@ def test_concentration_gini_matches_recompute(spark):
     assert r["total_tokens"] == total
     assert r["hhi_ppm"] == (1_000_000 * sum(t * t for t in toks.values())) // (total * total)
     assert r["gini_milli"] == (1000 * (2 * iws - (n + 1) * total)) // (n * total)
+
+
+# -- round 8: Welch t-test, autocorrelation, triangles, k-means --------------
+
+
+def test_welch_ttest_matches_python_recompute(spark):
+    """One source shifted far above the rest: its one-vs-rest t must
+    be large-positive and match a pure-Python Welch recompute through
+    the same quantization."""
+    rows = []
+    did = 0
+    for src, base in (("a", 100), ("b", 100), ("c", 500)):
+        for i in range(8):
+            rows.append((did, "en", src, base + i, "t"))
+            did += 1
+    df = _docs(spark, rows)
+    from sparketl.operators.analytics import welch_ttest_one_vs_rest
+
+    got = {r["source"]: r for r in welch_ttest_one_vs_rest(df).collect()}
+
+    vals = {s: [base + i for i in range(8)] for s, base in
+            (("a", 100), ("b", 100), ("c", 500))}
+    for src in vals:
+        xs = vals[src]
+        rest = [v for s in vals if s != src for v in vals[s]]
+        n, m = len(xs), sum(xs) / len(xs)
+        nr, mr = len(rest), sum(rest) / len(rest)
+        va = sum((v - m) ** 2 for v in xs) / (n - 1)
+        vr = sum((v - mr) ** 2 for v in rest) / (nr - 1)
+        ua, ub = va / n, vr / nr
+        t = (m - mr) / math.sqrt(ua + ub)
+        r = got[src]
+        assert abs(r["t_micro"] / 1e6 - t) < 1e-4, (src, r["t_micro"], t)
+    assert got["c"]["t_micro"] > 0 and got["a"]["t_micro"] < 0
+
+
+def test_autocorrelation_signs_on_known_series(spark):
+    """An alternating series has lag-1 ACF near −1; a slow ramp has
+    lag-1 ACF near +1."""
+    import datetime
+
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(40):
+        rows.append((i, t0 + datetime.timedelta(minutes=i), 1,
+                     "alt", 10.0 if i % 2 == 0 else 20.0, None))
+        rows.append((1000 + i, t0 + datetime.timedelta(minutes=i), 2,
+                     "ramp", float(i), None))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from sparketl.operators.analytics import grouped_autocorrelation
+
+    got = {(r["event_type"], r["lag"]): r["acf_micro"] / 1e6
+           for r in grouped_autocorrelation(ev, lags=(1,)).collect()}
+    assert got[("alt", 1)] < -0.9
+    assert got[("ramp", 1)] > 0.85
+
+
+def test_triangles_on_known_graph(spark):
+    """K4 built from co-supply: 4 suppliers all sharing 2 parts each
+    pairwise → 6 edges, 4 triangles, clustering 1.0."""
+    rows = []
+    # every pair of suppliers shares two dedicated parts
+    part = 0
+    for a in range(4):
+        for b in range(a + 1, 4):
+            for _ in range(2):
+                rows.append((part, a))
+                rows.append((part, b))
+                part += 1
+    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
+    from sparketl.operators.analytics import cosupply_triangles
+
+    r = cosupply_triangles(li).collect()[0]
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering_micro"] == 1_000_000
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Two well-separated planted blobs in 4-d (padded to a list col):
+    the fixed-iteration k-means with k=2 must put each blob in one
+    cluster."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(30):
+        center = [5.0, 5.0, -5.0, -5.0] if i % 2 == 0 else [-5.0, -5.0, 5.0, 5.0]
+        vec = (np.array(center) + rng.normal(0, 0.1, 4)).tolist()
+        rows.append((i, [float(v) for v in vec], i % 2))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    from sparketl.operators.similarity import kmeans_fixed
+
+    out = {r["c"]: r for r in kmeans_fixed(emb, k=2, iters=2).collect()}
+    assert sorted(r["n_members"] for r in out.values()) == [15, 15]
+    # centroid dim 0 separates the blobs: one ≈ +5000 milli, one ≈ −5000
+    c0s = sorted(r["c0"] for r in out.values())
+    assert c0s[0] < -4_000_000 // 1000 and c0s[1] > 4_000_000 // 1000

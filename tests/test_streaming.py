@@ -690,3 +690,33 @@ def test_streaming_attribution_equals_batch_window(spark):
     # the state really carries across micro-batches: some purchase has
     # a first_touch that differs from its last_touch
     assert any(ft != lt for _, ft, lt in got)
+
+
+def test_flush_sessionize_equals_batch_exactly(spark):
+    """The end-of-stream flush sentinel (ext_134) closes EVERY session:
+    the streamed set must equal batch sessionize row-for-row, with no
+    trailing open-session remainder and no sentinel leakage."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.events_ops import sessionize
+    from sparketl.streaming.stateful import run_streaming_sessionize_flush
+
+    streamed = run_streaming_sessionize_flush(
+        spark, SF_SMOKE, gap_minutes=30, n_chunks=4
+    )
+    s_rows = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events)
+        for r in streamed.collect()
+    }
+    assert all(u >= 0 for (u, *_rest) in s_rows)
+    batch = (
+        sessionize(load_table(spark, SF_SMOKE, "events"), gap_minutes=30)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("a"),
+            F.max(F.unix_micros("ts")).alias("b"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    b_rows = {(r.user_id, r.a, r.b, r.n) for r in batch.collect()}
+    assert s_rows == b_rows
