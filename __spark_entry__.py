@@ -21,78 +21,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-7 rotation (VERDICT r6 task 1): the driver checks the FIRST 50
-# entries in iteration order. Window layout: (a) the 7 round-6
-# additions that have never had a driver verdict plus the two
-# round-2-stale entries the r6 judge re-verified (ext_12/ext_21);
-# (b) the round-7 additions (Q20/Q11/expression-join tierc shapes,
-# interpolated weighted quantiles, stream-stream left-outer join,
-# T-SQL funcs4, grouped OLS, streaming sliding window);
-# (c) the 11 queries whose implementation CHANGED this round — every
-# caller of the radix quantile machinery (adaptive descent + cum0
-# checkpoint + phase fusion; ext_49's percentile()->radix swap).
-# The round-3 cohort (stalest greens left) and the round-4 cohort
-# queue for round 8.
+# Round-8 rotation: the driver checks the FIRST 50 entries in
+# iteration order. Window layout: (a) the 12 round-8 additions and
+# re-implementations, none of which has a driver verdict on the new
+# code — the portable-md5 sketch upgrades (ext_09_hll_ndv,
+# ext_55_countmin: rows-only → full oracle), the QUALIFY/APPLY
+# planner shapes, T-SQL funcs6, and the stats/graph/ML batch
+# (Welch, autocorrelation, triangles, k-means, flush-sessionize,
+# interval RANGE window); (b) the 33 stalest driver greens — the
+# full round-3 cohort plus the oldest round-4 entries, oldest first
+# (the radix-family members here were re-verified green at sf0.1 in
+# round 7 but their last DRIVER verdict predates the r7 machinery
+# change). The remaining 15 round-4 tierc entries queue for round 9.
 _FRONT = [
-    # (a) queued from round 6 — never driver-checked or round-2 stale
-    "ext_96_weighted_median",
-    "ext_97_spearman",
-    "ext_98_embedding_covariance",
-    "ext_99_pca_top_component",
-    "ext_100_ttl_dedup",
-    "ext_101_stream_ttl_dedup",
-    "tierc_tsql_funcs3",
-    "ext_12_decontaminate",
-    "ext_21_collocations",
-    # (b) new in round 7
-    "tierc_promo_qty_suppliers",
-    "tierc_value_concentration",
-    "tierc_same_year_revenue",
-    "ext_102_weighted_interp",
-    "ext_103_stream_left_join",
-    "tierc_tsql_funcs4",
-    "ext_104_grouped_ols",
-    "ext_105_stream_sliding",
-    "ext_106_dsir_selection",
-    "ext_107_ewma",
-    "ext_108_jl_projection",
-    "ext_109_zorder",
-    "ext_110_jsonl_source",
-    "ext_111_jsonl_stream",
-    "ext_112_changepoint",
-    "ext_113_weighted_sample",
-    "ext_114_sequence_packing",
-    "ext_115_source_kl",
-    "ext_116_leakage_safe_folds",
-    "tierc_sql_udf",
-    "tierc_variant_props",
-    "tierc_tsql_funcs5",
-    "tierc_recursive_spine",
-    "tierc_pivot_sql",
-    "ext_117_incremental_lsh",
-    "ext_118_grouped_anova",
-    "ext_119_chi2_independence",
-    "ext_120_temperature_mixture",
-    "ext_121_sorted_neighborhood",
-    "ext_122_benford_audit",
-    "ext_123_mannwhitney",
-    "ext_124_ks_test",
-    "ext_125_concentration",
-    "ext_126_attribution",
-    "ext_127_conversion_lag",
-    "ext_128_stream_attribution",
-    "ext_129_lexical_diversity",
-    # (c) changed in round 7 — radix quantile family (ext_09 rows-only
-    # and the r6-driver-green ext_20/44/59/60/85/95 yield their slots
-    # to the new oracle entries above; all seven stay sf0.1-verified
-    # locally, and the shared machinery change is still
-    # driver-exercised via agg_07/ext_31/49/86)
-    "agg_07_quantiles",
-    "ext_31_outliers",
-    "ext_49_rfm",
-    "ext_86_mad_outliers",
-    # ---- end of the round-7 driver window (50 entries above) ----
-    # queued for round 8: the round-3 cohort (stalest first), then round 4
+    # (a) new or re-implemented in round 8
+    "ext_09_hll_ndv",
+    "ext_55_countmin",
+    "tierc_qualify",
+    "tierc_cross_apply",
+    "tierc_outer_apply",
+    "tierc_tsql_funcs6",
+    "ext_130_welch_ttest",
+    "ext_131_autocorr",
+    "ext_132_triangles",
+    "ext_133_kmeans",
+    "ext_134_stream_sessions",
+    "ext_135_trailing_window",
+    "ext_136_image_neardup",
+    "tierc_groupby_all",
+    "tierc_unpivot_sql",
+    "ext_137_auc",
+    "ext_138_stream_enrich",
+    # (b) stalest driver verdicts, oldest first
     "ext_09_approx_quantiles",
     "ext_20_winsorize",
     "ext_44_exact_percentiles",
@@ -126,6 +86,8 @@ _FRONT = [
     "prof_01_table_profile",
     "tierc_acct_screening",
     "tierc_custdist",
+    # ---- end of the round-8 driver window (50 entries above) ----
+    # queued for round 9: the remaining round-4 cohort
     "tierc_disjunctive_revenue",
     "tierc_forecast_revenue",
     "tierc_lateral_topn",

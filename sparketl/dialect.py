@@ -84,6 +84,7 @@ _FUNC_MAP = {
     # identical argument and WITHIN GROUP syntax, name swap only
     "string_agg": "listagg",
     "unicode": "ascii",  # UNICODE(c) ≡ ascii(c) for the BMP code points
+    "atn2": "atan2",  # ATN2(y, x) ≡ atan2(y, x) — same argument order
 }
 
 _TOKEN = re.compile(
@@ -170,6 +171,8 @@ def transpile(sql: str) -> str:
                 "eomonth",
                 "quotename",
                 "patindex",
+                "parsename",
+                "isnumeric",
             ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
@@ -495,6 +498,29 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
         raise DialectError(
             f"DATENAME({part}, ...) is not supported: only month/weekday "
             "names are language-stable under the us_english default"
+        )
+    if name == "parsename":
+        # PARSENAME(s, n) — the n-th dot-separated part counting from
+        # the RIGHT (object-name splitter): element_at over split with
+        # a negative index does exactly that in Spark. T-SQL returns
+        # NULL beyond the part count and for n < 1; element_at with a
+        # guarded negative index matches (element_at(-k) = k-th from
+        # the end, NULL when out of range via try_element_at).
+        if len(args) != 2:
+            raise DialectError("PARSENAME takes (object_name, part_number)")
+        obj, n = args[0], args[1]
+        return (
+            f"try_element_at(split({obj}, '[.]'), -CAST({n} AS INT))"
+        )
+    if name == "isnumeric":
+        # ISNUMERIC(x) → 1/0 via try_cast to DOUBLE. Deliberately the
+        # sane subset: T-SQL's quirks (currency symbols, lone signs,
+        # 'e' accepted) are not reproduced — documented deviation.
+        if len(args) != 1:
+            raise DialectError("ISNUMERIC takes one argument")
+        return (
+            f"(CASE WHEN try_cast({args[0]} AS DOUBLE) IS NOT NULL "
+            "THEN 1 ELSE 0 END)"
         )
     if name == "patindex":
         # PATINDEX('%literal%', s) — the contains-pattern subset maps

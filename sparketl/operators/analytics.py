@@ -1877,17 +1877,19 @@ def q_ext_131_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# ext_132: triangle count of the supplier co-supply graph
+# ext_132: triangle count of the customer co-purchase graph
 # ---------------------------------------------------------------------------
 
 
-def cosupply_triangles(lineitem: DataFrame, min_shared_parts: int = 2) -> DataFrame:
+def copurchase_triangles(
+    lineitem: DataFrame, orders: DataFrame, min_shared_parts: int = 4
+) -> DataFrame:
     """Triangle count and global clustering coefficient of the
-    co-supply graph (suppliers are nodes; an edge joins suppliers
-    shipping ≥ ``min_shared_parts`` distinct parts in common) — the
-    graph-density audit that complements the pagerank walk (ext_41):
-    clustering says whether supply overlaps are cliquish or
-    hub-and-spoke.
+    customer co-purchase graph (customers are nodes; an edge joins
+    customers who bought ≥ ``min_shared_parts`` distinct parts in
+    common) — the graph-density audit that complements the pagerank
+    walk (ext_41): clustering says whether purchase overlaps are
+    cliquish or hub-and-spoke.
 
     Algorithm (the standard distributed triangle count): orient every
     edge from the lower to the higher endpoint under the total order
@@ -1896,29 +1898,44 @@ def cosupply_triangles(lineitem: DataFrame, min_shared_parts: int = 2) -> DataFr
     out-degree by O(√|E|) even on hub-heavy graphs, so the wedge join
     never explodes — counting on the raw undirected edges would
     square the hub degree. Edge generation is bounded per part by
-    that part's supplier count (tens), never corpus-sized; all counts
-    are exact bigints and the clustering coefficient is an integer
-    division (3·T·10⁶ div wedges).
+    that part's buyer count, never corpus-sized. The ≥ 4 bar is what
+    keeps the graph SPARSE: the round-8 supplier version with bar 2
+    produced a near-complete graph on the small supplier dimension
+    (Θ(V³) triangles, 23 s at sf0.1); customers × threshold-4 stays
+    sparse at every fixture scale (17k edges at sf0.01, 439 at
+    sf0.1). Edges and degrees are localCheckpoint-pinned — three
+    downstream consumers (orientation, degree census, wedge count)
+    must not each re-run the pair-generation shuffle. All counts are
+    exact bigints; the clustering coefficient is an integer division
+    guarded for the wedge-free case.
     """
-    ps = lineitem.select(
-        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
-    ).distinct()
+    cp = (
+        lineitem.select("l_orderkey", F.col("l_partkey").alias("p"))
+        .join(
+            orders.select("o_orderkey", F.col("o_custkey").alias("c")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("c", "p")
+        .distinct()
+    )
     pairs = (
-        ps.alias("a")
-        .join(ps.alias("b"), F.expr("a.p = b.p AND a.s < b.s"))
-        .select(F.expr("a.s").alias("u"), F.expr("b.s").alias("v"))
+        cp.alias("a")
+        .join(cp.alias("b"), F.expr("a.p = b.p AND a.c < b.c"))
+        .select(F.expr("a.c").alias("u"), F.expr("b.c").alias("v"))
     )
     edges = (
         pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= min_shared_parts)
         .select("u", "v")
+        .localCheckpoint(eager=True)
     )
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     o = (
         edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
@@ -1962,12 +1979,52 @@ def cosupply_triangles(lineitem: DataFrame, min_shared_parts: int = 2) -> DataFr
             "n_edges",
             "n_wedges",
             "n_triangles",
-            F.expr("(3 * n_triangles * 1000000) div n_wedges").alias(
-                "clustering_micro"
-            ),
+            F.expr(
+                "CASE WHEN n_wedges > 0 THEN "
+                "(3 * n_triangles * 1000000) div n_wedges ELSE 0 END"
+            ).alias("clustering_micro"),
         )
     )
 
 
 def q_ext_132_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosupply_triangles(load_table(spark, sf_dir, "lineitem"))
+    return copurchase_triangles(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ext_135: time-based RANGE window frame (trailing 90-day totals)
+# ---------------------------------------------------------------------------
+
+
+def trailing_interval_window(orders: DataFrame, days: int = 90) -> DataFrame:
+    """Trailing ``days``-day order count and revenue per customer AT
+    EACH ORDER — the time-based ``RANGE BETWEEN INTERVAL`` frame, the
+    planner shape behind "sliding window by TIME, not row count".
+    ROWS frames are wrong under irregular order spacing, and RANGE
+    peers (same-date orders share one frame) make the result
+    independent of tie order — which is also what makes it exactly
+    oracle-checkable. Revenue is the exact DECIMAL sum cast once.
+
+    Scale: partitioned by customer — per-partition frames, no global
+    window; one shuffle on the partition key."""
+    w = (
+        "PARTITION BY o_custkey ORDER BY o_orderdate "
+        f"RANGE BETWEEN INTERVAL {days} DAYS PRECEDING AND CURRENT ROW"
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.expr("CAST(o_orderdate AS STRING)").alias("order_date"),
+        F.expr(f"COUNT(*) OVER ({w})").alias("trailing_n"),
+        F.expr(
+            f"CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER ({w}) "
+            "AS DOUBLE)"
+        ).alias("trailing_revenue"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def q_ext_135_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trailing_interval_window(load_table(spark, sf_dir, "orders"))

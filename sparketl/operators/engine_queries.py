@@ -1675,3 +1675,128 @@ ENGINE_ORACLES["tierc_outer_apply"] = """
     WHERE c.c_custkey <= 300
     ORDER BY c.c_custkey
 """
+
+
+def q_tierc_tsql_funcs6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL scalar-function batch 6 through the shim: PARSENAME
+    (dot-path part from the right), ISNUMERIC (sane try_cast subset —
+    the currency-symbol quirks are documented deviations), ATN2
+    (argument-order-identical atan2, floored to micro after one
+    identical double call), SIGN cast to INT (Spark returns DOUBLE,
+    DuckDB INTEGER — the cast pins the contract), and T-SQL string
+    concatenation via +."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT TOP 100
+          o_orderkey,
+          PARSENAME(o_orderpriority + '.' + o_orderstatus + '.'
+                    + CONVERT(VARCHAR, o_orderkey), 1) AS part1,
+          PARSENAME(o_orderpriority + '.' + o_orderstatus, 2) AS part2,
+          PARSENAME(o_orderstatus, 5) AS part_missing,
+          ISNUMERIC(o_orderstatus) AS isnum_status,
+          ISNUMERIC(CONVERT(VARCHAR, o_orderkey)) AS isnum_key,
+          CAST(SIGN(o_totalprice - 100000.0) AS INT) AS price_sign,
+          CAST(FLOOR(ATN2(o_totalprice, 100000.0) * 1000000.0) AS BIGINT)
+            AS angle_micro
+        FROM orders
+        ORDER BY o_orderkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_funcs6"] = q_tierc_tsql_funcs6
+ENGINE_ORACLES["tierc_tsql_funcs6"] = """
+    SELECT o_orderkey,
+           string_split(o_orderpriority || '.' || o_orderstatus || '.'
+                        || CAST(o_orderkey AS VARCHAR), '.')[-1] AS part1,
+           string_split(o_orderpriority || '.' || o_orderstatus, '.')[-2]
+             AS part2,
+           string_split(o_orderstatus, '.')[-5] AS part_missing,
+           CASE WHEN TRY_CAST(o_orderstatus AS DOUBLE) IS NOT NULL
+                THEN 1 ELSE 0 END AS isnum_status,
+           CASE WHEN TRY_CAST(CAST(o_orderkey AS VARCHAR) AS DOUBLE)
+                     IS NOT NULL THEN 1 ELSE 0 END AS isnum_key,
+           CAST(SIGN(o_totalprice - 100000.0) AS INT) AS price_sign,
+           CAST(FLOOR(ATAN2(o_totalprice, 100000.0) * 1000000.0) AS BIGINT)
+             AS angle_micro
+    FROM orders
+    ORDER BY o_orderkey
+    LIMIT 100
+"""
+
+
+def q_tierc_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL through the engine — the analyst shorthand (group
+    on every non-aggregate select item) both Spark ≥3.4 and DuckDB
+    resolve natively; the entry pins that the resolution matches."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT l_returnflag, l_linestatus, YEAR(l_shipdate) AS ship_year,
+               COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                 AS sum_qty
+        FROM lineitem
+        GROUP BY ALL
+        ORDER BY l_returnflag, l_linestatus, ship_year
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_groupby_all"] = q_tierc_groupby_all
+ENGINE_ORACLES["tierc_groupby_all"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(YEAR(l_shipdate) AS INT) AS ship_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY l_returnflag, l_linestatus, ship_year
+"""
+
+
+def q_tierc_unpivot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL UNPIVOT clause through the engine (ext_32 exercises the
+    DataFrame melt; this is the pass-through planner shape): wide
+    per-status revenue columns back to (metric, value) rows."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT o_orderpriority, metric, val FROM (
+          SELECT o_orderpriority,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                      AS DOUBLE) AS total_f,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                      AS DOUBLE) AS total_o,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                      THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                      AS DOUBLE) AS total_p
+          FROM orders GROUP BY o_orderpriority
+        )
+        UNPIVOT (val FOR metric IN (total_f, total_o, total_p))
+        ORDER BY o_orderpriority, metric
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_unpivot_sql"] = q_tierc_unpivot_sql
+ENGINE_ORACLES["tierc_unpivot_sql"] = """
+    SELECT o_orderpriority, metric, val FROM (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                  AS DOUBLE) AS total_f,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                  AS DOUBLE) AS total_o,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) END)
+                  AS DOUBLE) AS total_p
+      FROM orders GROUP BY o_orderpriority
+    )
+    UNPIVOT (val FOR metric IN (total_f, total_o, total_p))
+    ORDER BY o_orderpriority, metric
+"""

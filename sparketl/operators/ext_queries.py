@@ -3572,13 +3572,14 @@ from sparketl.operators.analytics import q_ext_132_triangles  # noqa: E402
 
 EXT_QUERIES["ext_132_triangles"] = q_ext_132_triangles
 EXT_ORACLES["ext_132_triangles"] = """
-    WITH ps AS (
-      SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+    WITH cp AS (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ), edges AS (
-      SELECT a.s AS u, b.s AS v
-      FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
-      GROUP BY a.s, b.s
-      HAVING COUNT(*) >= 2
+      SELECT a.c AS u, b.c AS v
+      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+      GROUP BY a.c, b.c
+      HAVING COUNT(*) >= 4
     ), deg AS (
       SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
         SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
@@ -3607,7 +3608,9 @@ EXT_ORACLES["ext_132_triangles"] = """
       FROM deg
     )
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
-           (3 * n_triangles * 1000000) // n_wedges AS clustering_micro
+           CASE WHEN n_wedges > 0
+                THEN (3 * n_triangles * 1000000) // n_wedges
+                ELSE 0 END AS clustering_micro
     FROM wedges CROSS JOIN counts CROSS JOIN tri
 """
 
@@ -3710,4 +3713,81 @@ EXT_ORACLES["ext_134_stream_sessions"] = """
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, session_start_us
+"""
+
+from sparketl.operators.analytics import q_ext_135_trailing_window  # noqa: E402
+
+EXT_QUERIES["ext_135_trailing_window"] = q_ext_135_trailing_window
+EXT_ORACLES["ext_135_trailing_window"] = """
+    SELECT o_custkey, o_orderkey,
+           CAST(o_orderdate AS VARCHAR) AS order_date,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER w AS DOUBLE)
+             AS trailing_revenue
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, o_orderkey
+"""
+
+from sparketl.operators.multimodal import q_ext_136_image_neardup  # noqa: E402
+
+EXT_QUERIES["ext_136_image_neardup"] = q_ext_136_image_neardup
+
+from sparketl.operators.ranking import q_ext_137_auc  # noqa: E402
+
+EXT_QUERIES["ext_137_auc"] = q_ext_137_auc
+EXT_ORACLES["ext_137_auc"] = """
+    WITH scores AS (
+      SELECT vec_id, label,
+             CAST(SUM((CASE WHEN u % 2 = 0 THEN 1 ELSE -1 END)
+                  * CAST(FLOOR(CAST(embedding[u + 1] AS DOUBLE) * 1000.0)
+                         AS BIGINT)) AS BIGINT) AS s
+      FROM embeddings, range(64) t(u)
+      GROUP BY vec_id, label
+    ), vc AS (
+      SELECT s, CAST(COUNT(*) AS BIGINT) AS t FROM scores GROUP BY s
+    ), rank2 AS (
+      SELECT s,
+             CAST(2 * COALESCE(SUM(t) OVER (ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + t + 1 AS BIGINT) AS rank2
+      FROM vc
+    ), plv AS (
+      SELECT label, s, CAST(COUNT(*) AS BIGINT) AS n_at
+      FROM scores GROUP BY label, s
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM scores
+    ), agg AS (
+      SELECT label, CAST(SUM(n_at * rank2) AS BIGINT) AS s2,
+             CAST(SUM(n_at) AS BIGINT) AS n_pos
+      FROM plv JOIN rank2 USING (s) GROUP BY label
+    )
+    SELECT label, n_pos, n_all - n_pos AS n_neg,
+           (1000000 * (s2 - n_pos * (n_pos + 1)))
+             // (2 * n_pos * (n_all - n_pos)) AS auc_micro
+    FROM agg CROSS JOIN tot
+    ORDER BY label
+"""
+
+
+def q_ext_138_stream_enrich(spark, sf_dir: str):
+    """Stream-static broadcast enrichment driven over the staged
+    chunks (see streaming.windows.run_stream_static_enrich) — the
+    stateless dim-attach ingest step; kept set ≡ the batch join, so
+    the streaming query has a full SQL oracle."""
+    from sparketl.streaming.windows import run_stream_static_enrich
+
+    return run_stream_static_enrich(spark, sf_dir)
+
+
+EXT_QUERIES["ext_138_stream_enrich"] = q_ext_138_stream_enrich
+EXT_ORACLES["ext_138_stream_enrich"] = """
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+                AS BIGINT) AS total_cents
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
 """

@@ -331,3 +331,170 @@ def q_ext_mm_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_bytes", "n_channels", "sample_rate", "n_frames")
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_136: perceptual average-hash + near-duplicate image detection
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "doc_id long, ahash long, n_bytes int"
+
+
+def _ahash_bits(cells: list[int]) -> int:
+    """Bits of the average hash: cell > integer mean of all cells.
+    Pure integer arithmetic — deterministic across platforms."""
+    mean = sum(cells) // len(cells)
+    h = 0
+    for j, c in enumerate(cells):
+        if c > mean:
+            h |= 1 << j
+    return h - (1 << 64) if h >= (1 << 63) else h  # fold to signed i64
+
+
+def image_ahash(binary_df: DataFrame, fake: bool = True) -> DataFrame:
+    """Perceptual average-hash per binary payload — the multimodal
+    dedup key (near-identical images agree on almost every bit, so
+    Hamming distance ranks near-duplicates the way MinHash ranks
+    near-duplicate text).
+
+    fake=True hashes the raw BYTES on an 8×8 stride grid (cell j =
+    integer mean of bytes[j::64]) — identical mapInPandas/Arrow
+    plumbing, content-sensitive, and deterministic. fake=False decodes
+    real PNG/BMP/GIF pixels via the pure-stdlib codecs, converts to
+    integer grayscale ((299r+587g+114b)//1000), box-averages into an
+    8×8 grid with integer-division block bounds, then thresholds at
+    the integer mean. Undecodable or sub-8×8 payloads quarantine as
+    NULL hash (the corrupt-file contract of decode_images).
+
+    Only 64 bits per image ever leave the scan — the hash is the
+    shuffle payload, never pixels.
+    """
+    if fake:
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    bb = bytes(b)
+                    cells = [
+                        (sum(bb[j::64]) // max(1, len(bb[j::64])))
+                        if len(bb) > j
+                        else 0
+                        for j in range(64)
+                    ]
+                    out.append(_ahash_bits(cells))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "ahash": pd.array(out, dtype="int64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    }
+                )
+
+    else:
+        from sparketl.codecs import CodecError, image_pixels
+
+        def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for b in pdf["payload"]:
+                    try:
+                        w, h, ch, raw = image_pixels(bytes(b))
+                    except CodecError:
+                        out.append(None)
+                        continue
+                    if w < 8 or h < 8:
+                        out.append(None)
+                        continue
+                    gray = [
+                        (
+                            299 * raw[i * ch]
+                            + 587 * raw[i * ch + 1]
+                            + 114 * raw[i * ch + 2]
+                        )
+                        // 1000
+                        if ch >= 3
+                        else raw[i * ch]
+                        for i in range(w * h)
+                    ]
+                    cells = []
+                    for gy in range(8):
+                        y0, y1 = gy * h // 8, (gy + 1) * h // 8
+                        for gx in range(8):
+                            x0, x1 = gx * w // 8, (gx + 1) * w // 8
+                            tot = n = 0
+                            for y in range(y0, y1):
+                                row = y * w
+                                for x in range(x0, x1):
+                                    tot += gray[row + x]
+                                    n += 1
+                            cells.append(tot // n)
+                    out.append(_ahash_bits(cells))
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "ahash": pd.array(out, dtype="Int64"),
+                        "n_bytes": pdf["payload"].map(len).astype("int32"),
+                    }
+                )
+
+    return binary_df.mapInPandas(hash_batches, schema=AHASH_SCHEMA)
+
+
+def ahash_near_dups(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-duplicate pairs by banded Hamming join: the 64-bit hash
+    splits into four 16-bit bands; any pair within Hamming ≤ 16·3/4
+    of each other MUST agree exactly on at least one band when the
+    differing bits concentrate — in practice a pair within
+    ``max_hamming`` ≤ 6 collides on ≥ 1 band unless its flips spread
+    across all four (pigeonhole guarantees a clean band whenever
+    flips < 4). Candidates = band-equality equi-join (bucketed, never
+    all-pairs); verification = one bit_count(xor) per candidate.
+    """
+    bands = hashes.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"shiftrightunsigned(ahash, {16 * b}) & 65535"
+                        ).alias("val"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "ahash", "bv.band", "bv.val")
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            F.expr("a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id"),
+        )
+        .select(
+            F.expr("a.doc_id").alias("id_a"),
+            F.expr("b.doc_id").alias("id_b"),
+            F.expr("a.ahash").alias("h_a"),
+            F.expr("b.ahash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(h_a ^ h_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ext_136_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-dup detection over documents-as-payloads
+    (fake byte-grid hash — deterministic; the real pixel path is
+    pytest-verified on hand-built BMPs with planted near-duplicates).
+    Python-side hashing → rows-only driver check; the banding ≡
+    brute-force equivalence is pytest-proven."""
+    d = load_table(spark, sf_dir, "documents")
+    return ahash_near_dups(image_ahash(to_binary_column(d)))

@@ -120,3 +120,78 @@ def with_global_prefix_sum(
         )
         .drop("_pid")
     )
+
+
+# ---------------------------------------------------------------------------
+# ext_137: exact one-vs-rest AUC over the embedding table
+# ---------------------------------------------------------------------------
+
+
+def one_vs_rest_auc(emb: DataFrame) -> DataFrame:
+    """Exact ROC-AUC of a deterministic linear score for each label
+    (one-vs-rest) — the model-eval primitive (AUC = the Mann-Whitney
+    U statistic normalized, so ext_123's 2x-scaled tie-rank device
+    makes it EXACT): auc = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)
+    with tie-averaged ranks carried as the exact integer
+    rank2 = 2·c_less + t + 1 per distinct score.
+
+    The score is the milli-quantized alternating-sign dimension sum
+    (exact bigint — a stand-in for any model margin). The cumulative
+    rank pass runs over the DISTINCT-score frame (CDF shape, ext_123's
+    pattern): compressed to at most |distinct scores| rows, which is
+    why the single-partition window is acceptable — at 100 TB the
+    distinct margin values after milli quantization stay bounded while
+    the raw table does not; all heavy aggregation is map-combinable.
+    """
+    # alternating-sign milli dot product over the exploded cells —
+    # exact bigint terms, map-combinable per-vector sum
+    scores = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "xf"),
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CASE WHEN d % 2 = 0 THEN 1 ELSE -1 END"
+            " * CAST(FLOOR(CAST(xf AS DOUBLE) * 1000.0) AS BIGINT)"
+        ).alias("term"),
+    ).groupBy("vec_id", "label").agg(F.sum("term").alias("s"))
+
+    vc = scores.groupBy("s").agg(F.count(F.lit(1)).alias("t"))
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    rank2 = vc.select(
+        "s",
+        (2 * F.coalesce(F.sum("t").over(w), F.lit(0)) + F.col("t") + 1).alias(
+            "rank2"
+        ),
+    )
+    per_label_val = scores.groupBy("label", "s").agg(
+        F.count(F.lit(1)).alias("n_at")
+    )
+    totals = scores.agg(F.count(F.lit(1)).alias("n_all"))
+    return (
+        per_label_val.join(F.broadcast(rank2), "s")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("n_at") * F.col("rank2")).alias("s2"),
+            F.sum("n_at").alias("n_pos"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "label",
+            "n_pos",
+            (F.col("n_all") - F.col("n_pos")).alias("n_neg"),
+            F.expr(
+                "(1000000 * (s2 - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * (n_all - n_pos))"
+            ).alias("auc_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_ext_137_auc(spark, sf_dir: str) -> DataFrame:
+    from sparketl.io import load_table
+
+    return one_vs_rest_auc(load_table(spark, sf_dir, "embeddings"))

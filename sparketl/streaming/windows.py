@@ -274,3 +274,58 @@ def streaming_view_purchase_left_join(
         F.unix_micros("p_ts").alias("purchase_ts_us"),
         "amount",
     )
+
+
+def run_stream_static_enrich(
+    spark: SparkSession, sf_dir: str, n_chunks: int = 4
+) -> DataFrame:
+    """Drive the stream-static enrichment end-to-end over the staged
+    multi-batch fixture: the event stream inner-joins the STATIC
+    customer dimension (broadcast per micro-batch, zero streaming
+    state), and the materialized rows aggregate into per-nation event
+    counts + exact cents. Stateless join ⇒ the kept set is chunking-
+    independent and equals the batch join — full SQL oracle, no flush
+    tricks needed (contrast ext_134's stateful sessionizer)."""
+    from sparketl.io import load_table
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+    )
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks)
+    try:
+        stream = read_staged_stream(spark, stage)
+        cust = load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey"), F.col("c_nationkey")
+        )
+        joined = stream.join(
+            F.broadcast(cust), stream["user_id"] == cust["c_custkey"]
+        ).select(
+            "event_id",
+            "c_nationkey",
+            F.expr("CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)").alias(
+                "cents"
+            ),
+        )
+        name = f"enrich_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("total_cents"),
+            )
+            .orderBy("c_nationkey")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

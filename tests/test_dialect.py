@@ -372,3 +372,20 @@ def test_apply_rewrites_and_refusal():
     assert "FULL OUTER JOIN" in transpile(
         "SELECT * FROM a FULL OUTER JOIN b ON a.k = b.k"
     )
+
+
+def test_tsql_funcs6_rewrites():
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    out = transpile("SELECT PARSENAME('a.b.c', 1) AS x")
+    assert "try_element_at" in out and "-CAST(1 AS INT)" in out
+    out = transpile("SELECT ISNUMERIC(col) FROM t")
+    assert "try_cast" in out.lower() and "THEN 1 ELSE 0" in out
+    out = transpile("SELECT ATN2(y, x) FROM t")
+    assert "atan2" in out
+    with pytest.raises(DialectError, match="PARSENAME"):
+        transpile("SELECT PARSENAME('a.b')")
+    with pytest.raises(DialectError, match="ISNUMERIC"):
+        transpile("SELECT ISNUMERIC(a, b)")

@@ -30,6 +30,9 @@ ROWS_ONLY_ALLOWED = {
     # engine-specific; pytest proves equality with exact ext_70
     "ext_99_pca_top_component",  # driver power iteration on the
     # dim×dim covariance — no SQL eigen twin; pytest vs numpy eigh
+    "ext_136_image_neardup",  # Python-side perceptual hash (mapInPandas
+    # over binary payloads) — no SQL twin; pytest proves banding ≡
+    # brute-force and planted-near-dup recovery on real BMPs
     "ext_117_incremental_lsh",  # xxhash64 banding (ext_82's family);
     # pytest recomputes the kept set from the verified pairs in Python
 }

@@ -205,3 +205,65 @@ def test_headless_pie_rejects_nonpositive_total():
     pdf = pd.DataFrame({"cat": ["a"], "val": [0.0]})
     with _pytest.raises(ReportError):
         _render_chart_rgb(pdf, "Pie Chart", "cat", "val")
+
+
+def test_ahash_real_pixels_planted_neardup(spark):
+    """Real BMP pixel path: identical images hash equal, a lightly
+    retouched copy lands within Hamming 6, a different image far; the
+    banded join finds exactly the brute-force pairs."""
+    import itertools
+
+    from sparketl.codecs import encode_bmp
+    from sparketl.operators.multimodal import ahash_near_dups, image_ahash
+
+    w = h = 32
+
+    def gradient(shift=0, poke=()):
+        raw = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * 8 + y * 4 + shift) % 256
+                raw += bytes((v, v, v))
+        for (px, py, dv) in poke:
+            i = (py * w + px) * 3
+            raw[i : i + 3] = bytes((dv, dv, dv))
+        return encode_bmp(w, h, bytes(raw))
+
+    imgs = [
+        (0, gradient()),                       # original
+        (1, gradient()),                       # identical copy
+        (2, gradient(poke=[(5, 5, 255), (20, 11, 0)])),  # retouched
+        (3, gradient(shift=97)),               # different content
+        (4, b"not an image"),                  # quarantined
+    ]
+    df = spark.createDataFrame(imgs, "doc_id long, payload binary")
+    hashes = image_ahash(df, fake=False)
+    got = {r["doc_id"]: r["ahash"] for r in hashes.collect()}
+    assert got[4] is None
+    assert got[0] == got[1]
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")  # noqa: E731
+    assert ham(got[0], got[2]) <= 6
+    assert ham(got[0], got[3]) > 6
+
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in ahash_near_dups(hashes.filter("ahash IS NOT NULL")).collect()
+    }
+    brute = {
+        (a, b): ham(got[a], got[b])
+        for a, b in itertools.combinations(sorted(k for k in got if got[k] is not None), 2)
+        if ham(got[a], got[b]) <= 6
+    }
+    assert pairs == brute and (0, 1) in pairs and (0, 2) in pairs
+
+
+def test_ahash_fake_path_deterministic(spark):
+    from sparketl.operators.multimodal import image_ahash, to_binary_column
+    from tests.conftest import SF_SMOKE
+
+    from sparketl.io import load_table
+
+    d = to_binary_column(load_table(spark, SF_SMOKE, "documents"))
+    a = {r["doc_id"]: r["ahash"] for r in image_ahash(d).collect()}
+    b = {r["doc_id"]: r["ahash"] for r in image_ahash(d).collect()}
+    assert a == b and len(a) > 0

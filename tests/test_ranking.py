@@ -42,3 +42,25 @@ def test_global_rank_requires_order_cols(spark):
 
     with pytest.raises(ValueError):
         with_global_rank(spark.range(3), [])
+
+
+def test_auc_extremes_and_ties(spark):
+    """AUC machinery on planted data: a perfectly separating margin
+    gives 1.0, its negation 0.0, and all-tied scores give exactly 0.5
+    (the tie-rank device's calibration point)."""
+    from sparketl.operators.ranking import one_vs_rest_auc
+
+    def emb(vals):
+        # one dim carries the signal (d=0 has sign +1 in the margin)
+        return spark.createDataFrame(
+            [(i, [float(v)] + [0.0] * 63, lab) for i, (v, lab) in enumerate(vals)],
+            "vec_id long, embedding array<float>, label int",
+        )
+
+    sep = emb([(1.0, 1)] * 5 + [(-1.0, 0)] * 5)
+    got = {r["label"]: r["auc_micro"] for r in one_vs_rest_auc(sep).collect()}
+    assert got[1] == 1_000_000 and got[0] == 0
+
+    tied = emb([(0.5, 1)] * 4 + [(0.5, 0)] * 6)
+    got = {r["label"]: r["auc_micro"] for r in one_vs_rest_auc(tied).collect()}
+    assert got[1] == 500_000 and got[0] == 500_000

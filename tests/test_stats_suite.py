@@ -312,21 +312,29 @@ def test_autocorrelation_signs_on_known_series(spark):
 
 
 def test_triangles_on_known_graph(spark):
-    """K4 built from co-supply: 4 suppliers all sharing 2 parts each
-    pairwise → 6 edges, 4 triangles, clustering 1.0."""
-    rows = []
-    # every pair of suppliers shares two dedicated parts
-    part = 0
+    """K4 built from co-purchase: 4 customers, each pair sharing 4
+    dedicated parts → 6 edges, 4 triangles, clustering 1.0; a 5th
+    customer sharing only 3 parts with customer 0 stays below the
+    edge bar."""
+    li_rows, part = [], 0
     for a in range(4):
         for b in range(a + 1, 4):
-            for _ in range(2):
-                rows.append((part, a))
-                rows.append((part, b))
+            for _ in range(4):
+                li_rows.append((a, part))
+                li_rows.append((b, part))
                 part += 1
-    li = spark.createDataFrame(rows, "l_partkey long, l_suppkey long")
-    from sparketl.operators.analytics import cosupply_triangles
+    for _ in range(3):  # sub-threshold pair (0, 4)
+        li_rows.append((0, part))
+        li_rows.append((4, part))
+        part += 1
+    # one order per customer: orderkey == custkey
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    orders = spark.createDataFrame(
+        [(c, c) for c in range(5)], "o_orderkey long, o_custkey long"
+    )
+    from sparketl.operators.analytics import copurchase_triangles
 
-    r = cosupply_triangles(li).collect()[0]
+    r = copurchase_triangles(li, orders).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
     assert r["clustering_micro"] == 1_000_000
 

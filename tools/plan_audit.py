@@ -64,6 +64,12 @@ BROADCAST_SCALAR_OK = {
     "ext_114_sequence_packing",  # with_global_prefix_sum's triangular
     # self-join of the per-partition totals frame (≤ shuffle-width
     # rows) — same bounded shape as ext_97's rank offsets
+    "ext_137_auc",  # one-row n_all total broadcast onto the 10-row
+    # per-label aggregate for n_neg and the AUC denominator
+    "ext_130_welch_ttest",  # one-row (nt, st, qt) corpus-total
+    # broadcast — rest-of-corpus stats by exact subtraction
+    "ext_132_triangles",  # two one-row attaches (edge count, triangle
+    # count) onto the one-row wedge aggregate for the final report row
     "ext_115_source_kl",  # one-row corpus-total broadcast into the
     # (sources × 128)-cell log-ratio frame
     "ext_119_chi2_independence",  # one-row (N, n_buckets) total
@@ -210,6 +216,18 @@ AUDITED = [
     "ext_126_attribution",
     "ext_127_conversion_lag",
     "ext_129_lexical_diversity",
+    "ext_130_welch_ttest",
+    "ext_131_autocorr",
+    "ext_132_triangles",
+    "ext_133_kmeans",
+    "ext_135_trailing_window",
+    "tierc_qualify",
+    "tierc_cross_apply",
+    "tierc_outer_apply",
+    "tierc_tsql_funcs6",
+    "tierc_groupby_all",
+    "tierc_unpivot_sql",
+    "ext_137_auc",
 ]
 
 
