@@ -136,6 +136,7 @@ HEADLINE = [
     "tierc_groupby_all",
     "tierc_unpivot_sql",
     "ext_137_auc",
+    "ext_139_resample",
 ]
 
 

@@ -2028,3 +2028,97 @@ def trailing_interval_window(orders: DataFrame, days: int = 90) -> DataFrame:
 
 def q_ext_135_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trailing_interval_window(load_table(spark, sf_dir, "orders"))
+
+
+# ---------------------------------------------------------------------------
+# ext_139: time-grid resampling with linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def resample_interpolate(events: DataFrame, step_s: int = 3600) -> DataFrame:
+    """Resample each event type's irregular ``value`` series onto a
+    regular ``step_s`` grid by linear interpolation between the
+    nearest events — the align-before-you-join step every
+    multi-series pipeline needs (you cannot window-join two series
+    sampled at different times without first putting them on one
+    clock).
+
+    Shape: the grid rows (one `sequence()` per type, calendar-bounded)
+    UNION the event rows, then ONE type-partitioned window pass each
+    way — `last(ignorenulls)` backward carries the previous event,
+    `first(ignorenulls)` forward the next — so interpolation never
+    re-scans events per grid point. Grid bounds are strictly inside
+    the series, so both neighbors always exist.
+
+    Exactness: values quantize to milli bigints per row; the
+    interpolation is one shared closed-form double tree over exact
+    (us, milli) operands, floored to micro. Events landing exactly on
+    a grid instant sort BEFORE the grid marker, so the formula
+    degenerates to the exact event value.
+    """
+    step_us = step_s * 1_000_000
+    ev = events.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lit(0).alias("is_grid"),
+        F.col("event_id").alias("tie"),
+        F.expr("CAST(FLOOR(value * 1000.0) AS BIGINT)").alias("x"),
+    )
+    grid = (
+        events.groupBy("event_type")
+        .agg(F.min(F.unix_micros("ts")).alias("lo"), F.max(F.unix_micros("ts")).alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr(
+                    f"sequence((lo div {step_us} + 1) * {step_us}, "
+                    f"(hi div {step_us}) * {step_us}, {step_us})"
+                )
+            ).alias("us"),
+            F.lit(1).alias("is_grid"),
+            F.lit(0).cast("long").alias("tie"),
+            F.lit(None).cast("long").alias("x"),
+        )
+    )
+    combined = ev.unionByName(grid)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "is_grid", "tie")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("us", "is_grid", "tie")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = combined.select(
+        "event_type",
+        "us",
+        "is_grid",
+        F.last(F.when(F.col("is_grid") == 0, F.col("us")), ignorenulls=True)
+        .over(wb)
+        .alias("pu"),
+        F.last("x", ignorenulls=True).over(wb).alias("px"),
+        F.first(F.when(F.col("is_grid") == 0, F.col("us")), ignorenulls=True)
+        .over(wf)
+        .alias("nu"),
+        F.first("x", ignorenulls=True).over(wf).alias("nx"),
+    )
+    return (
+        marked.filter(F.col("is_grid") == 1)
+        .select(
+            "event_type",
+            F.col("us").alias("grid_us"),
+            F.expr(
+                "CAST(FLOOR((CAST(px AS DOUBLE)"
+                " + (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE))"
+                "   * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))"
+                " * 1000.0) AS BIGINT)"
+            ).alias("interp_micro"),
+        )
+        .orderBy("event_type", "grid_us")
+    )
+
+
+def q_ext_139_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resample_interpolate(load_table(spark, sf_dir, "events"))

@@ -3791,3 +3791,48 @@ EXT_ORACLES["ext_138_stream_enrich"] = """
     GROUP BY c_nationkey
     ORDER BY c_nationkey
 """
+
+from sparketl.operators.analytics import q_ext_139_resample  # noqa: E402
+
+EXT_QUERIES["ext_139_resample"] = q_ext_139_resample
+EXT_ORACLES["ext_139_resample"] = """
+    WITH ev AS (
+      SELECT event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             0 AS is_grid, event_id AS tie,
+             CAST(FLOOR(value * 1000.0) AS BIGINT) AS x
+      FROM events
+    ), bounds AS (
+      SELECT event_type, MIN(us) AS lo, MAX(us) AS hi
+      FROM ev GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series((lo // 3600000000 + 1) * 3600000000,
+                                    (hi // 3600000000) * 3600000000,
+                                    3600000000)) AS us,
+             1 AS is_grid, CAST(0 AS BIGINT) AS tie,
+             CAST(NULL AS BIGINT) AS x
+      FROM bounds
+    ), combined AS (
+      SELECT * FROM ev UNION ALL SELECT * FROM grid
+    ), marked AS (
+      SELECT event_type, us, is_grid,
+             last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wb AS pu,
+             last_value(x IGNORE NULLS) OVER wb AS px,
+             first_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+               OVER wf AS nu,
+             first_value(x IGNORE NULLS) OVER wf AS nx
+      FROM combined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY us, is_grid, tie
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY us, is_grid, tie
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, us AS grid_us,
+           CAST(FLOOR((CAST(px AS DOUBLE)
+                 + (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE))
+                   * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))
+                * 1000.0) AS BIGINT) AS interp_micro
+    FROM marked WHERE is_grid = 1
+    ORDER BY event_type, grid_us
+"""

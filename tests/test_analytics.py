@@ -531,3 +531,41 @@ def test_conversion_lag_percentile_semantics(spark):
     # percentile() interpolation over [10, 20, 30]: p50=20, p90=28
     assert r["n_users"] == 3
     assert r["p50_us"] == 20.0 and r["p90_us"] == 28.0
+
+
+def test_resample_interpolate_known_midpoints(spark):
+    """Hand-computed grid: events at 00:30 (10.0) and 02:30 (30.0)
+    give 15.0 at 01:00 and 25.0 at 02:00; an event exactly ON a grid
+    instant degenerates to its own value."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    mk = lambda m: t0 + datetime.timedelta(minutes=m)  # noqa: E731
+    rows = [
+        (1, mk(30), 1, "a", 10.0, None),
+        (2, mk(150), 1, "a", 30.0, None),
+        (3, mk(0), 1, "b", 5.0, None),     # exactly on the grid... but
+        (4, mk(60), 1, "b", 7.0, None),    # grid starts AFTER lo -> 01:00
+        (5, mk(125), 1, "b", 9.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from sparketl.operators.analytics import resample_interpolate
+
+    got = {
+        (r["event_type"], r["grid_us"]): r["interp_micro"]
+        for r in resample_interpolate(ev).collect()
+    }
+    h = 3_600_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00 UTC in epoch-us
+    assert got[("a", base + h)] == 15_000_000
+    assert got[("a", base + 2 * h)] == 25_000_000
+    # type b: grid 01:00 hits event 4 exactly -> its own value 7.0
+    assert got[("b", base + h)] == 7_000_000
+    import math
+
+    expect = math.floor((7.0 + (9.0 - 7.0) * ((120 - 60) / (125 - 60))) * 1e6)
+    assert got[("b", base + 2 * h)] == expect

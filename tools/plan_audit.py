@@ -228,6 +228,7 @@ AUDITED = [
     "tierc_groupby_all",
     "tierc_unpivot_sql",
     "ext_137_auc",
+    "ext_139_resample",
 ]
 
 
