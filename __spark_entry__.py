@@ -43,7 +43,7 @@ _FRONT = [
     "tierc_tsql_funcs6",
     "ext_130_welch_ttest",
     "ext_131_autocorr",
-    "ext_132_triangles",
+    "ext_132_clustering",
     "ext_133_kmeans",
     "ext_134_stream_sessions",
     "ext_135_trailing_window",

@@ -126,7 +126,7 @@ HEADLINE = [
     "ext_129_lexical_diversity",
     "ext_130_welch_ttest",
     "ext_131_autocorr",
-    "ext_132_triangles",
+    "ext_132_clustering",
     "ext_133_kmeans",
     "ext_135_trailing_window",
     "tierc_qualify",
@@ -273,9 +273,10 @@ def main() -> None:
                     "ext_85_decile_binning": "radix quantiles, adaptive descent (r7): 4.4->~2.6s",
                     "ext_44_exact_percentiles": "radix quantiles, adaptive descent (r7): 2.4->~1.5s",
                     "ext_49_rfm": "r7: percentile() buffer -> ONE phase-fused 3-column radix selection (12 thresholds, 4 passes); 0.8->~2.1s is the bounded-state trade, plan-audit now bans ALL percentile buffers",
-                    "ext_132_triangles": "r8: first cut (supplier co-supply, bar 2) was a near-complete graph -> 23s; customer co-purchase with bar 4 keeps the graph sparse at every SF and localCheckpoint pins edges/degrees so three consumers share one pair-generation shuffle -> ~3.5s",
+                    "ext_132_clustering": "r8: first cut (supplier co-supply, bar 2) was a near-complete graph -> 23s; customer co-purchase with bar 4 keeps the graph sparse at every SF and localCheckpoint pins edges/degrees so three consumers share one pair-generation shuffle -> ~3.5s",
                     "ext_133_kmeans": "two unrolled Lloyd iterations as one declarative DAG (no driver collect); ~5s at sf0.1 is three passes over the 320k-cell frame with broadcast centroid joins",
                     "tierc_outer_apply": "the global_window_queries hit is the detector being conservative: the decorrelated lateral LIMIT 1 plans as row_number() partitioned by o_custkey (verified in the executed plan) — not a single-partition window",
+                    "ext_139_resample": "r8: the forward-neighbor carry as a CURRENT..UNBOUNDED FOLLOWING first() made Spark re-aggregate the shrinking frame per row (O(n^2) per partition, 158s at sf0.1); rewritten as a reverse-ordered RUNNING last() -> ~1.3s, identical values",
                     "radix_scaling_slope": "sf0.01 vs sf0.1 medians (10x data): ext_44 1.87->1.72s (0.9x), ext_85 2.18->2.95s (1.4x), ext_86 3.32->3.53s (1.1x), ext_49 2.41->2.17s (0.9x), ext_95 1.38->2.10s (1.5x) — per-pass JOB OVERHEAD dominates and the scan term is linear map-combinable work, vs the percentile() buffer whose EXECUTOR MEMORY grows linearly with group size (the 100 TB OOM the r6 swap removed)",
                 },
             }

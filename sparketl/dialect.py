@@ -57,6 +57,21 @@ Rewrites (applied outside string literals and comments only):
                          form raises ``DialectError`` (style codes have
                          no Spark equivalent).
 
+- ``QUALIFY <pred>``     → subquery filter with a ``* EXCEPT``-dropped
+                         helper column (outermost query only; DISTINCT
+                         / set-operator combinations refuse).
+- ``CROSS APPLY (q) a`` / ``OUTER APPLY (q) a``
+                         → ``JOIN LATERAL`` / ``LEFT JOIN LATERAL``;
+                         the subquery transpiles independently, so
+                         correlated TOP works inside it.
+- ``PARSENAME(s, n)``    → ``try_element_at(split(s,'[.]'), -n)``
+- ``ISNUMERIC(x)``       → ``try_cast``-based 1/0 (sane subset; T-SQL's
+                         currency/sign quirks are documented out)
+- ``ATN2(y, x)``         → ``atan2(y, x)``
+- ``MERGE`` statements are PARSED here (``parse_merge``) and executed
+  by ``Engine._execute_merge`` against a registered ManagedTable —
+  Spark SQL has no row-level MERGE for plain parquet.
+
 The lexer honors the reference's literal syntax: single-quoted
 strings (tool:399-402) and ``--`` line comments (tool:405-408).
 """

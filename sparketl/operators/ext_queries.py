@@ -3568,10 +3568,10 @@ EXT_ORACLES["ext_131_autocorr"] = """
     FROM u ORDER BY event_type, lag
 """
 
-from sparketl.operators.analytics import q_ext_132_triangles  # noqa: E402
+from sparketl.operators.analytics import q_ext_132_clustering  # noqa: E402
 
-EXT_QUERIES["ext_132_triangles"] = q_ext_132_triangles
-EXT_ORACLES["ext_132_triangles"] = """
+EXT_QUERIES["ext_132_clustering"] = q_ext_132_clustering
+EXT_ORACLES["ext_132_clustering"] = """
     WITH cp AS (
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -332,9 +332,9 @@ def test_triangles_on_known_graph(spark):
     orders = spark.createDataFrame(
         [(c, c) for c in range(5)], "o_orderkey long, o_custkey long"
     )
-    from sparketl.operators.analytics import copurchase_triangles
+    from sparketl.operators.analytics import global_clustering
 
-    r = copurchase_triangles(li, orders).collect()[0]
+    r = global_clustering(li, orders).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
     assert r["clustering_micro"] == 1_000_000
 

@@ -68,7 +68,7 @@ BROADCAST_SCALAR_OK = {
     # per-label aggregate for n_neg and the AUC denominator
     "ext_130_welch_ttest",  # one-row (nt, st, qt) corpus-total
     # broadcast — rest-of-corpus stats by exact subtraction
-    "ext_132_triangles",  # two one-row attaches (edge count, triangle
+    "ext_132_clustering",  # two one-row attaches (edge count, triangle
     # count) onto the one-row wedge aggregate for the final report row
     "ext_115_source_kl",  # one-row corpus-total broadcast into the
     # (sources × 128)-cell log-ratio frame
@@ -218,7 +218,7 @@ AUDITED = [
     "ext_129_lexical_diversity",
     "ext_130_welch_ttest",
     "ext_131_autocorr",
-    "ext_132_triangles",
+    "ext_132_clustering",
     "ext_133_kmeans",
     "ext_135_trailing_window",
     "tierc_qualify",
