@@ -78,3 +78,64 @@ def test_ansi_passthrough_unchanged(cols):
     collist = ", ".join(re.sub(r"^(\d)", r"c\1", c) for c in cols)
     sql = f"SELECT {collist} FROM t WHERE x = 1 GROUP BY {collist}"
     assert transpile(sql) == sql
+
+
+# -- round 8: MERGE parser + QUALIFY rewrite properties ----------------------
+
+
+_KEYWORDS = {"merge", "into", "using", "on", "when", "matched", "then",
+             "update", "set", "delete", "insert", "values", "as", "not",
+             "by", "source", "target", "and"}
+_sql_name = st.from_regex(r"[a-z][a-z0-9_]{0,14}", fullmatch=True).filter(
+    lambda s: s not in _KEYWORDS
+)
+
+
+@given(
+    tname=_sql_name,
+    alias=st.sampled_from(["t", "tgt", "x1"]),
+    salias=st.sampled_from(["s", "src", "y2"]),
+    cond_extra=st.sampled_from(["", " AND s.v > 3", " AND t.k < 100"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_parse_merge_requalifies_arbitrary_aliases(
+    tname, alias, salias, cond_extra
+):
+    """Whatever aliases the user picks, captured expressions come out
+    qualified as target./source. and clause structure is preserved."""
+    from sparketl.dialect import parse_merge
+
+    sql = (
+        f"MERGE INTO {tname} AS {alias} USING chg AS {salias} "
+        f"ON {alias}.id = {salias}.id{cond_extra.replace('s.', salias + '.').replace('t.', alias + '.')} "
+        f"WHEN MATCHED THEN UPDATE SET v = {salias}.v + {alias}.v "
+        f"WHEN NOT MATCHED THEN INSERT (id, v) VALUES ({salias}.id, {salias}.v)"
+    )
+    spec = parse_merge(sql)
+    assert spec is not None and spec["target"] == tname
+    assert "target.id = source.id" in spec["condition"]
+    for a in (alias, salias):
+        if a not in ("target", "source"):
+            assert re.search(rf"\b{a}\.", spec["condition"]) is None
+    cats = [(c[0], c[1]) for c in spec["clauses"]]
+    assert cats == [("matched", "update"), ("not_matched", "insert")]
+    assert spec["clauses"][0][2]["v"].replace(" ", "") == "source.v+target.v"
+
+
+@given(
+    n=st.integers(min_value=1, max_value=99),
+    col=st.sampled_from(["a", "b", "price"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_qualify_rewrite_structure(n, col):
+    """The rewrite always produces the EXCEPT-wrapped shape with the
+    predicate intact and no QUALIFY keyword left, and is idempotent
+    through transpile (the output contains no QUALIFY to re-fire)."""
+    sql = (
+        f"SELECT {col}, g FROM t QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY {col}) <= {n}"
+    )
+    out = transpile(sql)
+    assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
+    assert f"<= {n}" in out and "EXCEPT (__sparketl_q)" in out
+    assert transpile(out) == out
