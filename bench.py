@@ -137,6 +137,7 @@ HEADLINE = [
     "tierc_unpivot_sql",
     "ext_137_auc",
     "ext_139_resample",
+    "tierc_asof_sql",
 ]
 
 

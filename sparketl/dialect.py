@@ -68,6 +68,11 @@ Rewrites (applied outside string literals and comments only):
 - ``ISNUMERIC(x)``       → ``try_cast``-based 1/0 (sane subset; T-SQL's
                          currency/sign quirks are documented out)
 - ``ATN2(y, x)``         → ``atan2(y, x)``
+- ``a ASOF [LEFT] JOIN b ON <eq AND one inequality>``
+                         → validity-interval join (LEAD/LAG neighbor
+                         bound + key equi-join) — the time-series
+                         nearest-match join, SQL spelling of EXT-07,
+                         planned as a SortMergeJoin.
 - ``MERGE`` statements are PARSED here (``parse_merge``) and executed
   by ``Engine._execute_merge`` against a registered ManagedTable —
   Spark SQL has no row-level MERGE for plain parquet.
@@ -191,6 +196,11 @@ def transpile(sql: str) -> str:
             ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
+                i = next_i
+                continue
+            elif lower == "asof" and _next_word(tokens, i) in ("join", "left"):
+                rewritten, next_i = _rewrite_asof_join(sql, tokens, i)
+                out.append(rewritten)
                 i = next_i
                 continue
             elif lower in ("cross", "outer") and _next_word(tokens, i) == "apply":
@@ -1009,3 +1019,191 @@ def parse_merge(sql: str) -> dict | None:
         "condition": condition,
         "clauses": clauses,
     }
+
+
+# ---------------------------------------------------------------------------
+# ASOF JOIN rewrite (round 8): the time-series nearest-match join.
+#
+# DuckDB/QuestDB-style syntax — Spark's grammar lacks it, so the shim
+# rewrites `a ASOF [LEFT] JOIN b [AS] r ON <eq-conjuncts AND one
+# inequality>` into the VALIDITY-INTERVAL form:
+#
+#   [LEFT] JOIN (SELECT r.*, LEAD(t) OVER (PARTITION BY <eq cols>
+#                ORDER BY t) AS __sparketl_nxt FROM b r) r
+#   ON <original condition>
+#      AND (r.__sparketl_nxt IS NULL OR <left expr> < r.__sparketl_nxt)
+#
+# Each right row is valid on [t, next_t), so every left row matches AT
+# MOST ONE right row — an equi-join on the key columns with a range
+# residual, which Catalyst plans as a SortMergeJoin. (The naive
+# LATERAL top-1 rewrite decorrelates through a nested-loop DOMAIN
+# join on the inequality alone — measured quadratic at sf0.1.)
+# Forward asof (`<=`/`<`) mirrors with LAG. The ON clause must be
+# equality conjuncts plus exactly one inequality on a right-side
+# column (the same restriction DuckDB's ASOF imposes); the right side
+# should be unique per (key, time). The DataFrame as-of operator
+# (operators/temporal.py, EXT-07) remains the programmatic path.
+# ---------------------------------------------------------------------------
+
+_ASOF_STOP = {
+    "where", "group", "order", "limit", "union", "intersect", "except",
+    "join", "left", "right", "inner", "full", "cross", "outer", "asof",
+    "qualify", "having", "window",
+}
+
+_INEQ = re.compile(r"^(.*?[^<>=!])(>=|<=|>|<)([^<>=].*)$", re.DOTALL)
+
+_EQ = re.compile(r"^(.*?[^<>=!])=([^=].*)$", re.DOTALL)
+
+
+def _split_top_level_ands(text: str) -> list[str]:
+    parts, depth, start = [], 0, 0
+    for m in _TOKEN.finditer(text):
+        g = m.group()
+        if m.lastgroup in ("comment", "string"):
+            continue
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth -= 1
+        elif m.lastgroup == "word" and g.lower() == "and" and depth == 0:
+            parts.append(text[start : m.start()].strip())
+            start = m.end()
+    parts.append(text[start:].strip())
+    return [p for p in parts if p]
+
+
+def _rewrite_asof_join(sql: str, tokens, i: int) -> tuple[str, int]:
+    """Rewrite the ASOF JOIN whose ASOF keyword is token *i*; returns
+    (replacement_text, index_after_consumed_tokens)."""
+    j = _word_index(tokens, i)  # JOIN or LEFT
+    outer = "JOIN"
+    if tokens[j].group().lower() == "left":
+        outer = "LEFT JOIN"
+        j = _word_index(tokens, j)
+    if j >= len(tokens) or tokens[j].group().lower() != "join":
+        raise DialectError("ASOF must be followed by JOIN or LEFT JOIN")
+    # right operand: table name or (subquery)
+    k = _word_index(tokens, j)
+    if k < len(tokens) and tokens[k].group() == "(":
+        inner_sql, k_after = _capture_parens(sql, tokens, j)
+        right_src = f"({transpile(inner_sql)})"
+        k = k_after
+    else:
+        if k >= len(tokens) or tokens[k].lastgroup not in ("word", "bracket"):
+            raise DialectError("ASOF JOIN needs a table or subquery operand")
+        g = tokens[k].group()
+        right_src = "`" + g[1:-1] + "`" if g.startswith("[") else g
+        k += 1
+    # optional [AS] alias
+    k2 = _word_index(tokens, k - 1)
+    alias = None
+    if k2 < len(tokens) and tokens[k2].lastgroup == "word":
+        w = tokens[k2].group().lower()
+        if w == "as":
+            k2 = _word_index(tokens, k2)
+            alias = tokens[k2].group()
+            k = k2 + 1
+        elif w != "on":
+            alias = tokens[k2].group()
+            k = k2 + 1
+    if alias is None:
+        if right_src.startswith("("):
+            raise DialectError("ASOF JOIN subquery operand needs an alias")
+        alias = right_src.strip("`")
+    # ON <condition>
+    k_on = _word_index(tokens, k - 1)
+    if k_on >= len(tokens) or tokens[k_on].group().lower() != "on":
+        raise DialectError("ASOF JOIN requires an ON condition")
+    # capture condition to the first depth-0 stop word
+    depth = 0
+    cond_start = tokens[k_on].end()
+    cond_end = len(sql)
+    m_idx = k_on + 1
+    while m_idx < len(tokens):
+        t = tokens[m_idx]
+        g = t.group()
+        if g == "(":
+            depth += 1
+        elif g == ")":
+            depth -= 1
+        elif depth == 0 and (
+            (t.lastgroup == "word" and g.lower() in _ASOF_STOP) or g == ";"
+        ):
+            cond_end = t.start()
+            break
+        m_idx += 1
+    cond = sql[cond_start:cond_end].strip()
+    if not cond:
+        raise DialectError("ASOF JOIN requires an ON condition")
+
+    def is_right(expr: str) -> bool:
+        return re.match(rf"^{re.escape(alias)}\s*\.", expr, re.IGNORECASE) is not None
+
+    def strip_alias(expr: str) -> str:
+        return re.sub(
+            rf"\b{re.escape(alias)}\s*\.\s*", "", expr, flags=re.IGNORECASE
+        )
+
+    ineq = None
+    eq_right_cols: list[str] = []
+    for c in _split_top_level_ands(cond):
+        m = _INEQ.match(c)
+        if m:
+            lhs, op, rhs = m.group(1).strip(), m.group(2), m.group(3).strip()
+            if is_right(lhs) or is_right(rhs):
+                if ineq is not None:
+                    raise DialectError(
+                        "ASOF JOIN needs exactly one inequality conjunct"
+                    )
+                if is_right(lhs):
+                    # flip so ineq = (left_expr, op, right_col)
+                    flip = {">": "<", "<": ">", ">=": "<=", "<=": ">="}
+                    ineq = (rhs, flip[op], lhs)
+                else:
+                    ineq = (lhs, op, rhs)
+                continue
+            raise DialectError(
+                "ASOF JOIN inequality must involve the right table"
+            )
+        me = _EQ.match(c)
+        if me:
+            a, b = me.group(1).strip(), me.group(2).strip()
+            if is_right(a) != is_right(b):
+                eq_right_cols.append(strip_alias(a if is_right(a) else b))
+                continue
+        raise DialectError(
+            "ASOF JOIN supports only left-right equality conjuncts plus "
+            f"one inequality (cannot rewrite {c!r})"
+        )
+    if ineq is None:
+        raise DialectError(
+            "ASOF JOIN needs exactly one inequality conjunct on the "
+            "right table's column (found 0)"
+        )
+    left_expr, op, r_col_q = ineq
+    r_col = strip_alias(r_col_q)
+    # backward asof (left >= right.t): nearest PRIOR row is valid on
+    # [t, next_t) — neighbor via LEAD; forward asof mirrors with LAG
+    backward = op in (">=", ">")
+    neighbor = "LEAD" if backward else "LAG"
+    order_dir = ""  # ascending either way; LEAD/LAG pick the side
+    if backward:
+        bound = {">=": "<", ">": "<="}[op]
+    else:
+        bound = {"<=": ">", "<": ">="}[op]
+    part = ", ".join(eq_right_cols) if eq_right_cols else ""
+    over = (
+        f"PARTITION BY {part} ORDER BY {r_col}{order_dir}"
+        if part
+        else f"ORDER BY {r_col}{order_dir}"
+    )
+    sub = (
+        f"(SELECT {alias}.*, {neighbor}({r_col}) OVER ({over}) "
+        f"AS __sparketl_nxt FROM {right_src} AS {alias})"
+    )
+    return (
+        f"{outer} {sub} {alias} ON {cond} "
+        f"AND ({alias}.__sparketl_nxt IS NULL "
+        f"OR {left_expr} {bound} {alias}.__sparketl_nxt) "
+    ), m_idx

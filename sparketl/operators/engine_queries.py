@@ -1800,3 +1800,58 @@ ENGINE_ORACLES["tierc_unpivot_sql"] = """
     UNPIVOT (val FOR metric IN (total_f, total_o, total_p))
     ORDER BY o_orderpriority, metric
 """
+
+
+def q_tierc_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASOF JOIN through the engine (DuckDB/QuestDB time-series
+    syntax — Spark's grammar lacks it; the shim rewrites it into a
+    correlated LATERAL top-1, which Catalyst decorrelates into a
+    partitioned window top-1 rather than a per-row re-scan). Each
+    event attaches the SAME USER's most recent order-day summary at
+    or before the event; users with no prior orders keep NULLs (ASOF
+    LEFT). The right side is aggregated to one row per (customer,
+    day), so the nearest match is unique — the precondition real ASOF
+    semantics assume. DuckDB runs the identical statement natively as
+    the oracle. The programmatic as-of operator (EXT-07,
+    operators/temporal.py) covers the DataFrame path; this is its SQL
+    spelling."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        WITH od AS (
+          SELECT o_custkey, o_orderdate,
+                 COUNT(*) AS n_orders,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS day_total
+          FROM orders GROUP BY o_custkey, o_orderdate
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(od.o_orderdate AS STRING) AS last_order_date,
+               od.n_orders, od.day_total
+        FROM events e
+        ASOF LEFT JOIN od
+          ON e.user_id = od.o_custkey AND CAST(e.ts AS DATE) >= od.o_orderdate
+        WHERE e.user_id < 40
+        ORDER BY e.event_id
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_asof_sql"] = q_tierc_asof_sql
+ENGINE_ORACLES["tierc_asof_sql"] = """
+    WITH od AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS day_total
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(od.o_orderdate AS VARCHAR) AS last_order_date,
+           od.n_orders, od.day_total
+    FROM events e
+    ASOF LEFT JOIN od
+      ON e.user_id = od.o_custkey AND CAST(e.ts AS DATE) >= od.o_orderdate
+    WHERE e.user_id < 40
+    ORDER BY e.event_id
+"""

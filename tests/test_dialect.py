@@ -389,3 +389,34 @@ def test_tsql_funcs6_rewrites():
         transpile("SELECT PARSENAME('a.b')")
     with pytest.raises(DialectError, match="ISNUMERIC"):
         transpile("SELECT ISNUMERIC(a, b)")
+
+
+def test_asof_join_rewrite_and_refusals():
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    out = transpile(
+        "SELECT e.id, p.px FROM q e ASOF JOIN prices p "
+        "ON e.sym = p.sym AND e.t >= p.t"
+    )
+    assert "LEAD(t) OVER (PARTITION BY sym ORDER BY t)" in out
+    assert "e.t < p.__sparketl_nxt" in out
+    out = transpile(
+        "SELECT * FROM q e ASOF LEFT JOIN prices p "
+        "ON e.sym = p.sym AND p.t <= e.t WHERE e.id = 1"
+    )
+    assert "LEFT JOIN (SELECT p.*" in out and "LEAD(t)" in out
+    # forward asof: earliest following -> LAG neighbor, lower bound
+    out = transpile(
+        "SELECT * FROM q e ASOF JOIN prices p ON e.sym = p.sym AND e.t <= p.t"
+    )
+    assert "LAG(t)" in out and "e.t > p.__sparketl_nxt" in out
+    with pytest.raises(DialectError, match="exactly one inequality"):
+        transpile("SELECT * FROM q e ASOF JOIN p ON e.sym = p.sym")
+    with pytest.raises(DialectError, match="ON condition"):
+        transpile("SELECT * FROM q e ASOF JOIN p")
+    with pytest.raises(DialectError, match="alias"):
+        transpile(
+            "SELECT * FROM q e ASOF JOIN (SELECT 1 AS t) ON e.t >= t"
+        )

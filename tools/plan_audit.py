@@ -229,6 +229,7 @@ AUDITED = [
     "tierc_unpivot_sql",
     "ext_137_auc",
     "ext_139_resample",
+    "tierc_asof_sql",
 ]
 
 
