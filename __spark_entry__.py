@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_55_countmin: rows-only → full oracle), the QUALIFY/APPLY
 # planner shapes, T-SQL funcs6, and the stats/graph/ML batch
 # (Welch, autocorrelation, triangles, k-means, flush-sessionize,
-# interval RANGE window); (b) the 31 stalest driver greens — the
+# interval RANGE window); (b) the 29 stalest driver greens — the
 # full round-3 cohort plus the oldest round-4 entries, oldest first
 # (the radix-family members here were re-verified green at sf0.1 in
 # round 7 but their last DRIVER verdict predates the r7 machinery
@@ -54,6 +54,8 @@ _FRONT = [
     "ext_138_stream_enrich",
     "ext_139_resample",
     "tierc_asof_sql",
+    "ext_140_retention",
+    "ext_141_funnel",
     # (b) stalest driver verdicts, oldest first
     "ext_09_approx_quantiles",
     "ext_20_winsorize",
@@ -80,14 +82,14 @@ _FRONT = [
     "ext_41_pagerank",
     "ext_42_window_suite",
     "ext_43_moment_stats",
-    "ext_45_histogram",
-    "ext_46_orphan_audit",
     "ext_52_prefix_jaccard",
     "prof_01_table_profile",
     "tierc_acct_screening",
     "tierc_custdist",
     # ---- end of the round-8 driver window (50 entries above) ----
     # queued for round 9: the remaining round-4 cohort
+    "ext_45_histogram",
+    "ext_46_orphan_audit",
     "ext_48_lm_score",
     "ext_51_trend",
     "tierc_disjunctive_revenue",

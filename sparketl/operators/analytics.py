@@ -2130,3 +2130,108 @@ def resample_interpolate(events: DataFrame, step_s: int = 3600) -> DataFrame:
 
 def q_ext_139_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_interpolate(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_140: weekly cohort retention matrix
+# ---------------------------------------------------------------------------
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention — the product-analytics staple: users
+    are cohorted by their FIRST active epoch-week; cell (cohort,
+    offset) counts users active again ``offset`` weeks later, with
+    the rate in exact permille of the cohort size.
+
+    All integer arithmetic (epoch-week = µs div week-µs); one
+    user-week distinct pass, one per-user min broadcast back, one
+    matrix aggregate — every shuffle is map-combinable and the
+    matrix is weeks², never data-sized.
+    """
+    wk = F.expr("unix_micros(ts) div 604800000000")
+    uw = events.select("user_id", wk.alias("week")).distinct()
+    first = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        uw.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "cohort_size",
+            F.expr("(1000 * n_active) div cohort_size").alias(
+                "retention_permille"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def q_ext_140_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cohort_retention(load_table(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# ext_141: ordered conversion funnel
+# ---------------------------------------------------------------------------
+
+
+def conversion_funnel(
+    events: DataFrame, steps: tuple[str, ...] = ("view", "click", "purchase")
+) -> DataFrame:
+    """Ordered funnel: a user reaches step k only via an event of
+    type ``steps[k]`` STRICTLY AFTER their step-k−1 time (the
+    sequence constraint is what separates a funnel from three
+    independent counts). One narrow scan per step with the previous
+    step's per-user time broadcast back — k tiny aggregates, no
+    window over raw events, user-count-sized intermediates.
+
+    Output: one row per step with the reaching-user count and the
+    exact permille conversion vs the previous step.
+    """
+    ev = events.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    reached = None  # DataFrame[user_id, t_k]
+    rows = []
+    for k, step in enumerate(steps):
+        cand = ev.filter(F.col("event_type") == step)
+        if reached is not None:
+            cand = cand.join(reached, "user_id").filter(
+                F.col("us") > F.col("t_prev")
+            )
+        reached = cand.groupBy("user_id").agg(F.min("us").alias("t_prev"))
+        n = reached.agg(F.count(F.lit(1)).alias("n"))
+        rows.append(
+            n.select(
+                F.lit(k + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.col("n").alias("n_users"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    w = Window.orderBy("step_idx").rowsBetween(-1, -1)
+    return (
+        out.withColumn("n_prev", F.sum("n_users").over(w))
+        .select(
+            "step_idx",
+            "step",
+            "n_users",
+            F.expr(
+                "CASE WHEN n_prev IS NULL THEN 1000 "
+                "ELSE (1000 * n_users) div n_prev END"
+            ).alias("conversion_permille"),
+        )
+        .orderBy("step_idx")
+    )
+
+
+def q_ext_141_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_funnel(load_table(spark, sf_dir, "events"))

@@ -3836,3 +3836,65 @@ EXT_ORACLES["ext_139_resample"] = """
     FROM marked WHERE is_grid = 1
     ORDER BY event_type, grid_us
 """
+
+from sparketl.operators.analytics import (  # noqa: E402
+    q_ext_140_retention,
+    q_ext_141_funnel,
+)
+
+EXT_QUERIES["ext_140_retention"] = q_ext_140_retention
+EXT_ORACLES["ext_140_retention"] = """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week
+      FROM events
+    ), first AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_week
+    )
+    SELECT f.cohort_week,
+           uw.week - f.cohort_week AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           MIN(cohort_size) AS cohort_size,
+           (1000 * CAST(COUNT(*) AS BIGINT)) // MIN(cohort_size)
+             AS retention_permille
+    FROM uw JOIN first f USING (user_id)
+    JOIN sizes USING (cohort_week)
+    GROUP BY f.cohort_week, uw.week - f.cohort_week
+    ORDER BY cohort_week, week_offset
+"""
+
+EXT_QUERIES["ext_141_funnel"] = q_ext_141_funnel
+EXT_ORACLES["ext_141_funnel"] = """
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), s1 AS (
+      SELECT user_id, MIN(us) AS t FROM ev
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT ev.user_id, MIN(us) AS t
+      FROM ev JOIN s1 ON ev.user_id = s1.user_id AND ev.us > s1.t
+      WHERE event_type = 'click' GROUP BY ev.user_id
+    ), s3 AS (
+      SELECT ev.user_id, MIN(us) AS t
+      FROM ev JOIN s2 ON ev.user_id = s2.user_id AND ev.us > s2.t
+      WHERE event_type = 'purchase' GROUP BY ev.user_id
+    ), counts AS (
+      SELECT 1 AS step_idx, 'view' AS step,
+             CAST((SELECT COUNT(*) FROM s1) AS BIGINT) AS n_users
+      UNION ALL
+      SELECT 2, 'click', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+      UNION ALL
+      SELECT 3, 'purchase', CAST((SELECT COUNT(*) FROM s3) AS BIGINT)
+    )
+    SELECT step_idx, step, n_users,
+           CASE WHEN lag(n_users) OVER (ORDER BY step_idx) IS NULL THEN 1000
+                ELSE (1000 * n_users)
+                     // lag(n_users) OVER (ORDER BY step_idx) END
+             AS conversion_permille
+    FROM counts ORDER BY step_idx
+"""

@@ -569,3 +569,52 @@ def test_resample_interpolate_known_midpoints(spark):
 
     expect = math.floor((7.0 + (9.0 - 7.0) * ((120 - 60) / (125 - 60))) * 1e6)
     assert got[("b", base + 2 * h)] == expect
+
+
+def test_cohort_retention_and_funnel_semantics(spark):
+    """Hand-built 3-user journey: retention cohorts by first week and
+    the funnel's strict AFTER-ordering (a purchase before the click
+    must NOT count as a funnel completion)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    d = lambda days: t0 + datetime.timedelta(days=days)  # noqa: E731
+    rows = [
+        # user 1: view d0 -> click d1 -> purchase d2 (full funnel);
+        # active weeks 0 and 1
+        (1, d(0), 1, "view", 1.0, None),
+        (2, d(1), 1, "click", 1.0, None),
+        (3, d(2), 1, "purchase", 1.0, None),
+        (4, d(8), 1, "view", 1.0, None),
+        # user 2: purchase BEFORE click -> reaches click, not purchase
+        (5, d(0), 2, "view", 1.0, None),
+        (6, d(1), 2, "purchase", 1.0, None),
+        (7, d(2), 2, "click", 1.0, None),
+        # user 3: joins week 1, view only
+        (8, d(7), 3, "view", 1.0, None),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    from sparketl.operators.analytics import cohort_retention, conversion_funnel
+
+    ret = {
+        (r["cohort_week"], r["week_offset"]): (
+            r["n_active"],
+            r["retention_permille"],
+        )
+        for r in cohort_retention(ev).collect()
+    }
+    # cohort of week w0: users 1,2 -> offset 0: 2 active; offset 1: user 1
+    w0 = min(k[0] for k in ret)
+    assert ret[(w0, 0)] == (2, 1000)
+    assert ret[(w0, 1)] == (1, 500)
+    assert ret[(w0 + 1, 0)] == (1, 1000)
+
+    fun = {r["step"]: (r["n_users"], r["conversion_permille"])
+           for r in conversion_funnel(ev).collect()}
+    assert fun["view"] == (3, 1000)
+    assert fun["click"] == (2, 666)
+    assert fun["purchase"] == (1, 500)

@@ -230,6 +230,8 @@ AUDITED = [
     "ext_137_auc",
     "ext_139_resample",
     "tierc_asof_sql",
+    "ext_140_retention",
+    "ext_141_funnel",
 ]
 
 
