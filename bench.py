@@ -257,6 +257,10 @@ def main() -> None:
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Verbose record first (full named timings + prose notes) for
+    # anyone reading complete stdout; the driver's ~2 KB tail capture
+    # only retains the LAST line, so a compact line follows.
     print(
         json.dumps(
             {
@@ -264,7 +268,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
                 "global_window_queries": global_windows,
                 "notes": {
                     # r7: the r6 radix-quantile slowdowns were clawed
@@ -286,6 +290,34 @@ def main() -> None:
             }
         )
     )
+    # Tail-proof compact line (LAST on stdout, < ~1.9 KB so the
+    # driver's tail capture parses it whole): the full per-query
+    # timing vector rides as an array in HEADLINE order (zip with
+    # bench.HEADLINE to recover names); the slowest queries keep
+    # their full names inline for direct round-over-round reads.
+    vector = [timings.get(name) for name in HEADLINE]
+    top_n = 20
+    while True:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
+        )
+        compact = json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": slowest,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "timings_order": "bench.HEADLINE",
+                "timings": vector,
+            }
+        )
+        if len(compact) < 1900 or top_n == 0:
+            break
+        top_n //= 2
+    print(compact)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

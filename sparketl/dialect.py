@@ -1136,6 +1136,11 @@ def _rewrite_asof_join(sql: str, tokens, i: int) -> tuple[str, int]:
     cond = sql[cond_start:cond_end].strip()
     if not cond:
         raise DialectError("ASOF JOIN requires an ON condition")
+    # T-SQL spellings inside the captured condition (EOMONTH, GETDATE,
+    # DATEDIFF, [bracket] identifiers, ...) must not reach Spark
+    # verbatim — transpile the fragment before deriving left_expr /
+    # partition columns from it, as parse_merge's fix() does.
+    cond = transpile(cond).strip()
 
     def is_right(expr: str) -> bool:
         return re.match(rf"^{re.escape(alias)}\s*\.", expr, re.IGNORECASE) is not None

@@ -72,6 +72,17 @@ class Engine:
 
         spec = parse_merge(sql)
         if spec is not None:
+            if params is not None:
+                # The MERGE path executes through ManagedTable's
+                # builder, not spark.sql(..., args=...), so bound
+                # params would be silently dropped and the '?'/' :name'
+                # markers would surface later as opaque Spark
+                # expression parse errors. Refuse up front (FLT-04
+                # binds apply to query statements only).
+                raise QueryError(
+                    "MERGE statements do not support bound parameters; "
+                    "inline literal values in the MERGE text"
+                )
             return self._execute_merge(spec)
         if params is None:
             df = self.spark.sql(transpile(sql))

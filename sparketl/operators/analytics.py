@@ -2050,14 +2050,21 @@ def resample_interpolate(events: DataFrame, step_s: int = 3600) -> DataFrame:
     UNION the event rows, then ONE type-partitioned window pass each
     way — `last(ignorenulls)` backward carries the previous event,
     `first(ignorenulls)` forward the next — so interpolation never
-    re-scans events per grid point. Grid bounds are strictly inside
-    the series, so both neighbors always exist.
+    re-scans events per grid point. Grid bounds are inside the
+    series, so the previous neighbor always exists; the forward
+    neighbor is missing in exactly one case — the series MAX falls
+    exactly on a grid instant (the forward scan's tie order visits
+    the grid marker before the same-instant event) — where the
+    interpolation degenerates to the exact event value via the
+    ``nu IS NULL AND us = pu`` branch (exact integer milli→micro,
+    identical in both engines).
 
     Exactness: values quantize to milli bigints per row; the
     interpolation is one shared closed-form double tree over exact
     (us, milli) operands, floored to micro. Events landing exactly on
-    a grid instant sort BEFORE the grid marker, so the formula
-    degenerates to the exact event value.
+    an interior grid instant sort BEFORE the grid marker in the
+    backward scan, so pu == us and the formula degenerates to the
+    exact event value.
     """
     step_us = step_s * 1_000_000
     ev = events.select(
@@ -2118,10 +2125,11 @@ def resample_interpolate(events: DataFrame, step_s: int = 3600) -> DataFrame:
             "event_type",
             F.col("us").alias("grid_us"),
             F.expr(
-                "CAST(FLOOR((CAST(px AS DOUBLE)"
+                "CASE WHEN nu IS NULL AND us = pu THEN px * CAST(1000 AS BIGINT)"
+                " ELSE CAST(FLOOR((CAST(px AS DOUBLE)"
                 " + (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE))"
                 "   * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))"
-                " * 1000.0) AS BIGINT)"
+                " * 1000.0) AS BIGINT) END"
             ).alias("interp_micro"),
         )
         .orderBy("event_type", "grid_us")

@@ -1805,8 +1805,10 @@ ENGINE_ORACLES["tierc_unpivot_sql"] = """
 def q_tierc_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ASOF JOIN through the engine (DuckDB/QuestDB time-series
     syntax — Spark's grammar lacks it; the shim rewrites it into a
-    correlated LATERAL top-1, which Catalyst decorrelates into a
-    partitioned window top-1 rather than a per-row re-scan). Each
+    validity-interval join: a LEAD window on the right side marks each
+    row's next timestamp, and the equi+range ON condition becomes a
+    SortMergeJoin — the earlier correlated-LATERAL form decorrelated
+    to a quadratic nested loop and was replaced in r8). Each
     event attaches the SAME USER's most recent order-day summary at
     or before the event; users with no prior orders keep NULLs (ASOF
     LEFT). The right side is aggregated to one row per (customer,

@@ -3829,10 +3829,11 @@ EXT_ORACLES["ext_139_resample"] = """
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, us AS grid_us,
-           CAST(FLOOR((CAST(px AS DOUBLE)
+           CASE WHEN nu IS NULL AND us = pu THEN px * CAST(1000 AS BIGINT)
+           ELSE CAST(FLOOR((CAST(px AS DOUBLE)
                  + (CAST(nx AS DOUBLE) - CAST(px AS DOUBLE))
                    * (CAST(us - pu AS DOUBLE) / CAST(nu - pu AS DOUBLE)))
-                * 1000.0) AS BIGINT) AS interp_micro
+                * 1000.0) AS BIGINT) END AS interp_micro
     FROM marked WHERE is_grid = 1
     ORDER BY event_type, grid_us
 """

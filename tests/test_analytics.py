@@ -547,6 +547,11 @@ def test_resample_interpolate_known_midpoints(spark):
         (3, mk(0), 1, "b", 5.0, None),     # exactly on the grid... but
         (4, mk(60), 1, "b", 7.0, None),    # grid starts AFTER lo -> 01:00
         (5, mk(125), 1, "b", 9.0, None),
+        # type c: the series MAX falls exactly on a grid instant —
+        # the ADVICE-r8 boundary case where the forward scan sees the
+        # grid marker before the same-instant event (nu NULL)
+        (6, mk(30), 1, "c", 10.0, None),
+        (7, mk(120), 1, "c", 20.0, None),
     ]
     ev = spark.createDataFrame(
         rows,
@@ -569,6 +574,10 @@ def test_resample_interpolate_known_midpoints(spark):
 
     expect = math.floor((7.0 + (9.0 - 7.0) * ((120 - 60) / (125 - 60))) * 1e6)
     assert got[("b", base + 2 * h)] == expect
+    # type c: max event exactly on the 02:00 grid instant must emit
+    # the exact event value, not NULL (pre-fix this was None)
+    assert got[("c", base + h)] == 13_333_333  # 10 + (20-10)*(30/90)
+    assert got[("c", base + 2 * h)] == 20_000_000
 
 
 def test_cohort_retention_and_funnel_semantics(spark):

@@ -420,3 +420,13 @@ def test_asof_join_rewrite_and_refusals():
         transpile(
             "SELECT * FROM q e ASOF JOIN (SELECT 1 AS t) ON e.t >= t"
         )
+    # T-SQL spellings inside the captured ON condition must be
+    # transpiled, not spliced verbatim (ADVICE r8): bracket
+    # identifiers and DATEADD both reach Spark as Spark spellings
+    out = transpile(
+        "SELECT * FROM q e ASOF JOIN prices p "
+        "ON e.sym = p.sym AND DATEADD(day, 1, e.[t]) >= p.[t]"
+    )
+    assert "[t]" not in out and "DATEADD" not in out
+    assert "date_add" in out and "`t`" in out
+    assert "LEAD(`t`)" in out

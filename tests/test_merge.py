@@ -225,6 +225,14 @@ def test_merge_sql_positional_values_and_errors(spark, tmp_path):
             "MERGE INTO nope USING chg ON nope.id = chg.id "
             "WHEN NOT MATCHED THEN INSERT *"
         )
+    # a parameterized MERGE must refuse loudly, not silently drop the
+    # bound params (ADVICE r8: the MERGE path bypasses spark.sql args)
+    with pytest.raises(QueryError, match="bound parameters"):
+        eng.execute(
+            "MERGE INTO accounts USING chg ON accounts.id = chg.id "
+            "WHEN MATCHED AND accounts.bal > ? THEN DELETE",
+            params=[100.0],
+        )
 
 
 def test_merge_parse_errors(spark):
