@@ -3572,9 +3572,17 @@ from sparketl.operators.analytics import q_ext_132_clustering  # noqa: E402
 
 EXT_QUERIES["ext_132_clustering"] = q_ext_132_clustering
 EXT_ORACLES["ext_132_clustering"] = """
-    WITH cp AS (
+    WITH cp0 AS (
       SELECT DISTINCT o_custkey AS c, l_partkey AS p
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), pd AS (
+      SELECT p, COUNT(*) AS nb FROM cp0 GROUP BY p
+    ), dropped AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_dropped_parts
+      FROM pd WHERE nb > 10000
+    ), cp AS (
+      SELECT c, cp0.p FROM cp0 JOIN pd ON cp0.p = pd.p
+      WHERE nb <= 10000
     ), edges AS (
       SELECT a.c AS u, b.c AS v
       FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
@@ -3610,8 +3618,9 @@ EXT_ORACLES["ext_132_clustering"] = """
     SELECT n_nodes, n_edges, n_wedges, n_triangles,
            CASE WHEN n_wedges > 0
                 THEN (3 * n_triangles * 1000000) // n_wedges
-                ELSE 0 END AS clustering_micro
-    FROM wedges CROSS JOIN counts CROSS JOIN tri
+                ELSE 0 END AS clustering_micro,
+           n_dropped_parts
+    FROM wedges CROSS JOIN counts CROSS JOIN tri CROSS JOIN dropped
 """
 
 from sparketl.operators.similarity import q_ext_133_kmeans  # noqa: E402

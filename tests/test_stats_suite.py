@@ -337,6 +337,42 @@ def test_triangles_on_known_graph(spark):
     r = global_clustering(li, orders).collect()[0]
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
     assert r["clustering_micro"] == 1_000_000
+    assert r["n_dropped_parts"] == 0
+
+
+def test_clustering_hot_part_fanout_cap(spark):
+    """A viral part bought by every customer would cost buyers² pairs
+    in generation; with the per-part cap it is dropped BEFORE the
+    self-join, the drop is surfaced (no-silent-caps), and the rest of
+    the graph is unaffected: the K4 from the test above plus one part
+    shared by all 30 customers yields identical census numbers with
+    n_dropped_parts = 1."""
+    li_rows, part = [], 0
+    for a in range(4):
+        for b in range(a + 1, 4):
+            for _ in range(4):
+                li_rows.append((a, part))
+                li_rows.append((b, part))
+                part += 1
+    hot = part
+    for c in range(30):  # viral part: every customer bought it
+        li_rows.append((c, hot))
+    li = spark.createDataFrame(li_rows, "l_orderkey long, l_partkey long")
+    orders = spark.createDataFrame(
+        [(c, c) for c in range(30)], "o_orderkey long, o_custkey long"
+    )
+    from sparketl.operators.analytics import global_clustering
+
+    r = global_clustering(li, orders, max_part_buyers=10).collect()[0]
+    assert r["n_dropped_parts"] == 1
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    assert r["clustering_micro"] == 1_000_000
+    # without the cap, the viral part alone adds 30*29/2 = 435 pairs
+    # but still no edges (1 shared part < bar); the census must agree
+    r2 = global_clustering(li, orders).collect()[0]
+    assert (r2["n_edges"], r2["n_triangles"], r2["n_dropped_parts"]) == (
+        6, 4, 0,
+    )
 
 
 def test_kmeans_recovers_planted_clusters(spark):

@@ -68,8 +68,9 @@ BROADCAST_SCALAR_OK = {
     # per-label aggregate for n_neg and the AUC denominator
     "ext_130_welch_ttest",  # one-row (nt, st, qt) corpus-total
     # broadcast — rest-of-corpus stats by exact subtraction
-    "ext_132_clustering",  # two one-row attaches (edge count, triangle
-    # count) onto the one-row wedge aggregate for the final report row
+    "ext_132_clustering",  # three one-row attaches (edge count, triangle
+    # count, dropped-part count) onto the one-row wedge aggregate for
+    # the final report row
     "ext_115_source_kl",  # one-row corpus-total broadcast into the
     # (sources × 128)-cell log-ratio frame
     "ext_119_chi2_independence",  # one-row (N, n_buckets) total
