@@ -130,6 +130,7 @@ HEADLINE = [
     "ext_133_kmeans",
     "ext_135_trailing_window",
     "tierc_qualify",
+    "tierc_qualify_cte",
     "tierc_cross_apply",
     "tierc_outer_apply",
     "tierc_tsql_funcs6",
@@ -140,6 +141,7 @@ HEADLINE = [
     "tierc_asof_sql",
     "ext_140_retention",
     "ext_141_funnel",
+    "ext_142_incremental_join",
 ]
 
 

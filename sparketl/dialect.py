@@ -58,8 +58,10 @@ Rewrites (applied outside string literals and comments only):
                          no Spark equivalent).
 
 - ``QUALIFY <pred>``     → subquery filter with a ``* EXCEPT``-dropped
-                         helper column (outermost query only; DISTINCT
-                         / set-operator combinations refuse).
+                         helper column (outermost query and, recursively,
+                         each depth-0 WITH member body; DISTINCT /
+                         set-operator combinations and non-CTE subqueries
+                         refuse).
 - ``CROSS APPLY (q) a`` / ``OUTER APPLY (q) a``
                          → ``JOIN LATERAL`` / ``LEFT JOIN LATERAL``;
                          the subquery transpiles independently, so
@@ -269,19 +271,112 @@ def _capture_parens(sql: str, tokens, i: int) -> tuple[str, int]:
 
 
 def _rewrite_qualify(sql: str) -> str:
-    """Rewrite a depth-0 ``QUALIFY <pred>`` clause (Teradata/Snowflake/
-    DuckDB extension; not in Spark's grammar) into the equivalent
-    subquery filter:
+    """Rewrite ``QUALIFY <pred>`` clauses (Teradata/Snowflake/DuckDB
+    extension; not in Spark's grammar) into the equivalent subquery
+    filter:
 
         SELECT * EXCEPT (__sparketl_q)
         FROM (<select-list>, (<pred>) AS __sparketl_q <from..having>)
         WHERE __sparketl_q  <order-by/limit tail>
 
-    The predicate must be self-contained (window functions spelled
-    out, not select-list aliases — same restriction Spark puts on
-    HAVING). QUALIFY inside a subquery/CTE, under DISTINCT, or next
-    to a set operator raises instead of rewriting wrongly."""
+    The rewrite is per-SELECT and applies to the outermost query AND,
+    recursively, to each depth-0 ``WITH`` member body (r9; analyst SQL
+    puts QUALIFY inside CTEs routinely — the recursion mirrors how the
+    APPLY transpiler recurses into its subquery operand). The
+    predicate must be self-contained (window functions spelled out,
+    not select-list aliases — same restriction Spark puts on HAVING).
+    QUALIFY inside a non-CTE subquery, under DISTINCT, or next to a
+    set operator raises instead of rewriting wrongly."""
     tokens = list(_TOKEN.finditer(sql))
+    has_qualify = any(
+        t.lastgroup == "word" and t.group().lower() == "qualify"
+        for t in tokens
+    )
+    if not has_qualify:
+        return sql
+
+    def _next_tok(i: int) -> int:
+        """Next non-space, non-comment token after *i*."""
+        for j in range(i + 1, len(tokens)):
+            if not tokens[j].group().isspace() and tokens[j].lastgroup != "comment":
+                return j
+        return len(tokens)
+
+    # Recurse into depth-0 WITH member bodies first, so the main-query
+    # pass below never sees a QUALIFY inside a CTE.
+    first_word_idx = None
+    for idx, m in enumerate(tokens):
+        if not m.group().isspace() and m.lastgroup != "comment":
+            first_word_idx = idx
+            break
+    if (
+        first_word_idx is not None
+        and tokens[first_word_idx].lastgroup == "word"
+        and tokens[first_word_idx].group().lower() == "with"
+    ):
+        out: list[str] = []
+        pos = tokens[first_word_idx].end()
+        i = _next_tok(first_word_idx)
+        if (
+            i < len(tokens)
+            and tokens[i].lastgroup == "word"
+            and tokens[i].group().lower() == "recursive"
+        ):
+            i = _next_tok(i)
+        while True:
+            # member: name [(cols)] AS ( body )
+            if i >= len(tokens) or tokens[i].lastgroup not in ("word", "bracket"):
+                raise DialectError("WITH parse error: expected a CTE name")
+            i = _next_tok(i)
+            if i < len(tokens) and tokens[i].group() == "(":
+                # optional column list — skip the balanced group
+                depth = 0
+                while i < len(tokens):
+                    g = tokens[i].group()
+                    if g == "(":
+                        depth += 1
+                    elif g == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i += 1
+                i = _next_tok(i)
+            if (
+                i >= len(tokens)
+                or tokens[i].lastgroup != "word"
+                or tokens[i].group().lower() != "as"
+            ):
+                raise DialectError("WITH parse error: expected AS")
+            k = _next_tok(i)
+            if k >= len(tokens) or tokens[k].group() != "(":
+                raise DialectError("WITH parse error: expected ( after AS")
+            depth = 0
+            body_start = tokens[k].end()
+            while k < len(tokens):
+                g = tokens[k].group()
+                if g == "(":
+                    depth += 1
+                elif g == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= len(tokens):
+                raise DialectError("WITH parse error: unbalanced parens")
+            body = sql[body_start : tokens[k].start()]
+            out.append(sql[pos : body_start])
+            out.append(_rewrite_qualify(body))
+            pos = tokens[k].start()
+            nxt = _next_tok(k)
+            if nxt < len(tokens) and tokens[nxt].group() == ",":
+                i = _next_tok(nxt)
+                continue
+            break
+        rewritten = sql[: tokens[first_word_idx].end()] + "".join(out) + sql[pos:]
+        if rewritten != sql:
+            # re-tokenize the reassembled text for the main-query pass
+            sql = rewritten
+            tokens = list(_TOKEN.finditer(sql))
     depth = 0
     q_idx = first_select = first_from = None
     for idx, m in enumerate(tokens):
@@ -298,8 +393,9 @@ def _rewrite_qualify(sql: str) -> str:
         if depth > 0:
             if w == "qualify":
                 raise DialectError(
-                    "QUALIFY inside a subquery or CTE is not supported: "
-                    "the shim rewrites only the outermost query"
+                    "QUALIFY inside a non-CTE subquery is not supported: "
+                    "the shim rewrites the outermost query and depth-0 "
+                    "WITH member bodies only"
                 )
             continue
         if w == "select" and first_select is None:

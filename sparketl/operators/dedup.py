@@ -149,24 +149,42 @@ def q_ext_02_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # EXT-02b — MinHash + LSH banding: the scale path.
-# xxhash64 is Spark-stable (seeded), so results are deterministic but
-# engine-specific → rows-only driver check; pytest asserts the
-# candidate set is a superset of the exact-Jaccard pairs.
+# Signatures use the portable md5-h60 universal family (phash.py), so
+# both engines compute them bit-for-bit and the candidate set gets a
+# FULL DuckDB oracle (r9 upgrade; the earlier seeded-xxhash64 form was
+# engine-specific → rows-only). pytest still asserts the candidate
+# set is a superset of the exact-Jaccard pairs.
 # ---------------------------------------------------------------------------
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — min over shingles of seeded
-    xxhash64, computed as a pure array fold (no explode, no shuffle)."""
-    mins = F.array(
+    """(doc_id, sig: array<bigint>) — per seed i, min over shingles of
+    g_i(h60(s)) = (a_i·h60(s) + b_i) mod 2^60.
+
+    Formulation: explode shingles, md5-hash each ONCE, then
+    ``num_hashes`` map-combinable ``min`` aggregates — the simhash
+    lesson (one hash per token + plain aggregate columns stays inside
+    whole-stage codegen; a per-seed array fold recomputes the hash per
+    seed). The shuffle carries ``num_hashes`` longs per document after
+    partial aggregation. The (a_i, b_i) scrambles are shared integer
+    literals with the DuckDB oracle, so signatures agree
+    engine-for-engine (see ``phash.h60_scrambles``)."""
+    from sparketl.operators.phash import g60_expr, h60, h60_scrambles
+
+    tok = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", h60(F.col("s"))
+    )
+    scr = h60_scrambles(num_hashes)
+    agg = tok.groupBy("doc_id").agg(
         *[
-            F.array_min(
-                F.expr(f"transform(sh, s -> xxhash64(s, {seed}))")
-            ).alias(f"h{seed}")
-            for seed in range(num_hashes)
+            F.min(F.expr(g60_expr("h", a, b))).alias(f"m{i}")
+            for i, (a, b) in enumerate(scr)
         ]
     )
-    return sh.select("doc_id", mins.alias("sig"))
+    return agg.select(
+        "doc_id",
+        F.array(*[f"m{i}" for i in range(num_hashes)]).alias("sig"),
+    )
 
 
 def banded_signatures(
@@ -174,16 +192,23 @@ def banded_signatures(
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH band table — the artifact an
     incremental pipeline PERSISTS between ingest batches (bands per
-    doc, not pairs), so a new batch only ever band-joins against it."""
+    doc, not pairs), so a new batch only ever band-joins against it.
+    The bucket is the h60 of the band's signature slice rendered as a
+    comma-joined decimal string — portable across engines, 8 bytes of
+    shuffle payload per band."""
+    from sparketl.operators.phash import h60_sql_spark
+
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(shingles(docs), num_hashes)
+    bucket = h60_sql_spark(
+        f"concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band}))"
+    )
     return sig.select(
         "doc_id",
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), b -> "
-                f"named_struct('band', b, 'bucket', "
-                f"xxhash64(concat_ws(',', slice(sig, b*{rows_per_band}+1, {rows_per_band})))))"
+                f"named_struct('band', b, 'bucket', {bucket}))"
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")

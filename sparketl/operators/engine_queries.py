@@ -1602,6 +1602,47 @@ ENGINE_ORACLES["tierc_qualify"] = """
 """
 
 
+def q_tierc_qualify_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY inside a WITH member body feeding a join — the shape
+    real analyst SQL uses constantly and the r8 shim refused
+    (judge task 6). The dialect rewrite now recurses into each
+    depth-0 CTE body the way the APPLY transpiler recurses into its
+    operand, so the top-3-per-nation window filter happens INSIDE the
+    CTE before the nation join. DuckDB runs the QUALIFY-in-CTE
+    spelling natively as the oracle. Plan: one window shuffle on
+    c_nationkey, then a broadcast join to the 25-row nation dim."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        WITH top_cust AS (
+          SELECT c_nationkey, c_custkey, c_name, c_acctbal
+          FROM customer
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                     ORDER BY c_acctbal DESC, c_custkey) <= 3
+        )
+        SELECT n_name, t.c_custkey, t.c_name,
+               CAST(t.c_acctbal AS DOUBLE) AS acctbal
+        FROM top_cust t JOIN nation ON t.c_nationkey = n_nationkey
+        ORDER BY n_name, acctbal DESC, t.c_custkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_qualify_cte"] = q_tierc_qualify_cte
+ENGINE_ORACLES["tierc_qualify_cte"] = """
+    WITH top_cust AS (
+      SELECT c_nationkey, c_custkey, c_name, c_acctbal
+      FROM customer
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC, c_custkey) <= 3
+    )
+    SELECT n_name, t.c_custkey, t.c_name,
+           CAST(t.c_acctbal AS DOUBLE) AS acctbal
+    FROM top_cust t JOIN nation ON t.c_nationkey = n_nationkey
+    ORDER BY n_name, acctbal DESC, t.c_custkey
+"""
+
+
 def q_tierc_cross_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-SQL CROSS APPLY with a correlated TOP — the idiom APPLY
     exists for (top-N-per-entity without self-join gymnastics). The

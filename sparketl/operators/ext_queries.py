@@ -1337,17 +1337,46 @@ EXT_ORACLES.update(TEMPORAL_ORACLES)
 
 def q_ext_06_sessionize_stateful(spark, sf_dir):
     """Custom stateful streaming sessionizer (applyInPandasWithState)
-    driven to completion over the finite fixture — rows-only check
-    (streaming state machine is not SQL-expressible); pytest asserts
-    closed-session equivalence with the batch sessionizer."""
-    from sparketl.streaming.stateful import run_streaming_sessionize
+    driven to completion over the finite fixture WITH the end-of-
+    stream flush sentinel (r9, judge task 8: ext_134 proved the
+    pattern) — every session closes via watermark timeout, so the
+    stateful state machine's output equals the batch gaps-and-islands
+    derivation and carries a FULL SQL oracle, including the exact
+    bigint cents totals. The sentinel-free closed-sessions-only
+    variant stays pytest-covered (stream ≡ batch) in
+    tests/test_streaming.py."""
+    from sparketl.streaming.stateful import run_streaming_sessionize_flush
 
-    return run_streaming_sessionize(spark, sf_dir).orderBy(
-        "user_id", "session_start_us"
-    )
+    return run_streaming_sessionize_flush(spark, sf_dir, keep_value=True)
 
 
 EXT_QUERIES["ext_06_sessionize_stateful"] = q_ext_06_sessionize_stateful
+EXT_ORACLES["ext_06_sessionize_stateful"] = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+             CAST(value AS DECIMAL(12,2)) AS v
+      FROM events
+    ), flag AS (
+      SELECT user_id, us, event_id, v,
+             CASE WHEN lag(us) OVER w IS NULL
+                    OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), sess AS (
+      SELECT user_id, us, v,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
+               AS sid
+      FROM flag
+    )
+    SELECT user_id,
+           CAST(MIN(us) AS BIGINT) AS session_start_us,
+           CAST(MAX(us) AS BIGINT) AS session_end_us,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) * 100 AS BIGINT) AS total_value_cents
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start_us
+"""
 
 
 # IVF ANN (rows-only: centroid training is engine-side; pytest asserts
@@ -3907,4 +3936,214 @@ EXT_ORACLES["ext_141_funnel"] = """
                      // lag(n_users) OVER (ORDER BY step_idx) END
              AS conversion_permille
     FROM counts ORDER BY step_idx
+"""
+
+
+# ---------------------------------------------------------------------------
+# r9: ext_02_minhash_lsh gets a FULL oracle — the portable md5-h60
+# universal family (phash.h60_scrambles) makes MinHash signatures
+# engine-exact, so DuckDB rebuilds them min-for-min and the banded
+# candidate join is a plain equi-join on identical (band, bucket)
+# keys. The oracle SQL is GENERATED from the same (a_i, b_i) integer
+# literals the Spark query embeds (the div-token portability device).
+# ---------------------------------------------------------------------------
+
+
+def _minhash_ctes(
+    num_hashes: int = 32, bands: int = 8, side_expr: str | None = None
+) -> str:
+    """The shared CTE chain shingles → per-shingle h60 → signatures →
+    band buckets → DISTINCT candidate pairs, generated from the same
+    (a_i, b_i) literals as the Spark query. ``side_expr`` optionally
+    carries a per-document tag (e.g. the ext_117 old/new md5 coin)
+    through to the bands CTE, in which case the cand CTE is omitted
+    (side-aware callers build their own candidate joins)."""
+    from sparketl.operators.phash import g60_expr, h60_scrambles, h60_sql_duckdb
+
+    rpb = num_hashes // bands
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> {g60_expr('h', a, b, '//')}))"
+        for a, b in h60_scrambles(num_hashes)
+    )
+    bucket = h60_sql_duckdb(
+        f"array_to_string(sig[b*{rpb}+1 : b*{rpb}+{rpb}], ',')"
+    )
+    side_sel = f", {side_expr} AS side" if side_expr else ""
+    side_col = ", side" if side_expr else ""
+    chain = f"""s AS (
+      SELECT doc_id{side_sel},
+             list_distinct(list_transform(range(1, len(t) - 1),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 3
+    ), hs AS (
+      SELECT doc_id{side_col},
+             list_transform(sh, x -> {h60_sql_duckdb('x')}) AS hs
+      FROM s
+    ), sig AS (
+      SELECT doc_id{side_col},
+             [{mins}] AS sig
+      FROM hs
+    ), bands AS (
+      SELECT doc_id{side_col}, b,
+             {bucket} AS bucket
+      FROM sig, range({bands}) t(b)
+    )"""
+    if side_expr:
+        return chain
+    return (
+        chain
+        + """, cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+    )"""
+    )
+
+
+EXT_ORACLES["ext_02_minhash_lsh"] = f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b FROM cand
+    ORDER BY doc_a, doc_b
+"""
+
+# ext_82: the full LSH dedup pipeline — portable candidates (above) +
+# exact-Jaccard verification + min-label connected components (the
+# ext_02_dup_clusters recursive-CTE device) + per-source accounting.
+EXT_ORACLES["ext_82_lsh_dedup_pipeline"] = f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    ver AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN s sa ON sa.doc_id = cand.doc_a
+      JOIN s sb ON sb.doc_id = cand.doc_b
+      WHERE len(list_intersect(sa.sh, sb.sh))
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM ver
+    ),
+    reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+    ),
+    removed AS (
+      SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN r.doc_id IS NULL THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+    GROUP BY source ORDER BY source
+"""
+
+# ext_117: incremental LSH dedup — same portable chain with the
+# old/new md5 coin carried as a side tag; new×old candidates drop vs
+# the corpus, new×new candidates cluster within the batch (recursive
+# CTE), accounting over the new side only. Mirrors
+# curation.incremental_minhash_dedup clause for clause.
+_C117 = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+_J117 = (
+    "len(list_intersect(sa.sh, sb.sh)) "
+    "/ (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+)
+EXT_ORACLES["ext_117_incremental_lsh"] = f"""
+    WITH RECURSIVE {_minhash_ctes(side_expr=f"CASE WHEN {_C117} < '8' THEN 0 ELSE 1 END")},
+    no AS (
+      SELECT DISTINCT n.doc_id AS doc_a, o.doc_id AS doc_b
+      FROM bands n
+      JOIN bands o ON n.b = o.b AND n.bucket = o.bucket
+      WHERE n.side = 1 AND o.side = 0
+    ),
+    drop_vs AS (
+      SELECT DISTINCT no.doc_a AS doc_id
+      FROM no
+      JOIN s sa ON sa.doc_id = no.doc_a
+      JOIN s sb ON sb.doc_id = no.doc_b
+      WHERE {_J117} >= 0.8
+    ),
+    nn AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+      WHERE a.side = 1 AND b.side = 1
+    ),
+    ver_nn AS (
+      SELECT doc_a, doc_b
+      FROM nn
+      JOIN s sa ON sa.doc_id = nn.doc_a
+      JOIN s sb ON sb.doc_id = nn.doc_b
+      WHERE {_J117} >= 0.8
+        AND nn.doc_a NOT IN (SELECT doc_id FROM drop_vs)
+        AND nn.doc_b NOT IN (SELECT doc_id FROM drop_vs)
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver_nn
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM ver_nn
+    ),
+    reach(a, r) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.a
+    ),
+    labels AS (
+      SELECT a AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY a
+    ),
+    drop_in AS (
+      SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN v.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dropped_vs_corpus,
+           CAST(SUM(CASE WHEN v.doc_id IS NULL AND i.doc_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_in_batch,
+           CAST(SUM(CASE WHEN v.doc_id IS NULL AND i.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d
+    LEFT JOIN drop_vs v ON d.doc_id = v.doc_id
+    LEFT JOIN drop_in i ON d.doc_id = i.doc_id
+    WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) >= '8'
+    GROUP BY source ORDER BY source
+"""
+
+from sparketl.operators.curation import q_ext_142_incremental_join  # noqa: E402
+
+# Oracle = DIRECT aggregate over the new snapshots' join: hash-match
+# proves the counting-algorithm maintenance (V_old + ΔA⋈B_new +
+# A_new⋈ΔB − ΔA⋈ΔB) equals a full recompute of the join view.
+EXT_QUERIES["ext_142_incremental_join"] = q_ext_142_incremental_join
+EXT_ORACLES["ext_142_incremental_join"] = """
+    WITH o_new AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 11 = 0
+                  THEN CAST(o_totalprice AS DECIMAL(12,2)) + 100
+                  ELSE CAST(o_totalprice AS DECIMAL(12,2)) END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 != 0
+    ), c_new AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 13 = 0 THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS c_nationkey
+      FROM customer WHERE c_custkey % 9 != 0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(20,2))) AS DOUBLE) AS revenue
+    FROM o_new JOIN c_new ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
 """

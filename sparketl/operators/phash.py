@@ -44,3 +44,43 @@ def h60_sql_spark(expr: str) -> str:
 def h60_sql_duckdb(expr: str) -> str:
     """DuckDB snippet computing the identical 60-bit hash."""
     return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# Seeded universal-hash family over the h60 domain — the portable
+# replacement for Spark's seeded xxhash64 in MinHash signatures.
+# ---------------------------------------------------------------------------
+
+#: 2^30 — the split point that keeps every intermediate of the
+#: (a·h + b) mod 2^60 scramble inside a signed 64-bit integer.
+_HALF = 1 << 30
+
+
+def h60_scrambles(n: int) -> list[tuple[int, int]]:
+    """``n`` deterministic (a, b) pairs for the universal family
+    g_i(h) = (a_i·h + b_i) mod 2^60 over the h60 domain. a_i is an
+    odd Knuth multiplicative scramble < 2^30 (odd ⇒ the map is a
+    bijection on the low bits); b_i decorrelates the minima across
+    seeds. Pure Python ints — both the Spark query and the DuckDB
+    oracle embed them as identical literals, so the signatures agree
+    engine-for-engine."""
+    return [
+        (
+            (2654435761 * (i + 1)) % _HALF | 1,
+            (25214903917 * (i + 1) + 11) % H60_MAX,
+        )
+        for i in range(n)
+    ]
+
+
+def g60_expr(h_expr: str, a: int, b: int, intdiv: str = "div") -> str:
+    """SQL for g(h) = (a·h + b) mod 2^60 with every intermediate
+    64-bit-safe: split h = hi·2^30 + lo (hi, lo < 2^30; a < 2^30), so
+    a·hi and a·lo each stay < 2^60 and the sum < 2^62. Integer ops
+    only — Spark and DuckDB agree exactly on non-negative operands.
+    ``intdiv`` parameterizes the integer-division token (Spark
+    ``div``, DuckDB ``//``), same device as ``zorder_expr``."""
+    return (
+        f"((({a} * (({h_expr}) {intdiv} {_HALF})) % {_HALF}) * {_HALF}"
+        f" + {a} * (({h_expr}) % {_HALF}) + {b}) % {H60_MAX}"
+    )

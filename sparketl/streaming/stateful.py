@@ -689,7 +689,11 @@ def run_streaming_attribution(
 
 
 def run_streaming_sessionize_flush(
-    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, n_chunks: int = 4
+    spark: SparkSession,
+    sf_dir: str,
+    gap_minutes: int = 30,
+    n_chunks: int = 4,
+    keep_value: bool = False,
 ) -> DataFrame:
     """Stateful streaming sessionization with an END-OF-STREAM FLUSH —
     the finite-backfill pattern: after the staged chunks, one sentinel
@@ -701,10 +705,12 @@ def run_streaming_sessionize_flush(
     sessionizer (EXT-06) from a rows-only check to a FULL SQL oracle,
     the ext_101 pattern.
 
-    The sentinel's own state is filtered out (user_id < 0); output
-    drops the value column — session identity is (user, start, end,
-    n) and the cents totals stay covered by the stream≡batch pytest
-    on the rows-only variant."""
+    The sentinel's own state is filtered out (user_id < 0). With
+    ``keep_value`` the output carries ``total_value_cents`` (exact
+    bigint; the per-event HALF_UP cents quantization is DECIMAL(12,2)
+    cast semantics in both engines, so the oracle rebuilds it as
+    ``CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)``);
+    without it, session identity is (user, start, end, n)."""
     stage = stage_event_chunks(spark, sf_dir, n_chunks)
     try:
         schema = spark.read.parquet(
@@ -747,12 +753,13 @@ def run_streaming_sessionize_flush(
             q.processAllAvailable()
         finally:
             q.stop()
+        cols = ["user_id", "session_start_us", "session_end_us", "n_events"]
+        if keep_value:
+            cols.append("total_value_cents")
         return (
             spark.sql(f"SELECT * FROM {name}")
             .filter(F.col("user_id") >= 0)
-            .select(
-                "user_id", "session_start_us", "session_end_us", "n_events"
-            )
+            .select(*cols)
             .orderBy("user_id", "session_start_us")
         )
     finally:

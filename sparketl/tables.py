@@ -1354,6 +1354,114 @@ def incremental_agg(
     return merged
 
 
+def incremental_join_agg(
+    table_a: "ManagedTable",
+    table_b: "ManagedTable",
+    prev_agg: DataFrame,
+    va_from: int,
+    vb_from: int,
+    join_key: str,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    sum_expr: str | None = None,
+) -> DataFrame:
+    """Maintain a grouped aggregate over an EQUI-JOIN VIEW
+    ``A ⋈_key B`` incrementally from both tables' change feeds — the
+    counting algorithm (Gupta & Mumick): with signed row deltas
+    (insert = +1, delete = −1; an update is its ±pair),
+
+        V_new = V_old  +  ΔA ⋈ B_new  +  A_new ⋈ ΔB  −  ΔA ⋈ ΔB
+
+    holds as a signed multiset identity (the −ΔA⋈ΔB term removes the
+    double count when both sides of a pair changed in the same batch).
+    The maintained artifact here is the aggregate of V, so the three
+    delta joins feed signed count/sum contributions into the same
+    ``prev ⊎ delta`` combine as ``incremental_agg``.
+
+    Cost is O(changed data): each delta term joins a diff (shared-file
+    pruned, delta-sized) against the other table — at 100 TB that is a
+    broadcast or bucket-pruned join on the equi-key, never a rescan of
+    the unchanged view; a full recompute would re-shuffle both fact
+    tables. Counts and sums are the self-maintainable aggregates
+    (same caveat as ``incremental_agg``: min/max are not).
+
+    ``sum_expr`` may reference columns of either side (evaluated on
+    the joined row, cast to exact decimal so merge order is
+    irrelevant). ``group_cols`` may also come from either side —
+    including the B side, so a dimension UPDATE that moves a row
+    between groups maintains correctly (its −pre/+post pair lands in
+    both groups)."""
+    return signed_join_agg(
+        table_a.diff(va_from).withColumnRenamed("_change", "_ch_a"),
+        table_b.diff(vb_from).withColumnRenamed("_change", "_ch_b"),
+        table_a.read(),
+        table_b.read(),
+        prev_agg,
+        join_key,
+        group_cols,
+        count_col=count_col,
+        sum_col=sum_col,
+        sum_expr=sum_expr,
+    )
+
+
+def signed_join_agg(
+    da: DataFrame,
+    db: DataFrame,
+    a_new: DataFrame,
+    b_new: DataFrame,
+    prev_agg: DataFrame,
+    join_key: str,
+    group_cols: list[str],
+    count_col: str = "n",
+    sum_col: str | None = None,
+    sum_expr: str | None = None,
+) -> DataFrame:
+    """The counting-algorithm combine behind ``incremental_join_agg``,
+    over explicit signed-delta frames (``_ch_a`` / ``_ch_b`` ∈
+    'insert' | 'delete') — callers without a ManagedTable change feed
+    (e.g. the ext_142 fixture query) derive their deltas elsewhere and
+    reuse the identical algebra."""
+    sign_a = F.when(F.col("_ch_a") == "insert", F.lit(1)).otherwise(F.lit(-1))
+    sign_b = F.when(F.col("_ch_b") == "insert", F.lit(1)).otherwise(F.lit(-1))
+
+    terms = [
+        (da.join(b_new, join_key), sign_a),
+        (a_new.join(db, join_key), sign_b),
+        (da.join(db, join_key), -(sign_a * sign_b)),
+    ]
+    parts = []
+    for joined, sign in terms:
+        aggs = [F.sum(sign).alias(count_col)]
+        cols = [*group_cols, count_col]
+        if sum_col is not None:
+            expr = sum_expr if sum_expr is not None else sum_col
+            aggs.append(
+                F.sum(
+                    sign.cast("decimal(20,2)")
+                    * F.expr(expr).cast("decimal(20,2)")
+                ).alias(sum_col)
+            )
+            cols.append(sum_col)
+        parts.append(joined.groupBy(*group_cols).agg(*aggs).select(*cols))
+    cols = [*group_cols, count_col] + ([sum_col] if sum_col else [])
+    delta = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    merged = (
+        prev_agg.select(*cols)
+        .unionByName(delta)
+        .groupBy(*group_cols)
+        .agg(
+            *(
+                [F.sum(count_col).alias(count_col)]
+                + ([F.sum(sum_col).alias(sum_col)] if sum_col else [])
+            )
+        )
+        .filter(F.col(count_col) > 0)
+    )
+    return merged
+
+
 class MergeBuilder:
     """Accumulates MERGE ``WHEN`` clauses and executes them as one
     atomic copy-on-write commit (T-SQL MERGE semantics, SQL Server's

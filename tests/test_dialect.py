@@ -341,10 +341,16 @@ def test_qualify_refusals():
 
     with pytest.raises(DialectError, match="DISTINCT"):
         transpile("SELECT DISTINCT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1")
-    with pytest.raises(DialectError, match="subquery or CTE"):
+    with pytest.raises(DialectError, match="non-CTE subquery"):
         transpile(
             "SELECT * FROM (SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1)"
         )
+    # QUALIFY inside a depth-0 CTE body rewrites (r9) instead of refusing
+    out = transpile(
+        "WITH t2 AS (SELECT g FROM t "
+        "QUALIFY RANK() OVER (ORDER BY g) = 1) SELECT * FROM t2"
+    )
+    assert "QUALIFY" not in out.upper() and "__sparketl_q" in out
     with pytest.raises(DialectError, match="set operators"):
         transpile(
             "SELECT g FROM t UNION ALL SELECT g FROM t "

@@ -15,26 +15,20 @@ def test_entry_returns_rows(spark):
 # pytest semantic check instead. Anything else missing an oracle is a
 # registration bug.
 ROWS_ONLY_ALLOWED = {
-    "ext_02_minhash_lsh",
     "ext_02_simhash",
     "ext_03_ann_lsh",
     "ext_03_ann_ivf",
-    "ext_06_sessionize_stateful",
     "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
     # iterative-training dependency; pytest vs pure-Python encode
-    "ext_82_lsh_dedup_pipeline",  # MinHash banding via xxhash64 —
-    # engine-specific; pytest proves equality with exact ext_70
     "ext_99_pca_top_component",  # driver power iteration on the
     # dim×dim covariance — no SQL eigen twin; pytest vs numpy eigh
     "ext_136_image_neardup",  # Python-side perceptual hash (mapInPandas
     # over binary payloads) — no SQL twin; pytest proves banding ≡
     # brute-force and planted-near-dup recovery on real BMPs
-    "ext_117_incremental_lsh",  # xxhash64 banding (ext_82's family);
-    # pytest recomputes the kept set from the verified pairs in Python
 }
 
 

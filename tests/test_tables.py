@@ -248,6 +248,79 @@ def test_incremental_agg_matches_full_recompute(spark, tmp_table_root):
     assert g == w == [("a", 2, 50.0), ("b", 1, 7.5)]
 
 
+def test_incremental_join_agg_matches_full_recompute(spark, tmp_path):
+    """Join-view maintenance (counting algorithm) across one batch of
+    append + keyed update + delete on BOTH sides, including a dim
+    update that MOVES rows between groups: the incrementally
+    maintained per-group aggregate of A ⋈ B must equal a full
+    recompute."""
+    from pyspark.sql import functions as F
+
+    from sparketl.tables import ManagedTable, incremental_join_agg
+
+    fact_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("k", T.LongType(), True),
+            T.StructField("amt", T.DoubleType(), True),
+        ]
+    )
+    dim_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("grp", T.StringType(), True),
+        ]
+    )
+    a = ManagedTable(spark, str(tmp_path / "fact"))
+    a.create(fact_schema, properties={"primary_key": "id"})
+    b = ManagedTable(spark, str(tmp_path / "dim"))
+    b.create(dim_schema, properties={"primary_key": "k"})
+    a.append(
+        spark.createDataFrame(
+            [(1, 10, 5.0), (2, 10, 7.0), (3, 20, 1.0), (4, 30, 2.0)],
+            fact_schema,
+        )
+    )
+    b.append(
+        spark.createDataFrame([(10, "x"), (20, "y"), (30, "y")], dim_schema)
+    )
+    va, vb = a._current_version(), b._current_version()
+
+    def full():
+        return (
+            a.read()
+            .join(b.read(), "k")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("amt").cast("decimal(20,2)")).alias("amt_sum"),
+            )
+        )
+
+    prev = full()
+    prev.collect()  # pin the pre-batch aggregate before mutating
+
+    # fact side: append a row, delete one, update another's amount
+    a.append(spark.createDataFrame([(5, 20, 9.0)], fact_schema))
+    a.delete_where("id = 2")
+    a.keyed_update(spark.createDataFrame([(1, 10, 6.0)], fact_schema), "id")
+    # dim side: update k=30 into group 'x' (group move), delete k=20
+    # (its fact rows leave the view), insert k=40 (no fact rows yet)
+    b.keyed_update(spark.createDataFrame([(30, "x")], dim_schema), "k")
+    b.delete_where("k = 20")
+    b.append(spark.createDataFrame([(40, "z")], dim_schema))
+
+    got = incremental_join_agg(
+        a, b, prev, va, vb, "k", ["grp"],
+        count_col="n", sum_col="amt_sum", sum_expr="amt",
+    )
+    g = sorted((r["grp"], r["n"], float(r["amt_sum"])) for r in got.collect())
+    w = sorted(
+        (r["grp"], r["n"], float(r["amt_sum"])) for r in full().collect()
+    )
+    assert g == w == [("x", 2, 8.0)]
+
+
 def test_incremental_agg_group_disappears(spark, tmp_table_root):
     from pyspark.sql import functions as F
 

@@ -223,6 +223,7 @@ AUDITED = [
     "ext_133_kmeans",
     "ext_135_trailing_window",
     "tierc_qualify",
+    "tierc_qualify_cte",
     "tierc_cross_apply",
     "tierc_outer_apply",
     "tierc_tsql_funcs6",
@@ -233,6 +234,8 @@ AUDITED = [
     "tierc_asof_sql",
     "ext_140_retention",
     "ext_141_funnel",
+    "ext_142_incremental_join",
+    "ext_02_minhash_lsh",
 ]
 
 
