@@ -21,73 +21,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-8 rotation: the driver checks the FIRST 50 entries in
-# iteration order. Window layout: (a) the 12 round-8 additions and
-# re-implementations, none of which has a driver verdict on the new
-# code — the portable-md5 sketch upgrades (ext_09_hll_ndv,
-# ext_55_countmin: rows-only → full oracle), the QUALIFY/APPLY
-# planner shapes, T-SQL funcs6, and the stats/graph/ML batch
-# (Welch, autocorrelation, triangles, k-means, flush-sessionize,
-# interval RANGE window); (b) the 29 stalest driver greens — the
-# full round-3 cohort plus the oldest round-4 entries, oldest first
-# (the radix-family members here were re-verified green at sf0.1 in
-# round 7 but their last DRIVER verdict predates the r7 machinery
-# change). The remaining 15 round-4 tierc entries queue for round 9.
+# Round-9 rotation: the driver checks the FIRST 50 entries in
+# iteration order. Window layout: (a) the 9 round-9 additions and
+# re-implementations with no driver verdict on the new code — the
+# new tierc_qualify_cte / ext_142 entries, the four rows-only →
+# full-oracle upgrades (portable-md5 MinHash family: ext_02/82/117;
+# flush-sentinel sessionize: ext_06), and the three r8-verdicted
+# entries whose output or code changed this round (ext_132 gained
+# the fan-out cap + n_dropped_parts column, ext_139's grid-boundary
+# fix, ext_136's 8×8 banding — still rows-only); (b) judge task 1:
+# the 19 round-3-stale entries queued last round; (c) the 22 oldest
+# round-4-stale entries in the judge's order. The remaining 20
+# round-4 entries (ext_53/54/56/57/58/61-65, ext_01_dedup_documents,
+# ext_08, flagship, flt_*, fn_01, join_01/02) queue for round 10.
 _FRONT = [
-    # (a) new or re-implemented in round 8
-    "ext_09_hll_ndv",
-    "ext_55_countmin",
-    "tierc_qualify",
-    "tierc_cross_apply",
-    "tierc_outer_apply",
-    "tierc_tsql_funcs6",
-    "ext_130_welch_ttest",
-    "ext_131_autocorr",
+    # (a) new or changed in round 9
+    "tierc_qualify_cte",
+    "ext_142_incremental_join",
+    "ext_02_minhash_lsh",
+    "ext_82_lsh_dedup_pipeline",
+    "ext_117_incremental_lsh",
+    "ext_06_sessionize_stateful",
     "ext_132_clustering",
-    "ext_133_kmeans",
-    "ext_134_stream_sessions",
-    "ext_135_trailing_window",
-    "ext_136_image_neardup",
-    "tierc_groupby_all",
-    "tierc_unpivot_sql",
-    "ext_137_auc",
-    "ext_138_stream_enrich",
     "ext_139_resample",
-    "tierc_asof_sql",
-    "ext_140_retention",
-    "ext_141_funnel",
-    # (b) stalest driver verdicts, oldest first
-    "ext_09_approx_quantiles",
-    "ext_20_winsorize",
-    "ext_44_exact_percentiles",
-    "ext_59_quality_buckets",
-    "ext_60_embedding_outliers",
-    "ext_85_decile_binning",
-    "ext_95_interevent_gaps",
-    "agg_02_value_counts",
-    "agg_06_pivot",
-    "ext_01_exact_dedup",
-    "ext_17_quantize",
-    "ext_27_transitions",
-    "ext_28_cdf",
-    "ext_29_fuzzy_join",
-    "ext_32_unpivot",
-    "ext_33_props_numbers",
-    "ext_34_trigram_lm",
-    "ext_35_chunk_overlap",
-    "ext_36_bag_dedup",
-    "ext_37_containment",
-    "ext_39_bloom_join",
-    "ext_40_hash_sample",
-    "ext_41_pagerank",
-    "ext_42_window_suite",
-    "ext_43_moment_stats",
-    "ext_52_prefix_jaccard",
-    "prof_01_table_profile",
-    "tierc_acct_screening",
-    "tierc_custdist",
-    # ---- end of the round-8 driver window (50 entries above) ----
-    # queued for round 9: the remaining round-4 cohort
+    "ext_136_image_neardup",
+    # (b) the queued round-3 cohort (judge-verified 19/19 in r8)
     "ext_45_histogram",
     "ext_46_orphan_audit",
     "ext_48_lm_score",
@@ -107,6 +65,51 @@ _FRONT = [
     "tierc_tsql_pagination",
     "tierc_volume_customers",
     "tierc_waiting_orders",
+    # (c) oldest round-4-stale entries
+    "agg_01_group_sum",
+    "agg_03_count_avg",
+    "agg_04_distinct",
+    "agg_04_having",
+    "agg_05_cube",
+    "agg_05_grouping_sets",
+    "agg_05_rollup",
+    "agg_05_stats",
+    "ext_02_ngram_jaccard",
+    "ext_03_cosine_topk",
+    "ext_03_embedding_near_dup",
+    "ext_04_lang_id",
+    "ext_04_quality",
+    "ext_04_text_stats",
+    "ext_04_token_count_bpe",
+    "ext_04_token_counts",
+    "ext_25_gapfill",
+    "ext_26_merge_intervals",
+    "ext_30_top_paths",
+    "ext_38_chisq",
+    "ext_47_dow_entropy",
+    "ext_50_skew_report",
+    # ---- end of the round-9 driver window (50 entries above) ----
+    # queued for round 10: the remaining round-4 cohort
+    "ext_53_hopping_window",
+    "ext_54_session_window",
+    "ext_56_expectations",
+    "ext_57_cumulative_users",
+    "ext_58_vocab_coverage",
+    "ext_61_stream_dedup",
+    "ext_62_source_cap",
+    "ext_63_curation_funnel",
+    "ext_64_dataset_card",
+    "ext_65_incremental_dedup",
+    "ext_01_dedup_documents",
+    "ext_08_stratified_sample",
+    "flagship_pricing_summary",
+    "flt_01_eq_and",
+    "flt_03_not_in",
+    "flt_04_param_eq",
+    "flt_05_range",
+    "fn_01_year_month",
+    "join_01_inner",
+    "join_02_full",
 ]
 
 

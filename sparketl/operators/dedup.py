@@ -249,33 +249,42 @@ def q_ext_02_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — sign-aggregated bit votes of token hashes.
+    """(doc_id, simhash) — sign-aggregated bit votes of token hashes:
+    a 60-BIT fingerprint over the portable md5-h60 domain (r9; the
+    64-bit xxhash64 form was engine-specific → rows-only — the h60
+    hash gives every bit vote an exact DuckDB twin, so the
+    fingerprints hash-match bit for bit).
 
-    Formulation: explode tokens, hash each ONCE (xxhash64), then 64
-    per-bit vote sums as plain aggregate columns — all inside
-    whole-stage codegen with map-side partial aggregation, so the
-    shuffle carries only 64 longs per document. (A single nested
-    array-fold expression is semantically identical but falls out of
-    codegen and recomputes the hash per bit — ~80× slower measured.)
+    Formulation: explode tokens, hash each ONCE, then 60 per-bit vote
+    sums as plain aggregate columns — all inside whole-stage codegen
+    with map-side partial aggregation, so the shuffle carries only 60
+    longs per document. (A single nested array-fold expression is
+    semantically identical but falls out of codegen and recomputes
+    the hash per bit — ~80× slower measured.) The fingerprint
+    reassembles as Σ 2^i over positive votes — distinct powers, so
+    integer addition ≡ bitwise OR and both engines agree exactly
+    (ties: a zero vote sum leaves the bit 0).
     """
-    from functools import reduce
+    from sparketl.operators.phash import h60
 
     tok = spread(docs).select(
         "doc_id", F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", h60(F.col("tok")))
     votes = tok.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.expr(f"(shiftright(h, {i}) & 1L) = 1L"), 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(60)
         ]
     )
-    bit_cols = [
-        F.expr(f"CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END")
-        for i in range(64)
-    ]
-    fingerprint = reduce(lambda a, b: a.bitwiseOR(b), bit_cols)
+    fingerprint = sum(
+        [
+            F.expr(f"CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END")
+            for i in range(60)
+        ],
+        F.lit(0).cast("long"),
+    )
     return votes.select("doc_id", fingerprint.alias("simhash"))
 
 

@@ -1,9 +1,11 @@
 """Registry of [EXT] queries (SURVEY §2.12) + their DuckDB oracles.
 
-Queries whose Spark implementation depends on engine-specific hashes
-(xxhash64: minhash/simhash/LSH buckets) have no oracle → the driver
-records a rows-only check; pytest covers their semantics instead
-(candidate-set recall vs the exact formulations).
+Hash-dependent queries use the portable md5-h60 family (phash.py)
+wherever an oracle is wanted — MinHash/simhash/band buckets replay
+engine-exact in DuckDB since r9. The few remaining rows-only entries
+(hyperplane ANN, BPE's iterative argmax, approx sketches, Python-side
+image hashing) are listed in tests/test_entry_contract.py's
+ROWS_ONLY_ALLOWED with a pytest semantic check each.
 """
 
 from __future__ import annotations
@@ -4147,3 +4149,36 @@ EXT_ORACLES["ext_142_incremental_join"] = """
     FROM o_new JOIN c_new ON o_custkey = c_custkey
     GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# ext_02_simhash: FULL oracle (r9) — the 60-bit h60 domain makes every
+# bit vote engine-exact; the fingerprint is Σ 2^i over positive votes
+# (distinct powers ⇒ addition ≡ OR). Generated SQL mirrors the Spark
+# aggregate column for column.
+def _simhash_oracle() -> str:
+    from sparketl.operators.phash import h60_sql_duckdb
+
+    votes = ",\n             ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(60)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN (CAST(1 AS BIGINT) << {i}) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {h60_sql_duckdb('t.tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) t
+    ), votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id
+"""
+
+
+EXT_ORACLES["ext_02_simhash"] = _simhash_oracle()
