@@ -86,10 +86,14 @@ _FRONT = [
     "ext_26_merge_intervals",
     "ext_30_top_paths",
     "ext_38_chisq",
-    "ext_47_dow_entropy",
-    "ext_50_skew_report",
+    # late r9 upgrades (code changed → need fresh verdicts; they
+    # displace the two youngest (c)-cohort picks to the r10 queue)
+    "ext_02_simhash",
+    "ext_99_pca_top_component",
     # ---- end of the round-9 driver window (50 entries above) ----
     # queued for round 10: the remaining round-4 cohort
+    "ext_47_dow_entropy",
+    "ext_50_skew_report",
     "ext_53_hopping_window",
     "ext_54_session_window",
     "ext_56_expectations",

@@ -1931,6 +1931,10 @@ def global_clustering(
         )
         .select("c", "p")
         .distinct()
+        # two consumers since the r9 fan-out cap (the part-degree agg
+        # and the capped self-join input) — pin the distinct pair set
+        # so the lineitem⋈orders shuffle runs once
+        .localCheckpoint(eager=True)
     )
     part_deg = cp.groupBy("p").agg(F.count(F.lit(1)).alias("nb"))
     dropped = part_deg.filter(F.col("nb") > max_part_buyers).agg(

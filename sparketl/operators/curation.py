@@ -871,6 +871,10 @@ def lsh_dedup_pipeline_report(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b")
+        # dup_clusters reads its pair input twice (both edge
+        # directions) — pin the verified set so the candidate join +
+        # Jaccard verification run once
+        .localCheckpoint(eager=True)
     )
     labels = dup_clusters(verified)
     removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
@@ -2394,8 +2398,12 @@ def incremental_minhash_dedup(
     """
     from sparketl.operators.dedup import banded_signatures, dup_clusters, shingles
 
-    old_b = banded_signatures(old_docs)  # production: read, not recompute
-    new_b = banded_signatures(new_docs)
+    # Band tables feed 2+ consumers each (new_b joins the registry AND
+    # itself) — localCheckpoint pins them so the signature aggregation
+    # runs once, the same rule dup_clusters applies to its edge list.
+    # Production reads the PERSISTED registry instead of recomputing.
+    old_b = banded_signatures(old_docs).localCheckpoint(eager=True)
+    new_b = banded_signatures(new_docs).localCheckpoint(eager=True)
 
     sh_new = shingles(new_docs)
     sh_old = shingles(old_docs)
@@ -2429,8 +2437,13 @@ def incremental_minhash_dedup(
         )
         .distinct()
     )
+    # consumed by three branches (two anti-joins + the accounting
+    # join) — pin the tiny verified-drop set once
     drop_vs_corpus = (
-        verified(no, sh_new, sh_old).select(F.col("doc_a").alias("doc_id")).distinct()
+        verified(no, sh_new, sh_old)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
 
     # new × new among the batch remainder: canonical-per-cluster keeps

@@ -168,10 +168,22 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     seed). The shuffle carries ``num_hashes`` longs per document after
     partial aggregation. The (a_i, b_i) scrambles are shared integer
     literals with the DuckDB oracle, so signatures agree
-    engine-for-engine (see ``phash.h60_scrambles``)."""
+    engine-for-engine (see ``phash.h60_scrambles``).
+
+    The shingle frame is cached first (the ngram_jaccard precedent):
+    exploding a COMPUTED array triggers InferFiltersFromGenerate —
+    Spark infers ``size(sh) > 0`` and filter-pushdown inlines the
+    whole shingle transform below the exchange, re-evaluating it once
+    in the pushed filter and again in the projection (and locally
+    pinning it to the single-task scan stage). The cache boundary
+    blocks the pushdown, and downstream consumers that re-derive the
+    same shingle plan (ext_82/ext_117's exact-Jaccard verification)
+    hit it by plan-canonicalization instead of recomputing; a real
+    cluster pipeline would persist the shingle table between stages
+    the same way."""
     from sparketl.operators.phash import g60_expr, h60, h60_scrambles
 
-    tok = sh.select("doc_id", F.explode("sh").alias("s")).withColumn(
+    tok = sh.cache().select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", h60(F.col("s"))
     )
     scr = h60_scrambles(num_hashes)

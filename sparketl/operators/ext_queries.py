@@ -2635,8 +2635,84 @@ EXT_ORACLES["ext_98_embedding_covariance"] = """
 from sparketl.operators.similarity import q_ext_99_pca_top_component  # noqa: E402
 
 EXT_QUERIES["ext_99_pca_top_component"] = q_ext_99_pca_top_component
-# rows-only: no SQL-expressible eigen twin; pytest asserts alignment
-# with numpy.linalg.eigh (see tests/test_dedup_similarity.py)
+# FULL oracle since r9: the power iteration is pure integer
+# arithmetic on the exact sum_nano covariance (cells pre-scaled to
+# 2^20 of the max cell, truncating renormalization each round), so a
+# recursive CTE replays it round-for-round — the ext_133 unrolled-
+# iteration device generalized to a data-independent iteration count.
+# pytest additionally asserts alignment with numpy.linalg.eigh.
+EXT_ORACLES["ext_99_pca_top_component"] = """
+    WITH RECURSIVE e AS (
+      SELECT vec_id,
+             unnest(range(0, len(embedding))) AS pos,
+             unnest(embedding) AS v
+      FROM embeddings
+    ), en AS (
+      SELECT vec_id, pos,
+             CAST(FLOOR(CAST(v AS DOUBLE) * 1e9) AS BIGINT) AS vn
+      FROM e
+    ), m AS (
+      SELECT pos,
+             CAST(SUM(vn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_nano,
+             COUNT(*) AS n
+      FROM en GROUP BY pos
+    ), cc AS (
+      SELECT vec_id, en.pos,
+             CAST(vn AS DOUBLE) - mean_nano AS cv, n
+      FROM en JOIN m ON en.pos = m.pos
+    ), cov AS (
+      SELECT a.pos AS pos_i, b.pos AS pos_j,
+             MAX(a.n) AS n_vecs,
+             CAST(SUM(CAST(FLOOR(a.cv * b.cv / 1e9) AS BIGINT)) AS BIGINT)
+               AS sum_nano
+      FROM cc a JOIN cc b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT pos_i AS i, pos_j AS j, sum_nano AS a FROM cov
+      UNION ALL
+      SELECT pos_j, pos_i, sum_nano FROM cov WHERE pos_i <> pos_j
+    ), cm AS (
+      SELECT MAX(ABS(a)) AS cmax FROM sym
+    ), cs AS (
+      SELECT i, j, CAST((a * 1048576) // cmax AS BIGINT) AS c
+      FROM sym, cm
+    ), it(iter, pos, v) AS (
+      SELECT 0, i, CAST(1048576 AS BIGINT) FROM range(64) t(i)
+      UNION ALL
+      SELECT iter + 1, i,
+             CAST(w // GREATEST(1, wmax // 1048576) AS BIGINT)
+      FROM (
+        SELECT iter, i, w, MAX(ABS(w)) OVER (PARTITION BY iter) AS wmax
+        FROM (
+          SELECT it.iter AS iter, cs.i AS i, SUM(cs.c * it.v) AS w
+          FROM cs JOIN it ON cs.j = it.pos
+          WHERE it.iter < 100
+          GROUP BY it.iter, cs.i
+        )
+      )
+    ), fin0 AS (
+      SELECT pos, v FROM it WHERE iter = 100
+    ), sgn AS (
+      SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
+      FROM fin0 WHERE v <> 0 ORDER BY pos LIMIT 1
+    ), fin AS (
+      SELECT pos, v * sg AS v FROM fin0, sgn
+    ), w2 AS (
+      SELECT cs.i AS pos, SUM(cs.c * fin.v) AS w
+      FROM cs JOIN fin ON cs.j = fin.pos GROUP BY cs.i
+    ), ray AS (
+      SELECT SUM(fin.v * (w2.w // 1048576)) AS r1,
+             SUM(fin.v * fin.v) AS r2
+      FROM fin JOIN w2 USING (pos)
+    ), nv AS (
+      SELECT MAX(n_vecs) AS n FROM cov
+    )
+    SELECT CAST(fin.pos AS INT) AS pos,
+           CAST(fin.v AS DOUBLE) / sqrt(CAST(r2 AS DOUBLE)) AS loading,
+           CAST(r1 AS DOUBLE) / CAST(r2 AS DOUBLE) * CAST(cmax AS DOUBLE)
+             / (1e9 * CAST(n - 1 AS DOUBLE)) AS eigenvalue
+    FROM fin, ray, cm, nv ORDER BY pos
+"""
 
 from sparketl.operators.events_ops import q_ext_100_ttl_dedup  # noqa: E402
 

@@ -563,6 +563,19 @@ def q_ext_98_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame
     return embedding_covariance(load_table(spark, sf_dir, "embeddings"))
 
 
+#: Power-iteration fixed-point scale (2^20): vectors renormalize to
+#: max-component ≈ this each round, covariance cells pre-scale to it.
+_PCA_SCALE = 1 << 20
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — Spark ``div`` and
+    DuckDB ``//`` semantics (Python ``//`` floors, which differs on
+    negatives)."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
 def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int = 100) -> DataFrame:
     """Leading principal component of the embedding corpus: power
     iteration on the dim×dim covariance from
@@ -573,36 +586,56 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int =
     dim² covariance entries (a k·dim-class driver collect, the same
     allowance as IVF centroids) and runs a FIXED-iteration power
     method from the deterministic all-ones start — no RNG, so the
-    output is reproducible run to run. Rows-only driver check
-    (no SQL-expressible eigen twin); pytest asserts alignment with
-    ``numpy.linalg.eigh`` up to sign.
+    output is reproducible run to run.
+
+    Engine-exact (r9, FULL oracle — was rows-only): the iteration is
+    pure integer arithmetic on the EXACT bigint ``sum_nano``
+    covariance cells (scale cancels in the eigenvector): cells
+    pre-scale to 2^20 of the max cell, each round computes the exact
+    integer matrix-vector product and renormalizes by truncating
+    division to max-component ≈ 2^20 — DuckDB replays the identical
+    recursion round-for-round as a recursive CTE (the ext_133 device,
+    with HUGEINT sums covering the intermediates). The final unit
+    loadings and the Rayleigh eigenvalue are one shared double tree
+    over exact integer operands (sqrt and / are correctly rounded in
+    both engines). Sign convention: first nonzero loading positive.
 
     Output: one row per component position — (pos, loading, eigenvalue
     explained variance); loadings form a unit vector."""
     rows = embedding_covariance(emb, vec_col=vec_col).collect()
     dim = max(r["pos_j"] for r in rows) + 1
-    cov = [[0.0] * dim for _ in range(dim)]
+    n_vecs = max(r["n_vecs"] for r in rows)
+    a = [[0] * dim for _ in range(dim)]
     for r in rows:
-        cov[r["pos_i"]][r["pos_j"]] = r["cov"]
-        cov[r["pos_j"]][r["pos_i"]] = r["cov"]
-    v = [1.0 / (dim ** 0.5)] * dim
-    eigval = 0.0
+        a[r["pos_i"]][r["pos_j"]] = r["sum_nano"]
+        a[r["pos_j"]][r["pos_i"]] = r["sum_nano"]
+    s = _PCA_SCALE
+    cmax = max(abs(a[i][j]) for i in range(dim) for j in range(dim))
+    c = [[_tdiv(a[i][j] * s, cmax) for j in range(dim)] for i in range(dim)]
+    v = [s] * dim
     for _ in range(n_iters):
-        w = [sum(cov[i][j] * v[j] for j in range(dim)) for i in range(dim)]
-        norm = sum(x * x for x in w) ** 0.5
-        if norm == 0.0:
-            break
-        v = [x / norm for x in w]
-        eigval = norm
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wmax = max(abs(x) for x in w)
+        g = max(1, wmax // s)
+        v = [_tdiv(x, g) for x in w]
     # sign convention: first nonzero loading positive
     for x in v:
-        if x != 0.0:
-            if x < 0.0:
+        if x != 0:
+            if x < 0:
                 v = [-y for y in v]
             break
+    # Rayleigh quotient over the sign-fixed vector, quantized exactly
+    # as the oracle does: r1 = Σ v_i·(w_i div 2^20), r2 = Σ v_i²
+    w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    r1 = sum(v[i] * _tdiv(w[i], s) for i in range(dim))
+    r2 = sum(x * x for x in v)
+    import math
+
+    norm = math.sqrt(float(r2))
+    eigval = float(r1) / float(r2) * float(cmax) / (1e9 * float(n_vecs - 1))
     spark = emb.sparkSession
     out = spark.createDataFrame(
-        [(i, float(v[i]), float(eigval)) for i in range(dim)],
+        [(i, float(v[i]) / norm, eigval) for i in range(dim)],
         "pos int, loading double, eigenvalue double",
     )
     return out.orderBy("pos")
