@@ -4258,3 +4258,70 @@ def _simhash_oracle() -> str:
 
 
 EXT_ORACLES["ext_02_simhash"] = _simhash_oracle()
+
+
+# ext_03_ann_lsh: FULL oracle (r9) — hyperplane signs are md5-h60
+# bits over milli-quantized cells, so bucket bits are exact integers
+# in both engines; scoring reuses the cosine_topk device.
+def _ann_lsh_oracle() -> str:
+    from sparketl.operators.phash import h60_sql_duckdb
+
+    return f"""
+    WITH signs AS (
+      SELECT CAST(i AS INT) AS pos,
+             {h60_sql_duckdb("'lshA:' || i")} AS h1,
+             {h60_sql_duckdb("'lshB:' || i")} AS h2
+      FROM range(64) t(i)
+    ), cells AS (
+      SELECT vec_id, CAST(u AS INT) AS pos,
+             CAST(FLOOR(CAST(embedding[u + 1] AS DOUBLE) * 1000.0)
+                  AS BIGINT) AS x
+      FROM embeddings, range(64) t(u)
+    ), sums AS (
+      SELECT vec_id, tp.t, tp.p,
+             SUM((1 - 2 * ((CASE WHEN tp.t * 8 + tp.p < 60
+                                 THEN h1 >> (tp.t * 8 + tp.p)
+                                 ELSE h2 >> (tp.t * 8 + tp.p - 60)
+                            END) & 1)) * x) AS s
+      FROM cells
+      JOIN signs USING (pos)
+      CROSS JOIN (SELECT a.i AS t, b.i AS p
+                  FROM range(8) a(i), range(8) b(i)) tp
+      GROUP BY vec_id, tp.t, tp.p
+    ), buckets AS (
+      SELECT vec_id, t,
+             CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p)
+                           ELSE 0 END) AS BIGINT) AS b
+      FROM sums GROUP BY vec_id, t
+    ), qb AS (
+      SELECT vec_id AS query_id, t, b FROM buckets WHERE vec_id < 8
+      UNION
+      SELECT vec_id, t, CAST(xor(b, CAST(1 AS BIGINT) << i) AS BIGINT)
+      FROM buckets, range(8) f(i) WHERE vec_id < 8
+    ), cand AS (
+      SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
+      FROM qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
+      WHERE cb.vec_id <> qb.query_id
+    ), v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS sim
+      FROM cand
+      JOIN v q ON q.vec_id = cand.query_id
+      JOIN v c ON c.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+
+EXT_ORACLES["ext_03_ann_lsh"] = _ann_lsh_oracle()

@@ -120,20 +120,78 @@ def q_ext_03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
-    rng = np.random.RandomState(seed)
-    return rng.randn(n_planes, dim).tolist()
+def _lsh_sign_table(spark, dim: int) -> DataFrame:
+    """(pos, h1, h2) — per component position, two portable md5-h60
+    words whose bits are the ±1 hyperplane signs for every
+    (table, plane) pair: sign(tp, pos) = bit tp of h1 (tp < 60) or
+    bit tp−60 of h2. dim rows — broadcast-joined to the exploded
+    vector cells, so neither engine inlines plane literals (the
+    centroid-literal analysis blowup) and both derive identical
+    signs. md5 bits replace the earlier numpy randn planes: a
+    hash-product arithmetic family was tried first and measured
+    max-biased to a CONSTANT plane (the ext_108 caveat — products of
+    two scrambles mix poorly in 2-D), while md5 bits are
+    cryptographically balanced."""
+    from sparketl.operators.phash import h60_sql_spark
+
+    return spark.range(dim).select(
+        F.col("id").cast("int").alias("pos"),
+        F.expr(h60_sql_spark("concat('lshA:', id)")).alias("h1"),
+        F.expr(h60_sql_spark("concat('lshB:', id)")).alias("h2"),
+    )
 
 
-def _bucket_expr(planes: list[list[float]], vec_col: str) -> F.Column:
-    """Bit-signature bucket from fixed hyperplanes (sign of each dot)."""
-    bucket = None
-    for i, p in enumerate(planes):
-        arr = f"array({', '.join(repr(float(x)) for x in p)})"
-        dot = F.expr(_DOT.format(a=vec_col, b=arr))
-        bit = F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return bucket.cast("long")
+def _lsh_buckets(
+    vecs: DataFrame,
+    signs: DataFrame,
+    id_col: str,
+    n_planes: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, t, b) bucket table: milli-quantized cells explode once,
+    join the broadcast sign table, and ONE groupBy computes every
+    (table, plane) signed sum as a map-combinable aggregate column
+    (the simhash formulation); buckets assemble as Σ bit<<p. All
+    integer arithmetic — engine-exact."""
+    cells = vecs.select(
+        F.col(id_col),
+        F.posexplode("embedding").alias("pos", "v"),
+    ).select(
+        id_col,
+        "pos",
+        F.expr("CAST(FLOOR(CAST(v AS DOUBLE) * 1000.0) AS BIGINT)").alias("x"),
+    )
+    joined = cells.join(F.broadcast(signs), "pos")
+    aggs = []
+    for tp in range(n_tables * n_planes):
+        src, bit = ("h1", tp) if tp < 60 else ("h2", tp - 60)
+        aggs.append(
+            F.sum(
+                F.expr(f"(1 - 2 * (shiftright({src}, {bit}) & 1)) * x")
+            ).alias(f"s{tp}")
+        )
+    sums = joined.groupBy(id_col).agg(*aggs)
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                sum(
+                    [
+                        F.expr(
+                            f"CASE WHEN s{t * n_planes + p} > 0 "
+                            f"THEN CAST({1 << p} AS BIGINT) ELSE 0L END"
+                        )
+                        for p in range(n_planes)
+                    ],
+                    F.lit(0).cast("long"),
+                ).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return sums.select(id_col, F.explode(buckets).alias("tb")).select(
+        id_col, "tb.t", "tb.b"
+    )
 
 
 def ann_lsh_topk(
@@ -153,24 +211,27 @@ def ann_lsh_topk(
     the scan fraction is ~n_tables·probes/2^n_planes of the corpus —
     the knob that trades recall for cost at 100 TB (raise n_planes as
     density grows to keep buckets small).
-    """
-    tb_structs_c = []
-    tb_structs_q = []
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        bc = _bucket_expr(planes, "embedding")
-        tb_structs_c.append(F.struct(F.lit(t).alias("t"), bc.alias("b")))
-        tb_structs_q.append(F.struct(F.lit(t).alias("t"), bc.alias("b")))
 
+    Engine-exact buckets (r9, FULL oracle — was rows-only): the
+    hyperplanes are md5-h60 sign bits over milli-quantized cells (see
+    ``_lsh_sign_table``), so DuckDB reproduces every bucket bit
+    exactly; candidate scoring reuses ext_03_cosine_topk's oracle-
+    proven cosine expression, and ranks tie-break on neighbor_id.
+    """
+    signs = _lsh_sign_table(corpus.sparkSession, dim)
     c = (
         with_norm(spread(corpus))
         .select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("c_vec"),
             F.col("_norm").alias("c_norm"),
-            F.explode(F.array(*tb_structs_c)).alias("tb"),
         )
-        .select("neighbor_id", "c_vec", "c_norm", "tb.t", "tb.b")
+        .join(
+            _lsh_buckets(
+                spread(corpus), signs, "vec_id", n_planes, n_tables
+            ).withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+        )
     )
     # queries: per table, probe the home bucket plus every 1-bit flip
     q = (
@@ -179,18 +240,23 @@ def ann_lsh_topk(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_vec"),
             F.col("_norm").alias("q_norm"),
-            F.explode(F.array(*tb_structs_q)).alias("tb"),
+        )
+        .join(
+            _lsh_buckets(
+                queries, signs, "vec_id", n_planes, n_tables
+            ).withColumnRenamed("vec_id", "query_id"),
+            "query_id",
         )
         .select(
             "query_id",
             "q_vec",
             "q_norm",
-            F.col("tb.t").alias("t"),
+            "t",
             F.explode(
                 F.expr(
-                    f"array_union(array(tb.b), "
+                    f"array_union(array(b), "
                     f"transform(sequence(0, {n_planes - 1}), "
-                    f"i -> CAST(tb.b ^ shiftleft(1L, i) AS LONG)))"
+                    f"i -> CAST(b ^ shiftleft(1L, i) AS LONG)))"
                 )
             ).alias("b"),
         )
