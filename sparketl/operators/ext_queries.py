@@ -4325,3 +4325,80 @@ def _ann_lsh_oracle() -> str:
 
 
 EXT_ORACLES["ext_03_ann_lsh"] = _ann_lsh_oracle()
+
+
+# ext_03_ann_ivf: FULL oracle (r9) — the integer-Lloyd coarse
+# quantizer (kmeans_fixed's devices over milli-quantized UNIT
+# vectors) unrolls like ext_133: residue init, one training round,
+# exact-bigint home/probe assignment, cosine scoring on the shared
+# unit arrays.
+def _ann_ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
+    cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), un AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM v
+    ), cells AS (
+      SELECT vec_id, CAST(t.d AS INT) AS d,
+             CAST(FLOOR(u[t.d + 1] * 1000.0) AS BIGINT) AS m
+      FROM un, range(64) t(d)
+    ), a0 AS (
+      SELECT vec_id, CAST(vec_id % {n_cells} AS INT) AS c FROM embeddings
+    ), c0 AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a0 USING (vec_id) GROUP BY c, d
+    ), d1 AS (
+      SELECT cells.vec_id, c0.c, {dist} AS dist
+      FROM cells JOIN c0 USING (d) GROUP BY 1, 2
+    ), a1 AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d1 JOIN (SELECT vec_id, MIN(dist) AS md FROM d1
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), c1 AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a1 USING (vec_id) GROUP BY c, d
+    ), d2 AS (
+      SELECT cells.vec_id, c1.c, {dist} AS dist
+      FROM cells JOIN c1 USING (d) GROUP BY 1, 2
+    ), home AS (
+      SELECT vec_id AS neighbor_id, MIN(c) AS cell
+      FROM d2 JOIN (SELECT vec_id, MIN(dist) AS md FROM d2
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), dq AS (
+      SELECT cells.vec_id, c1.c, {dist} AS dist
+      FROM cells JOIN c1 USING (d)
+      WHERE cells.vec_id < 8 GROUP BY 1, 2
+    ), probes AS (
+      SELECT vec_id AS query_id, c AS cell FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c) AS pr
+        FROM dq
+      ) WHERE pr <= {nprobe}
+    ), scored AS (
+      SELECT p.query_id, h.neighbor_id,
+             list_dot_product(uq.u, uc.u) AS sim
+      FROM probes p
+      JOIN home h ON p.cell = h.cell
+      JOIN un uq ON uq.vec_id = p.query_id
+      JOIN un uc ON uc.vec_id = h.neighbor_id
+      WHERE h.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY sim DESC, neighbor_id)
+                  AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+EXT_ORACLES["ext_03_ann_ivf"] = _ann_ivf_oracle()

@@ -19,7 +19,6 @@ it IS the oracle.
 
 from __future__ import annotations
 
-import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -300,109 +299,21 @@ def _unit(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def _centroids_df(spark: SparkSession, centroids: list[list[float]]) -> DataFrame:
-    """Tiny (k × dim) centroid table — broadcast into assignment joins.
-
-    A join against this beats inlining centroids as literal arrays in
-    one giant expression: k·dim literal constants blow up Catalyst
-    analysis + janino compile time (measured ~20 s at k=16, dim=64),
-    while the join keeps every expression small and data-sized."""
-    return spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
-        "cell INT, cvec ARRAY<DOUBLE>",
-    )
-
-
-def _assign_cells(
-    df: DataFrame, cents: DataFrame, vec_col: str, id_col: str, n: int
+def _milli_unit_cells(
+    vecs: DataFrame, id_col: str, out_id: str, vec_col: str = "embedding"
 ) -> DataFrame:
-    """df + per-row `cell`: the n max-dot centroids for each row
-    (n=1 → the home cell; n>1 → probe cells, one output row each).
-    Broadcast join + per-id top-n; ties break on centroid index so
-    assignment is deterministic.
-
-    n=1 (the training/index hot path, corpus-sized) avoids the
-    row_number window entirely: ``min(struct(-dot, cell))`` is a
-    map-side-combinable aggregate — the k candidate rows per id reduce
-    to one BEFORE the shuffle, where the window form sort-shuffles all
-    k·|corpus| rows. Same deterministic tie-break (smaller cell wins),
-    bit-identical output. n>1 keeps the window (probe side is
-    query-sized)."""
-    scored = df.join(F.broadcast(cents)).withColumn("__nd", -_dot(vec_col, "cvec"))
-    if n == 1:
-        other = [c for c in df.columns if c != id_col]
-        return (
-            scored.groupBy(id_col)
-            .agg(
-                F.min(F.struct("__nd", "cell")).alias("__b"),
-                # functionally dependent on id_col (one source row per
-                # id fans out over centroids), so first() is stable
-                *[F.first(c).alias(c) for c in other],
-            )
-            .select(*df.columns, F.col("__b.cell").alias("cell"))
-        )
-    w = W.partitionBy(id_col).orderBy("__nd", "cell")
-    return (
-        scored.withColumn("__r", F.row_number().over(w))
-        .filter(F.col("__r") <= n)
-        .drop("__nd", "__r", "cvec")
+    """(out_id, d, m) — milli-quantized UNIT-vector cells: the one
+    identical double expression tree (element / correctly-rounded
+    sqrt norm, then floor×1000) both engines share, after which every
+    quantizer step is exact integer arithmetic."""
+    return _unit(vecs, vec_col).select(
+        F.col(id_col).alias(out_id),
+        F.posexplode("_unit").alias("d", "uf"),
+    ).select(
+        out_id,
+        "d",
+        F.expr("CAST(FLOOR(uf * 1000.0) AS BIGINT)").alias("m"),
     )
-
-
-def _train_ivf(
-    u: DataFrame, n_cells: int, n_iters: int, id_col: str
-) -> list[list[float]]:
-    """Deterministic spherical k-means over a cached unit-vector DF
-    (columns: id_col, _unit): init = the n_cells smallest-id unit
-    vectors, then Lloyd iterations with mean-then-renormalize.
-
-    Per iteration: one broadcast assignment pass + one (cell, dim)
-    aggregation — the posexplode shuffle is n·dim rows, linear in the
-    corpus, and the centroid table (k·dim doubles) always fits on the
-    driver. This is the standard distributed IVF training loop."""
-    spark = u.sparkSession
-    init = u.orderBy(id_col).limit(n_cells).collect()
-    centroids = [list(r["_unit"]) for r in init]
-    for _ in range(n_iters):
-        assigned = _assign_cells(
-            u, _centroids_df(spark, centroids), "_unit", id_col, 1
-        )
-        sums = (
-            assigned.select("cell", F.posexplode("_unit").alias("pos", "v"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        by_cell: dict[int, list[float]] = {}
-        counts: dict[int, int] = {}
-        for r in sums:
-            by_cell.setdefault(r["cell"], [0.0] * len(centroids[0]))[r["pos"]] = r["s"]
-            counts[r["cell"]] = r["n"]
-        new = []
-        for i, old in enumerate(centroids):
-            if i in by_cell and counts[i] > 0:
-                mean = [x / counts[i] for x in by_cell[i]]
-                nrm = sum(x * x for x in mean) ** 0.5
-                new.append([x / nrm for x in mean] if nrm > 0 else old)
-            else:  # empty cell keeps its previous centroid
-                new.append(old)
-        centroids = new
-    return centroids
-
-
-def train_ivf_centroids(
-    corpus: DataFrame,
-    n_cells: int = 16,
-    n_iters: int = 2,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-) -> list[list[float]]:
-    """Standalone training entry point (see _train_ivf)."""
-    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
-    try:
-        return _train_ivf(u, n_cells, n_iters, id_col)
-    finally:
-        u.unpersist()
 
 
 def ann_ivf_topk(
@@ -421,32 +332,73 @@ def ann_ivf_topk(
     column is the partition key: each probe is a co-located scan, and
     raising n_cells keeps per-cell size constant as the corpus grows.
 
-    The unit-normalized corpus is computed ONCE and cached: training
-    iterates over it, and the same cached DF feeds the final index
-    assignment — no second normalize+spread pass over the corpus. (At
-    cluster scale the final assignment would be written out partitioned
-    by cell instead of cached; the single-pass structure is the same.)"""
-    spark = corpus.sparkSession
-    u = _unit(spread(corpus), vec_col).select(id_col, "_unit").cache()
-    cents = _centroids_df(spark, _train_ivf(u, n_cells, n_iters, id_col))
-    c = _assign_cells(
-        u.select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("c_vec")),
-        cents,
-        "c_vec",
-        "neighbor_id",
-        1,
+    Engine-exact coarse quantizer (r9, FULL oracle — the earlier
+    float spherical-k-means trainer was rows-only): the corpus unit-
+    normalizes through one shared double tree, milli-quantizes, and
+    trains by kmeans_fixed's integer Lloyd devices — residue-class
+    init (window-free), centroids cq = (1000·Σm) div n, exact bigint
+    distances, struct-min ties — so DuckDB replays training,
+    assignment and probing bit for bit; only the final candidate
+    cosine is a double, written identically in the oracle (the
+    cosine_topk precedent). Cells that lose all members simply stop
+    existing — deterministic in both engines, no driver state, no
+    k×dim literal inlining (the centroid-literal analysis blowup the
+    old collect-based trainer worked around with a broadcast join).
+    """
+    cells = _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
+    assign = spread(corpus).select(
+        F.col(id_col).alias("vid"),
+        (F.col(id_col) % F.lit(n_cells)).cast("int").alias("c"),
     )
-    q = _assign_cells(
-        _unit(queries, vec_col).select(
-            F.col(id_col).alias("query_id"), F.col("_unit").alias("q_vec")
-        ),
-        cents,
-        "q_vec",
-        "query_id",
-        nprobe,
+
+    def centroids(a: DataFrame) -> DataFrame:
+        return (
+            cells.join(a, "vid")
+            .groupBy("c", "d")
+            .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select("c", "d", F.expr("(1000 * s) div n").alias("cq"))
+        )
+
+    def dists_to(cents: DataFrame, pts: DataFrame) -> DataFrame:
+        return (
+            pts.join(F.broadcast(cents), "d")
+            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
+            .groupBy(pts.columns[0], "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+
+    for _ in range(n_iters):
+        dists = dists_to(centroids(assign), cells)
+        assign = (
+            dists.groupBy("vid")
+            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            .select("vid", F.col("mn.c").alias("c"))
+        )
+
+    cents = centroids(assign).localCheckpoint(eager=True)  # 2 consumers
+    home = (
+        dists_to(cents, cells)
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "c")).alias("mn"))
+        .select(F.col("vid").alias("neighbor_id"), F.col("mn.c").alias("cell"))
+    )
+    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col)
+    wq = W.partitionBy("qid").orderBy("dist", "c")
+    probes = (
+        dists_to(cents, q_cells)
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select(F.col("qid").alias("query_id"), F.col("c").alias("cell"))
+    )
+    c_vecs = _unit(spread(corpus), vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("c_vec")
+    )
+    q_vecs = _unit(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("q_vec")
     )
     scored = (
-        c.join(F.broadcast(q), "cell")
+        home.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(probes.join(q_vecs, "query_id")), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -580,7 +532,7 @@ def embedding_covariance(emb: DataFrame, vec_col: str = "embedding") -> DataFram
         )
     )
     # dim-sized mean array broadcast back (never inlined as a literal —
-    # see the centroid gotcha in similarity._centroids_df)
+    # see the centroid-literal gotcha in _lsh_sign_table)
     marr = means.agg(
         F.expr(
             "transform(array_sort(collect_list(struct(pos, mean_nano))),"

@@ -15,7 +15,6 @@ def test_entry_returns_rows(spark):
 # pytest semantic check instead. Anything else missing an oracle is a
 # registration bug.
 ROWS_ONLY_ALLOWED = {
-    "ext_03_ann_ivf",
     "ext_09_approx_quantiles",
     "ext_16_heavy_hitters",
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
