@@ -142,6 +142,7 @@ HEADLINE = [
     "ext_140_retention",
     "ext_141_funnel",
     "ext_142_incremental_join",
+    "ext_143_epoch_shuffle",
 ]
 
 

@@ -520,6 +520,59 @@ def q_ext_77_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_plan(load_table(spark, sf_dir, "documents"))
 
 
+def epoch_shuffle(
+    docs: DataFrame, n_shards: int = 8, n_epochs: int = 2
+) -> DataFrame:
+    """Per-EPOCH deterministic reshuffle: the data-loader order
+    artifact for multi-epoch training. Shards stay FIXED across
+    epochs (ext_77's Knuth hash — shard files are written once);
+    the within-shard READ ORDER is a fresh pseudorandom permutation
+    per epoch, keyed by the portable md5-h60 of ``epoch:doc_id`` —
+    reproducible for mid-epoch resume (re-derive, never store) and
+    engine-exact, unlike ``rand(seed)`` whose stream is
+    partitioning-dependent. At 100 TB the position window partitions
+    by (epoch, shard) — shard-file-sized sorts, no global ordering
+    anywhere; the loader seeks by (shard, pos).
+
+    Output: one row per (epoch, doc): (epoch, shard, pos, doc_id).
+    """
+    from pyspark.sql import Window
+
+    from sparketl.operators.phash import h60_sql_spark
+
+    h = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    rows = (
+        spread(docs)
+        .select("doc_id", (h % F.lit(n_shards)).cast("int").alias("shard"))
+        .select(
+            "doc_id",
+            "shard",
+            F.explode(
+                F.expr(f"sequence(1, {n_epochs})")
+            ).alias("epoch"),
+        )
+        .withColumn(
+            "ok",
+            F.expr(h60_sql_spark("concat('ep:', epoch, ':', doc_id)")),
+        )
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("ok", "doc_id")
+    return (
+        rows.withColumn("pos", F.row_number().over(w))
+        .select(
+            F.col("epoch").cast("int").alias("epoch"),
+            "shard",
+            "pos",
+            "doc_id",
+        )
+        .orderBy("epoch", "shard", "pos")
+    )
+
+
+def q_ext_143_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return epoch_shuffle(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # ext_78: stride-scheduled source interleave (epoch plan)
 # ---------------------------------------------------------------------------

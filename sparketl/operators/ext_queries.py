@@ -4402,3 +4402,32 @@ def _ann_ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
 
 
 EXT_ORACLES["ext_03_ann_ivf"] = _ann_ivf_oracle()
+
+
+from sparketl.operators.curation import q_ext_143_epoch_shuffle  # noqa: E402
+
+
+def _epoch_shuffle_oracle() -> str:
+    from sparketl.operators.phash import h60_sql_duckdb
+
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(((doc_id * 2654435761) % 4294967296) % 8 AS INT) AS shard
+      FROM documents
+    ), rows_ AS (
+      SELECT doc_id, shard, CAST(e.i AS INT) AS epoch,
+             {h60_sql_duckdb("'ep:' || e.i || ':' || doc_id")} AS ok
+      FROM base, range(1, 3) e(i)
+    )
+    SELECT epoch, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard
+                                   ORDER BY ok, doc_id) AS INT) AS pos,
+           doc_id
+    FROM rows_
+    ORDER BY epoch, shard, pos
+"""
+
+
+EXT_QUERIES["ext_143_epoch_shuffle"] = q_ext_143_epoch_shuffle
+EXT_ORACLES["ext_143_epoch_shuffle"] = _epoch_shuffle_oracle()

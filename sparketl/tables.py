@@ -1319,8 +1319,9 @@ def incremental_agg(
     the two manifests — versus O(table) for a full recompute: the
     materialized-view maintenance pattern that keeps a 100 TB rollup
     fresh after each ingest batch. Counts/sums are the self-maintainable
-    aggregates (min/max are not: a delete of the current extremum needs
-    a rescan of its group).
+    aggregates; min/max are not (a delete of the current extremum needs
+    a rescan of its group) — ``incremental_extremum`` maintains those
+    with group-targeted rescans.
 
     ``sum_expr`` is a SQL expression evaluated per changed row (cast to
     an exact decimal inside to keep merge order irrelevant); the output
@@ -1404,6 +1405,78 @@ def incremental_join_agg(
         sum_col=sum_col,
         sum_expr=sum_expr,
     )
+
+
+def incremental_extremum(
+    table: "ManagedTable",
+    prev_agg: DataFrame,
+    v_from: int,
+    group_cols: list[str],
+    value_col: str,
+    agg: str = "min",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Maintain a grouped MIN/MAX incrementally — the aggregate class
+    ``incremental_agg`` documents as NOT self-maintainable (a delete
+    of the current extremum invalidates the stored value). The
+    standard fix: inserts tighten the extremum for free
+    (``least``/``greatest`` with the batch's own extremum); deletes
+    are checked against the stored extremum, and ONLY the groups
+    where a delete ties-or-beats it are re-scanned — a group-targeted
+    recompute, pushed down as a semi-join on the group key, so at
+    100 TB it prunes to the affected groups' partitions instead of
+    rescanning the table. Groups whose rows all vanish necessarily
+    had their extremum deleted, land in the rescan set, and drop out
+    naturally (the rescan returns no row for them).
+    """
+    out_col = out_col or f"{agg}_{value_col}"
+    lo = agg.lower()
+    if lo not in ("min", "max"):
+        raise TableError("incremental_extremum supports min/max only")
+    fold = F.least if lo == "min" else F.greatest
+    agg_fn = F.min if lo == "min" else F.max
+    beats = "<=" if lo == "min" else ">="
+
+    delta = table.diff(v_from)
+    ins = (
+        delta.filter(F.col("_change") == "insert")
+        .groupBy(*group_cols)
+        .agg(agg_fn(value_col).alias("_ins_ext"))
+    )
+    # groups where a deleted value ties-or-beats the stored extremum
+    affected = (
+        delta.filter(F.col("_change") == "delete")
+        .join(prev_agg.select(*group_cols, F.col(out_col).alias("_prev")),
+              group_cols)
+        .filter(F.expr(f"{value_col} {beats} _prev"))
+        .select(*group_cols)
+        .distinct()
+    )
+    rescanned = (
+        table.read()
+        .join(affected, group_cols, "left_semi")
+        .groupBy(*group_cols)
+        .agg(agg_fn(value_col).alias(out_col))
+    )
+    unaffected = (
+        prev_agg.select(*group_cols, F.col(out_col).alias("_prev"))
+        .join(affected, group_cols, "left_anti")
+        # inserts into an AFFECTED group are covered by its rescan —
+        # anti-join them out or the full_outer would re-admit the group
+        .join(ins.join(affected, group_cols, "left_anti"), group_cols,
+              "full_outer")
+        .select(
+            *group_cols,
+            fold(
+                F.coalesce("_prev", "_ins_ext"),
+                F.coalesce("_ins_ext", "_prev"),
+            ).alias(out_col),
+        )
+        # a brand-new group whose inserts were ALSO all deleted in the
+        # same span never reaches prev_agg or the rescan set; diff's
+        # exceptAll already cancels such pairs, so _ins_ext is real
+    )
+    return unaffected.unionByName(rescanned)
 
 
 def signed_join_agg(

@@ -312,3 +312,35 @@ def test_bpe_merges_overlapping_pairs_left_to_right(spark):
         ("a", "a", 5)  # 2 per 'aaa' (overlap not double-counted at apply
         # time but pair COUNTING sees both) + 1 for 'aa'
     ]
+
+
+def test_epoch_shuffle_permutation_and_decorrelation(spark):
+    """ext_143: within every (epoch, shard) the positions are exactly
+    1..n; shards are identical across epochs (files written once);
+    the ORDER differs between epochs (fresh permutation per epoch)."""
+    from tests.conftest import SF_SMOKE
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import epoch_shuffle
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = epoch_shuffle(docs, n_shards=4, n_epochs=2).collect()
+    by = {}
+    shard_of = {}
+    for r in rows:
+        by.setdefault((r["epoch"], r["shard"]), []).append(
+            (r["pos"], r["doc_id"])
+        )
+        prev = shard_of.setdefault(r["doc_id"], r["shard"])
+        assert prev == r["shard"]  # shard fixed across epochs
+    for (_, _), members in by.items():
+        poss = sorted(p for p, _ in members)
+        assert poss == list(range(1, len(members) + 1))  # true permutation
+    # decorrelation: the doc order of epoch 1 != epoch 2 in some shard
+    diff = 0
+    for shard in {s for (_, s) in by}:
+        o1 = [d for _, d in sorted(by[(1, shard)])]
+        o2 = [d for _, d in sorted(by[(2, shard)])]
+        assert sorted(o1) == sorted(o2)  # same membership
+        diff += int(o1 != o2)
+    assert diff > 0

@@ -321,6 +321,66 @@ def test_incremental_join_agg_matches_full_recompute(spark, tmp_path):
     assert g == w == [("x", 2, 8.0)]
 
 
+def test_incremental_extremum_rescans_only_affected_groups(spark, tmp_table_root):
+    """MIN maintenance across every delta class: a non-extremum delete
+    keeps the stored min (no rescan), an extremum delete triggers the
+    group-targeted rescan, inserts tighten for free, a new group
+    appears, and a fully-deleted group drops out."""
+    from pyspark.sql import functions as F
+
+    from sparketl.tables import incremental_extremum
+
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame(
+            [
+                (1, "a", 5.0), (2, "a", 9.0),     # a: min 5
+                (3, "b", 2.0), (4, "b", 7.0),     # b: min 2
+                (5, "c", 4.0),                     # c: min 4 (will vanish)
+                (6, "d", 8.0),                     # d: min 8 (untouched)
+            ],
+            SCHEMA,
+        )
+    )
+    v0 = t._current_version()
+    prev = t.read().groupBy("name").agg(F.min("bal").alias("min_bal"))
+    prev.collect()
+
+    t.delete_where("id = 2")      # a: non-extremum delete -> min stays 5
+    t.delete_where("id = 3")      # b: EXTREMUM delete -> rescan -> 7
+    t.delete_where("id = 5")      # c: group vanishes
+    t.append(
+        spark.createDataFrame(
+            [(7, "a", 1.0), (8, "e", 3.0)], SCHEMA  # a tightens; e is new
+        )
+    )
+
+    got = incremental_extremum(t, prev, v0, ["name"], "bal", agg="min",
+                               out_col="min_bal")
+    g = sorted((r["name"], float(r["min_bal"])) for r in got.collect())
+    want = sorted(
+        (r["name"], float(r["min_bal"]))
+        for r in t.read().groupBy("name")
+        .agg(F.min("bal").alias("min_bal")).collect()
+    )
+    assert g == want == [("a", 1.0), ("b", 7.0), ("d", 8.0), ("e", 3.0)]
+    # max variant: delete the max of 'a' (id 1 holds 5.0 after... use fresh check)
+    prev_max = t.read().groupBy("name").agg(F.max("bal").alias("max_bal"))
+    prev_max.collect()
+    v1 = t._current_version()
+    t.delete_where("id = 4")      # b's only row (7.0) -> group drops
+    t.append(spark.createDataFrame([(9, "d", 20.0)], SCHEMA))
+    got2 = incremental_extremum(t, prev_max, v1, ["name"], "bal",
+                                agg="max", out_col="max_bal")
+    g2 = sorted((r["name"], float(r["max_bal"])) for r in got2.collect())
+    want2 = sorted(
+        (r["name"], float(r["max_bal"]))
+        for r in t.read().groupBy("name")
+        .agg(F.max("bal").alias("max_bal")).collect()
+    )
+    assert g2 == want2 and ("b", 7.0) not in g2
+
+
 def test_incremental_agg_group_disappears(spark, tmp_table_root):
     from pyspark.sql import functions as F
 

@@ -236,6 +236,7 @@ AUDITED = [
     "ext_141_funnel",
     "ext_142_incremental_join",
     "ext_02_minhash_lsh",
+    "ext_143_epoch_shuffle",
 ]
 
 
