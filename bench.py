@@ -134,6 +134,7 @@ HEADLINE = [
     "tierc_cross_apply",
     "tierc_outer_apply",
     "tierc_tsql_funcs6",
+    "tierc_tsql_funcs7",
     "tierc_groupby_all",
     "tierc_unpivot_sql",
     "ext_137_auc",

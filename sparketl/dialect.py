@@ -195,6 +195,9 @@ def transpile(sql: str) -> str:
                 "patindex",
                 "parsename",
                 "isnumeric",
+                "datetrunc",
+                "string_split",
+                "format",
             ) and (_next_nonspace(tokens, i) == "("):
                 args, next_i = _parse_call_args(sql, tokens, i)
                 out.append(_rewrite_call(lower, args))
@@ -210,9 +213,24 @@ def transpile(sql: str) -> str:
                 # [LEFT] JOIN LATERAL. The subquery is transpiled as
                 # its own statement, so TOP/OFFSET/T-SQL functions work
                 # inside it (the correlated-TOP idiom APPLY exists for).
+                # APPLY of the one supported table-valued function —
+                # STRING_SPLIT — rewrites the call into its subquery
+                # form first, then LATERAL-izes like any other operand.
                 j = _word_index(tokens, i)
-                inner, next_i = _capture_parens(sql, tokens, j)
+                k = _word_index(tokens, j)
                 joiner = "JOIN LATERAL" if lower == "cross" else "LEFT JOIN LATERAL"
+                if (
+                    k < len(tokens)
+                    and tokens[k].lastgroup == "word"
+                    and tokens[k].group().lower() == "string_split"
+                ):
+                    args, next_i = _parse_call_args(sql, tokens, k)
+                    out.append(
+                        f"{joiner} {_rewrite_call('string_split', args)}"
+                    )
+                    i = next_i
+                    continue
+                inner, next_i = _capture_parens(sql, tokens, j)
                 out.append(f"{joiner} ({transpile(inner)})")
                 i = next_i
                 continue
@@ -565,6 +583,62 @@ def _rewrite_call(name: str, raw_args: list[str]) -> str:
         if fn is None:
             raise DialectError(f"DATEPART({part}, ...) is not supported")
         return f"{fn}({d})"
+    if name == "datetrunc":
+        # DATETRUNC(part, d) (T-SQL 2022) ≡ Spark date_trunc('part', d)
+        # — same truncation grid; the part keyword becomes the string
+        # literal Spark (and DuckDB) expect. Result type is TIMESTAMP
+        # in Spark for every input (T-SQL preserves the input type) —
+        # a documented widening, not a value change.
+        if len(args) != 2:
+            raise DialectError("DATETRUNC takes (datepart, date)")
+        part = args[0].lower()
+        ok = {
+            "year": "year", "yyyy": "year", "yy": "year",
+            "quarter": "quarter", "qq": "quarter", "q": "quarter",
+            "month": "month", "mm": "month", "m": "month",
+            "day": "day", "dd": "day", "d": "day",
+            "hour": "hour", "hh": "hour",
+            "minute": "minute", "mi": "minute", "n": "minute",
+            "second": "second", "ss": "second", "s": "second",
+        }.get(part)
+        if ok is None:
+            # week is DATEFIRST-dependent (same refusal as DATEPART)
+            raise DialectError(f"DATETRUNC({part}, ...) is not supported")
+        return f"date_trunc('{ok}', {args[1]})"
+    if name == "string_split":
+        # STRING_SPLIT(s, sep) is a table-valued function returning a
+        # one-column (value) table — rewrite the CALL into an inline
+        # subquery so FROM / CROSS APPLY positions work unchanged
+        # (the APPLY transpiler then LATERAL-izes it; a trailing alias
+        # attaches to the subquery exactly where T-SQL put it).
+        if len(args) == 3:
+            raise DialectError(
+                "STRING_SPLIT with enable_ordinal is not supported: "
+                "Spark's posexplode ordinals are 0-based and the "
+                "rewrite would silently shift them"
+            )
+        if len(args) != 2:
+            raise DialectError("STRING_SPLIT takes (string, separator)")
+        # T-SQL separators are literal strings; Spark split() takes a
+        # REGEX — escape metacharacters, so '.'/'|' separators split
+        # literally. Non-literal separators refuse (can't escape an
+        # expression safely).
+        sep = args[1].strip()
+        if not re.fullmatch(r"'(?:[^']|'')*'", sep):
+            raise DialectError(
+                "STRING_SPLIT separator must be a string literal"
+            )
+        inner = sep[1:-1].replace("''", "'")
+        esc = re.escape(inner).replace("\\", "\\\\").replace("'", "''")
+        return (
+            f"(SELECT explode(split({args[0]}, '{esc}')) AS value)"
+        )
+    if name == "format":
+        raise DialectError(
+            "FORMAT() is not supported: .NET format strings have no "
+            "Spark equivalent — use date_format()/format_number() "
+            "spellings directly"
+        )
     if name == "stuff":
         # STUFF(s, start, length, replace) deletes `length` chars at
         # 1-based `start` and inserts `replace` — exactly Spark's

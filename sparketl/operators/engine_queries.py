@@ -1767,6 +1767,42 @@ ENGINE_ORACLES["tierc_tsql_funcs6"] = """
 """
 
 
+def q_tierc_tsql_funcs7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-SQL batch 7 (r9): DATETRUNC (2022 syntax — part keyword →
+    Spark/DuckDB date_trunc string literal; week refuses, it is
+    DATEFIRST-dependent) and the STRING_SPLIT table-valued function —
+    the shim rewrites the TVF call into an inline explode subquery,
+    so both plain FROM and CROSS APPLY positions work, with the
+    separator regex-escaped (T-SQL separators are literal; Spark
+    split() takes a pattern). FORMAT() refuses loudly (.NET format
+    strings). Priorities like '1-URGENT' split into two rows each."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT TOP 200 o_orderkey,
+               CAST(DATETRUNC(month, o_orderdate) AS DATE) AS order_month,
+               CAST(DATETRUNC(quarter, o_orderdate) AS DATE)
+                 AS order_quarter,
+               s.value AS prio_part
+        FROM orders CROSS APPLY STRING_SPLIT(o_orderpriority, '-') s
+        ORDER BY o_orderkey, prio_part
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_tsql_funcs7"] = q_tierc_tsql_funcs7
+ENGINE_ORACLES["tierc_tsql_funcs7"] = """
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS order_month,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE)
+             AS order_quarter,
+           u.value AS prio_part
+    FROM orders, unnest(string_split(o_orderpriority, '-')) AS u(value)
+    ORDER BY o_orderkey, prio_part
+    LIMIT 200
+"""
+
+
 def q_tierc_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY ALL through the engine — the analyst shorthand (group
     on every non-aggregate select item) both Spark ≥3.4 and DuckDB

@@ -436,3 +436,29 @@ def test_asof_join_rewrite_and_refusals():
     assert "[t]" not in out and "DATEADD" not in out
     assert "date_add" in out and "`t`" in out
     assert "LEAD(`t`)" in out
+
+
+def test_tsql_batch7():
+    """T-SQL batch 7: DATETRUNC, STRING_SPLIT TVF, FORMAT refusal."""
+    import pytest
+
+    from sparketl.dialect import DialectError, transpile
+
+    out = transpile("SELECT DATETRUNC(month, d) FROM t")
+    assert "date_trunc('month', d)" in out
+    out = transpile(
+        "SELECT c.n, s.value FROM c CROSS APPLY STRING_SPLIT(c.n, '.') s"
+    )
+    assert "JOIN LATERAL (SELECT explode(split(c.n, '\\\\.')) AS value) s" in out
+    out = transpile("SELECT value FROM STRING_SPLIT('a b', ' ') t")
+    assert "explode(split('a b'," in out
+    out = transpile("SELECT x FROM t OUTER APPLY STRING_SPLIT(t.c, '|') s")
+    assert "LEFT JOIN LATERAL" in out and "'\\\\|'" in out
+    with pytest.raises(DialectError, match="FORMAT"):
+        transpile("SELECT FORMAT(x, 'N2') FROM t")
+    with pytest.raises(DialectError, match="DATETRUNC\\(week"):
+        transpile("SELECT DATETRUNC(week, d) FROM t")
+    with pytest.raises(DialectError, match="enable_ordinal"):
+        transpile("SELECT value FROM STRING_SPLIT(x, ',', 1)")
+    with pytest.raises(DialectError, match="string literal"):
+        transpile("SELECT value FROM STRING_SPLIT(x, sep_col)")
