@@ -81,7 +81,6 @@ _FRONT = [
     "ext_04_quality",
     "ext_04_text_stats",
     "ext_04_token_count_bpe",
-    "ext_04_token_counts",
     # late r9 upgrades (code changed → need fresh verdicts; they
     # displace the youngest (c)-cohort picks to the r10 queue)
     "ext_02_simhash",
@@ -90,8 +89,10 @@ _FRONT = [
     "ext_03_ann_ivf",
     "ext_143_epoch_shuffle",
     "tierc_tsql_funcs7",
+    "ext_144_hll_union",
     # ---- end of the round-9 driver window (50 entries above) ----
     # queued for round 10: the remaining round-4 cohort
+    "ext_04_token_counts",
     "ext_25_gapfill",
     "ext_26_merge_intervals",
     "ext_30_top_paths",

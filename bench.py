@@ -144,6 +144,7 @@ HEADLINE = [
     "ext_141_funnel",
     "ext_142_incremental_join",
     "ext_143_epoch_shuffle",
+    "ext_144_hll_union",
 ]
 
 

@@ -4431,3 +4431,57 @@ def _epoch_shuffle_oracle() -> str:
 
 EXT_QUERIES["ext_143_epoch_shuffle"] = q_ext_143_epoch_shuffle
 EXT_ORACLES["ext_143_epoch_shuffle"] = _epoch_shuffle_oracle()
+
+
+from sparketl.operators.text import q_ext_144_hll_union  # noqa: E402
+
+# Register merge replayed in SQL: per-source registers UNION ALL the
+# max-merged 'ALL' scope, then the identical estimate expressions.
+EXT_QUERIES["ext_144_hll_union"] = q_ext_144_hll_union
+EXT_ORACLES["ext_144_hll_union"] = """
+    WITH h AS (
+      SELECT source AS g,
+             CAST(('0x' || substr(md5('hllu:' || text), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents
+    ), regs AS (
+      SELECT g, hh // 4503599627370496 AS idx,
+             MAX(CASE WHEN hh % 4503599627370496 = 0 THEN 53
+                 ELSE 53 - length(bin(hh % 4503599627370496)) END) AS m_reg
+      FROM h GROUP BY g, hh // 4503599627370496
+    ), allregs AS (
+      SELECT g, idx, m_reg FROM regs
+      UNION ALL
+      SELECT 'ALL' AS g, idx, MAX(m_reg) AS m_reg FROM regs GROUP BY idx
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_reg AS INT))
+                  AS BIGINT) AS z_present
+      FROM allregs GROUP BY g
+    ), ex AS (
+      SELECT source AS g, CAST(COUNT(DISTINCT text) AS BIGINT) AS ndv_exact
+      FROM documents GROUP BY source
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+    ), est AS (
+      SELECT g, CAST(256 - n_present AS BIGINT) AS v_zero,
+             CAST(z_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+                  AS BIGINT) AS z_scaled
+      FROM pg
+    ), est2 AS (
+      SELECT g, v_zero, z_scaled,
+             4.2399330249068963e+20 / CAST(z_scaled AS DOUBLE) AS raw_est
+      FROM est
+    ), est3 AS (
+      SELECT g, v_zero,
+             CAST(FLOOR(CASE WHEN raw_est <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw_est END) AS BIGINT) AS hll_estimate
+      FROM est2
+    )
+    SELECT est3.g AS scope, ndv_exact, hll_estimate,
+           (1000 * abs(hll_estimate - ndv_exact)) // ndv_exact
+             AS abs_err_permille
+    FROM est3 JOIN ex USING (g)
+    ORDER BY scope
+"""

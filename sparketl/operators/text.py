@@ -280,6 +280,95 @@ def q_ext_09_hll_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_ndv(o, "o_orderpriority", "o_custkey")
 
 
+def hll_union_ndv(docs: DataFrame) -> DataFrame:
+    """Union-NDV by REGISTER MERGE — the property that makes HLL the
+    100 TB distinct-count tool: per-source 256-register sketches
+    (built once, persistable) merge into the corpus-wide sketch by
+    ``max()`` per register — O(sources × 256) work, never a rescan of
+    the data, and the merged estimate equals the estimate a single
+    pass over the union would produce (max of maxes ≡ max over the
+    union, exactly). Output: one row per source plus the merged
+    ``ALL`` scope, each with the exact NDV and permille error
+    alongside (the exact side is the audit, not the scale path).
+
+    Same engine-exact register construction as ``hll_ndv`` (md5-h60,
+    bin()-length ranks, exact bigint Z), so DuckDB replays the
+    per-source sketches AND the merge register-for-register."""
+    from sparketl.operators.phash import h60
+
+    h = h60(F.concat(F.lit("hllu:"), F.col("text")))
+    base = docs.select(F.col("source").alias("g"), h.alias("hh"))
+    regs = (
+        base.select(
+            "g",
+            F.expr("hh div 4503599627370496").alias("idx"),
+            F.expr("hh % 4503599627370496").alias("low"),
+        )
+        .withColumn(
+            "rank",
+            F.expr("CASE WHEN low = 0 THEN 53 ELSE 53 - length(bin(low)) END"),
+        )
+        .groupBy("g", "idx")
+        .agg(F.max("rank").alias("m_reg"))
+        .localCheckpoint(eager=True)  # two consumers: per-source + merge
+    )
+    merged = (
+        regs.groupBy("idx")
+        .agg(F.max("m_reg").alias("m_reg"))
+        .select(F.lit("ALL").alias("g"), "idx", "m_reg")
+    )
+    all_regs = regs.unionByName(merged)
+    per_group = all_regs.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - m_reg AS INT))")
+        ).alias("z_present"),
+    )
+    est = (
+        per_group.withColumn("v_zero", F.lit(_HLL_M) - F.col("n_present"))
+        .withColumn(
+            "z_scaled",
+            F.col("z_present") + F.col("v_zero") * F.lit(1 << 53),
+        )
+        .withColumn(
+            "raw_est", F.expr(f"{_HLL_NUMERATOR} / CAST(z_scaled AS DOUBLE)")
+        )
+        .withColumn(
+            "hll_estimate",
+            F.expr(
+                "CAST(FLOOR(CASE WHEN raw_est <= 640.0 AND v_zero > 0 "
+                "THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE)) "
+                "ELSE raw_est END) AS BIGINT)"
+            ),
+        )
+    )
+    exact = (
+        docs.groupBy(F.col("source").alias("g"))
+        .agg(F.countDistinct("text").alias("ndv_exact"))
+        .unionByName(
+            docs.agg(F.countDistinct("text").alias("ndv_exact")).select(
+                F.lit("ALL").alias("g"), "ndv_exact"
+            )
+        )
+    )
+    return (
+        est.join(exact, "g")
+        .select(
+            F.col("g").alias("scope"),
+            "ndv_exact",
+            "hll_estimate",
+            F.expr(
+                "(1000 * abs(hll_estimate - ndv_exact)) div ndv_exact"
+            ).alias("abs_err_permille"),
+        )
+        .orderBy("scope")
+    )
+
+
+def q_ext_144_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return hll_union_ndv(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # ext_55: Count-Min sketch frequency estimates
 # ---------------------------------------------------------------------------

@@ -157,6 +157,44 @@ def test_hll_ndv_error_bound_and_determinism(spark, docs):
         assert abs(approx - exact) / exact < 0.2, (prio, approx, exact)
 
 
+def test_hll_union_merge_equals_single_pass(spark):
+    """ext_144: the max-merged 'ALL' sketch must equal the sketch a
+    single pass over the whole corpus builds (max of per-source maxes
+    ≡ max over the union) — asserted by recomputing the corpus-wide
+    estimate with hll_ndv on a constant group — and every scope stays
+    inside the error envelope."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.text import hll_ndv, hll_union_ndv
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = {r["scope"]: r for r in hll_union_ndv(docs).collect()}
+    assert "ALL" in rows and len(rows) >= 3
+    # single-pass corpus sketch over the SAME salted value
+    one = (
+        hll_ndv(
+            docs.select(F.lit("x").alias("grp"), F.col("text").alias("v")),
+            "grp",
+            "v",
+        )
+        .collect()[0]
+    )
+    # note: hll_ndv salts with 'hll:'; hll_union_ndv with 'hllu:' —
+    # the merge identity is about REGISTERS, so rebuild via the union
+    # function itself on a single-source relabeling instead
+    single = hll_union_ndv(docs.withColumn("source", F.lit("only"))).collect()
+    est_single = {r["scope"]: r["hll_estimate"] for r in single}
+    assert est_single["ALL"] == est_single["only"]
+    assert rows["ALL"]["hll_estimate"] == est_single["ALL"]
+    for r in rows.values():
+        assert abs(r["hll_estimate"] - r["ndv_exact"]) <= max(
+            0.25 * r["ndv_exact"], 10
+        )
+    assert one["ndv_exact"] == rows["ALL"]["ndv_exact"]
+
+
 def test_label_centroids_known_mean(spark):
     from sparketl.operators.similarity import label_centroids
 

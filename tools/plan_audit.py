@@ -238,6 +238,9 @@ AUDITED = [
     "ext_142_incremental_join",
     "ext_02_minhash_lsh",
     "ext_143_epoch_shuffle",
+    "ext_03_ann_lsh",
+    "ext_03_ann_ivf",
+    "ext_144_hll_union",
 ]
 
 
