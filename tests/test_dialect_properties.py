@@ -139,3 +139,45 @@ def test_qualify_rewrite_structure(n, col):
     assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
     assert f"<= {n}" in out and "EXCEPT (__sparketl_q)" in out
     assert transpile(out) == out
+
+
+@given(
+    n=st.integers(min_value=1, max_value=99),
+    col=st.sampled_from(["a", "b", "price"]),
+    n_ctes=st.integers(min_value=1, max_value=3),
+    q_in=st.integers(min_value=0, max_value=3),
+    main_q=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_qualify_in_cte_rewrite_structure(n, col, n_ctes, q_in, main_q):
+    """r9: QUALIFY inside any depth-0 WITH member body (and optionally
+    the main query too) rewrites — no QUALIFY keyword survives, every
+    predicate lands intact, non-QUALIFY member bodies pass through,
+    and the result is idempotent through transpile."""
+    parts = []
+    for i in range(n_ctes):
+        body = f"SELECT {col}, g FROM t{i}"
+        if i == min(q_in, n_ctes - 1):
+            body += (
+                f" QUALIFY ROW_NUMBER() OVER "
+                f"(PARTITION BY g ORDER BY {col}) <= {n}"
+            )
+        parts.append(f"c{i} AS ({body})")
+    main = f"SELECT * FROM c{n_ctes - 1}"
+    if main_q:
+        main += (
+            f" QUALIFY RANK() OVER (ORDER BY {col}) = {n}"
+        )
+    sql = "WITH " + ", ".join(parts) + " " + main
+    out = transpile(sql)
+    assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
+    assert f"<= {n}" in out
+    if main_q:
+        assert f"= {n}" in out
+    # every CTE name survives in order
+    pos = -1
+    for i in range(n_ctes):
+        nxt = out.find(f"c{i} AS (")
+        assert nxt > pos
+        pos = nxt
+    assert transpile(out) == out
