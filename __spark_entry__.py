@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # flush-sentinel sessionize: ext_06), and the three r8-verdicted
 # entries whose output or code changed this round (ext_132 gained
 # the fan-out cap + n_dropped_parts column, ext_139's grid-boundary
-# fix, ext_136's 8×8 banding — still rows-only); (b) judge task 1:
+# fix, ext_136's 8×8 banding + its r9 byte-exact SQL oracle); (b) judge task 1:
 # the 19 round-3-stale entries queued last round; (c) the 22 oldest
 # round-4-stale entries in the judge's order. The remaining 20
 # round-4 entries (ext_53/54/56/57/58/61-65, ext_01_dedup_documents,

@@ -4485,3 +4485,61 @@ EXT_ORACLES["ext_144_hll_union"] = """
     FROM est3 JOIN ex USING (g)
     ORDER BY scope
 """
+
+# ext_136: FULL oracle (r9) — the registered query runs the FAKE byte-
+# grid hash (the real pixel decode stays pytest-proven on hand-built
+# BMPs), and that hash is pure integer arithmetic over payload BYTES:
+# DuckDB replays it bit-for-bit via hex() byte extraction, builds the
+# same 8×8-bit bands from the bit columns (no signed shifting), and
+# verifies candidates with a 64-row bit join per pair.
+EXT_ORACLES["ext_136_image_neardup"] = """
+    WITH pay AS (
+      SELECT doc_id, encode(text) AS payload FROM documents
+    ), hx AS (
+      SELECT doc_id, hex(payload) AS hs, octet_length(payload) AS n
+      FROM pay
+    ), bytes AS (
+      SELECT doc_id, CAST(i % 64 AS INT) AS cell,
+             CAST(('0x' || substr(hs, CAST(2 * i + 1 AS INT), 2))
+                  AS BIGINT) AS bv
+      FROM hx, unnest(generate_series(0, n - 1)) t(i)
+      WHERE n > 0
+    ), cells0 AS (
+      SELECT doc_id, cell,
+             CAST(SUM(bv) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cv
+      FROM bytes GROUP BY doc_id, cell
+    ), grid AS (
+      SELECT p.doc_id, CAST(g.j AS INT) AS cell FROM pay p, range(64) g(j)
+    ), cells AS (
+      SELECT grid.doc_id, grid.cell, COALESCE(cv, 0) AS cv
+      FROM grid LEFT JOIN cells0
+        ON grid.doc_id = cells0.doc_id AND grid.cell = cells0.cell
+    ), mean_ AS (
+      SELECT doc_id, CAST(SUM(cv) AS BIGINT) // 64 AS mn
+      FROM cells GROUP BY doc_id
+    ), bits AS (
+      SELECT cells.doc_id, cell AS j,
+             CASE WHEN cv > mn THEN 1 ELSE 0 END AS bit
+      FROM cells JOIN mean_ USING (doc_id)
+    ), bands AS (
+      SELECT doc_id, CAST(j // 8 AS INT) AS band,
+             CAST(SUM(bit * (CAST(1 AS BIGINT) << (j % 8))) AS BIGINT) AS val
+      FROM bits GROUP BY doc_id, j // 8
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.val = b.val
+                  AND a.doc_id < b.doc_id
+    ), ham AS (
+      SELECT cand.id_a, cand.id_b,
+             CAST(SUM(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                  AS INT) AS hamming
+      FROM cand
+      JOIN bits ba ON ba.doc_id = cand.id_a
+      JOIN bits bb ON bb.doc_id = cand.id_b AND bb.j = ba.j
+      GROUP BY cand.id_a, cand.id_b
+    )
+    SELECT id_a, id_b, hamming FROM ham
+    WHERE hamming <= 6
+    ORDER BY id_a, id_b
+"""

@@ -503,7 +503,9 @@ def q_ext_136_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Average-hash near-dup detection over documents-as-payloads
     (fake byte-grid hash — deterministic; the real pixel path is
     pytest-verified on hand-built BMPs with planted near-duplicates).
-    Python-side hashing → rows-only driver check; the banding ≡
-    brute-force equivalence is pytest-proven."""
+    FULL oracle since r9: the byte-grid hash is pure integer
+    arithmetic, so DuckDB replays it bit-for-bit from hex() byte
+    extraction; the banding ≡ brute-force equivalence is additionally
+    pytest-proven."""
     d = load_table(spark, sf_dir, "documents")
     return ahash_near_dups(image_ahash(to_binary_column(d)))

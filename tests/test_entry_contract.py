@@ -21,9 +21,6 @@ ROWS_ONLY_ALLOWED = {
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
     # iterative-training dependency; pytest vs pure-Python encode
-    "ext_136_image_neardup",  # Python-side perceptual hash (mapInPandas
-    # over binary payloads) — no SQL twin; pytest proves banding ≡
-    # brute-force and planted-near-dup recovery on real BMPs
 }
 
 
