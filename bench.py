@@ -291,6 +291,7 @@ def main() -> None:
                     "ext_139_resample": "r8: the forward-neighbor carry as a CURRENT..UNBOUNDED FOLLOWING first() made Spark re-aggregate the shrinking frame per row (O(n^2) per partition, 158s at sf0.1); rewritten as a reverse-ordered RUNNING last() -> ~1.3s, identical values",
                     "ext_82_lsh_dedup_pipeline": "r9: portable md5-h60 MinHash bought the FULL oracle at ~1.5x the r8 xxhash64 time (one md5 per shingle + 32 map-combinable mins; shingle frame cached to block InferFiltersFromGenerate pushdown re-evaluating the transform; verified set localCheckpoint'd for dup_clusters' two-direction read)",
                     "ext_117_incremental_lsh": "r9: same portability trade; both band tables + the verified drop set are localCheckpoint'd (2+ consumers each) -> ~4.5s warm, vs ~11s before the pins",
+                    "ext_03_ann_ivf": "r9: integer-Lloyd coarse quantizer (full oracle) runs ~1.4x the old float trainer (exact bigint distance joins per round vs broadcast array dots); cells localCheckpoint'd so the normalize+explode pass runs once",
                     "ext_141_funnel": "the global_window_queries hit is the k-row step-summary frame (3 rows) taking a lag() — not a data-sized window",
                     "radix_scaling_slope": "sf0.01 vs sf0.1 medians (10x data): ext_44 1.87->1.72s (0.9x), ext_85 2.18->2.95s (1.4x), ext_86 3.32->3.53s (1.1x), ext_49 2.41->2.17s (0.9x), ext_95 1.38->2.10s (1.5x) — per-pass JOB OVERHEAD dominates and the scan term is linear map-combinable work, vs the percentile() buffer whose EXECUTOR MEMORY grows linearly with group size (the 100 TB OOM the r6 swap removed)",
                 },

@@ -7,9 +7,11 @@ Four tiers, from exact to fuzzy, all DataFrame-native:
   oracle-checkable ground truth for near-dup detection
 - MinHash-LSH: the 100 TB scale path — candidate generation via
   banded min-hashes (explode bands → bucket join), verified against
-  exact Jaccard only on candidates
-- SimHash: 64-bit fingerprints via xxhash64 bit-votes, computed as a
-  pure map (array fold, no shuffle)
+  exact Jaccard only on candidates; signatures use the portable
+  md5-h60 universal family (r9), so the whole pipeline is
+  oracle-checkable
+- SimHash: 60-bit fingerprints via md5-h60 bit-votes (r9; map-side
+  combinable per-bit sums), engine-exact
 
 Scale design: the exact-Jaccard self-join is quadratic in per-shingle
 document frequency — fine for correctness at sf0.01, replaced by

@@ -345,7 +345,13 @@ def ann_ivf_topk(
     k×dim literal inlining (the centroid-literal analysis blowup the
     old collect-based trainer worked around with a broadcast join).
     """
-    cells = _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
+    # the cell frame feeds every training round plus the final home
+    # assignment — pin it so the normalize+explode pass runs once (a
+    # production pipeline persists the milli-cell table between
+    # training and indexing the same way)
+    cells = _milli_unit_cells(spread(corpus), id_col, "vid", vec_col).localCheckpoint(
+        eager=True
+    )
     assign = spread(corpus).select(
         F.col(id_col).alias("vid"),
         (F.col(id_col) % F.lit(n_cells)).cast("int").alias("c"),
