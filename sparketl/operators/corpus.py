@@ -264,15 +264,17 @@ def decontaminate_by_flag(
     min_shared: int = 3,
 ) -> DataFrame:
     """Single-scan variant of :func:`decontaminate_overlap`: shingle the
-    whole corpus ONCE (the eval flag rides along), cache the exploded
-    shingles, and split train/eval from the cache — halves the scan +
+    whole corpus ONCE (the eval flag rides along), pin the exploded
+    shingles, and split train/eval from the pin — halves the scan +
     shingle work versus filtering the corpus twice. At cluster scale the
     cached intermediate would be a persisted shingle table partitioned
     by shingle hash."""
     sh = (
         shingles(docs, n=n, keep=(flag_col,))
         .select("doc_id", flag_col, F.explode("sh").alias("shingle"))
-        .cache()
+        # eager localCheckpoint, not cache(): freed on GC instead of
+        # living in the CacheManager for the session (r10 pin rule)
+        .localCheckpoint(eager=True)
     )
     t = sh.filter(~F.col(flag_col)).select(
         F.col("doc_id").alias("train_doc_id"), "shingle"

@@ -2637,11 +2637,23 @@ from sparketl.operators.similarity import q_ext_99_pca_top_component  # noqa: E4
 EXT_QUERIES["ext_99_pca_top_component"] = q_ext_99_pca_top_component
 # FULL oracle since r9: the power iteration is pure integer
 # arithmetic on the exact sum_nano covariance (cells pre-scaled to
-# 2^20 of the max cell, truncating renormalization each round), so a
-# recursive CTE replays it round-for-round — the ext_133 unrolled-
-# iteration device generalized to a data-independent iteration count.
-# pytest additionally asserts alignment with numpy.linalg.eigh.
-EXT_ORACLES["ext_99_pca_top_component"] = """
+# _PCA_SCALE of the max cell, truncating renormalization each round),
+# so a recursive CTE replays it round-for-round — the ext_133
+# unrolled-iteration device generalized to a data-independent
+# iteration count. pytest additionally asserts alignment with
+# numpy.linalg.eigh. The iteration count and scale derive from the
+# pca_top_component signature default / _PCA_SCALE, and the init
+# vector spans the DATA's positions (as the Python side derives dim
+# from the covariance rows) — no inlined 64/100/2^20 literals to
+# drift (r10 advisor finding).
+def _pca_oracle() -> str:
+    import inspect
+
+    from sparketl.operators.similarity import _PCA_SCALE, pca_top_component
+
+    n_iters = inspect.signature(pca_top_component).parameters["n_iters"].default
+    s = _PCA_SCALE
+    return f"""
     WITH RECURSIVE e AS (
       SELECT vec_id,
              unnest(range(0, len(embedding))) AS pos,
@@ -2674,24 +2686,25 @@ EXT_ORACLES["ext_99_pca_top_component"] = """
     ), cm AS (
       SELECT MAX(ABS(a)) AS cmax FROM sym
     ), cs AS (
-      SELECT i, j, CAST((a * 1048576) // cmax AS BIGINT) AS c
+      SELECT i, j, CAST((a * {s}) // cmax AS BIGINT) AS c
       FROM sym, cm
     ), it(iter, pos, v) AS (
-      SELECT 0, i, CAST(1048576 AS BIGINT) FROM range(64) t(i)
+      SELECT 0, pos, CAST({s} AS BIGINT)
+      FROM (SELECT DISTINCT pos FROM en) t
       UNION ALL
       SELECT iter + 1, i,
-             CAST(w // GREATEST(1, wmax // 1048576) AS BIGINT)
+             CAST(w // GREATEST(1, wmax // {s}) AS BIGINT)
       FROM (
         SELECT iter, i, w, MAX(ABS(w)) OVER (PARTITION BY iter) AS wmax
         FROM (
           SELECT it.iter AS iter, cs.i AS i, SUM(cs.c * it.v) AS w
           FROM cs JOIN it ON cs.j = it.pos
-          WHERE it.iter < 100
+          WHERE it.iter < {n_iters}
           GROUP BY it.iter, cs.i
         )
       )
     ), fin0 AS (
-      SELECT pos, v FROM it WHERE iter = 100
+      SELECT pos, v FROM it WHERE iter = {n_iters}
     ), sgn AS (
       SELECT CASE WHEN v < 0 THEN -1 ELSE 1 END AS sg
       FROM fin0 WHERE v <> 0 ORDER BY pos LIMIT 1
@@ -2701,7 +2714,7 @@ EXT_ORACLES["ext_99_pca_top_component"] = """
       SELECT cs.i AS pos, SUM(cs.c * fin.v) AS w
       FROM cs JOIN fin ON cs.j = fin.pos GROUP BY cs.i
     ), ray AS (
-      SELECT SUM(fin.v * (w2.w // 1048576)) AS r1,
+      SELECT SUM(fin.v * (w2.w // {s})) AS r1,
              SUM(fin.v * fin.v) AS r2
       FROM fin JOIN w2 USING (pos)
     ), nv AS (
@@ -2713,6 +2726,9 @@ EXT_ORACLES["ext_99_pca_top_component"] = """
              / (1e9 * CAST(n - 1 AS DOUBLE)) AS eigenvalue
     FROM fin, ray, cm, nv ORDER BY pos
 """
+
+
+EXT_ORACLES["ext_99_pca_top_component"] = _pca_oracle()
 
 from sparketl.operators.events_ops import q_ext_100_ttl_dedup  # noqa: E402
 
@@ -4262,31 +4278,42 @@ EXT_ORACLES["ext_02_simhash"] = _simhash_oracle()
 
 # ext_03_ann_lsh: FULL oracle (r9) — hyperplane signs are md5-h60
 # bits over milli-quantized cells, so bucket bits are exact integers
-# in both engines; scoring reuses the cosine_topk device.
+# in both engines; scoring reuses the cosine_topk device. Every
+# constant below is derived from the ann_lsh_topk signature defaults
+# / the shared ANN_* fixture knobs, never inlined (r10 advisor
+# finding: a Python default change must not desynchronize the oracle).
 def _ann_lsh_oracle() -> str:
+    import inspect
+
     from sparketl.operators.phash import h60_sql_duckdb
+    from sparketl.operators.similarity import ANN_K, ANN_QUERY_SLICE, ann_lsh_topk
+
+    p = inspect.signature(ann_lsh_topk).parameters
+    n_planes = p["n_planes"].default
+    n_tables = p["n_tables"].default
+    dim = p["dim"].default
 
     return f"""
     WITH signs AS (
       SELECT CAST(i AS INT) AS pos,
              {h60_sql_duckdb("'lshA:' || i")} AS h1,
              {h60_sql_duckdb("'lshB:' || i")} AS h2
-      FROM range(64) t(i)
+      FROM range({dim}) t(i)
     ), cells AS (
       SELECT vec_id, CAST(u AS INT) AS pos,
              CAST(FLOOR(CAST(embedding[u + 1] AS DOUBLE) * 1000.0)
                   AS BIGINT) AS x
-      FROM embeddings, range(64) t(u)
+      FROM embeddings, range({dim}) t(u)
     ), sums AS (
       SELECT vec_id, tp.t, tp.p,
-             SUM((1 - 2 * ((CASE WHEN tp.t * 8 + tp.p < 60
-                                 THEN h1 >> (tp.t * 8 + tp.p)
-                                 ELSE h2 >> (tp.t * 8 + tp.p - 60)
+             SUM((1 - 2 * ((CASE WHEN tp.t * {n_planes} + tp.p < 60
+                                 THEN h1 >> (tp.t * {n_planes} + tp.p)
+                                 ELSE h2 >> (tp.t * {n_planes} + tp.p - 60)
                             END) & 1)) * x) AS s
       FROM cells
       JOIN signs USING (pos)
       CROSS JOIN (SELECT a.i AS t, b.i AS p
-                  FROM range(8) a(i), range(8) b(i)) tp
+                  FROM range({n_tables}) a(i), range({n_planes}) b(i)) tp
       GROUP BY vec_id, tp.t, tp.p
     ), buckets AS (
       SELECT vec_id, t,
@@ -4294,10 +4321,11 @@ def _ann_lsh_oracle() -> str:
                            ELSE 0 END) AS BIGINT) AS b
       FROM sums GROUP BY vec_id, t
     ), qb AS (
-      SELECT vec_id AS query_id, t, b FROM buckets WHERE vec_id < 8
+      SELECT vec_id AS query_id, t, b FROM buckets
+      WHERE vec_id < {ANN_QUERY_SLICE}
       UNION
       SELECT vec_id, t, CAST(xor(b, CAST(1 AS BIGINT) << i) AS BIGINT)
-      FROM buckets, range(8) f(i) WHERE vec_id < 8
+      FROM buckets, range({n_planes}) f(i) WHERE vec_id < {ANN_QUERY_SLICE}
     ), cand AS (
       SELECT DISTINCT qb.query_id, cb.vec_id AS neighbor_id
       FROM qb JOIN buckets cb ON qb.t = cb.t AND qb.b = cb.b
@@ -4319,7 +4347,7 @@ def _ann_lsh_oracle() -> str:
                                      ORDER BY sim DESC, neighbor_id)
                   AS INT) AS rank
       FROM scored
-    ) WHERE rank <= 10
+    ) WHERE rank <= {ANN_K}
     ORDER BY query_id, rank
 """
 
@@ -4329,12 +4357,51 @@ EXT_ORACLES["ext_03_ann_lsh"] = _ann_lsh_oracle()
 
 # ext_03_ann_ivf: FULL oracle (r9) — the integer-Lloyd coarse
 # quantizer (kmeans_fixed's devices over milli-quantized UNIT
-# vectors) unrolls like ext_133: residue init, one training round,
-# exact-bigint home/probe assignment, cosine scoring on the shared
-# unit arrays.
-def _ann_ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
+# vectors) unrolls like ext_133: residue init, n_iters training
+# rounds, exact-bigint home/probe assignment, cosine scoring on the
+# shared unit arrays. All knobs derive from the ann_ivf_topk
+# signature defaults / the shared ANN_* fixture knobs, and the
+# training rounds unroll PROGRAMMATICALLY from IVF_QUERY_N_ITERS —
+# the same value q_ext_03_ann_ivf passes — so a Python-side change
+# cannot desynchronize the oracle (r10 advisor finding).
+def _ann_ivf_oracle() -> str:
+    import inspect
+
+    from sparketl.operators.similarity import (
+        ANN_K,
+        ANN_QUERY_SLICE,
+        IVF_QUERY_N_ITERS,
+        ann_ivf_topk,
+    )
+
+    p = inspect.signature(ann_ivf_topk).parameters
+    n_cells = p["n_cells"].default
+    nprobe = p["nprobe"].default
+    k = ANN_K
+    n_iters = IVF_QUERY_N_ITERS
     dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
     cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+
+    # one Lloyd round: c{i} = centroids of assignment a{i};
+    # d{i+1}/a{i+1} = exact-bigint re-assignment against c{i}
+    rounds = []
+    for i in range(n_iters):
+        rounds.append(f"""c{i} AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{i} USING (vec_id) GROUP BY c, d
+    ), d{i + 1} AS (
+      SELECT cells.vec_id, c{i}.c, {dist} AS dist
+      FROM cells JOIN c{i} USING (d) GROUP BY 1, 2
+    ), a{i + 1} AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d{i + 1} JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1}
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    )""")
+    train = ", ".join(rounds)
+    fc = f"c{n_iters}"  # final centroids = centroids(a{n_iters})
+    fd = f"d{n_iters + 1}"  # final home-assignment distances
+
     return f"""
     WITH v AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
@@ -4342,38 +4409,32 @@ def _ann_ivf_oracle(n_cells: int = 16, nprobe: int = 4, k: int = 10) -> str:
       SELECT vec_id,
              list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
       FROM v
+    ), uz AS (
+      SELECT vec_id,
+             unnest(range(0, len(u))) AS d0,
+             unnest(u) AS uf
+      FROM un
     ), cells AS (
-      SELECT vec_id, CAST(t.d AS INT) AS d,
-             CAST(FLOOR(u[t.d + 1] * 1000.0) AS BIGINT) AS m
-      FROM un, range(64) t(d)
+      SELECT vec_id, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uz
     ), a0 AS (
       SELECT vec_id, CAST(vec_id % {n_cells} AS INT) AS c FROM embeddings
-    ), c0 AS (
+    ), {train}, {fc} AS (
       SELECT c, d, {cent} AS cq
-      FROM cells JOIN a0 USING (vec_id) GROUP BY c, d
-    ), d1 AS (
-      SELECT cells.vec_id, c0.c, {dist} AS dist
-      FROM cells JOIN c0 USING (d) GROUP BY 1, 2
-    ), a1 AS (
-      SELECT vec_id, MIN(c) AS c
-      FROM d1 JOIN (SELECT vec_id, MIN(dist) AS md FROM d1
-                    GROUP BY vec_id) x USING (vec_id)
-      WHERE dist = md GROUP BY vec_id
-    ), c1 AS (
-      SELECT c, d, {cent} AS cq
-      FROM cells JOIN a1 USING (vec_id) GROUP BY c, d
-    ), d2 AS (
-      SELECT cells.vec_id, c1.c, {dist} AS dist
-      FROM cells JOIN c1 USING (d) GROUP BY 1, 2
+      FROM cells JOIN a{n_iters} USING (vec_id) GROUP BY c, d
+    ), {fd} AS (
+      SELECT cells.vec_id, {fc}.c, {dist} AS dist
+      FROM cells JOIN {fc} USING (d) GROUP BY 1, 2
     ), home AS (
       SELECT vec_id AS neighbor_id, MIN(c) AS cell
-      FROM d2 JOIN (SELECT vec_id, MIN(dist) AS md FROM d2
+      FROM {fd} JOIN (SELECT vec_id, MIN(dist) AS md FROM {fd}
                     GROUP BY vec_id) x USING (vec_id)
       WHERE dist = md GROUP BY vec_id
     ), dq AS (
-      SELECT cells.vec_id, c1.c, {dist} AS dist
-      FROM cells JOIN c1 USING (d)
-      WHERE cells.vec_id < 8 GROUP BY 1, 2
+      SELECT cells.vec_id, {fc}.c, {dist} AS dist
+      FROM cells JOIN {fc} USING (d)
+      WHERE cells.vec_id < {ANN_QUERY_SLICE} GROUP BY 1, 2
     ), probes AS (
       SELECT vec_id AS query_id, c AS cell FROM (
         SELECT vec_id, c,

@@ -118,6 +118,15 @@ def q_ext_03_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts recall ≥ 0.9 vs the brute-force baseline).
 # ---------------------------------------------------------------------------
 
+# Registry-query fixture knobs SHARED with the generated DuckDB
+# oracles: ext_queries.py derives its SQL literals from these names
+# (and from the ann_*_topk signature defaults via inspect), so a
+# default change here cannot silently desynchronize query and oracle
+# (r10 advisor finding — the r9 oracles inlined 64/8/8/1 literally).
+ANN_QUERY_SLICE = 8  # ANN registry queries probe vec_id < this
+ANN_K = 10  # top-k depth of the ANN registry queries
+IVF_QUERY_N_ITERS = 1  # q_ext_03_ann_ivf's Lloyd training rounds
+
 
 def _lsh_sign_table(spark, dim: int) -> DataFrame:
     """(pos, h1, h2) — per component position, two portable md5-h60
@@ -151,7 +160,21 @@ def _lsh_buckets(
     join the broadcast sign table, and ONE groupBy computes every
     (table, plane) signed sum as a map-combinable aggregate column
     (the simhash formulation); buckets assemble as Σ bit<<p. All
-    integer arithmetic — engine-exact."""
+    integer arithmetic — engine-exact.
+
+    The sign table carries exactly 120 portable bits (h1+h2, 60
+    each), so ``n_tables * n_planes`` beyond 120 would read past
+    h2's domain where ``shiftright`` yields 0 — every such plane a
+    constant +1 sign, silently degenerating the AND-construction.
+    Per the repo's no-silent-caps rule we refuse loudly instead
+    (mirrors ``ahash_near_dups``'s max_hamming guard)."""
+    if n_tables * n_planes > 120:
+        raise ValueError(
+            f"n_tables * n_planes = {n_tables * n_planes} exceeds the "
+            "120 portable sign bits carried by the h1/h2 words; planes "
+            ">= 120 would be degenerate constant-sign hyperplanes. "
+            "Lower the product or extend _lsh_sign_table with an h3 word."
+        )
     cells = vecs.select(
         F.col(id_col),
         F.posexplode("embedding").alias("pos", "v"),
@@ -200,7 +223,6 @@ def ann_lsh_topk(
     n_planes: int = 8,
     n_tables: int = 8,
     dim: int = 64,
-    seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k via multi-table random-hyperplane LSH.
 
@@ -281,8 +303,8 @@ def ann_lsh_topk(
 
 def q_ext_03_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    return ann_lsh_topk(emb, queries, k=10).orderBy("query_id", "rank")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
+    return ann_lsh_topk(emb, queries, k=ANN_K).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------
@@ -492,10 +514,13 @@ def q_ext_17_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 8)
-    # one Lloyd iteration: recall vs brute force measured ≥0.88 on the
-    # fixtures at every SF while halving training passes
-    return ann_ivf_topk(emb, queries, k=10, n_iters=1).orderBy("query_id", "rank")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
+    # one Lloyd iteration (IVF_QUERY_N_ITERS): recall vs brute force
+    # measured ≥0.88 on the fixtures at every SF while halving
+    # training passes
+    return ann_ivf_topk(
+        emb, queries, k=ANN_K, n_iters=IVF_QUERY_N_ITERS
+    ).orderBy("query_id", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -1427,7 +1427,12 @@ def incremental_extremum(
     100 TB it prunes to the affected groups' partitions instead of
     rescanning the table. Groups whose rows all vanish necessarily
     had their extremum deleted, land in the rescan set, and drop out
-    naturally (the rescan returns no row for them).
+    naturally (the rescan returns no row for them). A stored extremum
+    of NULL (every row of the group had a NULL value) beats nothing
+    under ``<=``/``>=`` three-valued logic, so such groups are routed
+    to the rescan on ANY delete explicitly — otherwise deleting the
+    group's last rows would leave a stale (group, NULL) row that a
+    full recompute drops (r10 advisor finding).
     """
     out_col = out_col or f"{agg}_{value_col}"
     lo = agg.lower()
@@ -1448,7 +1453,7 @@ def incremental_extremum(
         delta.filter(F.col("_change") == "delete")
         .join(prev_agg.select(*group_cols, F.col(out_col).alias("_prev")),
               group_cols)
-        .filter(F.expr(f"{value_col} {beats} _prev"))
+        .filter(F.expr(f"_prev IS NULL OR {value_col} {beats} _prev"))
         .select(*group_cols)
         .distinct()
     )

@@ -70,6 +70,20 @@ def test_ann_lsh_recall_vs_bruteforce(spark, emb):
     assert recall >= 0.5, f"ANN recall {recall}"  # multi-probe 1-bit, 8 planes
 
 
+def test_ann_lsh_refuses_plane_overflow(spark, emb):
+    """The portable sign table carries 120 bits (h1+h2); requesting
+    n_tables*n_planes > 120 must refuse loudly instead of silently
+    hashing with degenerate constant-sign hyperplanes (no-silent-caps
+    rule; r10 advisor finding)."""
+    import pytest
+
+    queries = emb.filter(F.col("vec_id") < 2)
+    with pytest.raises(ValueError, match="120 portable sign bits"):
+        ann_lsh_topk(emb, queries, k=5, n_planes=11, n_tables=11).collect()
+    # 120 exactly is the last valid product
+    ann_lsh_topk(emb.limit(20), queries, k=2, n_planes=12, n_tables=10)
+
+
 def test_cosine_topk_excludes_self_and_ranks(spark, emb):
     queries = emb.filter(F.col("vec_id") < 3)
     out = cosine_topk(emb, queries, k=5).collect()

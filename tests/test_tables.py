@@ -381,6 +381,52 @@ def test_incremental_extremum_rescans_only_affected_groups(spark, tmp_table_root
     assert g2 == want2 and ("b", 7.0) not in g2
 
 
+def test_incremental_extremum_null_extremum_group_deleted(spark, tmp_table_root):
+    """A group whose stored extremum is NULL (all values NULL) beats
+    nothing under three-valued `<=`, so it must be routed to the
+    rescan explicitly on any delete — deleting its last rows has to
+    DROP the group, not leave a stale (group, NULL) row (r10 advisor
+    finding)."""
+    from pyspark.sql import functions as F
+
+    from sparketl.tables import incremental_extremum
+
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame(
+            [(1, "nulls", None), (2, "nulls", None), (3, "ok", 4.0)],
+            SCHEMA,
+        )
+    )
+    v0 = t._current_version()
+    prev = t.read().groupBy("name").agg(F.min("bal").alias("min_bal"))
+    prev.collect()
+
+    t.delete_where("name = 'nulls'")  # group vanishes entirely
+    got = incremental_extremum(t, prev, v0, ["name"], "bal", agg="min",
+                               out_col="min_bal")
+    rows = [(r["name"], r["min_bal"]) for r in got.collect()]
+    assert rows == [("ok", 4.0)]  # no stale ('nulls', None) row
+
+    # partial delete of a NULL-extremum group: group survives, still NULL
+    t2 = ManagedTable(spark, str(tmp_table_root) + "_2")
+    t2.create(SCHEMA, properties={"primary_key": "id"})
+    t2.append(
+        spark.createDataFrame(
+            [(1, "nulls", None), (2, "nulls", None)], SCHEMA
+        )
+    )
+    v1 = t2._current_version()
+    prev2 = t2.read().groupBy("name").agg(F.min("bal").alias("min_bal"))
+    prev2.collect()
+    t2.delete_where("id = 1")
+    got2 = incremental_extremum(t2, prev2, v1, ["name"], "bal", agg="min",
+                                out_col="min_bal")
+    assert [(r["name"], r["min_bal"]) for r in got2.collect()] == [
+        ("nulls", None)
+    ]
+
+
 def test_incremental_agg_group_disappears(spark, tmp_table_root):
     from pyspark.sql import functions as F
 
