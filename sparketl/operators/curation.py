@@ -1093,12 +1093,15 @@ def decile_binning(lineitem: DataFrame) -> DataFrame:
     # ObjectHashAggregate buffer, same doubles bit-for-bit
     from sparketl.operators.quantiles import exact_group_quantiles
 
+    # no checkpoint_base: the keyed base here is a pruned one-column
+    # parquet scan + key transform — recomputing it per digit pass is
+    # cheaper than materializing 6M rows of checkpoint blocks (r10;
+    # the knob is for expensive derived lineages like ext_86's |x-med|)
     th = exact_group_quantiles(
         lineitem,
         [],
         "l_extendedprice",
         [i / 10.0 for i in range(1, 10)],
-        checkpoint_base=True,
     ).select(F.col("qs").alias("th"))
     binned = lineitem.select(
         "l_extendedprice",

@@ -150,7 +150,10 @@ def _msd_descend(
             wr = Window.partitionBy(*g, "_rank").orderBy("_f")
             hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
             return (
-                hc.join(t, [*g, "_rank"])
+                # t is the targets frame (≤ groups×targets rows — the
+                # same size class broadcast into cand above), so the
+                # join-back is map-side: no exchange on the histogram
+                hc.join(tb, [*g, "_rank"])
                 .where(lo_pred(F.col("_cb"), F.col("_r"), F.col("_c")))
                 .select(
                     *g,
@@ -175,7 +178,7 @@ def _msd_descend(
         wr = Window.partitionBy(*g, "_rank").orderBy("_f")
         hc = h.withColumn("_cb", F.sum("_c").over(wr) - F.col("_c"))
         t = (
-            hc.join(t.drop("_bc"), [*g, "_rank"])
+            hc.join(F.broadcast(t.drop("_bc")), [*g, "_rank"])
             .where(lo_pred(F.col("_cb"), F.col("_r"), F.col("_c")))
             .select(
                 *g,
@@ -251,9 +254,11 @@ def _radix_quantiles(
     )
     ranks = tq.select(*g, F.explode(F.array("_lo", "_hi")).alias("_rank")).distinct()
 
-    # resolve the top digit for every target rank
+    # resolve the top digit for every target rank (ranks is
+    # groups×targets-sized — broadcast so the bounded cum0 histogram
+    # is never exchanged)
     t = (
-        ranks.join(cum0.select(*g, "_f", "_c", "_cb"), g)
+        F.broadcast(ranks).join(cum0.select(*g, "_f", "_c", "_cb"), g)
         .where(
             (F.col("_cb") <= F.col("_rank"))
             & (F.col("_rank") < F.col("_cb") + F.col("_c"))
@@ -277,9 +282,11 @@ def _radix_quantiles(
     # ---- interpolation, exactly as Spark's Percentile.getPercentile
     vlo = vals.select(*g, F.col("_rank").alias("_lo"), F.col("_val").alias("_vlo"))
     vhi = vals.select(*g, F.col("_rank").alias("_hi"), F.col("_val").alias("_vhi"))
+    # tq/vlo/vhi are all groups×targets-sized: broadcast joins keep
+    # the interpolation exchange-free
     q = (
-        tq.join(vlo, [*g, "_lo"])
-        .join(vhi, [*g, "_hi"])
+        tq.join(F.broadcast(vlo), [*g, "_lo"])
+        .join(F.broadcast(vhi), [*g, "_hi"])
         .select(
             *g,
             "_n",
