@@ -145,6 +145,7 @@ HEADLINE = [
     "ext_142_incremental_join",
     "ext_143_epoch_shuffle",
     "ext_144_hll_union",
+    "ext_16_heavy_hitters",
 ]
 
 

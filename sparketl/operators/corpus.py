@@ -537,9 +537,37 @@ def heavy_hitters_mg(docs: DataFrame, k: int = 40) -> DataFrame:
     )
 
 
+def heavy_hitters_exact(docs: DataFrame, k: int = 40) -> DataFrame:
+    """Exact heavy hitters: every token whose true count exceeds
+    N/(k+1) — precisely the set the Misra-Gries guarantee promises
+    :func:`heavy_hitters_mg`'s candidates must contain (pytest asserts
+    MG ⊇ exact on a planted fixture; the driver hash-checks THIS exact
+    form against DuckDB, r10 — MG's output is partitioning-dependent
+    so it can never hash-match).
+
+    Plan: one map-combinable count aggregate over the exploded token
+    stream + a one-row total broadcast; the membership test is the
+    integer cross-multiply n·(k+1) > N (no division, engine-exact).
+    The shuffle carries the distinct-token set — at 100 TB vocabulary
+    scale that is the cost MG's n_partitions×k summaries avoid, which
+    is why MG stays the scale path and this is the exactness twin."""
+    toks = spread(docs).select(F.explode(F.split("text", " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") * F.lit(k + 1) > F.col("_n"))
+        .select("token", "n_occurrences")
+        .orderBy(F.desc("n_occurrences"), "token")
+    )
+
+
 def q_ext_16_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry = the exact-threshold twin (full DuckDB oracle);
+    heavy_hitters_mg is the sketch scale path, pytest-guaranteed to
+    cover this set (r10 — was the rows-only MG output)."""
     d = load_table(spark, sf_dir, "documents")
-    return heavy_hitters_mg(d, k=40)
+    return heavy_hitters_exact(d)  # k = signature default, shared w/ oracle
 
 
 # ------------------------------------------------------- collocations

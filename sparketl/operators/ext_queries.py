@@ -1337,6 +1337,35 @@ EXT_QUERIES.update(TEMPORAL_QUERIES)
 EXT_ORACLES.update(TEMPORAL_ORACLES)
 
 
+# ext_16: exact heavy hitters (r10 — the oracle-checkable twin of the
+# Misra-Gries sketch, judge task 3; MG stays the scale path with its
+# candidates ⊇ this set pytest guarantee). The k+1 threshold factor
+# derives from heavy_hitters_exact's signature default so query and
+# oracle can't desynchronize.
+def _heavy_hitters_oracle() -> str:
+    import inspect
+
+    from sparketl.operators.corpus import heavy_hitters_exact
+
+    k = inspect.signature(heavy_hitters_exact).parameters["k"].default
+    return f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), c AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM tok GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS nn FROM tok
+    )
+    SELECT token, n_occurrences FROM c, n
+    WHERE n_occurrences * {k + 1} > nn
+    ORDER BY n_occurrences DESC, token
+"""
+
+
+EXT_ORACLES["ext_16_heavy_hitters"] = _heavy_hitters_oracle()
+
+
 def q_ext_06_sessionize_stateful(spark, sf_dir):
     """Custom stateful streaming sessionizer (applyInPandasWithState)
     driven to completion over the finite fixture WITH the end-of-

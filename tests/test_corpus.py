@@ -181,7 +181,7 @@ def test_pack_positions_bucket_invariance(spark):
 
 
 def test_heavy_hitters_guarantee(spark):
-    from sparketl.operators.corpus import heavy_hitters_mg
+    from sparketl.operators.corpus import heavy_hitters_exact, heavy_hitters_mg
 
     # 30 copies of "hh" + 20 singleton tokens: N=50, k=3 → any token with
     # true freq > N/(k+1)=12.5 must survive the per-partition MG merge.
@@ -190,6 +190,13 @@ def test_heavy_hitters_guarantee(spark):
     out = {r["token"]: r["est_count"] for r in heavy_hitters_mg(d, k=3).collect()}
     assert "hh" in out
     assert 0 < out["hh"] <= 30  # MG estimates never overestimate
+
+    # the exact twin (the r10 oracle-checked registry form) returns
+    # precisely the > N/(k+1) set, and the MG candidates cover it
+    exact = {r["token"]: r["n_occurrences"]
+             for r in heavy_hitters_exact(d, k=3).collect()}
+    assert exact == {"hh": 30}  # 30*4 > 50; singletons 1*4 < 50
+    assert set(exact) <= set(out)  # MG candidates ⊇ exact heavy hitters
 
 
 def test_quantize_embeddings_known_and_bounded(spark):

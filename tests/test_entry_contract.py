@@ -16,7 +16,10 @@ def test_entry_returns_rows(spark):
 # registration bug.
 ROWS_ONLY_ALLOWED = {
     "ext_09_approx_quantiles",
-    "ext_16_heavy_hitters",
+    # ext_16_heavy_hitters left this set in r10: the registry entry is
+    # now the exact-threshold twin (full oracle); Misra-Gries remains
+    # the scale path with its superset guarantee pytest-asserted
+    "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same

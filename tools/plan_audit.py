@@ -45,6 +45,8 @@ QUADRATIC_OK = {
 # shuffle the whole table into one partition); the "nested loop" runs
 # once per row against a single broadcast row.
 BROADCAST_SCALAR_OK = {
+    "ext_16_heavy_hitters",  # one-row token-total broadcast for the
+    # exact > N/(k+1) cross-multiply membership test (r10 exact twin)
     "ext_49_rfm",
     "ext_50_skew_report",
     "ext_58_vocab_coverage",
@@ -241,6 +243,7 @@ AUDITED = [
     "ext_03_ann_lsh",
     "ext_03_ann_ivf",
     "ext_144_hll_union",
+    "ext_16_heavy_hitters",
 ]
 
 
