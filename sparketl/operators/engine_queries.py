@@ -1643,6 +1643,59 @@ ENGINE_ORACLES["tierc_qualify_cte"] = """
 """
 
 
+def q_tierc_qualify_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY inside a non-CTE derived table — the last common home
+    of analyst QUALIFY the shim refused through r9 (judge task 4).
+    The rewrite now recurses into every parenthesized subquery body
+    that starts with SELECT/WITH, one level at a time, so a
+    ``FROM (SELECT … QUALIFY …) t`` join works; DuckDB runs the
+    spelling natively as the oracle. The inner body windows top-2
+    orders per customer; the outer query joins the 25-row nation dim
+    through customer (broadcast) and aggregates per nation. Same
+    single window shuffle as tierc_qualify_cte — the derived table is
+    just the inline spelling of that CTE."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT n_name,
+               COUNT(*) AS n_top_orders,
+               CAST(SUM(CAST(t.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS top_order_value
+        FROM (
+          SELECT o_custkey, o_orderkey, o_totalprice
+          FROM orders
+          QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC,
+                                              o_orderkey) <= 2
+        ) t
+        JOIN customer ON t.o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+        ORDER BY n_name
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_qualify_subquery"] = q_tierc_qualify_subquery
+ENGINE_ORACLES["tierc_qualify_subquery"] = """
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_top_orders,
+           CAST(SUM(CAST(t.o_totalprice AS DECIMAL(18,2)))
+                AS DOUBLE) AS top_order_value
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM orders
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC,
+                                          o_orderkey) <= 2
+    ) t
+    JOIN customer ON t.o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
 def q_tierc_cross_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-SQL CROSS APPLY with a correlated TOP — the idiom APPLY
     exists for (top-N-per-entity without self-join gymnastics). The

@@ -341,10 +341,24 @@ def test_qualify_refusals():
 
     with pytest.raises(DialectError, match="DISTINCT"):
         transpile("SELECT DISTINCT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1")
-    with pytest.raises(DialectError, match="non-CTE subquery"):
-        transpile(
-            "SELECT * FROM (SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1)"
-        )
+    # QUALIFY inside a derived table rewrites (r10) instead of refusing
+    out = transpile(
+        "SELECT * FROM (SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1) s"
+    )
+    assert "QUALIFY" not in out.upper() and "__sparketl_q" in out
+    # ... including double-wrapped and IN-subquery spellings
+    out = transpile(
+        "SELECT * FROM ((SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1)) s"
+    )
+    assert "QUALIFY" not in out.upper()
+    out = transpile(
+        "SELECT a FROM u WHERE a IN "
+        "(SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1)"
+    )
+    assert "QUALIFY" not in out.upper()
+    # a parenthesized group that is not itself a query still refuses
+    with pytest.raises(DialectError, match="not"):
+        transpile("SELECT f(a QUALIFY b) FROM t")
     # QUALIFY inside a depth-0 CTE body rewrites (r9) instead of refusing
     out = transpile(
         "WITH t2 AS (SELECT g FROM t "

@@ -181,3 +181,36 @@ def test_qualify_in_cte_rewrite_structure(n, col, n_ctes, q_in, main_q):
         assert nxt > pos
         pos = nxt
     assert transpile(out) == out
+
+
+@given(
+    n=st.integers(min_value=1, max_value=99),
+    col=st.sampled_from(["a", "b", "price"]),
+    depth=st.integers(min_value=1, max_value=3),
+    double_wrap=st.booleans(),
+    main_q=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_qualify_in_derived_table_rewrite_structure(
+    n, col, depth, double_wrap, main_q
+):
+    """r10: QUALIFY inside arbitrarily nested derived tables (and
+    optionally the main query too) rewrites — no QUALIFY survives,
+    the predicate lands intact, double-wrapped ((SELECT …)) resolves,
+    and the result is idempotent through transpile."""
+    inner = (
+        f"SELECT {col}, g FROM t QUALIFY ROW_NUMBER() OVER "
+        f"(PARTITION BY g ORDER BY {col}) <= {n}"
+    )
+    body = f"(({inner}))" if double_wrap else f"({inner})"
+    sql = f"SELECT * FROM {body} d0"
+    for i in range(1, depth):
+        sql = f"SELECT * FROM ({sql}) d{i}"
+    if main_q:
+        sql += f" QUALIFY RANK() OVER (ORDER BY {col}) = {n}"
+    out = transpile(sql)
+    assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
+    assert f"<= {n}" in out
+    if main_q:
+        assert f"= {n}" in out
+    assert transpile(out) == out
