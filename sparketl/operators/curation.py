@@ -1983,6 +1983,67 @@ def q_ext_103_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
 
 
+def q_ext_145_stream_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream FULL OUTER conversion join over the
+    staged multi-batch fixture (r10, judge task 6): every in-horizon
+    (view, purchase) pair, every never-converting view with null
+    purchase columns, AND every orphan purchase (no preceding
+    in-horizon view) with null view columns. The flush sentinels
+    advance the watermark past the fixture tail so BOTH sides' outer
+    state closes; sentinel rows (negative ids) are dropped from either
+    side in the batch sink read, and null id/ts columns map to -1 to
+    keep the bigint dtypes integral through the driver compare. The
+    collected append-mode output equals the batch FULL interval join —
+    the oracle. Scale/state-eviction notes in
+    ``streaming.windows.streaming_view_purchase_full_join``."""
+    from sparketl.streaming.stateful import (
+        append_flush_chunk,
+        read_staged_stream,
+        stage_event_chunks,
+    )
+    from sparketl.streaming.windows import streaming_view_purchase_full_join
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    try:
+        append_flush_chunk(spark, stage)
+        stream = read_staged_stream(spark, stage)
+        joined = streaming_view_purchase_full_join(stream)
+        name = f"ssfj_{uuid.uuid4().hex[:8]}"
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return (
+            spark.sql(f"SELECT * FROM {name}")
+            .where(
+                (F.col("view_id").isNull() | (F.col("view_id") >= 0))
+                & (
+                    F.col("purchase_id").isNull()
+                    | (F.col("purchase_id") >= 0)
+                )
+            )
+            .select(
+                F.coalesce("view_id", F.lit(-1)).alias("view_id"),
+                "user_id",
+                F.coalesce("view_ts_us", F.lit(-1)).alias("view_ts_us"),
+                F.coalesce("purchase_id", F.lit(-1)).alias("purchase_id"),
+                F.coalesce("purchase_ts_us", F.lit(-1)).alias(
+                    "purchase_ts_us"
+                ),
+                "amount",
+            )
+            .orderBy("view_id", "purchase_id")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # ext_105: streaming hopping (sliding) window aggregate
 # ---------------------------------------------------------------------------

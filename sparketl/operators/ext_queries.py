@@ -2848,6 +2848,49 @@ EXT_ORACLES["ext_103_stream_left_join"] = """
     ORDER BY v.view_id, purchase_id
 """
 
+from sparketl.operators.curation import q_ext_145_stream_full_join  # noqa: E402
+
+EXT_QUERIES["ext_145_stream_full_join"] = q_ext_145_stream_full_join
+
+
+# ext_145: the horizon constant derives from the streaming function's
+# signature default (the ext_103 oracle predates the r10 rule and
+# inlines it) so query and oracle cannot desynchronize.
+def _stream_full_join_oracle() -> str:
+    import inspect
+
+    from sparketl.streaming.windows import streaming_view_purchase_full_join
+
+    horizon_us = (
+        inspect.signature(streaming_view_purchase_full_join)
+        .parameters["horizon_s"]
+        .default
+        * 1_000_000
+    )
+    return f"""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS v_us
+      FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id AS purchase_id, user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS p_us,
+             value AS amount
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT COALESCE(v.view_id, -1) AS view_id,
+           COALESCE(v.user_id, p.user_id) AS user_id,
+           COALESCE(v.v_us, -1) AS view_ts_us,
+           COALESCE(p.purchase_id, -1) AS purchase_id,
+           COALESCE(p.p_us, -1) AS purchase_ts_us, p.amount
+    FROM v FULL JOIN p ON v.user_id = p.user_id
+       AND v.v_us <= p.p_us AND p.p_us <= v.v_us + {horizon_us}
+    ORDER BY view_id, purchase_id
+"""
+
+
+EXT_ORACLES["ext_145_stream_full_join"] = _stream_full_join_oracle()
+
 from sparketl.operators.analytics import q_ext_104_grouped_ols  # noqa: E402
 
 EXT_QUERIES["ext_104_grouped_ols"] = q_ext_104_grouped_ols

@@ -276,6 +276,60 @@ def streaming_view_purchase_left_join(
     )
 
 
+def streaming_view_purchase_full_join(
+    events: DataFrame,
+    horizon_s: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream FULL OUTER interval join (r10): every view pairs
+    with the same user's purchases in the following ``horizon_s``
+    seconds, AND both unmatched sides surface — views that never
+    convert (null purchase columns) and orphan purchases with no
+    preceding in-horizon view (null view columns) — completing the
+    inner (r7) / LEFT OUTER (ext_103) family.
+
+    This exercises state eviction on BOTH sides of the join: a
+    buffered view finalizes (matches or null row) once
+    ``watermark > v_ts + horizon``, and a buffered purchase finalizes
+    once ``watermark > p_ts`` — each side's unmatched output is only
+    ever emitted on watermark close, never speculatively. As in the
+    LEFT variant, the watermark is applied BEFORE the event-type
+    filters so any stream event (including a terminal flush record)
+    advances it. State ∝ rate × horizon on both sides; the batch twin
+    is the identical FULL join expression (pytest asserts stream ≡
+    batch)."""
+    wm = events.withWatermark("ts", watermark)
+    v = wm.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = wm.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("amount"),
+    )
+    joined = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (
+            F.col("p_ts")
+            <= F.col("v_ts") + F.expr(f"INTERVAL {horizon_s} SECONDS")
+        ),
+        "fullOuter",
+    )
+    return joined.select(
+        "view_id",
+        F.coalesce("v_user", "p_user").alias("user_id"),
+        F.unix_micros("v_ts").alias("view_ts_us"),
+        "purchase_id",
+        F.unix_micros("p_ts").alias("purchase_ts_us"),
+        "amount",
+    )
+
+
 def run_stream_static_enrich(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> DataFrame:

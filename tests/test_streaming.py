@@ -630,6 +630,58 @@ def test_stream_left_outer_interval_join_equals_batch(spark):
     assert all(vid >= 0 for vid, _, _, _ in got)
 
 
+def test_stream_full_outer_interval_join_equals_batch(spark):
+    """The FULL OUTER stream-stream interval join (ext_145) must equal
+    the batch full interval join exactly: every in-horizon pair, every
+    never-converting view as a null-purchase row, AND every orphan
+    purchase as a null-view row — both sides' tails closed only by the
+    flush sentinels, with no sentinel leakage."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    out = entrymod.queries()["ext_145_stream_full_join"](spark, SF_SMOKE)
+    got = {
+        (r["view_id"], r["purchase_id"], r["view_ts_us"], r["purchase_ts_us"])
+        for r in out.collect()
+    }
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "user_id", "event_type", F.expr("unix_micros(ts)").alias("us")
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("us").alias("v_us"),
+    )
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("us").alias("p_us"),
+    )
+    expect = {
+        (
+            -1 if r["view_id"] is None else r["view_id"],
+            -1 if r["purchase_id"] is None else r["purchase_id"],
+            -1 if r["v_us"] is None else r["v_us"],
+            -1 if r["p_us"] is None else r["p_us"],
+        )
+        for r in v.join(
+            p,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("v_us") <= F.col("p_us"))
+            & (F.col("p_us") <= F.col("v_us") + 3_600_000_000),
+            "fullOuter",
+        ).collect()
+    }
+    assert got == expect
+    # all three outer shapes are real on the fixture
+    assert any(pid == -1 and vid >= 0 for vid, pid, _, _ in got)
+    assert any(vid == -1 and pid >= 0 for vid, pid, _, _ in got)
+    assert any(vid >= 0 and pid >= 0 for vid, pid, _, _ in got)
+
+
 def test_streaming_sliding_equals_batch(spark):
     """Hopping-window streaming aggregate ≡ the batch hopping twin at
     the same width/slide — overlap factor 2, complete-mode finite
