@@ -146,6 +146,7 @@ HEADLINE = [
     "ext_143_epoch_shuffle",
     "ext_144_hll_union",
     "ext_16_heavy_hitters",
+    "ext_146_incremental_ndv",
 ]
 
 

@@ -4619,6 +4619,55 @@ EXT_ORACLES["ext_144_hll_union"] = """
     ORDER BY scope
 """
 
+from sparketl.operators.text import q_ext_146_incremental_ndv  # noqa: E402
+
+# ext_146: the oracle recomputes the per-source registers in ONE pass
+# over the new snapshot; the Spark side folds prev(old) + delta(batch)
+# registers — max is associative, so the hash-match proves the
+# incremental fold ≡ full recompute, register for register.
+EXT_QUERIES["ext_146_incremental_ndv"] = q_ext_146_incremental_ndv
+EXT_ORACLES["ext_146_incremental_ndv"] = """
+    WITH h AS (
+      SELECT source AS g,
+             CAST(('0x' || substr(md5('hllu:' || text), 1, 15))
+                  AS BIGINT) AS hh
+      FROM documents
+    ), regs AS (
+      SELECT g, hh // 4503599627370496 AS idx,
+             MAX(CASE WHEN hh % 4503599627370496 = 0 THEN 53
+                 ELSE 53 - length(bin(hh % 4503599627370496)) END) AS m_reg
+      FROM h GROUP BY g, hh // 4503599627370496
+    ), pg AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+             CAST(SUM(CAST(1 AS BIGINT) << CAST(53 - m_reg AS INT))
+                  AS BIGINT) AS z_present
+      FROM regs GROUP BY g
+    ), ex AS (
+      SELECT source AS g, CAST(COUNT(DISTINCT text) AS BIGINT) AS ndv_exact
+      FROM documents GROUP BY source
+    ), est AS (
+      SELECT g, CAST(256 - n_present AS BIGINT) AS v_zero,
+             CAST(z_present + (256 - n_present) * (CAST(1 AS BIGINT) << 53)
+                  AS BIGINT) AS z_scaled
+      FROM pg
+    ), est2 AS (
+      SELECT g, v_zero, z_scaled,
+             4.2399330249068963e+20 / CAST(z_scaled AS DOUBLE) AS raw_est
+      FROM est
+    ), est3 AS (
+      SELECT g, v_zero,
+             CAST(FLOOR(CASE WHEN raw_est <= 640.0 AND v_zero > 0
+                        THEN 256.0 * ln(256.0 / CAST(v_zero AS DOUBLE))
+                        ELSE raw_est END) AS BIGINT) AS hll_estimate
+      FROM est2
+    )
+    SELECT est3.g AS source, ndv_exact, hll_estimate,
+           (1000 * abs(hll_estimate - ndv_exact)) // ndv_exact
+             AS abs_err_permille
+    FROM est3 JOIN ex USING (g)
+    ORDER BY source
+"""
+
 # ext_136: FULL oracle (r9) — the registered query runs the FAKE byte-
 # grid hash (the real pixel decode stays pytest-proven on hand-built
 # BMPs), and that hash is pure integer arithmetic over payload BYTES:

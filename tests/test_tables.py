@@ -427,6 +427,57 @@ def test_incremental_extremum_null_extremum_group_deleted(spark, tmp_table_root)
     ]
 
 
+def test_incremental_hll_registers_fold_and_delete_caveat(spark, tmp_table_root):
+    """Driving real append batches through a ManagedTable: the
+    register fold from the change feed equals a full recompute
+    register-for-register, and — the documented caveat — a delete
+    batch leaves the registers untouched (ever-seen NDV; max cannot
+    shrink)."""
+    from sparketl.operators.text import hll_registers
+    from sparketl.tables import incremental_hll_registers
+
+    def reg_rows(df):
+        return sorted(
+            (r["name"], r["idx"], r["m_reg"]) for r in df.collect()
+        )
+
+    t = make(spark, tmp_table_root)
+    t.append(
+        spark.createDataFrame(
+            [(i, f"g{i % 2}", float(i % 17)) for i in range(40)], SCHEMA
+        )
+    )
+    prev = hll_registers(t.read(), ["name"], "bal")
+    prev.collect()  # pin the pre-batch registers before mutating
+    v0 = t._current_version()
+
+    t.append(
+        spark.createDataFrame(
+            [(100 + i, f"g{i % 3}", float(40 + i)) for i in range(30)],
+            SCHEMA,
+        )
+    )
+    got = incremental_hll_registers(t, prev, v0, ["name"], "bal")
+    want = hll_registers(t.read(), ["name"], "bal")
+    assert reg_rows(got) == reg_rows(want)  # fold ≡ recompute
+
+    # delete caveat: a delete-only span changes nothing (no inserts in
+    # the feed), so the maintained registers still show ever-seen NDV
+    maintained = got
+    maintained.collect()
+    v1 = t._current_version()
+    t.delete_where("bal >= 40.0")
+    got2 = incremental_hll_registers(t, maintained, v1, ["name"], "bal")
+    assert reg_rows(got2) == reg_rows(maintained)
+    # and they now OVER-cover the live table's recompute (never under)
+    live_regs = {
+        (r["name"], r["idx"]): r["m_reg"]
+        for r in hll_registers(t.read(), ["name"], "bal").collect()
+    }
+    kept = {(n, i): m for n, i, m in reg_rows(got2)}
+    assert all(kept.get(k, -1) >= m for k, m in live_regs.items())
+
+
 def test_incremental_agg_group_disappears(spark, tmp_table_root):
     from pyspark.sql import functions as F
 
