@@ -21,77 +21,40 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-9 rotation: the driver checks the FIRST 50 entries in
-# iteration order. Window layout: (a) the 9 round-9 additions and
-# re-implementations with no driver verdict on the new code — the
-# new tierc_qualify_cte / ext_142 entries, the four rows-only →
-# full-oracle upgrades (portable-md5 MinHash family: ext_02/82/117;
-# flush-sentinel sessionize: ext_06), and the three r8-verdicted
-# entries whose output or code changed this round (ext_132 gained
-# the fan-out cap + n_dropped_parts column, ext_139's grid-boundary
-# fix, ext_136's 8×8 banding + its r9 byte-exact SQL oracle); (b) judge task 1:
-# the 19 round-3-stale entries queued last round; (c) the 22 oldest
-# round-4-stale entries in the judge's order. The remaining 20
-# round-4 entries (ext_53/54/56/57/58/61-65, ext_01_dedup_documents,
-# ext_08, flagship, flt_*, fn_01, join_01/02) queue for round 10.
+# Round-10 rotation: the driver checks the FIRST 50 entries in
+# iteration order. Window layout: (a) the 15 entries that are new or
+# whose code changed in round 10 and need fresh driver verdicts — the
+# four new entries (exact heavy-hitters twin, QUALIFY-in-derived-
+# table, stream-stream FULL OUTER interval join, incremental NDV),
+# representatives of the shared radix-descent broadcast change
+# (ext_85/86/49/96 — the remaining radix callers were verified at
+# sf0.01 this round and several more sit in cohort (b) anyway), the
+# three queries whose oracles regenerated from Python defaults
+# (ann_lsh — also the 120-bit guard + seed removal — ann_ivf, pca),
+# and the MinHash family whose shingle pin moved cache →
+# localCheckpoint (ext_02/82/117, ext_12); (b) judge task 1: all 27
+# round-4-stale entries (judge-verified 27/27 green in r9); (c) the 8
+# oldest round-5-stale entries. The remaining 15 round-5 entries
+# (prj_04, set_*, srt_*, subquery_above_avg, window_*, ext_15_*,
+# ext_mm_*) queue for round 11.
 _FRONT = [
-    # (a) new or changed in round 9
-    "tierc_qualify_cte",
-    "ext_142_incremental_join",
+    # (a) new or changed in round 10
+    "ext_16_heavy_hitters",
+    "tierc_qualify_subquery",
+    "ext_145_stream_full_join",
+    "ext_146_incremental_ndv",
+    "ext_85_decile_binning",
+    "ext_86_mad_outliers",
+    "ext_49_rfm",
+    "ext_96_weighted_median",
+    "ext_03_ann_lsh",
+    "ext_03_ann_ivf",
+    "ext_99_pca_top_component",
     "ext_02_minhash_lsh",
     "ext_82_lsh_dedup_pipeline",
     "ext_117_incremental_lsh",
-    "ext_06_sessionize_stateful",
-    "ext_132_clustering",
-    "ext_139_resample",
-    "ext_136_image_neardup",
-    # (b) the queued round-3 cohort (judge-verified 19/19 in r8)
-    "ext_45_histogram",
-    "ext_46_orphan_audit",
-    "ext_48_lm_score",
-    "ext_51_trend",
-    "tierc_disjunctive_revenue",
-    "tierc_forecast_revenue",
-    "tierc_lateral_topn",
-    "tierc_market_share",
-    "tierc_min_cost_supplier",
-    "tierc_priority_semijoin",
-    "tierc_product_profit",
-    "tierc_returned_items",
-    "tierc_scalar_funcs",
-    "tierc_small_qty_revenue",
-    "tierc_supplier_cnt",
-    "tierc_top_revenue_supplier",
-    "tierc_tsql_pagination",
-    "tierc_volume_customers",
-    "tierc_waiting_orders",
-    # (c) oldest round-4-stale entries
-    "agg_01_group_sum",
-    "agg_03_count_avg",
-    "agg_04_distinct",
-    "agg_04_having",
-    "agg_05_cube",
-    "agg_05_grouping_sets",
-    "agg_05_rollup",
-    "agg_05_stats",
-    "ext_02_ngram_jaccard",
-    "ext_03_cosine_topk",
-    "ext_03_embedding_near_dup",
-    "ext_04_lang_id",
-    "ext_04_quality",
-    "ext_04_text_stats",
-    "ext_04_token_count_bpe",
-    # late r9 upgrades (code changed → need fresh verdicts; they
-    # displace the youngest (c)-cohort picks to the r10 queue)
-    "ext_02_simhash",
-    "ext_99_pca_top_component",
-    "ext_03_ann_lsh",
-    "ext_03_ann_ivf",
-    "ext_143_epoch_shuffle",
-    "tierc_tsql_funcs7",
-    "ext_144_hll_union",
-    # ---- end of the round-9 driver window (50 entries above) ----
-    # queued for round 10: the remaining round-4 cohort
+    "ext_12_decontaminate",
+    # (b) judge task 1: the full round-4-stale cohort (27)
     "ext_04_token_counts",
     "ext_25_gapfill",
     "ext_26_merge_intervals",
@@ -119,6 +82,32 @@ _FRONT = [
     "fn_01_year_month",
     "join_01_inner",
     "join_02_full",
+    # (c) oldest round-5-stale entries
+    "join_02_left",
+    "join_03_star",
+    "join_semi_anti",
+    "lim_01_preview",
+    "lim_02_topk",
+    "prj_01_projection",
+    "prj_02_mapping_rename",
+    "prj_03_null_normalize",
+    # ---- end of the round-10 driver window (50 entries above) ----
+    # queued for round 11: the remaining round-5 cohort
+    "prj_04_stringify",
+    "set_intersect_except",
+    "set_union",
+    "srt_01_order_by",
+    "srt_02_limit_offset",
+    "subquery_above_avg",
+    "window_rank",
+    "window_running_sum",
+    "ext_15_pack_positions",
+    "ext_15_pack_bins",
+    "ext_15_chunk_stats",
+    "ext_mm_decode",
+    "ext_mm_frames",
+    "ext_mm_resize",
+    "ext_mm_audio",
 ]
 
 

@@ -49,9 +49,7 @@ from sparketl.operators.textmine import (
 )
 from sparketl.operators.dedup import (
     q_ext_01_dedup_documents,
-    q_ext_01_exact_dedup,
     q_ext_02_minhash_lsh,
-    q_ext_02_ngram_jaccard,
     q_ext_02_simhash,
 )
 from sparketl.operators.events_ops import (
@@ -97,10 +95,15 @@ from sparketl.operators.text import (
     q_ext_55_countmin,
 )
 
+# Registry hygiene (r10, judge task 8): ext_01_exact_dedup (events
+# earliest-winner groupBy — the same combinable-min device the driver
+# already checks via ext_61_stream_dedup's batch twin and ext_100) and
+# ext_02_ngram_jaccard (brute-force Jaccard — pair semantics remain
+# driver-checked via ext_52's prefix-filter exact join; the function
+# stays as the pytest recall baseline) gave up their registry slots.
+# Rationale in COVERAGE.md; the q_ functions remain public API.
 EXT_QUERIES = {
-    "ext_01_exact_dedup": q_ext_01_exact_dedup,
     "ext_01_dedup_documents": q_ext_01_dedup_documents,
-    "ext_02_ngram_jaccard": q_ext_02_ngram_jaccard,
     "ext_02_minhash_lsh": q_ext_02_minhash_lsh,
     "ext_02_simhash": q_ext_02_simhash,
     "ext_03_cosine_topk": q_ext_03_cosine_topk,
@@ -1153,36 +1156,12 @@ EXT_ORACLES = {
         FROM iv WINDOW wu AS (PARTITION BY user_id ORDER BY valid_from_us)
         ORDER BY user_id, valid_from_us
     """,
-    "ext_01_exact_dedup": """
-        SELECT user_id, event_type,
-               MIN(event_id) AS kept_event_id,
-               COUNT(*) AS n_copies
-        FROM events GROUP BY user_id, event_type
-        ORDER BY user_id, event_type
-    """,
     "ext_01_dedup_documents": """
         SELECT doc_id, lang, source, n_chars FROM (
           SELECT doc_id, lang, source, n_chars,
                  ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
           FROM documents
         ) WHERE rn = 1 ORDER BY doc_id
-    """,
-    "ext_02_ngram_jaccard": """
-        WITH s AS (
-          SELECT doc_id,
-                 list_distinct(list_transform(range(1, len(t) - 1),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
-          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-          WHERE len(t) >= 3
-        )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               len(list_intersect(a.sh, b.sh))
-                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-                 AS jaccard
-        FROM s a JOIN s b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sh, b.sh))
-                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
-        ORDER BY doc_a, doc_b
     """,
     "ext_03_cosine_topk": """
         WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -3881,43 +3860,11 @@ EXT_ORACLES["ext_133_kmeans"] = """
 """
 
 
-def q_ext_134_stream_sessions(spark, sf_dir: str):
-    """Stateful streaming sessionization with the end-of-stream flush
-    sentinel (applyInPandasWithState; see
-    streaming.stateful.run_streaming_sessionize_flush) — every session
-    closes via watermark timeout, so this STREAMING query equals the
-    batch gaps-and-islands derivation and carries a full SQL oracle
-    (the ext_101 pattern, closing EXT-06's stateful rows-only gap)."""
-    from sparketl.streaming.stateful import run_streaming_sessionize_flush
-
-    return run_streaming_sessionize_flush(spark, sf_dir)
-
-
-EXT_QUERIES["ext_134_stream_sessions"] = q_ext_134_stream_sessions
-EXT_ORACLES["ext_134_stream_sessions"] = """
-    WITH ev AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id
-      FROM events
-    ), flag AS (
-      SELECT user_id, us, event_id,
-             CASE WHEN lag(us) OVER w IS NULL
-                    OR us - lag(us) OVER w > 1800000000
-                  THEN 1 ELSE 0 END AS brk
-      FROM ev
-      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
-    ), sess AS (
-      SELECT user_id, us,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id)
-               AS sid
-      FROM flag
-    )
-    SELECT user_id,
-           CAST(MIN(us) AS BIGINT) AS session_start_us,
-           CAST(MAX(us) AS BIGINT) AS session_end_us,
-           CAST(COUNT(*) AS BIGINT) AS n_events
-    FROM sess GROUP BY user_id, sid
-    ORDER BY user_id, session_start_us
-"""
+# Registry hygiene (r10, judge task 8): ext_134_stream_sessions gave
+# up its slot — it was run_streaming_sessionize_flush(keep_value=False),
+# strictly dominated by ext_06_sessionize_stateful (the same drive plus
+# exact bigint cents totals, full oracle since r9). The streaming
+# function and its stream≡batch pytest remain; rationale in COVERAGE.md.
 
 from sparketl.operators.analytics import q_ext_135_trailing_window  # noqa: E402
 

@@ -48,7 +48,7 @@ def test_queries_run_at_smoke_scale(spark):
     for name in [
         "flagship_pricing_summary",
         "join_03_star",
-        "ext_02_ngram_jaccard",
+        "ext_52_prefix_jaccard",
         "ext_03_cosine_topk",
         "ext_06_sessionize",
         "tierc_tsql_funcs",

@@ -37,7 +37,6 @@ def test_load_events_self_sufficient(spark):
 EVENTS_QUERIES = [
     "agg_02_value_counts",
     "agg_06_pivot",
-    "ext_01_exact_dedup",
     "ext_05_json_extract",
     "ext_05_from_json_struct",
     "ext_06_hourly_window",

@@ -92,7 +92,7 @@ AUDITED = [
     "window_rank",
     "tierc_sql_passthrough",
     "tierc_scalar_subquery",
-    "ext_01_exact_dedup",
+    "ext_01_dedup_documents",
     "ext_03_cosine_topk",
     "ext_05_json_extract",
     "ext_06_sessionize",
@@ -244,6 +244,8 @@ AUDITED = [
     "ext_03_ann_ivf",
     "ext_144_hll_union",
     "ext_16_heavy_hitters",
+    "ext_146_incremental_ndv",
+    "tierc_qualify_subquery",
 ]
 
 
