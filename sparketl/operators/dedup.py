@@ -119,10 +119,12 @@ def ngram_jaccard_pairs(
     """
     # eager localCheckpoint, not cache(): the pin feeds sizes + the
     # exploded self-join within this one plan and must not outlive it
-    # in the session CacheManager (r10 advisor finding)
+    # in the session CacheManager (r10 advisor finding); explode_outer
+    # (≡ explode on the non-empty shingle arrays) avoids the
+    # InferFiltersFromGenerate re-evaluation on top of the pin
     sh = shingles(docs, n=n).localCheckpoint(eager=True)
     sizes = sh.select("doc_id", F.size("sh").alias("n_sh"))
-    tok = sh.select("doc_id", F.explode("sh").alias("tok"))
+    tok = sh.select("doc_id", F.explode_outer("sh").alias("tok"))
     a = tok.alias("a")
     b = tok.alias("b")
     common = (
@@ -175,28 +177,21 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = 32) -> DataFrame:
     literals with the DuckDB oracle, so signatures agree
     engine-for-engine (see ``phash.h60_scrambles``).
 
-    The shingle frame is pinned first (the ngram_jaccard precedent):
-    exploding a COMPUTED array triggers InferFiltersFromGenerate —
+    The explode is ``explode_outer`` (r10): exploding a COMPUTED
+    array with plain ``explode`` triggers InferFiltersFromGenerate —
     Spark infers ``size(sh) > 0`` and filter-pushdown inlines the
     whole shingle transform below the exchange, re-evaluating it once
-    in the pushed filter and again in the projection (and locally
-    pinning it to the single-task scan stage). The pin is
-    ``localCheckpoint(eager=True)`` rather than ``cache()`` (r10 —
-    advisor finding): cache entries live in the CacheManager for the
-    SESSION lifetime with no unpersist site in a lazy pipeline, so
-    repeated invocations (ext_02/82/117 each call this) accumulated
-    pinned shingle frames; checkpoint blocks are freed when the frame
-    is garbage-collected. The trade: downstream consumers that
-    re-derive the shingle plan (ext_82's exact-Jaccard verification)
-    recompute it — one map-only pass, no shuffle — instead of a
-    canonicalization cache hit; a real cluster pipeline persists the
-    shingle table between stages explicitly."""
+    in the pushed filter and again in the projection, pinned to the
+    single-task scan stage at fixture scale. ``explode_outer`` admits
+    no such inference, and since ``shingles`` guarantees non-empty
+    arrays (it drops docs with < n tokens) the two are row-for-row
+    identical — so the r9 pin (cache, then localCheckpoint) that
+    existed only to block that pushdown is GONE: no materialization,
+    no CacheManager entry, one evaluation, full scan parallelism."""
     from sparketl.operators.phash import g60_expr, h60, h60_scrambles
 
-    tok = (
-        sh.localCheckpoint(eager=True)
-        .select("doc_id", F.explode("sh").alias("s"))
-        .withColumn("h", h60(F.col("s")))
+    tok = sh.select("doc_id", F.explode_outer("sh").alias("s")).withColumn(
+        "h", h60(F.col("s"))
     )
     scr = h60_scrambles(num_hashes)
     agg = tok.groupBy("doc_id").agg(

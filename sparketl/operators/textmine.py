@@ -171,7 +171,9 @@ def shingle_containment_topk(
     """
     sh = shingles(docs, n=n)
     sizes = sh.select("doc_id", F.size("sh").cast("long").alias("n_sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("shingle"))
+    # explode_outer: ≡ explode on non-empty shingle arrays, no
+    # InferFiltersFromGenerate re-evaluation below the exchange (r10)
+    ex = sh.select("doc_id", F.explode_outer("sh").alias("shingle"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
         a.join(b, "shingle")
@@ -301,7 +303,7 @@ def prefix_jaccard_join(
     pairs that provably cannot reach the threshold.
     """
     toks = shingles(docs, n=n).select(
-        "doc_id", F.explode("sh").alias("tok")
+        "doc_id", F.explode_outer("sh").alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (
