@@ -327,7 +327,8 @@ def main() -> None:
                     "ext_133_kmeans": "two unrolled Lloyd iterations as one declarative DAG (no driver collect); ~5s at sf0.1 is three passes over the 320k-cell frame with broadcast centroid joins",
                     "tierc_outer_apply": "the global_window_queries hit is the detector being conservative: the decorrelated lateral LIMIT 1 plans as row_number() partitioned by o_custkey (verified in the executed plan) — not a single-partition window",
                     "ext_139_resample": "r8: the forward-neighbor carry as a CURRENT..UNBOUNDED FOLLOWING first() made Spark re-aggregate the shrinking frame per row (O(n^2) per partition, 158s at sf0.1); rewritten as a reverse-ordered RUNNING last() -> ~1.3s, identical values",
-                    "ext_82_lsh_dedup_pipeline": "r9: portable md5-h60 MinHash bought the FULL oracle at ~1.5x the r8 xxhash64 time (one md5 per shingle + 32 map-combinable mins; shingle frame localCheckpoint'd (r10, was cache) to block InferFiltersFromGenerate pushdown re-evaluating the transform without leaking session-lifetime CacheManager entries; verified set localCheckpoint'd for dup_clusters' two-direction read)",
+                    "ext_82_lsh_dedup_pipeline": "r9: portable md5-h60 MinHash bought the FULL oracle at ~1.5x the r8 xxhash64 time (one md5 per shingle + 32 map-combinable mins); r10: the shingle pin is GONE — explode_outer admits no InferFiltersFromGenerate pushdown, so the transform evaluates once at full parallelism with no cache/checkpoint at all; verified set still localCheckpoint'd for dup_clusters' two-direction read",
+                    "explode_outer_fix": "r10: exploding a COMPUTED array with explode() let Catalyst infer size>0 and push the whole array transform below the exchange into the single-task scan stage; explode_outer (identical rows on provably non-empty arrays) kills it — ext_93 4.6->1.3s, ext_12 4.4->0.74s isolated. NOTE r9's ext_12 0.87s was cross-invocation cache-warmed by the session-lifetime cache() the advisor flagged; r10 numbers are honest per-invocation costs AND faster",
                     "ext_117_incremental_lsh": "r9: same portability trade; both band tables + the verified drop set are localCheckpoint'd (2+ consumers each) -> ~4.5s warm, vs ~11s before the pins",
                     "ext_03_ann_ivf": "r9: integer-Lloyd coarse quantizer (full oracle) runs ~1.4x the old float trainer (exact bigint distance joins per round vs broadcast array dots); cells localCheckpoint'd so the normalize+explode pass runs once",
                     "ext_141_funnel": "the global_window_queries hit is the k-row step-summary frame (3 rows) taking a lag() — not a data-sized window",
