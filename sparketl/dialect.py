@@ -304,9 +304,12 @@ def _rewrite_qualify(sql: str) -> str:
     4: ``FROM (SELECT … QUALIFY …) t`` is the last common place
     analyst SQL puts QUALIFY). The predicate must be self-contained
     (window functions spelled out, not select-list aliases — same
-    restriction Spark puts on HAVING). QUALIFY under DISTINCT, next
-    to a set operator, or in a parenthesized group that is not itself
-    a query raises instead of rewriting wrongly."""
+    restriction Spark puts on HAVING). Under DISTINCT the rewrite
+    filters in the subquery and re-applies DISTINCT in the outer
+    select (QUALIFY precedes DISTINCT in the Snowflake/DuckDB clause
+    order, r10). QUALIFY next to a set operator, or in a
+    parenthesized group that is not itself a query, raises instead of
+    rewriting wrongly."""
     tokens = list(_TOKEN.finditer(sql))
     has_qualify = any(
         t.lastgroup == "word" and t.group().lower() == "qualify"
@@ -475,11 +478,13 @@ def _rewrite_qualify(sql: str) -> str:
         return sql
     if first_select is None or first_from is None:
         raise DialectError("QUALIFY outside a SELECT ... FROM query")
-    if _next_word(tokens, first_select) == "distinct":
-        raise DialectError(
-            "QUALIFY with DISTINCT is not supported: the rewrite adds a "
-            "helper column, which would change the DISTINCT row set"
-        )
+    # DISTINCT composes (r10): QUALIFY evaluates BEFORE DISTINCT in the
+    # Snowflake/DuckDB clause order, so the rewrite filters on the
+    # helper column in the subquery and applies DISTINCT in the OUTER
+    # select — after `* EXCEPT` drops the helper, so the dedup row set
+    # is exactly the original select list (verified against DuckDB's
+    # native QUALIFY-with-DISTINCT evaluation).
+    has_distinct = _next_word(tokens, first_select) == "distinct"
     prev_nonspace = None
     depth = 0
     for m in tokens[:q_idx]:
@@ -517,11 +522,23 @@ def _rewrite_qualify(sql: str) -> str:
     if not pred:
         raise DialectError("QUALIFY requires a predicate")
     prefix = sql[: tokens[first_select].start()]
-    select_list = sql[tokens[first_select].start() : tokens[first_from].start()]
+    if has_distinct:
+        # inner select drops the DISTINCT keyword; the outer re-applies
+        # it after the helper column is EXCEPT-ed away
+        d_idx = _word_index(tokens, first_select)
+        select_list = "SELECT " + sql[
+            tokens[d_idx].end() : tokens[first_from].start()
+        ]
+        outer = "SELECT DISTINCT"
+    else:
+        select_list = sql[
+            tokens[first_select].start() : tokens[first_from].start()
+        ]
+        outer = "SELECT"
     mid = sql[tokens[first_from].start() : tokens[q_idx].start()]
     tail = sql[pred_end:]
     return (
-        f"{prefix}SELECT * EXCEPT (__sparketl_q) FROM ({select_list}, "
+        f"{prefix}{outer} * EXCEPT (__sparketl_q) FROM ({select_list}, "
         f"({pred}) AS __sparketl_q {mid}) WHERE __sparketl_q {tail}"
     )
 

@@ -1696,6 +1696,41 @@ ENGINE_ORACLES["tierc_qualify_subquery"] = """
 """
 
 
+def q_tierc_qualify_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY composed with DISTINCT — refused through r9 on the
+    theory the helper column would change the DISTINCT row set; in
+    the Snowflake/DuckDB clause order QUALIFY evaluates BEFORE
+    DISTINCT, so the rewrite filters on the helper inside the
+    subquery and re-applies DISTINCT in the outer select after
+    `* EXCEPT` drops the helper (r10). The query keeps each
+    customer's top-3 orders by price and then dedups the
+    (priority, status) combinations among them — DISTINCT does real
+    work because many top orders share both. DuckDB runs the
+    QUALIFY-with-DISTINCT spelling natively as the oracle."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT DISTINCT o_orderpriority, o_orderstatus
+        FROM orders
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC,
+                                            o_orderkey) <= 3
+        ORDER BY o_orderpriority, o_orderstatus
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_qualify_distinct"] = q_tierc_qualify_distinct
+ENGINE_ORACLES["tierc_qualify_distinct"] = """
+    SELECT DISTINCT o_orderpriority, o_orderstatus
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC,
+                                        o_orderkey) <= 3
+    ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
 def q_tierc_cross_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-SQL CROSS APPLY with a correlated TOP — the idiom APPLY
     exists for (top-N-per-entity without self-join gymnastics). The

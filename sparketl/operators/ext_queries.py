@@ -59,8 +59,6 @@ from sparketl.operators.events_ops import (
     q_ext_53_hopping_window,
     q_ext_54_session_window,
     q_ext_19_scd2,
-    q_ext_22_funnel,
-    q_ext_23_retention,
 )
 from sparketl.operators.corpus import (
     q_ext_04_gopher_flags,
@@ -134,8 +132,6 @@ EXT_QUERIES = {
     "ext_18_mix_sources": q_ext_18_mix_sources,
     "ext_19_scd2": q_ext_19_scd2,
     "ext_21_collocations": q_ext_21_collocations,
-    "ext_22_funnel": q_ext_22_funnel,
-    "ext_23_retention": q_ext_23_retention,
     "ext_24_salted_join": q_ext_24_salted_join,
     "ext_25_gapfill": q_ext_25_gapfill,
     "ext_26_merge_intervals": q_ext_26_merge_intervals,
@@ -441,44 +437,6 @@ EXT_ORACLES = {
                                < rate * 4294967296.0
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         FROM t GROUP BY source, rate ORDER BY source
-    """,
-    "ext_22_funnel": """
-        WITH t1 AS (
-          SELECT user_id,
-                 MIN(CASE WHEN event_type = 'view'
-                     THEN epoch_us(CAST(ts AS TIMESTAMP)) END) AS t1
-          FROM events GROUP BY user_id
-        ), t2 AS (
-          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t2
-          FROM events e JOIN t1 ON e.user_id = t1.user_id
-          WHERE e.event_type = 'click'
-            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > t1.t1
-          GROUP BY e.user_id
-        ), t3 AS (
-          SELECT e.user_id, MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS t3
-          FROM events e JOIN t2 ON e.user_id = t2.user_id
-          WHERE e.event_type = 'purchase'
-            AND epoch_us(CAST(e.ts AS TIMESTAMP)) > t2.t2
-          GROUP BY e.user_id
-        )
-        SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_users,
-               CAST((SELECT COUNT(t1) FROM t1) AS BIGINT) AS n_step1,
-               CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_step2,
-               CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_step3
-    """,
-    "ext_23_retention": """
-        WITH days AS (
-          SELECT DISTINCT user_id,
-                 epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
-          FROM events
-        ), fd AS (
-          SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY user_id
-        )
-        SELECT cohort_day, day - cohort_day AS day_offset,
-               CAST(COUNT(*) AS BIGINT) AS n_users
-        FROM days JOIN fd USING (user_id)
-        GROUP BY cohort_day, day - cohort_day
-        ORDER BY cohort_day, day_offset
     """,
     "ext_24_salted_join": """
         SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n_items,

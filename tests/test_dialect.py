@@ -339,8 +339,13 @@ def test_qualify_refusals():
 
     from sparketl.dialect import DialectError, transpile
 
-    with pytest.raises(DialectError, match="DISTINCT"):
-        transpile("SELECT DISTINCT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1")
+    # DISTINCT composes (r10): filter in the subquery, DISTINCT outside
+    out = transpile(
+        "SELECT DISTINCT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1"
+    )
+    assert out.startswith("SELECT DISTINCT * EXCEPT (__sparketl_q)")
+    inner = out.split("FROM (", 1)[1]
+    assert "DISTINCT" not in inner.upper()  # dedup happens OUTSIDE the filter
     # QUALIFY inside a derived table rewrites (r10) instead of refusing
     out = transpile(
         "SELECT * FROM (SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1) s"

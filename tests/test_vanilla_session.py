@@ -52,8 +52,6 @@ EVENTS_QUERIES = [
     "ext_47_dow_entropy",
     # other unix_micros consumers, kept under the same guard
     "ext_11_rolling_7d",
-    "ext_22_funnel",
-    "ext_23_retention",
     "ext_53_hopping_window",
     "ext_54_session_window",
     "ext_57_cumulative_users",

@@ -115,8 +115,6 @@ AUDITED = [
     "ext_19_scd2",
     "ext_20_winsorize",
     "ext_08_reservoir_per_group",
-    "ext_22_funnel",
-    "ext_23_retention",
     "ext_24_salted_join",
     "ext_25_gapfill",
     "ext_26_merge_intervals",
