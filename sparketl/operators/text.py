@@ -384,12 +384,17 @@ def hll_registers(
     """``(*group_cols, idx, m_reg)`` — the persistable per-group HLL
     register table (the same md5-h60 / bin()-length construction as
     :func:`hll_ndv` / :func:`hll_union_ndv`, factored out for the
-    incremental path). 256 rows max per group, map-side mergeable."""
+    incremental path). 256 rows max per group, map-side mergeable.
+    NULL values are excluded — NDV ignores NULLs (countDistinct
+    semantics in both engines); without the guard a NULL value would
+    hash to a NULL register index whose NULL rank poisons the exact
+    bigint Z sum."""
     from sparketl.operators.phash import h60
 
     h = h60(F.concat(F.lit(salt), F.col(value_col).cast("string")))
     return (
-        df.select(*group_cols, h.alias("hh"))
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("hh"))
         .select(
             *group_cols,
             F.expr("hh div 4503599627370496").alias("idx"),

@@ -461,6 +461,13 @@ def test_incremental_hll_registers_fold_and_delete_caveat(spark, tmp_table_root)
     want = hll_registers(t.read(), ["name"], "bal")
     assert reg_rows(got) == reg_rows(want)  # fold ≡ recompute
 
+    # NULL values are ignored (countDistinct semantics): a null-bal
+    # append batch changes no register
+    v_null = t._current_version()
+    t.append(spark.createDataFrame([(900, "g0", None)], SCHEMA))
+    got_n = incremental_hll_registers(t, got, v_null, ["name"], "bal")
+    assert reg_rows(got_n) == reg_rows(got)
+
     # delete caveat: a delete-only span changes nothing (no inserts in
     # the feed), so the maintained registers still show ever-seen NDV
     maintained = got
