@@ -118,6 +118,17 @@ def _msd_descend(
     the checkpointed, ≤ groups×targets-row ``t`` — driver-appropriate
     at any scale.
 
+    Broadcast honesty at extreme group cardinality: ``t`` is
+    groups×targets rows of five longs, broadcast into every level's
+    candidate join. At ~10M+ groups that outgrows a broadcast; the
+    swap is mechanical — shuffle-join ``base`` and ``t`` on
+    ``(*g, prefix)`` instead (both sides already carry the keys) —
+    and the per-task state bound is unchanged. Not wired to a knob
+    because no current call site groups beyond dimension cardinality;
+    a probe-free per-target-conditional variant was also measured
+    (r10) and LOST to this shape at fixture scale — AQE stage
+    materialization outweighs the two tiny blocking probes.
+
     Returns ``*g, _rank, _p`` with ``_p`` the full 64-bit key.
     """
     if weighted:
