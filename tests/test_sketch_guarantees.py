@@ -199,3 +199,62 @@ def test_lsh_pipeline_report_counts_planted_removals(spark, docs_planted):
     assert total_removed >= int(0.9 * N_DOC_PLANT)
     total_docs = sum(r["n_docs"] for r in rep)
     assert total_docs == corpus.count()
+
+
+def test_hll_register_fold_is_associative_and_order_free(spark):
+    """ext_146's correctness rests on register folds commuting with any
+    batch split: registers(A∪B∪C) == fold(fold(reg(A), reg(B)), reg(C))
+    == fold(reg(A), fold(reg(B), reg(C))) for ARBITRARY partitions of
+    the corpus — the property that lets a persisted register table
+    absorb ingest batches in any order."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.text import hll_registers, merge_hll_registers
+
+    rows = [(i, f"g{i % 3}", f"v{i % 37}") for i in range(120)]
+    df = spark.createDataFrame(rows, "id long, g string, v string")
+
+    def regs(frame):
+        return hll_registers(frame, ["g"], "v")
+
+    def rowset(frame):
+        return sorted((r["g"], r["idx"], r["m_reg"]) for r in frame.collect())
+
+    whole = rowset(regs(df))
+    a = regs(df.where(F.col("id") % 3 == 0))
+    b = regs(df.where(F.col("id") % 3 == 1))
+    c = regs(df.where(F.col("id") % 3 == 2))
+    left = merge_hll_registers(merge_hll_registers(a, b, ["g"]), c, ["g"])
+    right = merge_hll_registers(a, merge_hll_registers(b, c, ["g"]), ["g"])
+    assert rowset(left) == whole
+    assert rowset(right) == whole
+    # a different (overlapping) split folds to the same registers too
+    d = regs(df.where(F.col("id") < 80))
+    e = regs(df.where(F.col("id") >= 40))
+    assert rowset(merge_hll_registers(d, e, ["g"])) == whole
+
+
+def test_heavy_hitters_exact_threshold_semantics(spark):
+    """The exact twin returns precisely the tokens with count·(k+1) > N
+    — checked against a pure-Python count on a corpus with a value
+    sitting exactly AT the threshold (must be excluded: strict >)."""
+    from sparketl.operators.corpus import heavy_hitters_exact
+
+    # N = 40 tokens, k = 3 → threshold N/(k+1) = 10: a token with
+    # exactly 10 occurrences is NOT a heavy hitter (10*4 = 40 = N)
+    texts = (["at " * 10] * 1) + (["hh " * 12] * 1) + [f"u{i}" for i in range(18)]
+    df = spark.createDataFrame(
+        [(i, t.strip()) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {(r["token"], r["n_occurrences"])
+           for r in heavy_hitters_exact(df, k=3).collect()}
+    # pure-Python oracle
+    from collections import Counter
+
+    toks = [w for t in texts for w in t.strip().split(" ")]
+    cnt = Counter(toks)
+    n = len(toks)
+    want = {(w, c) for w, c in cnt.items() if c * 4 > n}
+    assert got == want
+    assert ("at", 10) not in got  # exactly at threshold -> excluded
+    assert ("hh", 12) in got
