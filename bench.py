@@ -266,10 +266,13 @@ def main() -> None:
     # top-10 most expensive headline queries — generalizing r9's
     # radix-only static note and the cheapest stand-in for the 100×
     # scale audit the sandbox can't run. Slope > 3× for 10× data marks
-    # a super-linear scaler (regression gate: any flagged query needs
-    # a named cause or a fix next round). Slopes well under 10× mean
-    # per-job overhead still dominates the linear scan term at these
-    # SFs — the desired shape.
+    # a query as "above the overhead-dominated regime" (still
+    # sub-linear until 10×; a slope > 10× would be the true
+    # super-linear alarm) — the conservative 3× gate stays because any
+    # flagged query needs a named cause or a fix next round. Slopes
+    # well under 10× mean per-job overhead still dominates the linear
+    # scan term at these SFs — the desired shape. (r11, advisor: the
+    # flag label no longer says "super-linear" for the 3×–10× band.)
     slope_note: dict[str, str] = {}
     slope_flags: list[str] = []
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
@@ -337,7 +340,7 @@ def main() -> None:
                     "scaling_slope_flags": (
                         slope_flags
                         if slope_flags
-                        else "none > 3x for 10x data — job overhead still dominates every top-10 query; no super-linear scaler"
+                        else "none > 3x for 10x data — job overhead still dominates every top-10 query; every slope deep in the overhead-dominated (sub-linear) regime"
                     ),
                 },
             }

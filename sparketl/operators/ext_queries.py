@@ -4537,6 +4537,7 @@ EXT_ORACLES["ext_146_incremental_ndv"] = """
              CAST(('0x' || substr(md5('hllu:' || text), 1, 15))
                   AS BIGINT) AS hh
       FROM documents
+      WHERE text IS NOT NULL
     ), regs AS (
       SELECT g, hh // 4503599627370496 AS idx,
              MAX(CASE WHEN hh % 4503599627370496 = 0 THEN 53

@@ -20,7 +20,6 @@ ROWS_ONLY_ALLOWED = {
     # now the exact-threshold twin (full oracle); Misra-Gries remains
     # the scale path with its superset guarantee pytest-asserted
     "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
-    "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
     # pytest proves equality with a pure-Python reference BPE
     "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
     # iterative-training dependency; pytest vs pure-Python encode
