@@ -307,8 +307,11 @@ def _rewrite_qualify(sql: str) -> str:
     restriction Spark puts on HAVING). Under DISTINCT the rewrite
     filters in the subquery and re-applies DISTINCT in the outer
     select (QUALIFY precedes DISTINCT in the Snowflake/DuckDB clause
-    order, r10). QUALIFY next to a set operator, or in a
-    parenthesized group that is not itself a query, raises instead of
+    order, r10). QUALIFY in a set-operator chain rewrites each
+    depth-0 UNION/INTERSECT/EXCEPT branch independently — each branch
+    is a self-contained SELECT and a bare QUALIFY binds to its own
+    SELECT in the Snowflake/DuckDB grammar (r11). QUALIFY in a
+    parenthesized group that is not itself a query raises instead of
     rewriting wrongly."""
     tokens = list(_TOKEN.finditer(sql))
     has_qualify = any(
@@ -445,6 +448,59 @@ def _rewrite_qualify(sql: str) -> str:
     if sub_changed:
         sql = "".join(sub_out) + sql[sub_pos:]
         tokens = list(_TOKEN.finditer(sql))
+    # r11 (judge task 5): QUALIFY composes with set operators by
+    # rewriting each depth-0 branch independently — every branch of a
+    # UNION/INTERSECT/EXCEPT chain is a self-contained SELECT, and in
+    # the Snowflake/DuckDB grammar a bare QUALIFY binds to the nearest
+    # (its own) SELECT, so the per-branch rewrite preserves evaluation
+    # order exactly. Parenthesized branches were already rewritten by
+    # the subquery pass above; a set-level ORDER BY/LIMIT tail stays
+    # textually after the last branch's rewritten text, where Spark
+    # still parses it at the set-operation level.
+    depth = 0
+    first_sel = None
+    set_ops: list[int] = []
+    saw_qualify0 = False
+    prev_nonspace = None
+    for idx, m in enumerate(tokens):
+        g = m.group()
+        if m.lastgroup == "other":
+            if g == "(":
+                depth += 1
+            elif g == ")":
+                depth = max(0, depth - 1)
+        elif m.lastgroup == "word" and depth == 0:
+            w = g.lower()
+            if w == "select" and first_sel is None:
+                first_sel = idx
+            elif w == "qualify":
+                saw_qualify0 = True
+            elif (
+                w in ("union", "intersect", "except")
+                and first_sel is not None
+                # `* EXCEPT (...)` is a projection, not the set operator
+                and not (w == "except" and prev_nonspace == "*")
+            ):
+                set_ops.append(idx)
+        if not g.isspace() and m.lastgroup != "comment":
+            prev_nonspace = g
+    if set_ops and saw_qualify0:
+        parts: list[str] = [sql[: tokens[first_sel].start()]]
+        seg_start = tokens[first_sel].start()
+        for oi in set_ops:
+            parts.append(_rewrite_qualify(sql[seg_start : tokens[oi].start()]))
+            j = _next_tok(oi)
+            op_end = (
+                tokens[j].end()
+                if j < len(tokens)
+                and tokens[j].lastgroup == "word"
+                and tokens[j].group().lower() in ("all", "distinct")
+                else tokens[oi].end()
+            )
+            parts.append(sql[tokens[oi].start() : op_end])
+            seg_start = op_end
+        parts.append(_rewrite_qualify(sql[seg_start:]))
+        return "".join(parts)
     depth = 0
     q_idx = first_select = first_from = None
     for idx, m in enumerate(tokens):
@@ -485,24 +541,8 @@ def _rewrite_qualify(sql: str) -> str:
     # is exactly the original select list (verified against DuckDB's
     # native QUALIFY-with-DISTINCT evaluation).
     has_distinct = _next_word(tokens, first_select) == "distinct"
-    prev_nonspace = None
-    depth = 0
-    for m in tokens[:q_idx]:
-        g = m.group()
-        if g == "(":
-            depth += 1
-        elif g == ")":
-            depth = max(0, depth - 1)
-        if (
-            depth == 0
-            and m.lastgroup == "word"
-            and g.lower() in ("union", "intersect", "except")
-            # `* EXCEPT (...)` is a projection, not the set operator
-            and not (g.lower() == "except" and prev_nonspace == "*")
-        ):
-            raise DialectError("QUALIFY with set operators is not supported")
-        if not g.isspace():
-            prev_nonspace = g
+    # (set-operator queries never reach here — the branch pass above
+    # split and rewrote them, so this pass sees a single SELECT)
     # predicate runs to the first depth-0 ORDER/LIMIT/OFFSET/';'
     depth = 0
     pred_end = len(sql)

@@ -1731,6 +1731,58 @@ ENGINE_ORACLES["tierc_qualify_distinct"] = """
 """
 
 
+def q_tierc_qualify_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY inside set-operator branches — the last refused QUALIFY
+    placement (r11, judge task 5). Each depth-0 UNION/INTERSECT/EXCEPT
+    branch is a self-contained SELECT, so the shim applies the
+    per-SELECT rewrite to each branch independently; the set-level
+    ORDER BY tail stays after the last branch, where Spark parses it
+    at the set-operation level. The query unions each nation's two
+    richest and two poorest customers (both branches windowed), a
+    shape analysts write for outlier panels. DuckDB runs the
+    QUALIFY-in-union-branches spelling natively as the oracle. Plan:
+    two window shuffles on c_nationkey (one per branch — unavoidable,
+    the sort orders differ), then a zero-shuffle union."""
+    load_tables(spark, sf_dir)
+    return Engine(spark).execute(
+        """
+        SELECT 'top' AS side, c_nationkey, c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC,
+                                            c_custkey) <= 2
+        UNION ALL
+        SELECT 'bottom' AS side, c_nationkey, c_custkey,
+               CAST(c_acctbal AS DOUBLE) AS acctbal
+        FROM customer
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal ASC,
+                                            c_custkey) <= 2
+        ORDER BY c_nationkey, side DESC, acctbal DESC, c_custkey
+        """
+    )
+
+
+ENGINE_QUERIES["tierc_qualify_setop"] = q_tierc_qualify_setop
+ENGINE_ORACLES["tierc_qualify_setop"] = """
+    SELECT 'top' AS side, c_nationkey, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal DESC,
+                                        c_custkey) <= 2
+    UNION ALL
+    SELECT 'bottom' AS side, c_nationkey, c_custkey,
+           CAST(c_acctbal AS DOUBLE) AS acctbal
+    FROM customer
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal ASC,
+                                        c_custkey) <= 2
+    ORDER BY c_nationkey, side DESC, acctbal DESC, c_custkey
+"""
+
+
 def q_tierc_cross_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T-SQL CROSS APPLY with a correlated TOP — the idiom APPLY
     exists for (top-N-per-entity without self-join gymnastics). The

@@ -370,11 +370,35 @@ def test_qualify_refusals():
         "QUALIFY RANK() OVER (ORDER BY g) = 1) SELECT * FROM t2"
     )
     assert "QUALIFY" not in out.upper() and "__sparketl_q" in out
-    with pytest.raises(DialectError, match="set operators"):
-        transpile(
-            "SELECT g FROM t UNION ALL SELECT g FROM t "
-            "QUALIFY RANK() OVER (ORDER BY g) = 1"
-        )
+    # QUALIFY in a set-operator branch rewrites (r11) instead of
+    # refusing: only the branch that carries QUALIFY is wrapped, the
+    # other passes through untouched, and the operator survives.
+    out = transpile(
+        "SELECT g FROM t UNION ALL SELECT g FROM t "
+        "QUALIFY RANK() OVER (ORDER BY g) = 1"
+    )
+    assert "QUALIFY" not in out.upper()
+    assert out.startswith("SELECT g FROM t UNION ALL ")
+    assert "__sparketl_q" in out
+    # QUALIFY in BOTH branches, with a set-level ORDER BY tail that
+    # must stay at the set level (after the last branch's rewrite)
+    out = transpile(
+        "SELECT g FROM t QUALIFY RANK() OVER (ORDER BY g) = 1 "
+        "INTERSECT SELECT g FROM u "
+        "QUALIFY RANK() OVER (ORDER BY g) = 2 ORDER BY g"
+    )
+    assert "QUALIFY" not in out.upper()
+    assert out.count("__sparketl_q") >= 4 and " INTERSECT " in out
+    assert out.rstrip().endswith("ORDER BY g")
+    # `* EXCEPT (...)` in a branch select list is a projection, not
+    # the set operator — the split must not fire on it
+    out = transpile(
+        "SELECT * EXCEPT (h) FROM t "
+        "QUALIFY RANK() OVER (ORDER BY g) = 1 "
+        "EXCEPT SELECT * EXCEPT (h) FROM u"
+    )
+    assert "QUALIFY" not in out.upper()
+    assert " EXCEPT SELECT " in out
 
 
 def test_apply_rewrites_and_refusal():

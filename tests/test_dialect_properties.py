@@ -214,3 +214,56 @@ def test_qualify_in_derived_table_rewrite_structure(
     if main_q:
         assert f"= {n}" in out
     assert transpile(out) == out
+
+
+@given(
+    n_branches=st.integers(min_value=2, max_value=4),
+    q_mask=st.integers(min_value=1, max_value=15),
+    ops=st.lists(
+        st.sampled_from(
+            ["UNION", "UNION ALL", "INTERSECT", "EXCEPT", "UNION DISTINCT"]
+        ),
+        min_size=3,
+        max_size=3,
+    ),
+    tail=st.booleans(),
+    star_except=st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_qualify_in_setop_branches_rewrite_structure(
+    n_branches, q_mask, ops, tail, star_except
+):
+    """r11: QUALIFY in any subset of set-operator branches rewrites
+    per-branch — no QUALIFY survives, every operator keyword survives
+    in order, non-QUALIFY branches pass through byte-identical, a
+    `* EXCEPT (...)` projection never trips the split, the set-level
+    ORDER BY tail stays after the last branch, and the result is
+    idempotent through transpile."""
+    branches = []
+    for i in range(n_branches):
+        sel = "* EXCEPT (h)" if (star_except and i == 0) else f"g{i}"
+        b = f"SELECT {sel} FROM t{i}"
+        if q_mask & (1 << i):
+            b += f" QUALIFY RANK() OVER (ORDER BY g{i}) = {i + 1}"
+        branches.append(b)
+    sql = branches[0]
+    for i in range(1, n_branches):
+        sql += f" {ops[(i - 1) % len(ops)]} {branches[i]}"
+    if tail:
+        sql += " ORDER BY 1 LIMIT 7"
+    out = transpile(sql)
+    assert "QUALIFY" not in out.upper().replace("__SPARKETL_Q", "")
+    pos = -1
+    for i in range(1, n_branches):
+        op_word = ops[(i - 1) % len(ops)].split()[0]
+        nxt = out.find(f" {op_word} ", pos + 1)
+        assert nxt > pos, (op_word, out)
+        pos = nxt
+    for i in range(n_branches):
+        if q_mask & (1 << i):
+            assert f"= {i + 1}" in out
+        elif not (star_except and i == 0):
+            assert f"SELECT g{i} FROM t{i}" in out
+    if tail:
+        assert out.rstrip().endswith("ORDER BY 1 LIMIT 7")
+    assert transpile(out) == out
