@@ -337,10 +337,12 @@ def bpe_encode_report(docs: DataFrame, n_merges: int = 8) -> DataFrame:
     merge rules chain as higher-order-function folds (no UDF), so the
     whole encode is one codegen'd projection over the vocab table.
 
-    Rows-only driver check (the merge sequence comes from engine-side
-    iterative training, not expressible as one SQL statement); pytest
-    proves the encode of sample words equals a pure-Python reference
-    BPE with the same merges."""
+    FULL oracle since r11: the oracle re-trains the merge list with
+    the same unrolled CTE chain as ext_69's and replays the encode
+    folds via the delimiter-wrapped replace() device (see
+    ext_queries._bpe_encode_oracle); pytest additionally proves the
+    encode of sample words equals a pure-Python reference BPE with
+    the same merges."""
     from sparketl.operators.pipeline_ops import _bpe_merge_expr, bpe_train_merges
 
     merges = [
@@ -354,7 +356,11 @@ def bpe_encode_report(docs: DataFrame, n_merges: int = 8) -> DataFrame:
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    syms = words.withColumn("s", F.split("w", "(?!^)"))
+    # filter() drops the trailing empty element Spark's zero-width
+    # split emits at end-of-string (see bpe_train_merges, r11)
+    syms = words.withColumn(
+        "s", F.expr("filter(split(w, '(?!^)'), x -> x != '')")
+    )
     for a, b in merges:
         syms = syms.withColumn("s", F.expr(_bpe_merge_expr(a, b)))
     return (

@@ -1892,10 +1892,91 @@ EXT_ORACLES["ext_68_tv_drift"] = """
 
 from sparketl.operators.pipeline_ops import q_ext_69_bpe_merges  # noqa: E402
 
-# rows-only: the merge loop is a driver-iterated fixed point with no
-# single-SQL twin; tests/test_pipeline_ops.py proves the merge sequence
-# equals a pure-Python reference BPE on the same word counts.
+
+def _bpe_train_ctes() -> tuple[str, int]:
+    """Unrolled BPE merge-training CTE chain for the ext_69/ext_74
+    oracles (r11, judge task 4 — retiring the rows-only debt). Each of
+    the ``n_merges`` fixed steps is pair-count → deterministic argmax
+    (count DESC, left, right, >= min_count) → merge fold, exactly the
+    shape ext_133's k-means and ext_99's PCA already replay in DuckDB.
+
+    The merge fold itself is replayed WITHOUT lambda-state: every
+    symbol is carried as chr(31)||sym||chr(31) inside one string, so
+    SQL ``replace(e, F||a||FF||b||F, F||a||b||F)`` — left-to-right,
+    non-overlapping — IS the left-to-right BPE merge (each symbol owns
+    its delimiters, so adjacent matches never share a boundary:
+    'a b a b' merges to 'ab ab', and 'a a a' to 'aa a', exactly like
+    the engine's higher-order-function fold). chr(31) never occurs in
+    the fixtures (asserted by the hash-match itself: a collision would
+    desynchronize counts). Break semantics mirror the engine: a step
+    whose best pair misses min_count yields an empty 1-row frame, the
+    cross join empties the symbol table, and every later step emits
+    nothing — same truncated merge list. Constants derive from the
+    Python signature defaults via inspect (r10 oracle-generation
+    rule)."""
+    import inspect as _inspect
+
+    from sparketl.operators.pipeline_ops import bpe_train_merges
+
+    sig = _inspect.signature(bpe_train_merges)
+    n_merges = sig.parameters["n_merges"].default
+    min_count = sig.parameters["min_count"].default
+    f1 = "chr(31)"
+    f2 = f"{f1}||{f1}"
+    parts = [
+        f"""
+    words AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), syms0 AS (
+      SELECT n,
+             list_aggregate(list_transform(str_split(w, ''),
+               c -> {f1}||c||{f1}), 'string_agg', '') AS e
+      FROM words
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""", pairs{k} AS (
+      SELECT l[i] AS a, l[i+1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+      FROM (SELECT n, str_split(substr(e, 2, length(e) - 2), {f2}) AS l
+            FROM syms{k - 1}) s,
+           UNNEST(range(1, len(l))) AS t(i)
+      GROUP BY 1, 2
+    ), m{k} AS (
+      SELECT {k} AS step, a, b, cnt FROM pairs{k}
+      WHERE cnt >= {min_count} ORDER BY cnt DESC, a, b LIMIT 1
+    ), syms{k} AS (
+      SELECT s.n,
+             replace(s.e, {f1}||m.a||{f2}||m.b||{f1},
+                     {f1}||m.a||m.b||{f1}) AS e
+      FROM syms{k - 1} s, m{k} m
+    )"""
+        )
+    return "".join(parts), n_merges
+
+
+def _bpe_merges_oracle() -> str:
+    ctes, n_merges = _bpe_train_ctes()
+    union = "\n      UNION ALL ".join(
+        f"SELECT * FROM m{k}" for k in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {ctes}
+    SELECT CAST(step AS INT) AS step, a AS "left", b AS "right",
+           a || b AS merged, cnt AS pair_count
+    FROM ({union})
+    ORDER BY step
+"""
+
+
+# FULL oracle since r11 (was rows-only through r10): the driver-
+# iterated merge loop unrolls as a fixed CTE chain; the delimiter-
+# wrapped replace() device replays the merge fold exactly. The
+# ≡-pure-Python-BPE pytest remains as the semantic anchor.
 EXT_QUERIES["ext_69_bpe_merges"] = q_ext_69_bpe_merges
+EXT_ORACLES["ext_69_bpe_merges"] = _bpe_merges_oracle()
 
 from sparketl.operators.multimodal import q_ext_mm_audio  # noqa: E402
 
@@ -2018,10 +2099,59 @@ EXT_ORACLES["ext_73_stream_join"] = """
     ORDER BY p.purchase_id, v.view_id
 """
 
-# rows-only: the encode applies an engine-trained merge sequence (same
-# driver-iterated fixed point as ext_69); tests prove the encode equals
-# a pure-Python reference BPE with identical merges.
+def _bpe_encode_oracle() -> str:
+    """ext_74 oracle (FULL since r11): re-trains the merge list with
+    the same unrolled CTE chain as ext_69's oracle, then encodes the
+    per-(source, word) frequency table through the same delimiter-
+    wrapped replace() folds and aggregates the compression report.
+    Each merge applies via LEFT JOIN ... ON TRUE + CASE so a truncated
+    merge list (a step below min_count) passes words through unchanged
+    — exactly the engine applying only the merges it trained."""
+    ctes, n_merges = _bpe_train_ctes()
+    f1 = "chr(31)"
+    f2 = f"{f1}||{f1}"
+    enc = [
+        f""", src_words AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> '' GROUP BY source, w
+    ), enc0 AS (
+      SELECT source, w, n,
+             list_aggregate(list_transform(str_split(w, ''),
+               c -> {f1}||c||{f1}), 'string_agg', '') AS e
+      FROM src_words
+    )"""
+    ]
+    for k in range(1, n_merges + 1):
+        enc.append(
+            f""", enc{k} AS (
+      SELECT s.source, s.w, s.n,
+             CASE WHEN m.a IS NULL THEN s.e
+                  ELSE replace(s.e, {f1}||m.a||{f2}||m.b||{f1},
+                               {f1}||m.a||m.b||{f1}) END AS e
+      FROM enc{k - 1} s LEFT JOIN m{k} m ON TRUE
+    )"""
+        )
+    return f"""
+    WITH {ctes}{"".join(enc)}
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS n_words,
+           CAST(SUM(n * length(w)) AS BIGINT) AS n_chars,
+           CAST(SUM(n * len(str_split(substr(e, 2, length(e) - 2), {f2})))
+                AS BIGINT) AS n_bpe_tokens,
+           ROUND(CAST(SUM(n * length(w)) AS DOUBLE)
+                 / CAST(SUM(n * len(str_split(substr(e, 2, length(e) - 2),
+                                              {f2}))) AS DOUBLE), 4)
+             AS chars_per_token
+    FROM enc{n_merges} GROUP BY source ORDER BY source
+"""
+
+
+# FULL oracle since r11 (was rows-only through r10) — see
+# _bpe_encode_oracle; the ≡-pure-Python-BPE encode pytest remains.
 EXT_QUERIES["ext_74_bpe_encode"] = q_ext_74_bpe_encode
+EXT_ORACLES["ext_74_bpe_encode"] = _bpe_encode_oracle()
 
 from sparketl.operators.curation import q_ext_75_substring_dup  # noqa: E402
 

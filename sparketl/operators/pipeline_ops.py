@@ -709,8 +709,11 @@ def bpe_train_merges(
     apply the merge with a higher-order-function fold (no UDF). Ties
     break deterministically on (count DESC, left, right).
 
-    Engine-specific iteration → rows-only driver check; pytest proves
-    the merge sequence equals a pure-Python reference BPE."""
+    FULL oracle since r11: the fixed-step loop unrolls as a DuckDB
+    CTE chain (pair-count → argmax → delimiter-wrapped replace() as
+    the merge fold — see ext_queries._bpe_train_ctes); pytest
+    additionally proves the merge sequence equals a pure-Python
+    reference BPE."""
     spark = docs.sparkSession
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
@@ -722,7 +725,14 @@ def bpe_train_merges(
     # materializes the vocab table AND truncates lineage (the merge
     # folds would otherwise nest one level deeper per iteration),
     # dropping an explicit count job per merge step
-    syms = words.select("n", F.split("w", "(?!^)").alias("s")).localCheckpoint()
+    # char split: Spark's split keeps a TRAILING EMPTY element for the
+    # zero-width (?!^) pattern at end-of-string (['a','b','']), which
+    # would inject phantom ('lastchar','') pairs into the counts — at
+    # sf0.1 such a pair actually outcounts the best real pair and also
+    # violates the merge fold's ''-sentinel (r11 bug, exposed by the
+    # new full oracle). filter() drops it; real symbols are never ''.
+    chars = F.expr("filter(split(w, '(?!^)'), x -> x != '')")
+    syms = words.select("n", chars.alias("s")).localCheckpoint()
     out_schema = "step int, left string, right string, merged string, pair_count long"
     merges: list[tuple] = []
     for step in range(1, n_merges + 1):

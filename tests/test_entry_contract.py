@@ -15,14 +15,13 @@ def test_entry_returns_rows(spark):
 # pytest semantic check instead. Anything else missing an oracle is a
 # registration bug.
 ROWS_ONLY_ALLOWED = {
+    # the GK quantile sketch is inherently partitioning-dependent —
+    # the ONE remaining rows-only entry. ext_16_heavy_hitters left
+    # this set in r10 (exact-threshold twin became the entry);
+    # ext_69/ext_74 left in r11: the 8-step merge loop unrolled as a
+    # DuckDB CTE chain with the delimiter-wrapped replace() merge
+    # device, so both BPE entries are now full-oracle.
     "ext_09_approx_quantiles",
-    # ext_16_heavy_hitters left this set in r10: the registry entry is
-    # now the exact-threshold twin (full oracle); Misra-Gries remains
-    # the scale path with its superset guarantee pytest-asserted
-    "ext_69_bpe_merges",  # iterative driver loop — no single-SQL twin;
-    # pytest proves equality with a pure-Python reference BPE
-    "ext_74_bpe_encode",  # applies the ext_69-trained merges — same
-    # iterative-training dependency; pytest vs pure-Python encode
 }
 
 
