@@ -277,3 +277,309 @@ def test_jsonl_datasource_writer_roundtrip_and_overwrite(spark, tmp_path):
         .load()
     )
     assert [tuple(r) for r in back2.collect()] == [(9, "z", 9.0)]
+
+
+# ---------------------------------------------------------------------------
+# Legacy .xls (BIFF8 in an OLE2/CFB container) — r11, judge task 8.
+# No xlrd in this image, so these tests hand-craft a real BIFF8
+# workbook byte-for-byte (records per [MS-XLS]) and wrap it in a CFB
+# container twice: once through the MINI-stream path (< 4096 bytes,
+# how real small .xls files are laid out) and once through the
+# regular-FAT path — exercising both chains of the built-in reader.
+# ---------------------------------------------------------------------------
+
+import struct as _st
+
+_FREE = 0xFFFFFFFF
+_END = 0xFFFFFFFE
+_FATSECT = 0xFFFFFFFD
+
+
+def _rec(op, payload):
+    return _st.pack("<HH", op, len(payload)) + payload
+
+
+def _bof(dt):
+    return _rec(
+        0x0809, _st.pack("<HHHHII", 0x0600, dt, 0x0DBB, 0x07CC, 0, 0x0600)
+    )
+
+
+def _labelsst(rw, col, isst):
+    return _rec(0x00FD, _st.pack("<HHHI", rw, col, 0, isst))
+
+
+def _number(rw, col, val):
+    return _rec(0x0203, _st.pack("<HHH", rw, col, 0) + _st.pack("<d", val))
+
+
+def _rk_int(v):
+    return ((v & 0x3FFFFFFF) << 2) | 0x02
+
+
+def _rk_div100(v):
+    return ((v & 0x3FFFFFFF) << 2) | 0x03
+
+
+def _rk_dbl(x):
+    bits = _st.unpack("<Q", _st.pack("<d", x))[0]
+    assert bits & ((1 << 34) - 1) == 0, "test double must fit 30 bits"
+    return (bits >> 32) & 0xFFFFFFFC
+
+
+def _rk(rw, col, rk):
+    return _rec(0x027E, _st.pack("<HHHI", rw, col, 0, rk))
+
+
+def _mulrk(rw, col_first, rks):
+    body = _st.pack("<HH", rw, col_first)
+    for r in rks:
+        body += _st.pack("<HI", 0, r)
+    body += _st.pack("<H", col_first + len(rks) - 1)
+    return _rec(0x00BD, body)
+
+
+def _label(rw, col, text):
+    b = text.encode("latin-1")
+    return _rec(
+        0x0204, _st.pack("<HHHH", rw, col, 0, len(b)) + b"\x00" + b
+    )
+
+
+def _boolerr(rw, col, val):
+    return _rec(0x0205, _st.pack("<HHHBB", rw, col, 0, 1 if val else 0, 0))
+
+
+def _sst(strings):
+    body = _st.pack("<II", len(strings), len(strings))
+    for s in strings:
+        b = s.encode("latin-1")
+        body += _st.pack("<H", len(b)) + b"\x00" + b
+    return _rec(0x00FC, body)
+
+
+def _boundsheet(pos, name):
+    b = name.encode("latin-1")
+    return _rec(
+        0x0085, _st.pack("<IBB", pos, 0, 0) + bytes([len(b), 0]) + b
+    )
+
+
+_SST_STRINGS = ["id", "name", "bal", "alice", "a", "b", "c"]
+
+
+def _people_sheet():
+    return b"".join(
+        [
+            _bof(0x0010),
+            _labelsst(0, 0, 0),
+            _labelsst(0, 1, 1),
+            _labelsst(0, 2, 2),
+            _label(0, 3, "ok"),
+            _rk(1, 0, _rk_int(1)),
+            _labelsst(1, 1, 3),
+            _number(1, 2, 10.5),
+            _boolerr(1, 3, True),
+            _number(2, 0, 2.0),
+            _label(2, 1, "bob"),
+            _rk(2, 2, _rk_div100(2050)),
+            _boolerr(2, 3, False),
+            _rec(0x000A, b""),
+        ]
+    )
+
+
+def _misc_sheet():
+    return b"".join(
+        [
+            _bof(0x0010),
+            _labelsst(0, 0, 4),
+            _labelsst(0, 1, 5),
+            _labelsst(0, 2, 6),
+            _mulrk(1, 0, [_rk_int(7), _rk_int(8), _rk_int(9)]),
+            _rk(2, 0, _rk_dbl(2.5)),
+            _number(2, 2, 3.25),
+            _number(3, 2, 30.0),
+            _rec(0x000A, b""),
+        ]
+    )
+
+
+def _workbook_stream():
+    s1, s2 = _people_sheet(), _misc_sheet()
+
+    def glb(p1, p2):
+        return b"".join(
+            [
+                _bof(0x0005),
+                _boundsheet(p1, "People"),
+                _boundsheet(p2, "Misc"),
+                _sst(_SST_STRINGS),
+                _rec(0x000A, b""),
+            ]
+        )
+
+    g = glb(0, 0)
+    g = glb(len(g), len(g) + len(s1))
+    return g + s1 + s2
+
+
+def _dir_entry(name, obj_type, start, size, child=_FREE):
+    nb = name.encode("utf-16-le") + b"\x00\x00"
+    e = nb.ljust(64, b"\x00")
+    e += _st.pack("<HBB", len(nb), obj_type, 1)
+    e += _st.pack("<III", _FREE, _FREE, child)  # left, right, child
+    e += b"\x00" * 16  # CLSID
+    e += _st.pack("<I", 0)  # state
+    e += b"\x00" * 16  # create/modify times
+    e += _st.pack("<IQ", start, size)
+    assert len(e) == 128
+    return e
+
+
+def _sectors(data, size=512):
+    data = data.ljust(-(-len(data) // size) * size, b"\x00")
+    return [data[i : i + size] for i in range(0, len(data), size)]
+
+
+def _fat_sector(entries):
+    fat = list(entries) + [_FREE] * (128 - len(entries))
+    return _st.pack("<128I", *fat)
+
+
+def _cfb_header(n_fat, first_dir, first_minifat, n_minifat):
+    h = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+    h += _st.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)
+    h += b"\x00" * 6
+    h += _st.pack("<IIIII", 0, n_fat, first_dir, 0, 4096)
+    h += _st.pack("<IIII", first_minifat, n_minifat, _END, 0)
+    h += _st.pack("<109I", *([0] + [_FREE] * 108))  # DIFAT[0] = sector 0
+    assert len(h) == 512
+    return h
+
+
+def _xls_bytes_mini(stream):
+    """CFB with the Workbook in the ROOT MINI STREAM (the real-world
+    layout for workbooks under 4096 bytes)."""
+    assert len(stream) < 4096
+    mini_secs = _sectors(stream, 64)
+    ministream = b"".join(mini_secs)
+    root_secs = _sectors(ministream)
+    # sectors: 0 FAT, 1 DIR, 2 miniFAT, 3.. root ministream
+    fat = [_FATSECT, _END, _END]
+    for i in range(len(root_secs)):
+        fat.append(3 + i + 1 if i + 1 < len(root_secs) else _END)
+    minifat = [i + 1 if i + 1 < len(mini_secs) else _END for i in range(len(mini_secs))]
+    directory = (
+        _dir_entry("Root Entry", 5, 3, len(ministream), child=1)
+        + _dir_entry("Workbook", 2, 0, len(stream))
+    )
+    return (
+        _cfb_header(1, 1, 2, 1)
+        + _fat_sector(fat)
+        + b"".join(_sectors(directory))
+        + _fat_sector(minifat)
+        + b"".join(root_secs)
+    )
+
+
+def _xls_bytes_regular(stream):
+    """CFB with the Workbook chained through the regular FAT (the
+    layout for streams >= the 4096-byte mini cutoff); the stream is
+    padded past the cutoff with zero bytes the BIFF walk never reads
+    (both substream parsers stop at their EOF records)."""
+    stream = stream.ljust(4096, b"\x00")
+    wb_secs = _sectors(stream)
+    # sectors: 0 FAT, 1 DIR, 2.. workbook
+    fat = [_FATSECT, _END]
+    for i in range(len(wb_secs)):
+        fat.append(2 + i + 1 if i + 1 < len(wb_secs) else _END)
+    directory = (
+        _dir_entry("Root Entry", 5, _END, 0, child=1)
+        + _dir_entry("Workbook", 2, 2, len(stream))
+    )
+    return (
+        _cfb_header(1, 1, _END, 0)
+        + _fat_sector(fat)
+        + b"".join(_sectors(directory))
+        + b"".join(wb_secs)
+    )
+
+
+@pytest.fixture(scope="module", params=["mini", "regular"])
+def xls(request, tmp_path_factory):
+    stream = _workbook_stream()
+    content = (
+        _xls_bytes_mini(stream)
+        if request.param == "mini"
+        else _xls_bytes_regular(stream)
+    )
+    p = tmp_path_factory.mktemp("xls") / f"book_{request.param}.xls"
+    p.write_bytes(content)
+    return str(p)
+
+
+def test_xls_list_sheets(xls):
+    assert list_sheets(xls) == ["People", "Misc"]
+
+
+def test_xls_typed_cells(xls):
+    from sparketl.sources.excel import parse_workbook
+
+    with open(xls, "rb") as f:
+        content = f.read()
+    pdf = parse_workbook(content, "People")
+    assert list(pdf.columns) == ["id", "name", "bal", "ok"]
+    assert pdf["id"].tolist() == [1, 2]  # RK int + integer NUMBER
+    assert pdf["name"].tolist() == ["alice", "bob"]  # LABELSST + LABEL
+    assert pdf["bal"].tolist() == [10.5, 20.5]  # NUMBER + RK÷100
+    assert pdf["ok"].tolist() == [True, False]  # BOOLERR
+
+
+def test_xls_misc_sheet_mulrk_rkdouble_sparse(xls):
+    from sparketl.sources.excel import parse_workbook
+
+    with open(xls, "rb") as f:
+        content = f.read()
+    pdf = parse_workbook(content, "Misc")
+    assert list(pdf.columns) == ["a", "b", "c"]
+    import pandas as pd
+
+    assert pdf.iloc[0].tolist() == [7, 8, 9]  # MULRK
+    row1 = pdf.iloc[1].tolist()
+    assert row1[0] == 2.5 and pd.isna(row1[1]) and row1[2] == 3.25
+    row2 = pdf.iloc[2].tolist()  # sparse row: only col c present
+    assert pd.isna(row2[0]) and pd.isna(row2[1]) and row2[2] == 30
+
+
+def test_xls_read_excel_dataframe(spark, xls):
+    df = read_excel(spark, xls, "People")
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["name"] == "alice" and rows[1]["bal"] == 10.5
+    assert rows[2]["ok"] is False
+
+
+def test_xls_refusals(tmp_path):
+    from sparketl.sources.excel import ExcelNotAvailable, parse_workbook
+
+    # BIFF5 workbook (version 0x0500) refuses loudly
+    biff5 = _rec(
+        0x0809, _st.pack("<HHHHII", 0x0500, 0x0005, 0, 0, 0, 0)
+    ) + _rec(0x000A, b"")
+    with pytest.raises(ExcelNotAvailable, match="BIFF8"):
+        parse_workbook(_xls_bytes_mini(biff5), 0)
+    # encrypted workbook (FILEPASS) refuses loudly
+    enc = (
+        _bof(0x0005)
+        + _rec(0x002F, b"\x00\x00")
+        + _boundsheet(0, "S")
+        + _rec(0x000A, b"")
+    )
+    with pytest.raises(ExcelNotAvailable, match="encrypted"):
+        parse_workbook(_xls_bytes_mini(enc), 0)
+    # OLE2 container without a Workbook stream refuses loudly
+    no_wb = _xls_bytes_mini(_workbook_stream()).replace(
+        "Workbook".encode("utf-16-le"), "NotABook".encode("utf-16-le")
+    )
+    with pytest.raises(ExcelNotAvailable, match="stream"):
+        parse_workbook(no_wb, 0)
