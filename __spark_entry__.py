@@ -21,78 +21,31 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-10 rotation: the driver checks the FIRST 50 entries in
-# iteration order. Window layout: (a) the 15 entries that are new or
-# whose code changed in round 10 and need fresh driver verdicts — the
-# four new entries (exact heavy-hitters twin, QUALIFY-in-derived-
-# table, stream-stream FULL OUTER interval join, incremental NDV),
-# representatives of the shared radix-descent broadcast change
-# (ext_85/86/49/96 — the remaining radix callers were verified at
-# sf0.01 this round and several more sit in cohort (b) anyway), the
-# three queries whose oracles regenerated from Python defaults
-# (ann_lsh — also the 120-bit guard + seed removal — ann_ivf, pca),
-# and the MinHash family whose shingle pin moved cache →
-# localCheckpoint (ext_02/82/117, ext_12); (b) judge task 1: all 27
-# round-4-stale entries (judge-verified 27/27 green in r9); (c) the 8
-# oldest round-5-stale entries. The remaining 15 round-5 entries
-# (prj_04, set_*, srt_*, subquery_above_avg, window_*, ext_15_*,
-# ext_mm_*) queue for round 11.
+# Round-11 rotation (judge task 1): the driver checks the FIRST 50
+# entries in iteration order. Window layout: (a) the 8 entries that
+# are new or whose code/oracle changed in round 11 — the new
+# tierc_qualify_setop, the never-driver-checked tierc_qualify_distinct
+# plus the rest of the QUALIFY family (the set-operator branch split
+# touched the shared _rewrite_qualify path), the two BPE entries
+# upgraded from rows-only to full oracles (whose new oracles also
+# exposed and fixed the trailing-empty char-split engine bug), and
+# ext_146 whose oracle gained the NULL-exclusion filter; (b) ALL 31
+# remaining round-5-stale entries (judge-verified green in the r10
+# judge run; ext_69/ext_74 from that cohort already sit in (a));
+# (c) the 11 alphabetically-first round-6-stale entries. After this
+# window no entry's latest driver verdict is older than round 6, and
+# the FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
-    # (a) new or changed in round 10
-    "ext_16_heavy_hitters",
+    # (a) new or changed in round 11
+    "tierc_qualify_setop",
+    "tierc_qualify_distinct",
+    "tierc_qualify",
+    "tierc_qualify_cte",
     "tierc_qualify_subquery",
-    "ext_145_stream_full_join",
+    "ext_69_bpe_merges",
+    "ext_74_bpe_encode",
     "ext_146_incremental_ndv",
-    "ext_85_decile_binning",
-    "ext_86_mad_outliers",
-    "ext_49_rfm",
-    "ext_96_weighted_median",
-    "ext_03_ann_lsh",
-    "ext_03_ann_ivf",
-    "ext_99_pca_top_component",
-    "ext_02_minhash_lsh",
-    "ext_82_lsh_dedup_pipeline",
-    "ext_117_incremental_lsh",
-    "ext_12_decontaminate",
-    # (b) judge task 1: the full round-4-stale cohort (27)
-    "ext_04_token_counts",
-    "ext_25_gapfill",
-    "ext_26_merge_intervals",
-    "ext_30_top_paths",
-    "ext_38_chisq",
-    "ext_47_dow_entropy",
-    "ext_50_skew_report",
-    "ext_53_hopping_window",
-    "ext_54_session_window",
-    "ext_56_expectations",
-    "ext_57_cumulative_users",
-    "ext_58_vocab_coverage",
-    "ext_61_stream_dedup",
-    "ext_62_source_cap",
-    "ext_63_curation_funnel",
-    "ext_64_dataset_card",
-    "ext_65_incremental_dedup",
-    "ext_01_dedup_documents",
-    "ext_08_stratified_sample",
-    "flagship_pricing_summary",
-    "flt_01_eq_and",
-    "flt_03_not_in",
-    "flt_04_param_eq",
-    "flt_05_range",
-    "fn_01_year_month",
-    "join_01_inner",
-    "join_02_full",
-    # (c) oldest round-5-stale entries
-    "join_02_left",
-    "join_03_star",
-    "join_semi_anti",
-    "lim_01_preview",
-    "lim_02_topk",
-    "prj_01_projection",
-    "prj_02_mapping_rename",
-    "prj_03_null_normalize",
-    # ---- end of the round-10 driver window (50 entries above) ----
-    # queued for round 11: the remaining round-5 cohort
+    # (b) the full remaining round-5-stale cohort (31)
     "prj_04_stringify",
     "set_intersect_except",
     "set_union",
@@ -108,6 +61,67 @@ _FRONT = [
     "ext_mm_frames",
     "ext_mm_resize",
     "ext_mm_audio",
+    "ext_03_label_centroids",
+    "ext_04_fingerprint",
+    "ext_04_gopher_flags",
+    "ext_04_length_histogram",
+    "ext_04_repetition",
+    "ext_05_json_extract",
+    "ext_06_sessionize",
+    "ext_14_passage_dedup",
+    "ext_66_mixture_weights",
+    "ext_67_hash_split",
+    "ext_68_tv_drift",
+    "ext_70_dedup_pipeline",
+    "ext_71_semdedup",
+    "ext_72_clean_corpus",
+    "ext_73_stream_join",
+    "ext_75_substring_dup",
+    # (c) the 11 alphabetically-first round-6-stale entries
+    "ext_02_canonical_docs",
+    "ext_02_dup_clusters",
+    "ext_05_from_json_struct",
+    "ext_06_hourly_window",
+    "ext_07_asof_join",
+    "ext_07_range_join",
+    "ext_08_reservoir_per_group",
+    "ext_10_tfidf_topk",
+    "ext_11_rolling_7d",
+    "ext_13_pii_scrub",
+    "ext_18_mix_sources",
+    # ---- end of the round-11 driver window (50 entries above) ----
+    # queued for round 12: the remaining round-6 cohort
+    "ext_19_scd2",
+    "ext_24_salted_join",
+    "ext_76_stream_hourly",
+    "ext_77_shard_plan",
+    "ext_78_interleave",
+    "ext_79_snapshot_diff",
+    "ext_80_triplet_mining",
+    "ext_81_knn_eval",
+    "ext_83_skyline",
+    "ext_84_copurchase",
+    "ext_87_incremental_view",
+    "ext_88_udtf_chunks",
+    "ext_89_grouped_corr",
+    "ext_90_triangles",
+    "ext_91_rrf_fusion",
+    "ext_92_rolling_wau",
+    "ext_93_ngram_novelty",
+    "ext_94_cross_source_leak",
+    "tierc_exists_subquery",
+    "tierc_line_status",
+    "tierc_local_supplier_volume",
+    "tierc_nation_volume",
+    "tierc_promo_revenue",
+    "tierc_scalar_subquery",
+    "tierc_shipping_priority",
+    "tierc_sql_passthrough",
+    "tierc_tsql_concat",
+    "tierc_tsql_dates",
+    "tierc_tsql_funcs",
+    "tierc_tsql_funcs2",
+    "tierc_tsql_top",
 ]
 
 
