@@ -6,6 +6,13 @@ local[$SPARK_GRAFT_CPUS] and prints
 
 Each query is forced to full materialization via the noop sink (no
 driver collect — measures the distributed plan, not toPandas).
+
+Since r11 the record carries a calibration anchor: a FIXED
+scan→broadcast-join→decimal-agg→window job timed (median of 3) before
+(``anchor_sec``) and after (``anchor_post_sec``) the suite, plus
+``anchored_top10`` (per-query median ÷ anchor). Cross-round
+comparisons should read the anchored ratios — an anchor move means
+the sandbox moved, not the code.
 """
 
 from __future__ import annotations
@@ -145,6 +152,8 @@ HEADLINE = [
     "ext_144_hll_union",
     "ext_16_heavy_hitters",
     "ext_146_incremental_ndv",
+    "tierc_qualify_setop",
+    "ext_69_bpe_merges",
 ]
 
 
@@ -185,6 +194,44 @@ def count_unpartitioned_windows(df) -> int:
     return n
 
 
+def _anchor_job(spark) -> None:
+    """Fixed calibration workload (r11, judge task 3): one
+    scan → broadcast-join → decimal-agg shuffle → partitioned-window
+    pass over lineitem at the bench SF. DO NOT CHANGE THIS JOB —
+    cross-round comparability depends on it staying byte-identical.
+    The bench times it (median of 3) before and after the suite and
+    reports ``anchor_sec``/``anchor_post_sec``: when a round's anchor
+    moves, the whole sandbox moved (load, JVM, page cache) and
+    per-query drift in that round is environmental; when the anchor is
+    steady and a query moved, the regression is real. The post-suite
+    anchor additionally measures suite-state drag (heap/block
+    accumulation) on a fixed workload."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    n = spark.read.parquet(os.path.join(SF_DIR, "nation.parquet"))
+    (
+        li.select("l_suppkey", "l_extendedprice")
+        .join(F.broadcast(n), li.l_suppkey % 25 == n.n_nationkey)
+        .groupBy("l_suppkey", "n_name")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("n_name").orderBy(F.desc("rev"), "l_suppkey")
+            ),
+        )
+        .filter("rk <= 10")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from sparketl.session import get_spark
@@ -211,6 +258,14 @@ def main() -> None:
         .format("noop")
         .save()
     )
+
+    # Calibration anchor (r11): median of 3 runs of the fixed job,
+    # taken right after warmup — the pre-suite baseline.
+    anchor_pre: list[float] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        _anchor_job(spark)
+        anchor_pre.append(time.monotonic() - t0)
 
     # Median of 3 interleaved rounds per query: single-run totals vary
     # ±30% under load, which makes round-over-round comparisons (and a
@@ -261,6 +316,16 @@ def main() -> None:
 
     timings = {name: round(median(xs), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+
+    # Post-suite anchor re-run: same fixed job after the full suite —
+    # the pre/post delta is suite-state drag on a constant workload.
+    anchor_post: list[float] = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        _anchor_job(spark)
+        anchor_post.append(time.monotonic() - t0)
+    anchor_sec = round(median(anchor_pre), 3)
+    anchor_post_sec = round(median(anchor_post), 3)
 
     # r10 (judge task 5): LIVE sf0.01 → SF_DIR scaling slopes for the
     # top-10 most expensive headline queries — generalizing r9's
@@ -315,8 +380,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "anchor_sec": anchor_sec,
+                "anchor_post_sec": anchor_post_sec,
+                "anchored_top10": {
+                    n: round(timings[n] / anchor_sec, 2)
+                    for n, _ in sorted(
+                        timings.items(), key=lambda kv: -kv[1]
+                    )[:10]
+                },
                 "global_window_queries": global_windows,
                 "notes": {
+                    "calibration_anchor": "r11 (judge task 3): a FIXED scan->broadcast-join->decimal-agg->partitioned-window job is timed median-of-3 before (anchor_sec) and after (anchor_post_sec) the suite. Compare rounds via anchored_top10 (median/anchor_sec): an anchor move is sandbox drift affecting everything, a steady anchor with one query moving is a real regression; anchor_post vs anchor_pre isolates suite-state drag on a constant workload",
                     # r7: the r6 radix-quantile slowdowns were clawed
                     # back by the ADAPTIVE descent (finish pass once
                     # every bucket <= 2^16 rows), cum0 checkpointing,
@@ -364,6 +438,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf_val,
+                "anchor_sec": anchor_sec,
+                "anchor_post_sec": anchor_post_sec,
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
                 "timings": vector,

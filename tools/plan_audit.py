@@ -244,6 +244,8 @@ AUDITED = [
     "ext_16_heavy_hitters",
     "ext_146_incremental_ndv",
     "tierc_qualify_subquery",
+    "tierc_qualify_setop",
+    "ext_69_bpe_merges",
 ]
 
 
