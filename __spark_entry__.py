@@ -22,9 +22,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Round-11 rotation (judge task 1): the driver checks the FIRST 50
-# entries in iteration order. Window layout: (a) the 8 entries that
+# entries in iteration order. Window layout: (a) the 9 entries that
 # are new or whose code/oracle changed in round 11 — the new
-# tierc_qualify_setop, the never-driver-checked tierc_qualify_distinct
+# ext_147_histogram_quantiles (deterministic, fully-oracled sketch)
+# and tierc_qualify_setop, the never-driver-checked tierc_qualify_distinct
 # plus the rest of the QUALIFY family (the set-operator branch split
 # touched the shared _rewrite_qualify path), the two BPE entries
 # upgraded from rows-only to full oracles (whose new oracles also
@@ -32,11 +33,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_146 whose oracle gained the NULL-exclusion filter; (b) ALL 31
 # remaining round-5-stale entries (judge-verified green in the r10
 # judge run; ext_69/ext_74 from that cohort already sit in (a));
-# (c) the 11 alphabetically-first round-6-stale entries. After this
+# (c) the 10 alphabetically-first round-6-stale entries. After this
 # window no entry's latest driver verdict is older than round 6, and
 # the FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
     # (a) new or changed in round 11
+    "ext_147_histogram_quantiles",
     "tierc_qualify_setop",
     "tierc_qualify_distinct",
     "tierc_qualify",
@@ -77,7 +79,7 @@ _FRONT = [
     "ext_72_clean_corpus",
     "ext_73_stream_join",
     "ext_75_substring_dup",
-    # (c) the 11 alphabetically-first round-6-stale entries
+    # (c) the 10 alphabetically-first round-6-stale entries
     "ext_02_canonical_docs",
     "ext_02_dup_clusters",
     "ext_05_from_json_struct",
@@ -88,9 +90,10 @@ _FRONT = [
     "ext_10_tfidf_topk",
     "ext_11_rolling_7d",
     "ext_13_pii_scrub",
-    "ext_18_mix_sources",
     # ---- end of the round-11 driver window (50 entries above) ----
-    # queued for round 12: the remaining round-6 cohort
+    # queued for round 12: the remaining round-6 cohort (ext_18
+    # displaced by the new ext_147 — zero-sum window bookkeeping)
+    "ext_18_mix_sources",
     "ext_19_scd2",
     "ext_24_salted_join",
     "ext_76_stream_hourly",

@@ -4761,3 +4761,69 @@ EXT_ORACLES["ext_136_image_neardup"] = """
     WHERE hamming <= 6
     ORDER BY id_a, id_b
 """
+
+
+# ---------------------------------------------------------------------------
+# ext_147: deterministic histogram quantile sketch (r11) — the fully
+# oracle-checkable sketch companion to the rows-only GK entry (ext_09).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.quantiles import (  # noqa: E402
+    q_ext_147_histogram_quantiles,
+)
+
+
+def _hist_sketch_oracle() -> str:
+    """Generated from the Python signature defaults via inspect (r10
+    oracle-generation rule): bucket count and quantile rationals can
+    never desynchronize from the engine side. The oracle replays the
+    sketch bucket-for-bucket — exact cents, integer bucket index,
+    window running count (CAST: DuckDB window SUM(BIGINT) → HUGEINT),
+    ceil-rank by integer arithmetic, min-bucket pick."""
+    import inspect as _inspect
+
+    from sparketl.operators.quantiles import histogram_quantile_sketch
+
+    sig = _inspect.signature(histogram_quantile_sketch)
+    b = sig.parameters["n_buckets"].default
+    quantiles = sig.parameters["quantiles"].default
+    vals = ", ".join(f"({p}, {n}, {d})" for p, n, d in quantiles)
+    return f"""
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS c
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), bnd AS (
+      SELECT MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v
+    ), h AS (
+      SELECT least({b - 1}, ((c - lo) * {b}) // (hi - lo + 1))
+               AS bucket_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+      FROM v, bnd GROUP BY 1
+    ), cumt AS (
+      SELECT bucket_idx, n_in_bucket,
+             CAST(SUM(n_in_bucket) OVER (ORDER BY bucket_idx) AS BIGINT)
+               AS cum_count
+      FROM h
+    ), q(q_permille, q_num, q_den) AS (VALUES {vals}),
+    t AS (
+      SELECT q_permille, (q_num * n + q_den - 1) // q_den AS target_rank,
+             lo, hi
+      FROM q, bnd
+    ), s AS (
+      SELECT q_permille, target_rank, MIN(bucket_idx) AS bucket_idx
+      FROM t JOIN cumt ON cum_count >= target_rank
+      GROUP BY 1, 2
+    )
+    SELECT s.q_permille, s.target_rank, s.bucket_idx,
+           t.lo + (s.bucket_idx * (t.hi - t.lo + 1)) // {b} AS est_cents,
+           (t.hi - t.lo + 1 + {b - 1}) // {b} AS bucket_width_cents,
+           cumt.n_in_bucket, cumt.cum_count
+    FROM s JOIN t USING (q_permille) JOIN cumt USING (bucket_idx)
+    ORDER BY s.q_permille
+"""
+
+
+EXT_QUERIES["ext_147_histogram_quantiles"] = q_ext_147_histogram_quantiles
+EXT_ORACLES["ext_147_histogram_quantiles"] = _hist_sketch_oracle()

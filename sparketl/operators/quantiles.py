@@ -743,3 +743,102 @@ def exact_group_weighted_quantiles_interp(
     if synthetic:
         out = out.drop("_g")
     return out
+
+
+# ---------------------------------------------------------------------------
+# ext_147: deterministic equi-width histogram quantile sketch (r11)
+# ---------------------------------------------------------------------------
+
+HIST_SKETCH_BUCKETS = 256
+# (permille, numerator, denominator) — exact-rational targets
+HIST_SKETCH_QUANTILES = ((500, 1, 2), (900, 9, 10), (990, 99, 100))
+
+
+def histogram_quantile_sketch(
+    df: DataFrame,
+    value_col: str = "l_extendedprice",
+    n_buckets: int = HIST_SKETCH_BUCKETS,
+    quantiles: tuple = HIST_SKETCH_QUANTILES,
+) -> DataFrame:
+    """Approximate quantiles from a DETERMINISTIC equi-width histogram
+    sketch — the fully oracle-checkable sketch companion to the
+    Greenwald-Khanna entry (ext_09, which stays rows-only because GK
+    merge state depends on partition layout; this sketch does not).
+
+    Two passes, both map-combinable: (1) exact min/max/count of the
+    value in integer cents (the DECIMAL(12,2) cast device, portable
+    HALF_UP), broadcast as one row; (2) per-bucket counts with
+    ``idx = least(B-1, ((c - lo) * B) div (hi - lo + 1))`` — pure
+    integer arithmetic, so bucket assignment is identical in any
+    engine and the sketch is ORDER-FREE and MERGEABLE (shard
+    histograms sum). The quantile estimate for target rank
+    ``r = ceil(q·N)`` (exact rational arithmetic) is the lower edge of
+    the first bucket whose running count reaches r; the true value
+    lies in [est, est + bucket_width), so the error bound is one
+    bucket width — pytest-asserted against the exact percentile.
+
+    100 TB: pass 1 is a 3-value aggregate; pass 2 shuffles ≤ B
+    counters per partition (map-side combine); the selection runs on
+    the ≤ B-row histogram. No sort, no percentile buffer, no driver
+    collect. Output columns are all exact integers (cents / counts),
+    so the DuckDB oracle replays the sketch bucket-for-bucket."""
+    spark = df.sparkSession
+    vals = df.select(
+        F.expr(
+            f"CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("c")
+    ).where("c IS NOT NULL")
+    bounds = vals.agg(
+        F.min("c").alias("lo"),
+        F.max("c").alias("hi"),
+        F.count("c").alias("n"),
+    )
+    hist = (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"least({n_buckets - 1}, "
+                f"((c - lo) * {n_buckets}) div (hi - lo + 1))"
+            ).alias("bucket_idx")
+        )
+        .groupBy("bucket_idx")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+    w = Window.orderBy("bucket_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # ≤ n_buckets rows: the single-partition window is bounded state
+    cum = hist.withColumn("cum_count", F.sum("n_in_bucket").over(w))
+    qdf = spark.createDataFrame(
+        list(quantiles), "q_permille int, q_num long, q_den long"
+    )
+    targets = qdf.crossJoin(F.broadcast(bounds)).withColumn(
+        "target_rank", F.expr("(q_num * n + q_den - 1) div q_den")
+    )
+    return (
+        targets.join(
+            F.broadcast(cum), F.col("cum_count") >= F.col("target_rank")
+        )
+        .groupBy("q_permille", "target_rank", "lo", "hi")
+        .agg(F.min(F.struct("bucket_idx", "n_in_bucket", "cum_count")).alias("s"))
+        .select(
+            "q_permille",
+            "target_rank",
+            F.col("s.bucket_idx").alias("bucket_idx"),
+            F.expr(
+                f"lo + (s.bucket_idx * (hi - lo + 1)) div {n_buckets}"
+            ).alias("est_cents"),
+            F.expr(
+                f"(hi - lo + 1 + {n_buckets - 1}) div {n_buckets}"
+            ).alias("bucket_width_cents"),
+            F.col("s.n_in_bucket").alias("n_in_bucket"),
+            F.col("s.cum_count").alias("cum_count"),
+        )
+        .orderBy("q_permille")
+    )
+
+
+def q_ext_147_histogram_quantiles(spark, sf_dir: str) -> DataFrame:
+    from sparketl.io import load_table
+
+    return histogram_quantile_sketch(load_table(spark, sf_dir, "lineitem"))

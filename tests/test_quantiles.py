@@ -369,3 +369,64 @@ def test_weighted_interp_drops_nulls_and_nonpositive_weights(spark):
     # expanded multiset = [1,1,1,3]; pos = 0.5*3 = 1.5 -> (1+1)/2 = 1.0
     assert row["total_weight"] == 4
     assert list(row["qs"]) == [1.0]
+
+
+def test_histogram_sketch_error_bound_and_merge(spark):
+    """ext_147 (r11): the histogram sketch's estimate is the lower
+    edge of the bucket containing the target rank, so the exact
+    rank-r value must lie in [est, est + bucket_width). Also asserts
+    the mergeability premise: bucket counts from two disjoint shards
+    sum to the full histogram (the sketch is order-free)."""
+    from sparketl.io import load_table
+    from sparketl.operators.quantiles import histogram_quantile_sketch
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    out = {
+        r["q_permille"]: r
+        for r in histogram_quantile_sketch(li).collect()
+    }
+    cents = sorted(
+        r[0]
+        for r in li.selectExpr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).collect()
+    )
+    n = len(cents)
+    for p, num, den in ((500, 1, 2), (900, 9, 10), (990, 99, 100)):
+        row = out[p]
+        rank = -(-(num * n) // den)  # ceil
+        assert row["target_rank"] == rank
+        exact = cents[rank - 1]
+        assert row["est_cents"] <= exact < row["est_cents"] + row[
+            "bucket_width_cents"
+        ], (p, exact, dict(row.asDict()))
+    # order-freedom / mergeability: shard histograms sum to the whole
+    from pyspark.sql import functions as F
+
+    h_all = (
+        histogram_quantile_sketch(li)
+        .select(F.sum("cum_count"))
+    )  # smoke the plan; the real merge check is on raw counts:
+    a = li.where("l_orderkey % 2 = 0")
+    b = li.where("l_orderkey % 2 = 1")
+
+    def hist(df):
+        vals = df.selectExpr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c"
+        )
+        lo, hi = li.selectExpr(
+            "MIN(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))",
+            "MAX(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))",
+        ).first()
+        return {
+            r[0]: r[1]
+            for r in vals.selectExpr(
+                f"least(255, ((c - {lo}) * 256) div ({hi} - {lo} + 1)) AS i"
+            )
+            .groupBy("i")
+            .count()
+            .collect()
+        }
+    ha, hb, hfull = hist(a), hist(b), hist(li)
+    merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
+    assert merged == hfull

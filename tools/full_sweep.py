@@ -23,6 +23,12 @@ fails, and exempt exactly the declared quadratic-oracle set — so any
 registry change without a fresh sweep fails CI.
 
 Usage: python tools/full_sweep.py [--round N] [--skip-sf01]
+                                  [--only name ...]
+
+``--only`` runs just the named entries and MERGES their verdicts into
+the round's existing artifact — the incremental path for entries
+added after a full sweep (the staleness pytest still guarantees the
+merged artifact covers the whole registry).
 """
 
 from __future__ import annotations
@@ -141,6 +147,11 @@ def main() -> int:
         rnd = int(args[i + 1])
         del args[i : i + 2]
     skip_sf01 = "--skip-sf01" in args
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1 :]
+        del args[i:]
 
     import __spark_entry__ as entrymod
     from pyspark.sql import SparkSession
@@ -149,8 +160,15 @@ def main() -> int:
     spark = SparkSession.builder.master("local[8]").getOrCreate()
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    registry_size = len(qs)
+    if only:
+        qs = {n: qs[n] for n in only}
 
     sweep: dict[str, dict[str, str]] = {}
+    out_path = os.path.join(REPO, f"FULLSWEEP_r{rnd}.json")
+    if only and os.path.exists(out_path):
+        with open(out_path, encoding="utf-8") as f:
+            sweep = json.load(f)["sweep"]
     t0 = time.monotonic()
     con1 = _connect(SF001)
     for i, (name, fn) in enumerate(qs.items(), 1):
@@ -181,13 +199,12 @@ def main() -> int:
         "round": rnd,
         "generated_by": "tools/full_sweep.py",
         "elapsed_sec": round(time.monotonic() - t0, 1),
-        "registry_size": len(qs),
+        "registry_size": registry_size,
         "n_oracles": len(oracles),
         "sweep": sweep,
         "quadratic_oracle_exemptions": QUADRATIC_ORACLE_EXEMPT,
         "summary": {"sf0.01": _tally("sf0.01"), "sf0.1": _tally("sf0.1")},
     }
-    out_path = os.path.join(REPO, f"FULLSWEEP_r{rnd}.json")
     with open(out_path, "w", encoding="utf-8") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
     print(json.dumps(artifact["summary"]))
