@@ -397,8 +397,8 @@ def main() -> None:
                     # and phase fusion — same bounded-state plans,
                     # fewer sequential jobs
                     "ext_86_mad_outliers": "radix quantiles, adaptive descent (r7): 5.9->~3.7s; bounded-state by design",
-                    "ext_85_decile_binning": "r10 (judge task 2, claw back the r9 1.28x drift): the descent's tiny target frames (ranks/join-backs/interpolation, all <= groups x targets rows) now broadcast instead of shuffle-joining — one selection drops ~20 -> ~14 jobs, ext_85 ~3.9 -> ~3.4s isolated (selection alone 3.4 -> 2.5s, faster than the pre-adaptive r8 shape measured head-to-head at 4.0s); checkpoint_base dropped (pruned one-column scan is cheaper to recompute than materialize)",
-                    "ext_44_exact_percentiles": "radix quantiles, adaptive descent (r7): 2.4->~1.5s",
+                    "ext_85_decile_binning": "r10 (judge task 2, claw back the r9 1.28x drift): the descent's tiny target frames (ranks/join-backs/interpolation, all <= groups x targets rows) now broadcast instead of shuffle-joining — one selection drops ~20 -> ~14 jobs, ext_85 ~3.9 -> ~3.4s isolated (selection alone 3.4 -> 2.5s, faster than the pre-adaptive r8 shape measured head-to-head at 4.0s); checkpoint_base dropped (pruned one-column scan is cheaper to recompute than materialize). r11 reconciliation: suite-state drag RULED OUT by measurement (3.39s isolated ~= 3.29s after a 40-query suite slice ~= 3.83s post-GC, one session); the r10 official 5.4s vs 3.4s isolated gap is interleaved-bench + sandbox load — read this query's cost as its anchored ratio",
+                    "ext_44_exact_percentiles": "radix quantiles, adaptive descent (r7): 2.4->~1.5s. r11 reconciliation (judge task 3): the r10 1.33x drift was NOT suite-state — measured isolated 1.65s vs 1.68s after a 40-query suite slice vs 1.99s post-System.gc() in one session (all ~equal within noise), while the fixed anchor job itself wobbled 0.67-0.91s (+-25% on constant code). Named cause: interleaved-bench conditions + sandbox load, now separable via anchor_sec",
                     "ext_49_rfm": "r7: percentile() buffer -> ONE phase-fused 3-column radix selection (12 thresholds, 4 passes); 0.8->~2.1s is the bounded-state trade, plan-audit now bans ALL percentile buffers",
                     "ext_132_clustering": "r8: first cut (supplier co-supply, bar 2) was a near-complete graph -> 23s; customer co-purchase with bar 4 keeps the graph sparse at every SF and localCheckpoint pins edges/degrees so three consumers share one pair-generation shuffle -> ~3.5s",
                     "ext_133_kmeans": "two unrolled Lloyd iterations as one declarative DAG (no driver collect); ~5s at sf0.1 is three passes over the 320k-cell frame with broadcast centroid joins",
