@@ -154,6 +154,9 @@ HEADLINE = [
     "ext_146_incremental_ndv",
     "tierc_qualify_setop",
     "ext_69_bpe_merges",
+    "ext_148_connected_components",
+    "ext_149_bm25",
+    "ext_150_ctfidf",
 ]
 
 

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -683,3 +683,152 @@ def pack_bins_greedy(
 def q_ext_15_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return pack_bins_greedy(d, budget=512).orderBy("doc_id")
+
+
+# --------------------------------------------------------------- BM25
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: tuple[str, ...] = ("hash", "merge", "vector"),
+    k: int = 20,
+) -> DataFrame:
+    """BM25 retrieval scoring of the corpus against a fixed query —
+    the lexical half of every retrieval / RAG-curation pipeline (the
+    dense half is ext_03's ANN family; ext_91 fuses the two lists).
+
+    Okapi BM25 with k1 = 1.2, b = 0.75, idf = ln((N+1)/(df+0.5)):
+    score(D) = Σ_t idf_t · tf · (k1+1) / (tf + k1·(1 − b + b·dl/avgdl)).
+
+    Engine-exactness: floats enter through exactly ONE ln() of an
+    exact integer quotient per term — idf_micro =
+    ⌊10⁶·ln((2N+2)/(2df+1))⌋, the same micro-nat device as
+    ext_106/ext_129 (ln is 1-ulp portable; everything after the floor
+    is bigint). The tf normalization is cleared of rationals by
+    multiplying through by 20·T (k1 = 6/5, b = 3/4, avgdl = T/N):
+
+        s_t = idf_micro·44·tf·T  div  (20·T·tf + 6·T + 18·dl·N)
+
+    — all-bigint, partition-order-free (integer + is associative), and
+    identical in the DuckDB oracle with ``//``. Magnitudes: with
+    idf_micro < 10⁷·, tf ≤ dl ≤ 10³ and T ≤ 2·10⁸ (sf10 corpus) the
+    numerator stays < 10²⁰/100 — inside int64 up to ~sf1; past that,
+    drop the 44·T factor into the idf scale (documented boundary).
+
+    Scale shape: per-term tf is an array-HOF projection (no explode,
+    no shuffle); corpus totals are ONE map-combinable aggregate
+    broadcast back; the final top-k is TakeOrderedAndProject. Zero
+    Python UDFs, zero driver collects.
+    """
+    tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
+
+    # single-arg closure: a 2-arg lambda would make F.filter pass the
+    # array INDEX as the second argument
+    def _tf(t: str) -> Column:
+        return (
+            F.size(F.filter("tk", lambda x: x == F.lit(t)))
+            .cast("long")  # F.size is INT; oracle len() and the score
+            .alias(f"tf_{t}")  # arithmetic are 64-bit
+        )
+
+    scored = tk.select(
+        "doc_id",
+        F.size("tk").cast("long").alias("dl"),
+        *[_tf(t) for t in terms],
+    )
+    stats = scored.agg(
+        F.sum("dl").alias("t_total"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("long")).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    s = scored.crossJoin(F.broadcast(stats))
+    for t in terms:
+        idf = (
+            f"CAST(floor(1000000.0 * ln(CAST(2*n_docs+2 AS DOUBLE)"
+            f" / CAST(2*df_{t}+1 AS DOUBLE))) AS BIGINT)"
+        )
+        s = s.withColumn(
+            f"s_{t}",
+            F.expr(
+                f"({idf} * 44 * tf_{t} * t_total)"
+                f" div (20*t_total*tf_{t} + 6*t_total + 18*dl*n_docs)"
+            ),
+        )
+    total = s.withColumn(
+        "score_micro",
+        F.expr(" + ".join(f"s_{t}" for t in terms)),
+    ).where(F.col("score_micro") > 0)
+    top = total.orderBy(F.desc("score_micro"), "doc_id").limit(k)
+    rank_w = W.orderBy(F.desc("score_micro"), "doc_id")
+    return top.select(
+        F.row_number().over(rank_w).alias("rank"),
+        "doc_id",
+        "dl",
+        *[f"tf_{t}" for t in terms],
+        "score_micro",
+    ).orderBy("rank")
+
+
+def q_ext_149_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------- c-TF-IDF
+
+
+def ctfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Class-based TF-IDF: the terms that CHARACTERIZE each document
+    class (here: source) relative to the rest of the corpus — the
+    cluster-labeling step after any grouping (topic models, dedup
+    clusters, source audits; Grootendorst 2022, arXiv:2203.05794 uses
+    exactly this to name BERTopic clusters).
+
+    Score is the rational variant (same reasoning as ext_10's TF-IDF):
+    score_ppm = (10⁶ · tf_c · n_classes) div (class_tokens ·
+    df_classes) — term share within the class, discounted by how many
+    classes the term appears in at all. One integer expression, no
+    ln(), bit-identical across engines; ranking is the standard
+    c-TF-IDF order because the transform is monotone per class.
+
+    Scale shape: (class, token) counts are one map-combinable
+    aggregate over the exploded token stream; class totals reuse that
+    (tiny) frame, not the corpus; the per-token class count df_classes
+    is a second aggregate of the same frame; n_classes broadcasts as a
+    one-row frame. Top-k per class is a window over ≤ |vocab| rows per
+    class — tokens, never documents.
+    """
+    toks = docs.select(
+        "source", F.explode(F.split("text", " ")).alias("token")
+    )
+    tf = toks.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf_c"))
+    class_tokens = tf.groupBy("source").agg(
+        F.sum("tf_c").alias("class_tokens")
+    )
+    df_cls = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df_classes"))
+    n_cls = tf.agg(F.countDistinct("source").alias("n_classes"))
+    scored = (
+        tf.join(class_tokens, "source")
+        .join(df_cls, "token")
+        .crossJoin(F.broadcast(n_cls))
+        .withColumn(
+            "score_ppm",
+            F.expr(
+                "(1000000 * tf_c * n_classes)"
+                " div (class_tokens * df_classes)"
+            ),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("score_ppm"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("source", "rank", "token", "tf_c", "df_classes", "score_ppm")
+        .orderBy("source", "rank")
+    )
+
+
+def q_ext_150_ctfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ctfidf_top_terms(load_table(spark, sf_dir, "documents"))

@@ -4827,3 +4827,157 @@ def _hist_sketch_oracle() -> str:
 
 EXT_QUERIES["ext_147_histogram_quantiles"] = q_ext_147_histogram_quantiles
 EXT_ORACLES["ext_147_histogram_quantiles"] = _hist_sketch_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_148/149/150 (r11): large-star/small-star connected components,
+# BM25 retrieval scoring, class-based TF-IDF cluster labeling.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.scaleops import (  # noqa: E402
+    q_ext_148_connected_components,
+)
+
+
+def _cc_oracle() -> str:
+    """Closed-form truth for the length-chain components: the oracle
+    does NOT replay large-star/small-star — it derives the same
+    components by the segmented-run device (gap > max_gap starts a new
+    segment), so the distributed fixed point is checked against an
+    independent derivation. max_gap comes from the Python signature
+    (r10 oracle-generation rule)."""
+    import inspect as _inspect
+
+    from sparketl.operators.scaleops import length_chain_components
+
+    gap = _inspect.signature(length_chain_components).parameters[
+        "max_gap"
+    ].default
+    return f"""
+    WITH s AS (
+      SELECT doc_id, lang, n_chars,
+             lag(doc_id) OVER w AS prev_id,
+             lag(n_chars) OVER w AS prev_chars
+      FROM documents
+      WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ), g AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(CASE WHEN prev_id IS NULL
+                       OR n_chars - prev_chars > {gap}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS seg
+      FROM s
+    )
+    SELECT MIN(doc_id) AS component_id, MIN(lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+    FROM g GROUP BY lang, seg ORDER BY component_id
+"""
+
+
+EXT_QUERIES["ext_148_connected_components"] = q_ext_148_connected_components
+EXT_ORACLES["ext_148_connected_components"] = _cc_oracle()
+
+from sparketl.operators.corpus import (  # noqa: E402
+    q_ext_149_bm25,
+    q_ext_150_ctfidf,
+)
+
+
+def _bm25_oracle() -> str:
+    """Replays the all-bigint BM25 device term for term: the query
+    terms and k come from the Python signature defaults, idf is the
+    single floored micro-nat ln() per term, the tf normalization is
+    the cleared-rational integer quotient. CASTs pin DuckDB's
+    HUGEINT-promoting aggregates back to BIGINT."""
+    import inspect as _inspect
+
+    from sparketl.operators.corpus import bm25_topk
+
+    sig = _inspect.signature(bm25_topk)
+    terms = sig.parameters["terms"].default
+    k = sig.parameters["k"].default
+    tf_exprs = ", ".join(
+        f"len(list_filter(tk, x -> x = '{t}')) AS tf_{t}" for t in terms
+    )
+    df_exprs = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS df_{t}"
+        for t in terms
+    )
+    s_exprs = ", ".join(
+        f"(CAST(floor(1000000.0 * ln(CAST(2*n_docs+2 AS DOUBLE)"
+        f" / CAST(2*df_{t}+1 AS DOUBLE))) AS BIGINT)"
+        f" * 44 * tf_{t} * t_total)"
+        f" // (20*t_total*tf_{t} + 6*t_total + 18*dl*n_docs) AS s_{t}"
+        for t in terms
+    )
+    score = " + ".join(f"s_{t}" for t in terms)
+    tf_cols = ", ".join(f"tf_{t}" for t in terms)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), sc AS (
+      SELECT doc_id, len(tk) AS dl, {tf_exprs} FROM tk
+    ), st AS (
+      SELECT CAST(SUM(dl) AS BIGINT) AS t_total,
+             CAST(COUNT(*) AS BIGINT) AS n_docs, {df_exprs}
+      FROM sc
+    ), s AS (
+      SELECT doc_id, dl, {tf_cols}, {s_exprs} FROM sc, st
+    ), tot AS (
+      SELECT doc_id, dl, {tf_cols}, {score} AS score_micro FROM s
+      WHERE {score} > 0
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                AS INT) AS "rank",
+           doc_id, dl, {tf_cols}, score_micro
+    FROM tot ORDER BY score_micro DESC, doc_id LIMIT {k}
+"""
+
+
+EXT_QUERIES["ext_149_bm25"] = q_ext_149_bm25
+EXT_ORACLES["ext_149_bm25"] = _bm25_oracle()
+
+
+def _ctfidf_oracle() -> str:
+    import inspect as _inspect
+
+    from sparketl.operators.corpus import ctfidf_top_terms
+
+    k = _inspect.signature(ctfidf_top_terms).parameters["k"].default
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf_c
+      FROM toks GROUP BY source, token
+    ), ct AS (
+      SELECT source, CAST(SUM(tf_c) AS BIGINT) AS class_tokens
+      FROM tf GROUP BY source
+    ), dfc AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df_classes
+      FROM tf GROUP BY token
+    ), nc AS (
+      SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_classes FROM tf
+    ), scored AS (
+      SELECT tf.source, tf.token, tf.tf_c, dfc.df_classes,
+             (1000000 * tf.tf_c * nc.n_classes)
+               // (ct.class_tokens * dfc.df_classes) AS score_ppm
+      FROM tf JOIN ct USING (source) JOIN dfc USING (token), nc
+    ), ranked AS (
+      SELECT source,
+             CAST(row_number() OVER (
+               PARTITION BY source ORDER BY score_ppm DESC, token)
+               AS INT) AS "rank",
+             token, tf_c, df_classes, score_ppm
+      FROM scored
+    )
+    SELECT source, "rank", token, tf_c, df_classes, score_ppm
+    FROM ranked WHERE "rank" <= {k} ORDER BY source, "rank"
+"""
+
+
+EXT_QUERIES["ext_150_ctfidf"] = q_ext_150_ctfidf
+EXT_ORACLES["ext_150_ctfidf"] = _ctfidf_oracle()

@@ -318,3 +318,184 @@ def zorder_layout_stats(orders: DataFrame, n_buckets: int = 64) -> DataFrame:
 
 def q_ext_109_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_layout_stats(load_table(spark, sf_dir, "orders"))
+
+# ---------------------------------------------------------------------------
+# ext_148: connected components via alternating large-star / small-star
+# ---------------------------------------------------------------------------
+
+
+def _canonical_edges(edges: DataFrame) -> DataFrame:
+    """Undirected edge list normalized to (hi > lo), self-loops
+    dropped, deduplicated."""
+    a, b = edges.columns[0], edges.columns[1]
+    return (
+        edges.where(F.col(a) != F.col(b))
+        .select(
+            F.greatest(F.col(a), F.col(b)).alias("hi"),
+            F.least(F.col(a), F.col(b)).alias("lo"),
+        )
+        .distinct()
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, max_rounds: int = 30, return_rounds: bool = False
+):
+    """Connected components by alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) — the O(log n)-round companion to ``dedup.dup_clusters``'
+    min-label propagation, whose round count is O(component diameter).
+
+    Near-dup clusters are shallow, so min-label is fine there; the
+    graphs this operator exists for — blocking chains from
+    sorted-neighborhood adjacency, identity-stitching paths, long
+    temporal link chains — have diameters in the thousands, where a
+    per-round shuffle times the diameter is the difference between 12
+    jobs and 3 000. Each round here HALVES tall trees:
+
+    - large-star: every node u links each strictly-larger neighbor to
+      m = min(neighborhood(u) ∪ {u});
+    - small-star: every node u links its smaller neighbors (and
+      itself) to the minimum among them.
+
+    Both phases are a map-combinable ``groupBy().min()`` (per-node
+    state = ONE id, never a neighbor list — no collect_list, so a
+    power-law hub costs a hot key, not an OOM) joined back onto the
+    edge list: two shuffles per phase over at most |E| rows. The edge
+    set only shrinks toward the fixed point (a min-rooted star
+    forest), so per-round cost is non-increasing. Convergence is
+    detected by an (edge-count, xxhash64-sum) checksum — one tiny
+    aggregate per round, order-independent, no driver-side edge
+    materialization. ``localCheckpoint`` truncates the per-round plan
+    the same way (and for the same reason) as ``dedup.dup_clusters``;
+    at cluster scale use ``checkpoint()`` to reliable storage.
+
+    Returns (node, component) for every node that appears in an edge;
+    component = the minimum node id reachable. Isolated nodes never
+    enter an edge list — callers attach them as their own singleton
+    component (see ``length_chain_components``).
+
+    The reference has no graph surface at all
+    (SQL_DATA_INTEGRATION_TOOL.py:273 ships SQL to the server); this is
+    [EXT] scale infrastructure shared with the dedup family.
+    """
+    E = _canonical_edges(edges).localCheckpoint()
+
+    def _checksum(df: DataFrame) -> tuple:
+        # order-free set fingerprint: modular sum of per-edge hashes
+        # (raw xxhash64 sums overflow ANSI bigint addition)
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1_000_000_007))),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = _checksum(E)
+    rounds = 0
+    for _ in range(max_rounds):
+        # large-star: group over BOTH orientations; emit (v, m) for the
+        # strictly-larger neighbors only (each undirected edge is
+        # emitted by exactly one endpoint, preserving connectivity)
+        und = E.select(
+            F.col("hi").alias("u"), F.col("lo").alias("v")
+        ).union(E.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+        mins = (
+            und.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            und.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
+            .where(F.col("hi") != F.col("lo"))
+            .distinct()
+        )
+        # small-star: per node hi, link every smaller neighbor (and hi
+        # itself) to the minimum smaller neighbor
+        mins2 = large.groupBy("hi").agg(F.min("lo").alias("m"))
+        small = (
+            large.join(mins2, "hi")
+            .where(F.col("lo") != F.col("m"))
+            .select(F.col("lo").alias("hi"), F.col("m").alias("lo"))
+            .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
+            .distinct()
+        )
+        E = small.localCheckpoint()
+        rounds += 1
+        cur = _checksum(E)
+        if cur == prev:
+            break
+        prev = cur
+    labels = (
+        E.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
+        .union(E.select(F.col("lo").alias("node"), F.col("lo").alias("component")))
+        .distinct()
+    )
+    if return_rounds:
+        return labels, rounds
+    return labels
+
+
+def length_chain_components(docs: DataFrame, max_gap: int = 2) -> DataFrame:
+    """Transitive closure of sorted-neighborhood adjacency: within each
+    language, documents sorted by (n_chars, doc_id) are linked when the
+    length gap to the previous document is ≤ ``max_gap``; components
+    are the maximal chains — the canopy-clustering step an
+    entity-resolution pipeline runs after blocking
+    (``dedup.sorted_neighborhood_blocking``) to turn pairwise links
+    into dedup groups.
+
+    These chains are the adversarial case for min-label propagation
+    (diameter = chain length, thousands at scale); the large-star /
+    small-star loop resolves them in O(log n) rounds. Edge generation
+    is one window pass per language partition (lag over the same sort
+    the blocking already does); the component summary is one
+    map-combinable aggregate.
+
+    The SQL oracle derives the SAME components independently — NOT by
+    replaying the algorithm, but by the segmented-run device (a gap >
+    max_gap starts a new segment; cumulative segment counter), so the
+    distributed fixed point is checked against closed-form truth.
+    """
+    d = docs.select("doc_id", "lang", "n_chars")
+    from pyspark.sql import Window as _W
+
+    win = _W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    stepped = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lag("doc_id").over(win).alias("prev_id"),
+        F.lag("n_chars").over(win).alias("prev_chars"),
+    )
+    pairs = stepped.where(
+        F.col("prev_id").isNotNull()
+        & ((F.col("n_chars") - F.col("prev_chars")) <= max_gap)
+    ).select(F.col("prev_id").alias("a"), F.col("doc_id").alias("b"))
+    labels = connected_components_star(pairs)
+    lab = d.join(labels, d.doc_id == labels.node, "left").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component_id"),
+    )
+    return (
+        lab.groupBy("component_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def q_ext_148_connected_components(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return length_chain_components(load_table(spark, sf_dir, "documents"))

@@ -272,3 +272,65 @@ def test_pack_bins_greedy_invariants(spark):
         .collect()
     )
     assert [tuple(r) for r in again] == [tuple(r) for r in out]
+
+
+def test_bm25_hand_computed(spark):
+    """Tiny corpus where the full bigint BM25 device is hand-checkable:
+    ranking must put the doc with the rarer term first, and every score
+    must equal the integer formula evaluated in Python."""
+    import math
+
+    from sparketl.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hash hash hash join join"),   # tf(hash)=3, dl=5
+            (2, "hash join join join join"),   # tf(hash)=1, dl=5
+            (3, "merge join join"),            # tf(merge)=1, dl=3
+            (4, "join join join join join"),   # no query term
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, terms=("hash", "merge"), k=10).collect()
+    T, N = 18, 4
+
+    def s(tf, dl, df):
+        idf = math.floor(1e6 * math.log((2 * N + 2) / (2 * df + 1)))
+        return (idf * 44 * tf * T) // (20 * T * tf + 6 * T + 18 * dl * N)
+
+    want = {
+        1: s(3, 5, 2),          # hash only
+        2: s(1, 5, 2),
+        3: s(1, 3, 1),          # merge only — df=1, rarer
+    }
+    got = {r["doc_id"]: r["score_micro"] for r in out}
+    assert got == want
+    # doc 4 (no query terms) filtered out; doc 3's rare term wins
+    assert [r["doc_id"] for r in out] == sorted(
+        want, key=lambda d: (-want[d], d)
+    )
+    assert out[0]["doc_id"] == 3
+
+
+def test_ctfidf_discriminative_terms_rank_first(spark):
+    """A term exclusive to one class must outrank the shared filler in
+    that class; the exact ppm score follows the integer formula."""
+    from sparketl.operators.corpus import ctfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "alpha alpha common common"),
+            (2, "s1", "alpha common"),
+            (3, "s2", "beta common common common"),
+            (4, "s2", "common beta"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = ctfidf_top_terms(docs, k=2).collect()
+    top = {r["source"]: r for r in out if r["rank"] == 1}
+    assert top["s1"]["token"] == "alpha"
+    assert top["s2"]["token"] == "beta"
+    # s1: tf(alpha)=3, class_tokens=6, df=1, n_classes=2
+    assert top["s1"]["score_ppm"] == (1_000_000 * 3 * 2) // (6 * 1)
+    # s2: tf(beta)=2, class_tokens=6, df=1
+    assert top["s2"]["score_ppm"] == (1_000_000 * 2 * 2) // (6 * 1)

@@ -133,3 +133,89 @@ def test_zorder_buckets_bound_both_dimensions(spark):
     med_c = cent_spans[len(cent_spans) // 2]
     assert med_d <= (gmax_d - gmin_d) / 3, (med_d, gmax_d - gmin_d)
     assert med_c <= (gmax_c - gmin_c) / 3, (med_c, gmax_c - gmin_c)
+
+
+# --------------------------------------------------------- ext_148 CC
+
+
+def _labels_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_cc_star_path_graph_logarithmic_rounds(spark):
+    """A 200-node path — the adversarial diameter case. Large-star/
+    small-star must find the single component in O(log n) rounds
+    (min-label propagation would need ~200)."""
+    from sparketl.operators.scaleops import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    labels, rounds = connected_components_star(edges, return_rounds=True)
+    got = _labels_dict(labels)
+    assert got == {i: 0 for i in range(201)}
+    assert rounds <= 12, f"path graph took {rounds} rounds"
+
+
+def test_cc_star_matches_min_label_propagation(spark):
+    """Algorithm cross-check: large-star/small-star ≡ dedup.dup_clusters
+    min-label propagation on a multi-component random-ish graph."""
+    from sparketl.operators.dedup import dup_clusters
+    from sparketl.operators.scaleops import connected_components_star
+
+    pairs = [
+        (1, 5), (5, 9), (9, 3),          # component min 1
+        (20, 21), (21, 22),              # component min 20
+        (40, 41),                        # component min 40
+        (7, 1), (3, 7),                  # cycle back into component 1
+    ]
+    edges = spark.createDataFrame(pairs, "a long, b long")
+    star = _labels_dict(connected_components_star(edges))
+    minlab = {
+        r["doc_id"]: r["cluster_id"]
+        for r in dup_clusters(
+            edges.select(
+                F.col("a").alias("doc_a"), F.col("b").alias("doc_b")
+            )
+        ).collect()
+    }
+    assert star == minlab
+    assert star[9] == 1 and star[22] == 20 and star[41] == 40
+
+
+def test_cc_star_empty_and_self_loops(spark):
+    from sparketl.operators.scaleops import connected_components_star
+
+    empty = spark.createDataFrame([], "a long, b long")
+    assert connected_components_star(empty).count() == 0
+    loops = spark.createDataFrame([(3, 3), (4, 4), (3, 4)], "a long, b long")
+    assert _labels_dict(connected_components_star(loops)) == {3: 3, 4: 3}
+
+
+def test_length_chain_components_segments(spark):
+    """Hand-built corpus: two chains and a singleton in one lang,
+    one chain in another; component = maximal run with gap <= 2."""
+    from sparketl.operators.scaleops import length_chain_components
+
+    rows = [
+        # lang en: lengths 10, 11, 13 chain (gaps 1,2); 20 singleton;
+        # 30, 31 chain
+        (1, "en", 10), (2, "en", 11), (3, "en", 13),
+        (4, "en", 20),
+        (5, "en", 30), (6, "en", 31),
+        # lang fr: 10, 12 chain — must NOT merge with en's 10..13
+        (7, "fr", 10), (8, "fr", 12),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    )
+    got = {
+        r["component_id"]: (r["lang"], r["n_members"], r["min_chars"], r["max_chars"])
+        for r in length_chain_components(docs).collect()
+    }
+    assert got == {
+        1: ("en", 3, 10, 13),
+        4: ("en", 1, 20, 20),
+        5: ("en", 2, 30, 31),
+        7: ("fr", 2, 10, 12),
+    }

@@ -81,6 +81,10 @@ BROADCAST_SCALAR_OK = {
     # normalizer broadcasts into the per-source frame
     "ext_122_benford_audit",  # one-row row-count broadcast into the
     # 9-digit frame
+    "ext_149_bm25",  # one-row corpus-stats broadcast (T, N, per-term
+    # df) into the map-only per-document score projection
+    "ext_150_ctfidf",  # one-row n_classes broadcast into the
+    # (class, token) score frame
 }
 
 AUDITED = [
@@ -246,6 +250,9 @@ AUDITED = [
     "tierc_qualify_subquery",
     "tierc_qualify_setop",
     "ext_69_bpe_merges",
+    "ext_148_connected_components",
+    "ext_149_bm25",
+    "ext_150_ctfidf",
 ]
 
 
