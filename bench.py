@@ -157,6 +157,7 @@ HEADLINE = [
     "ext_148_connected_components",
     "ext_149_bm25",
     "ext_150_ctfidf",
+    "ext_151_pq_adc",
 ]
 
 

@@ -4981,3 +4981,103 @@ def _ctfidf_oracle() -> str:
 
 EXT_QUERIES["ext_150_ctfidf"] = q_ext_150_ctfidf
 EXT_ORACLES["ext_150_ctfidf"] = _ctfidf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_151 (r11): product quantization + asymmetric distance — FULL
+# oracle via the ann_ivf replay skeleton keyed by (subspace, code).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import q_ext_151_pq_adc  # noqa: E402
+
+
+def _pq_adc_oracle() -> str:
+    """Replays PQ training/encoding/ADC with the same integer devices
+    as _ann_ivf_oracle (milli unit cells, residue init, integer
+    centroids, bigint distances, MIN(c) ties); every constant comes
+    from the Python signature / module knobs via inspect."""
+    import inspect
+
+    from sparketl.operators.similarity import (
+        ANN_K,
+        ANN_QUERY_SLICE,
+        PQ_QUERY_N_ITERS,
+        pq_adc_topk,
+    )
+
+    p = inspect.signature(pq_adc_topk).parameters
+    n_sub = p["n_sub"].default
+    sub_dim = p["sub_dim"].default
+    n_codes = p["n_codes"].default
+    k = ANN_K
+    n_iters = PQ_QUERY_N_ITERS
+    dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
+    cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+
+    rounds = []
+    for i in range(n_iters):
+        rounds.append(f"""c{i} AS (
+      SELECT s, c, d, {cent} AS cq
+      FROM cells JOIN a{i} USING (vec_id, s) GROUP BY s, c, d
+    ), d{i + 1} AS (
+      SELECT cells.vec_id, c{i}.s, c{i}.c, {dist} AS dist
+      FROM cells JOIN c{i} USING (s, d) GROUP BY 1, 2, 3
+    ), a{i + 1} AS (
+      SELECT vec_id, s, MIN(c) AS c
+      FROM d{i + 1} JOIN (SELECT vec_id, s, MIN(dist) AS md
+                          FROM d{i + 1} GROUP BY vec_id, s) x
+           USING (vec_id, s)
+      WHERE dist = md GROUP BY vec_id, s
+    )""")
+    train = ", ".join(rounds)
+    fa = f"a{n_iters}"  # final assignment = the PQ codes
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), un AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM v
+    ), uz AS (
+      SELECT vec_id,
+             unnest(range(0, len(u))) AS d0,
+             unnest(u) AS uf
+      FROM un
+    ), cells AS (
+      SELECT vec_id, CAST(d0 AS INT) AS d,
+             CAST(d0 // {sub_dim} AS INT) AS s,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uz
+    ), a0 AS (
+      SELECT vec_id, CAST(gs AS INT) AS s,
+             CAST(vec_id % {n_codes} AS INT) AS c
+      FROM embeddings, range({n_sub}) t(gs)
+    ), {train}, fc AS (
+      SELECT s, c, d, {cent} AS cq
+      FROM cells JOIN {fa} USING (vec_id, s) GROUP BY s, c, d
+    ), dtab AS (
+      SELECT cells.vec_id AS query_id, fc.s, fc.c, {dist} AS dist
+      FROM cells JOIN fc USING (s, d)
+      WHERE cells.vec_id < {ANN_QUERY_SLICE} GROUP BY 1, 2, 3
+    ), adc AS (
+      SELECT dtab.query_id, {fa}.vec_id AS neighbor_id,
+             CAST(SUM(dist) AS BIGINT) AS adc_dist
+      FROM {fa} JOIN dtab ON {fa}.s = dtab.s AND {fa}.c = dtab.c
+      WHERE {fa}.vec_id <> dtab.query_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id)
+                  AS INT) AS rank,
+             adc_dist
+      FROM adc
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+EXT_QUERIES["ext_151_pq_adc"] = q_ext_151_pq_adc
+EXT_ORACLES["ext_151_pq_adc"] = _pq_adc_oracle()

@@ -424,7 +424,11 @@ def connected_components_star(
             .union(mins2.select(F.col("hi"), F.col("m").alias("lo")))
             .distinct()
         )
-        E = small.localCheckpoint()
+        # lazy checkpoint: the checksum action right below is the
+        # round's ONE job — it materializes the new edge set into
+        # block storage as a side effect (eager=True would spend a
+        # second job per round on the same work)
+        E = small.localCheckpoint(eager=False)
         rounds += 1
         cur = _checksum(E)
         if cur == prev:

@@ -524,6 +524,121 @@ def q_ext_03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_151: product quantization + asymmetric distance (the compression
+# half of the IVF-PQ index every billion-scale ANN system ships)
+# ---------------------------------------------------------------------------
+
+PQ_QUERY_N_ITERS = 1  # q_ext_151_pq_adc's per-subspace Lloyd rounds
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_sub: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    n_iters: int = 1,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product quantization with asymmetric distance (ADC), Jégou et
+    al. 2011 (TPAMI, "Product Quantization for Nearest Neighbor
+    Search"): split each unit vector into ``n_sub`` subspaces of
+    ``sub_dim`` dims, train an independent ``n_codes``-centroid
+    codebook per subspace, store each vector as ``n_sub`` small codes,
+    and score a query by summing per-subspace lookup-table distances —
+    the query stays full-precision (that is the "asymmetric" part),
+    only the corpus is compressed.
+
+    Why this matters at 100 TB: the codes table is n_sub small ints
+    per vector (vs dim floats — here 16 one-byte codes vs 64
+    4-byte floats, a 16× memory cut); the ADC scan touches codes + a broadcast distance
+    table of (queries × n_sub × n_codes) rows and never re-reads the
+    raw vectors. This is the compression companion to ext_03's IVF
+    (which prunes WHICH vectors to scan; IVF-PQ composes both).
+
+    Engine-exact: reuses the ann_ivf integer-Lloyd devices — milli-
+    quantized unit cells, residue-class init, centroids
+    (1000·Σm) div n, exact-bigint squared distances, struct-min ties —
+    keyed by (subspace, code) instead of cell, so DuckDB replays
+    training, encoding and the ADC sum bit for bit; adc_dist itself is
+    a bigint (squared milli-distance), no float ever enters.
+
+    Plan shape: training is n_iters×(groupBy + broadcast-join) rounds
+    over the exploded cell frame; encoding is the final assignment;
+    the distance table is corpus-independent and broadcast; the ADC
+    scan is ONE equi-join on (subspace, code) + a map-combinable sum.
+    No collects, no windows over raw data.
+    """
+    cells = (
+        _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
+        .withColumn("s", F.expr(f"CAST(d div {sub_dim} AS INT)"))
+        .localCheckpoint(eager=True)  # feeds every round + encoding
+    )
+    assign = spread(corpus).select(
+        F.col(id_col).alias("vid"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("s"),
+    ).withColumn("c", (F.col("vid") % F.lit(n_codes)).cast("int"))
+
+    def centroids(a: DataFrame) -> DataFrame:
+        return (
+            cells.join(a, ["vid", "s"])
+            .groupBy("s", "c", "d")
+            .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .select("s", "c", "d", F.expr("(1000 * sm) div n").alias("cq"))
+        )
+
+    def dists_to(cents: DataFrame, pts: DataFrame) -> DataFrame:
+        pid = pts.columns[0]
+        return (
+            pts.join(F.broadcast(cents), ["s", "d"])
+            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
+            .groupBy(pid, "s", "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+
+    for _ in range(n_iters):
+        dists = dists_to(centroids(assign), cells.select("vid", "s", "d", "m"))
+        assign = (
+            dists.groupBy("vid", "s")
+            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            .select("vid", "s", F.col("mn.c").alias("c"))
+        )
+    codes = assign  # (vid, s, c): the compressed representation
+
+    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col).withColumn(
+        "s", F.expr(f"CAST(d div {sub_dim} AS INT)")
+    )
+    dtab = dists_to(centroids(codes), q_cells.select("qid", "s", "d", "m"))
+    adc = (
+        codes.join(F.broadcast(dtab), ["s", "c"])
+        .where(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )
+
+
+def q_ext_151_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
+    return pq_adc_topk(
+        emb, queries, k=ANN_K, n_iters=PQ_QUERY_N_ITERS
+    ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # ext_98: distributed embedding covariance (the PCA/whitening precursor)
 # ---------------------------------------------------------------------------
 

@@ -348,3 +348,71 @@ def test_leakage_safe_folds_never_split_near_dups(spark, docs):
     sizes = Counter(folds.values())
     assert len(sizes) == 5
     assert max(sizes.values()) < 2 * min(sizes.values())
+
+
+def test_pq_adc_recall_vs_bruteforce(spark, emb):
+    """Near-random synthetic embeddings are quantization's worst case;
+    the 16×16 default codebook must still beat chance (k/(n-1) ≈ 0.02
+    here) by an order of magnitude on the exact cosine top-10."""
+    from sparketl.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(emb, queries, k=10).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in pq_adc_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.25, f"PQ-ADC recall {recall}"
+
+
+def test_pq_adc_separates_constructed_clusters(spark):
+    """Mechanism check on data quantization can actually represent:
+    4 well-separated clusters of 10 vectors in 8 dims (deterministic
+    small perturbations). Each query's exact top-9 = its 9 cluster
+    mates, and PQ-ADC must recover nearly all of them."""
+    from sparketl.operators.similarity import pq_adc_topk
+
+    rows = []
+    for c in range(4):
+        for i in range(10):
+            vec = [
+                0.7 if d in (2 * c, 2 * c + 1)
+                else 0.01 * ((i * 7 + d * 3) % 5)
+                for d in range(8)
+            ]
+            rows.append((c * 10 + i, vec))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id").isin([0, 10, 20, 30]))
+    out = pq_adc_topk(
+        emb, queries, k=9, n_sub=4, sub_dim=2, n_codes=4, n_iters=2
+    ).collect()
+    hits = sum(
+        1 for r in out if r["neighbor_id"] // 10 == r["query_id"] // 10
+    )
+    assert hits >= 0.9 * len(out) and len(out) == 36, (hits, len(out))
+
+
+def test_pq_adc_deterministic_and_well_formed(spark, emb):
+    """Bit-exact under repartitioning (the whole point of the integer
+    Lloyd devices), self-pairs excluded, ranks dense per query, ADC
+    distances non-decreasing with rank."""
+    from sparketl.operators.similarity import pq_adc_topk
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    a = [tuple(r) for r in pq_adc_topk(emb, queries, k=5)
+         .orderBy("query_id", "rank").collect()]
+    b = [tuple(r) for r in pq_adc_topk(emb.repartition(7), queries, k=5)
+         .orderBy("query_id", "rank").collect()]
+    assert a == b and len(a) > 0
+    by_q = {}
+    for qid, nid, rank, dist in a:
+        assert qid != nid
+        by_q.setdefault(qid, []).append((rank, dist))
+    for rows in by_q.values():
+        assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists)
