@@ -407,12 +407,15 @@ def connected_components_star(
             .agg(F.min("v").alias("mv"))
             .select("u", F.least("u", "mv").alias("m"))
         )
+        # no distinct here: duplicate (hi, lo) rows are absorbed by
+        # small-star's min-aggregate and final distinct, and |large|
+        # stays ≤ |und| — one shuffle saved per round with no
+        # cross-round compounding
         large = (
             und.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("hi"), F.col("m").alias("lo"))
             .where(F.col("hi") != F.col("lo"))
-            .distinct()
         )
         # small-star: per node hi, link every smaller neighbor (and hi
         # itself) to the minimum smaller neighbor
@@ -469,17 +472,57 @@ def length_chain_components(docs: DataFrame, max_gap: int = 2) -> DataFrame:
     from pyspark.sql import Window as _W
 
     win = _W.partitionBy("lang").orderBy("n_chars", "doc_id")
-    stepped = d.select(
+    # Densification: besides the base adjacency (lag 1), emit doubling
+    # shortcuts (lag 2^j) wherever EVERY intermediate gap ≤ max_gap —
+    # i.e. only between nodes already connected through the chain, so
+    # components are unchanged while the component diameter drops from
+    # chain-length to ~chain-length/2^J + J. The CC loop converges in
+    # O(log diameter) rounds, so J levels trade a J× larger edge list
+    # for ~J fewer propagation rounds (each a full-edge-list shuffle at
+    # cluster scale — the knob to tune per corpus). All levels ride
+    # the ONE window sort the base adjacency needs anyway; validity is
+    # a rolling MAX over the per-row gap column.
+    shortcut_levels = 11
+    gap = F.col("n_chars") - F.lag("n_chars", 1).over(win)
+    # every level rides ONE windowed projection and ONE explode — a
+    # per-level union would re-embed the (2·J window expressions)
+    # subtree into every branch and blow up Catalyst analysis time
+    # (measured ~8 s of pure planning at J=11); the struct-array
+    # explode is the same device sorted_neighborhood_blocking uses.
+    # back_j null-guards the partition head (F.max skips the head
+    # row's null gap, but the lag is null there too).
+    gapped = d.select("doc_id", "lang", "n_chars", gap.alias("gap"))
+    stepped = gapped.select(
         "doc_id",
-        "lang",
-        "n_chars",
-        F.lag("doc_id").over(win).alias("prev_id"),
-        F.lag("n_chars").over(win).alias("prev_chars"),
+        *[
+            c
+            for j in range(shortcut_levels + 1)
+            for c in (
+                F.lag("doc_id", 1 << j).over(win).alias(f"back_{j}"),
+                (
+                    F.max("gap").over(win.rowsBetween(-((1 << j) - 1), 0))
+                    <= max_gap
+                ).alias(f"ok_{j}"),
+            )
+        ],
     )
-    pairs = stepped.where(
-        F.col("prev_id").isNotNull()
-        & ((F.col("n_chars") - F.col("prev_chars")) <= max_gap)
-    ).select(F.col("prev_id").alias("a"), F.col("doc_id").alias("b"))
+    lv = F.array(
+        *[
+            F.struct(
+                F.col(f"back_{j}").alias("a"), F.col(f"ok_{j}").alias("ok")
+            )
+            for j in range(shortcut_levels + 1)
+        ]
+    )
+    # explode_outer, not explode: computed array (r10 rule — explode
+    # triggers InferFiltersFromGenerate re-evaluating the window
+    # subtree below the exchange); the array is non-empty by
+    # construction so the two are row-for-row identical
+    pairs = (
+        stepped.select("doc_id", F.explode_outer(lv).alias("e"))
+        .where(F.col("e.ok") & F.col("e.a").isNotNull())
+        .select(F.col("e.a").alias("a"), F.col("doc_id").alias("b"))
+    )
     labels = connected_components_star(pairs)
     lab = d.join(labels, d.doc_id == labels.node, "left").select(
         "doc_id",
