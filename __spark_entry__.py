@@ -40,6 +40,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
     # (a) new or changed in round 11
+    "ext_152_matryoshka",
     "ext_151_pq_adc",
     "ext_148_connected_components",
     "ext_149_bm25",

@@ -158,6 +158,7 @@ HEADLINE = [
     "ext_149_bm25",
     "ext_150_ctfidf",
     "ext_151_pq_adc",
+    "ext_152_matryoshka",
 ]
 
 

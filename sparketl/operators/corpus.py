@@ -719,6 +719,9 @@ def bm25_topk(
     no shuffle); corpus totals are ONE map-combinable aggregate
     broadcast back; the final top-k is TakeOrderedAndProject. Zero
     Python UDFs, zero driver collects.
+
+    The reference has no retrieval surface (SQL_DATA_INTEGRATION_
+    TOOL.py:273 ships every query to SQL Server); [EXT] scale suite.
     """
     tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
 

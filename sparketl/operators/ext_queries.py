@@ -5081,3 +5081,70 @@ def _pq_adc_oracle() -> str:
 
 EXT_QUERIES["ext_151_pq_adc"] = q_ext_151_pq_adc
 EXT_ORACLES["ext_151_pq_adc"] = _pq_adc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_152 (r11): Matryoshka truncation-recall report.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import q_ext_152_matryoshka  # noqa: E402
+
+
+def _matryoshka_oracle() -> str:
+    """Replays the truncated-cosine rankings: list slices and
+    list_dot_product fold in index order exactly like the Spark _dot
+    device; constants (k, truncations, full_dim, query slice) come
+    from the Python signature / module knobs via inspect."""
+    import inspect
+
+    from sparketl.operators.similarity import (
+        ANN_K,
+        ANN_QUERY_SLICE,
+        matryoshka_recall,
+    )
+
+    p = inspect.signature(matryoshka_recall).parameters
+    truncs = p["truncations"].default
+    full_dim = p["full_dim"].default
+    k = ANN_K
+    levels = list(dict.fromkeys([*truncs, full_dim]))
+    vals = ", ".join(f"({t})" for t in levels)
+    trunc_list = ", ".join(str(t) for t in truncs)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < {ANN_QUERY_SLICE}
+    ), t(td) AS (VALUES {vals}),
+    scored AS (
+      SELECT t.td, q.qid, v.vec_id AS nid,
+             list_dot_product(v.e[1:t.td], q.qe[1:t.td])
+               / (sqrt(list_dot_product(v.e[1:t.td], v.e[1:t.td]))
+                  * sqrt(list_dot_product(q.qe[1:t.td], q.qe[1:t.td])))
+               AS sim
+      FROM v, q, t WHERE v.vec_id <> q.qid
+    ), ranked AS (
+      SELECT td, qid, nid FROM (
+        SELECT td, qid, nid,
+               ROW_NUMBER() OVER (PARTITION BY td, qid
+                                  ORDER BY sim DESC, nid) AS rk
+        FROM scored
+      ) WHERE rk <= {k}
+    ), full_set AS (
+      SELECT qid, nid FROM ranked WHERE td = {full_dim}
+    ), ov AS (
+      SELECT r.td AS trunc_dim, r.qid AS query_id,
+             CAST(COUNT(f.nid) AS BIGINT) AS n_overlap
+      FROM ranked r
+      LEFT JOIN full_set f ON r.qid = f.qid AND r.nid = f.nid
+      WHERE r.td IN ({trunc_list})
+      GROUP BY 1, 2
+    )
+    SELECT trunc_dim, query_id, n_overlap,
+           (1000 * n_overlap) // {k} AS recall_permille
+    FROM ov ORDER BY trunc_dim, query_id
+"""
+
+
+EXT_QUERIES["ext_152_matryoshka"] = q_ext_152_matryoshka
+EXT_ORACLES["ext_152_matryoshka"] = _matryoshka_oracle()

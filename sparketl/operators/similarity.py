@@ -19,7 +19,7 @@ it IS the oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -570,24 +570,23 @@ def pq_adc_topk(
     the distance table is corpus-independent and broadcast; the ADC
     scan is ONE equi-join on (subspace, code) + a map-combinable sum.
     No collects, no windows over raw data.
+
+    No reference analogue (SQL_DATA_INTEGRATION_TOOL.py:273 has no
+    vector surface); [EXT] ANN suite alongside ext_03.
     """
     cells = (
         _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
         .withColumn("s", F.expr(f"CAST(d div {sub_dim} AS INT)"))
         .localCheckpoint(eager=True)  # feeds every round + encoding
     )
-    assign = spread(corpus).select(
-        F.col(id_col).alias("vid"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("s"),
-    ).withColumn("c", (F.col("vid") % F.lit(n_codes)).cast("int"))
+
+    def _agg_centroids(grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
+        ).select("s", "c", "d", F.expr("(1000 * sm) div n").alias("cq"))
 
     def centroids(a: DataFrame) -> DataFrame:
-        return (
-            cells.join(a, ["vid", "s"])
-            .groupBy("s", "c", "d")
-            .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
-            .select("s", "c", "d", F.expr("(1000 * sm) div n").alias("cq"))
-        )
+        return _agg_centroids(cells.join(a, ["vid", "s"]).groupBy("s", "c", "d"))
 
     def dists_to(cents: DataFrame, pts: DataFrame) -> DataFrame:
         pid = pts.columns[0]
@@ -598,19 +597,32 @@ def pq_adc_topk(
             .agg(F.sum(F.expr("dx * dx")).alias("dist"))
         )
 
+    # residue-class init folds INTO the first centroid aggregate —
+    # c = vid % n_codes is a map-side expression on the cells frame,
+    # so round 0 skips materializing and shuffle-joining a synthetic
+    # (vid, s, c) assignment (same integers the oracle's a0 CTE joins)
+    cent = _agg_centroids(
+        cells.groupBy(
+            "s",
+            F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"),
+            "d",
+        )
+    )
+    assign = None
     for _ in range(n_iters):
-        dists = dists_to(centroids(assign), cells.select("vid", "s", "d", "m"))
+        dists = dists_to(cent, cells.select("vid", "s", "d", "m"))
         assign = (
             dists.groupBy("vid", "s")
             .agg(F.min(F.struct("dist", "c")).alias("mn"))
             .select("vid", "s", F.col("mn.c").alias("c"))
         )
+        cent = centroids(assign)
     codes = assign  # (vid, s, c): the compressed representation
 
     q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col).withColumn(
         "s", F.expr(f"CAST(d div {sub_dim} AS INT)")
     )
-    dtab = dists_to(centroids(codes), q_cells.select("qid", "s", "d", "m"))
+    dtab = dists_to(cent, q_cells.select("qid", "s", "d", "m"))
     adc = (
         codes.join(F.broadcast(dtab), ["s", "c"])
         .where(F.col("vid") != F.col("qid"))
@@ -636,6 +648,100 @@ def q_ext_151_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(
         emb, queries, k=ANN_K, n_iters=PQ_QUERY_N_ITERS
     ).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ext_152: Matryoshka truncation-recall report — how much ANN quality
+# survives cutting the embedding to its leading dims
+# ---------------------------------------------------------------------------
+
+
+def matryoshka_recall(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    truncations: tuple[int, ...] = (8, 16, 32),
+    full_dim: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query top-k recall of TRUNCATED-dimension cosine search
+    against the full-dimension ranking — the acceptance report for
+    Matryoshka-style embedding truncation (Kusupati et al. 2022,
+    arXiv:2205.13147), where serving keeps only the leading dims to
+    cut ANN index memory dims/full_dim-fold and this report tells you
+    what recall that costs BEFORE you re-index 100 TB of vectors.
+
+    One broadcast join produces every (query, candidate) pair once;
+    each pair emits one (trunc_dim, sim) row per truncation level via
+    a single struct-array explode (never a per-level union — the
+    ext_148 Catalyst-analysis lesson), so ONE window pass ranks all
+    levels. Overlap vs the full-dim set is an equi-join on the k-row
+    per-query lists — post-top-k row counts, independent of corpus
+    size.
+
+    Engine-exact: a sliced dot product folds in index order in both
+    engines (the _dot device / DuckDB list_dot_product are both
+    in-order left folds of the same doubles), ranking ties break on
+    neighbor id, and the recall arithmetic is integer permille.
+    """
+    # dedupe: a truncation EQUAL to full_dim is legal (it reports the
+    # tautological 1000-permille row) and must not double-score pairs
+    levels = list(dict.fromkeys(list(truncations) + [full_dim]))
+    c = spread(corpus).select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("ce")
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qe"))
+
+    def _sim(t: int) -> Column:
+        num = _dot(f"slice(ce, 1, {t})", f"slice(qe, 1, {t})")
+        nc = F.sqrt(_dot(f"slice(ce, 1, {t})", f"slice(ce, 1, {t})"))
+        nq = F.sqrt(_dot(f"slice(qe, 1, {t})", f"slice(qe, 1, {t})"))
+        return num / (nc * nq)
+
+    lv = F.array(
+        *[
+            F.struct(F.lit(t).alias("td"), _sim(t).alias("sim"))
+            for t in levels
+        ]
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .select("qid", "nid", F.explode_outer(lv).alias("e"))
+        .select("qid", "nid", F.col("e.td").alias("td"), F.col("e.sim").alias("sim"))
+    )
+    w = W.partitionBy("td", "qid").orderBy(F.desc("sim"), "nid")
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("td", "qid", "nid")
+        .localCheckpoint(eager=False)  # consumed twice (full set + truncated)
+    )
+    full_set = ranked.where(F.col("td") == full_dim).select(
+        F.col("qid").alias("fqid"), F.col("nid").alias("fnid")
+    )
+    ov = (
+        ranked.where(F.col("td").isin([int(t) for t in truncations]))
+        .join(
+            full_set,
+            (F.col("qid") == F.col("fqid")) & (F.col("nid") == F.col("fnid")),
+            "left",
+        )
+        .groupBy("td", "qid")
+        .agg(F.sum(F.col("fnid").isNotNull().cast("long")).alias("n_overlap"))
+    )
+    return ov.select(
+        F.col("td").alias("trunc_dim"),
+        F.col("qid").alias("query_id"),
+        "n_overlap",
+        F.expr(f"(1000 * n_overlap) div {k}").alias("recall_permille"),
+    ).orderBy("trunc_dim", "query_id")
+
+
+def q_ext_152_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
+    return matryoshka_recall(emb, queries, k=ANN_K)
 
 
 # ---------------------------------------------------------------------------

@@ -416,3 +416,38 @@ def test_pq_adc_deterministic_and_well_formed(spark, emb):
         assert [r for r, _ in rows] == list(range(1, len(rows) + 1))
         dists = [d for _, d in rows]
         assert dists == sorted(dists)
+
+
+def test_matryoshka_full_dim_truncation_is_identity(spark, emb):
+    """Truncating at the full dimension must reproduce the full
+    ranking exactly — recall 1000 permille for every query."""
+    from sparketl.operators.similarity import matryoshka_recall
+
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = matryoshka_recall(
+        emb, queries, k=5, truncations=(64,), full_dim=64
+    ).collect()
+    assert len(out) == 4
+    assert all(r["n_overlap"] == 5 and r["recall_permille"] == 1000 for r in out)
+
+
+def test_matryoshka_head_information_survives_truncation(spark):
+    """Vectors whose tail dims are IDENTICAL: the full ranking is
+    decided entirely by the head, so truncating to the head must give
+    recall 1000; truncating to the (constant) tail alone is
+    structurally impossible here, so instead check the report shape
+    and that n_overlap is bounded by k."""
+    from sparketl.operators.similarity import matryoshka_recall
+
+    rows = [
+        (i, [float(i) / 10.0, 1.0 - float(i) / 10.0] + [0.5, 0.5])
+        for i in range(12)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = matryoshka_recall(
+        emb, queries, k=4, truncations=(2,), full_dim=4
+    ).collect()
+    assert len(out) == 3
+    assert all(r["trunc_dim"] == 2 for r in out)
+    assert all(r["n_overlap"] == 4 and r["recall_permille"] == 1000 for r in out)

@@ -36,6 +36,9 @@ QUADRATIC_OK = {
     "ext_81_knn_eval",  # same corpus × broadcast-query-slice shape as
     # cosine_topk (brute-force evaluator; LSH/IVF candidates are the
     # scale swap, see its docstring)
+    "ext_152_matryoshka",  # corpus × broadcast-query-slice acceptance
+    # report (exact rankings ARE the measurement; at production scale
+    # the same report runs over an ANN-candidate sample instead)
 }
 
 # Queries whose plan carries a BroadcastNestedLoopJoin ONLY because a
@@ -254,6 +257,7 @@ AUDITED = [
     "ext_149_bm25",
     "ext_150_ctfidf",
     "ext_151_pq_adc",
+    "ext_152_matryoshka",
 ]
 
 
