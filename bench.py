@@ -159,6 +159,8 @@ HEADLINE = [
     "ext_150_ctfidf",
     "ext_151_pq_adc",
     "ext_152_matryoshka",
+    "ext_153_csv_source",
+    "ext_154_orc_source",
 ]
 
 
@@ -414,6 +416,10 @@ def main() -> None:
                     "ext_117_incremental_lsh": "r9: same portability trade; both band tables + the verified drop set are localCheckpoint'd (2+ consumers each) -> ~4.5s warm, vs ~11s before the pins",
                     "ext_03_ann_ivf": "r9: integer-Lloyd coarse quantizer (full oracle) runs ~1.4x the old float trainer (exact bigint distance joins per round vs broadcast array dots); cells localCheckpoint'd so the normalize+explode pass runs once",
                     "ext_141_funnel": "the global_window_queries hit is the k-row step-summary frame (3 rows) taking a lag() — not a data-sized window",
+                    "ext_148_connected_components": "r11 (new): large-star/small-star CC. First cut 8.3s warm: profiling showed execution was ~0.2s/round and the cost was Catalyst ANALYSIS — a per-shortcut-level union re-embedded the 2J-window-expression subtree into every branch (~8s of pure planning) plus 10 propagation rounds on diameter-2000 chains. Fixed by the single struct-array explode_outer + J=11 densification (4 rounds) + dropping large-star's redundant distinct -> ~4.2s in-suite; per-round work at cluster scale is |E|-sized shuffles, fixture cost is round scheduling",
+                    "ext_151_pq_adc": "r11 (new): PQ+ADC, same integer-Lloyd family as ann_ivf (~5s) — cost is the fixed ~8-job training/encode/probe chain at fixture scale, not data; round-0 residue init folds into the first centroid aggregate (no synthetic assignment join)",
+                    "ext_149_bm25": "r11 (new): map-only array-HOF tf + one-row stats broadcast; ~0.7s warm",
+                    "ext_152_matryoshka": "r11 (new): one broadcast pair join, all truncation levels in one explode -> one window pass; ~1.1s warm",
                     "radix_scaling_slope": "r9 static note, superseded by the live scaling_slope_top10 below: per-pass JOB OVERHEAD dominates and the scan term is linear map-combinable work, vs the percentile() buffer whose EXECUTOR MEMORY grows linearly with group size (the 100 TB OOM the r6 swap removed)",
                     "scaling_slope_top10": slope_note,
                     "scaling_slope_flags": (

@@ -2639,3 +2639,96 @@ def q_ext_117_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     coin = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     return incremental_minhash_dedup(docs.filter(coin), docs.filter(~coin))
+
+
+# ---------------------------------------------------------------------------
+# ext_153/154: built-in connector round trips (CSV with loud parse
+# mode, ORC columnar) — the rest of the ingest format matrix next to
+# Excel (SRC-01), JSONL (ext_110/111) and parquet fixtures.
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip_aggregate(back: DataFrame) -> DataFrame:
+    """The checksum aggregate shared by the connector round trips: any
+    parse/projection/NULL defect anywhere in the write→read path breaks
+    the hash match against the oracle's parquet-side computation."""
+    return (
+        back.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(F.length("text")).alias("sum_text_len"),
+            F.sum(
+                (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+            ).alias("id_checksum"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def q_ext_153_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV round trip through Spark's built-in connector: stage the
+    documents table as quoted CSV, read it back with an explicit schema
+    in FAILFAST mode (malformed rows are a loud error, not a silent
+    NULL row — the repo's no-silent-caps rule applied to ingest;
+    PERMISSIVE + corrupt-record accounting is pytest-covered), and
+    reduce to the same per-(lang, source) checksum aggregate the oracle
+    computes from the original parquet. quoteAll keeps empty strings
+    quoted so they round-trip as empty, not NULL (the classic CSV
+    gotcha). At scale the CSV scan is splittable per file and the
+    explicit schema skips the inference pass entirely.
+
+    The reference ingests spreadsheet files only (tool:557 filter);
+    CSV is the adjacent industrial format its users hold most often.
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparketl-csv-")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .csv(stage)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint"
+        )
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .csv(stage)
+    )
+    out = _roundtrip_aggregate(back)
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    return out
+
+
+def q_ext_154_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round trip through Spark's built-in columnar connector —
+    the same checksum-aggregate invariant as ext_153 over the second
+    lakehouse-grade format (column pruning and predicate pushdown work
+    the same as parquet: the aggregate's ReadSchema carries only the
+    five referenced columns)."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparketl-orc-")
+    (
+        docs.select("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite")
+        .orc(stage)
+    )
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    ).orc(stage)
+    out = _roundtrip_aggregate(back)
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    return out

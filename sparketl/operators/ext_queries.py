@@ -5148,3 +5148,20 @@ def _matryoshka_oracle() -> str:
 
 EXT_QUERIES["ext_152_matryoshka"] = q_ext_152_matryoshka
 EXT_ORACLES["ext_152_matryoshka"] = _matryoshka_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_153/154 (r11): built-in connector round trips (CSV FAILFAST,
+# ORC) — oracle = the same checksum aggregate over the original
+# parquet (the ext_110 invariant).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_153_csv_source,
+    q_ext_154_orc_source,
+)
+
+EXT_QUERIES["ext_153_csv_source"] = q_ext_153_csv_source
+EXT_ORACLES["ext_153_csv_source"] = EXT_ORACLES["ext_110_jsonl_source"]
+EXT_QUERIES["ext_154_orc_source"] = q_ext_154_orc_source
+EXT_ORACLES["ext_154_orc_source"] = EXT_ORACLES["ext_110_jsonl_source"]

@@ -1140,3 +1140,65 @@ def test_incremental_lsh_accounting_matches_python_replay(spark):
             g.n_kept,
         ) == tuple(w), s
     assert sum(w[1] + w[2] for w in want.values()) > 0  # fixture has dups
+
+
+def test_csv_failfast_rejects_malformed_and_permissive_accounts(spark, tmp_path):
+    """ext_153's FAILFAST choice: a malformed row must be a loud error,
+    and the PERMISSIVE twin must capture it in the corrupt-record
+    column instead of silently nulling fields."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "doc_id,text,lang,source,n_chars\n"
+        '1,"hello",en,src0,5\n'
+        'NOT_A_NUMBER,"bad",en,src0,3\n'
+        '2,"world",fr,src1,5\n'
+    )
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        (
+            spark.read.schema(schema)
+            .option("header", True)
+            .option("mode", "FAILFAST")
+            .csv(str(p))
+            .collect()
+        )
+    perm = (
+        spark.read.schema(schema + ", _corrupt string")
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(str(p))
+    )
+    rows = perm.collect()
+    corrupt = [r for r in rows if r["_corrupt"] is not None]
+    clean = [r for r in rows if r["_corrupt"] is None]
+    assert len(corrupt) == 1 and "NOT_A_NUMBER" in corrupt[0]["_corrupt"]
+    assert {r["doc_id"] for r in clean} == {1, 2}
+
+
+def test_roundtrip_sources_agree_with_parquet(spark):
+    """ext_153/154: the CSV and ORC round trips must produce the exact
+    checksum aggregate the parquet table produces directly."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import (
+        _roundtrip_aggregate,
+        q_ext_153_csv_source,
+        q_ext_154_orc_source,
+    )
+    from tests.conftest import SF_SMOKE
+
+    want = [
+        tuple(r)
+        for r in _roundtrip_aggregate(
+            load_table(spark, SF_SMOKE, "documents")
+        ).collect()
+    ]
+    got_csv = [tuple(r) for r in q_ext_153_csv_source(spark, SF_SMOKE).collect()]
+    got_orc = [tuple(r) for r in q_ext_154_orc_source(spark, SF_SMOKE).collect()]
+    assert got_csv == want and got_orc == want and len(want) > 0

@@ -258,6 +258,8 @@ AUDITED = [
     "ext_150_ctfidf",
     "ext_151_pq_adc",
     "ext_152_matryoshka",
+    "ext_153_csv_source",
+    "ext_154_orc_source",
 ]
 
 
