@@ -161,6 +161,8 @@ HEADLINE = [
     "ext_152_matryoshka",
     "ext_153_csv_source",
     "ext_154_orc_source",
+    "ext_155_stream_upsert",
+    "ext_156_incremental_topk",
 ]
 
 

@@ -50,10 +50,11 @@ Scale notes per operator in the docstrings below.
 
 from __future__ import annotations
 
+import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sparketl.io import load_table, spread
@@ -2732,3 +2733,169 @@ def q_ext_154_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     atexit.register(shutil.rmtree, stage, True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# ext_155: streaming CDC-apply — foreachBatch upsert into a ManagedTable
+# ---------------------------------------------------------------------------
+
+
+def q_ext_155_stream_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC-apply: drive the events fixture as a 4-batch
+    stream and apply each micro-batch to a REAL versioned ManagedTable
+    via ``foreachBatch`` + MERGE upsert — the standard pattern for
+    maintaining a keyed serving table from a change stream, and the
+    query that joins this repo's streaming half to its storage half
+    (SNK-02 §3.3 semantics under a stream driver).
+
+    Per batch: last-write-wins within the batch by (ts, event_id) — a
+    window on the MICRO-BATCH, whose size the trigger bounds, never on
+    the table — then one atomic upsert commit (matched keys take the
+    batch's values, new keys insert, file-pruned by key range).
+    Because the staged chunks are time-RANGE partitioned
+    (``stage_event_chunks``), batch order == event-time order, so the
+    final table state is exactly "each user's latest event", which the
+    oracle computes from the raw events in one window — the hash-match
+    proves 4 sequential MERGE commits ≡ the declarative latest-event
+    query. At scale each commit costs O(batch + matched files), and
+    the table never rescans itself.
+
+    The reference applies keyed updates row-by-row from a worksheet
+    (tool:282-312); this is that semantics under a continuous source.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+    )
+    from sparketl.tables import ManagedTable
+
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    root = os.path.join(
+        tempfile.gettempdir(), f"sparketl-upsert-{uuid.uuid4().hex[:8]}"
+    )
+    table = ManagedTable(spark, root)
+    table.create(
+        T.StructType(
+            [
+                T.StructField("user_id", T.LongType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("ts_us", T.LongType()),
+                T.StructField("event_type", T.StringType()),
+                T.StructField("value_cents", T.LongType()),
+            ]
+        )
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts_us"), F.desc("event_id")
+        )
+        latest = (
+            batch.select(
+                "user_id",
+                "event_id",
+                F.unix_micros("ts").alias("ts_us"),
+                "event_type",
+                (F.col("value").cast("decimal(12,2)") * 100)
+                .cast("long")
+                .alias("value_cents"),
+            )
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        table.upsert(latest, key="user_id")
+
+    q = (
+        read_staged_stream(spark, stage)
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(root, "_stream_checkpoint"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = table.read().orderBy("user_id")
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    atexit.register(shutil.rmtree, root, True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ext_156: incremental TOP-K view maintenance (group-bounded rescan)
+# ---------------------------------------------------------------------------
+
+
+def incremental_topk_maintenance(
+    old: DataFrame, new: DataFrame, k: int = 3
+) -> DataFrame:
+    """Maintain a per-customer top-k order view across a snapshot change —
+    the hard member of the IVM family (ext_87 aggregates, ext_142
+    join views, the extremum view in tables.py, ext_146 HLL): a DELETE
+    of a top-k member needs a replacement from OUTSIDE the stored k
+    rows, which no amount of stored state short of the full ranking
+    can answer. The classical fix, implemented here: recompute only
+    the GROUPS the delta touches (group-bounded rescan, the same
+    device as the NULL-extremum rescan), and carry every untouched
+    group's k rows forward verbatim.
+
+    Work = O(|delta| + Σ size of touched groups) — never a rescan of
+    untouched groups, which at 100 TB (billions of groups, deltas
+    touching thousands) is the entire difference. The changed-group
+    set derives from both delta directions, so group-key UPDATES
+    (a row moving between customers) touch both source and
+    destination groups.
+
+    The oracle recomputes top-k per customer directly from the NEW
+    snapshot — the hash-match IS the maintenance ≡ recompute proof.
+    Exact cents, ties broken on o_orderkey.
+    """
+    def topk(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("o_custkey").orderBy(
+            F.desc("total_cents"), "o_orderkey"
+        )
+        return (
+            df.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("o_custkey", "rank", "o_orderkey", "total_cents")
+        )
+
+    proj = lambda df: df.select(  # noqa: E731
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("total_cents"),
+    )
+    o, n = proj(old), proj(new)
+    base = topk(o)  # the stored view state
+    changed = (
+        n.exceptAll(o)
+        .select("o_custkey")
+        .union(o.exceptAll(n).select("o_custkey"))
+        .distinct()
+    )
+    carried = base.join(changed, "o_custkey", "left_anti")
+    # bounded rescan: ONLY the touched groups re-rank, from the new
+    # snapshot restricted to those groups (a semi-join prune, which at
+    # scale is a partition/file prune on the group key)
+    rescanned = topk(n.join(changed, "o_custkey", "left_semi"))
+    return carried.unionByName(rescanned).orderBy("o_custkey", "rank")
+
+
+def q_ext_156_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0)  # pre-state
+    new = orders.filter(F.col("o_orderkey") % 11 != 0)  # post-state:
+    # inserts (the %7 rows now present) AND deletes (the %11 rows gone)
+    return incremental_topk_maintenance(old, new)

