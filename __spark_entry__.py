@@ -33,13 +33,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # ext_146 whose oracle gained the NULL-exclusion filter; (b) ALL 31
 # remaining round-5-stale entries (judge-verified green in the r10
 # judge run; ext_69/ext_74 from that cohort already sit in (a));
-# (c) the alphabetically-first round-6-stale entries (the nine
-# brand-new r11 operators ext_148-156 take the head of the window,
-# displacing the last nine of this group). After this window no
+# (c) the alphabetically-first round-6-stale entries (the eleven
+# brand-new r11 operators ext_148-158 take the head of the window,
+# displacing this group entirely). After this window no
 # entry's latest driver verdict is older than round 6, and the
 # FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
     # (a) new or changed in round 11
+    "ext_157_partitioned_scan",
+    "ext_158_bucketed_join",
     "ext_156_incremental_topk",
     "ext_155_stream_upsert",
     "ext_153_csv_source",

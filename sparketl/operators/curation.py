@@ -2899,3 +2899,113 @@ def q_ext_156_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = orders.filter(F.col("o_orderkey") % 11 != 0)  # post-state:
     # inserts (the %7 rows now present) AND deletes (the %11 rows gone)
     return incremental_topk_maintenance(old, new)
+
+
+# ---------------------------------------------------------------------------
+# ext_157/158: storage-layout scale techniques as checkable queries —
+# partition-pruned scans and bucketed (shuffle-free) joins.
+# ---------------------------------------------------------------------------
+
+
+def q_ext_157_partitioned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout round trip: write the documents
+    table partitioned by lang, then answer a single-language query —
+    the scan must touch ONLY that partition's directory (the plan
+    carries ``PartitionFilters: [lang = 'en']``, checked by the plan
+    audit). At 100 TB partitioning by a low-cardinality filter column
+    is the first storage decision a pipeline makes: a pruned scan
+    reads 1/|langs| of the bytes before any predicate runs.
+
+    The checksum aggregate proves the round trip byte-faithful against
+    the oracle's direct parquet computation (the ext_110/153/154
+    invariant, here additionally crossing the partition-column
+    string-directory encoding).
+    """
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="sparketl-part-")
+    (
+        docs.write.mode("overwrite").partitionBy("lang").parquet(stage)
+    )
+    back = spark.read.parquet(stage).where(F.col("lang") == "en")
+    out = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum(
+                (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+            ).alias("id_checksum"),
+        )
+        .orderBy("source")
+    )
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    return out
+
+
+def q_ext_158_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: persist orders and customer bucketed
+    by the join key (8 buckets, orders additionally sorted in-bucket),
+    then join bucket-to-bucket — Spark plans a SortMergeJoin with NO
+    Exchange on either side, because matching bucket counts on the
+    join key make the co-location static. At 100 TB this is THE
+    technique for a fact table joined repeatedly on one key: the
+    shuffle is paid once at write time and amortized over every
+    subsequent join (vs a per-query exchange of the full fact table).
+
+    Tables are registered as external parquet tables (explicit
+    ``path``) with unique names per invocation; bucket metadata lives
+    in the session catalog, which is exactly where production keeps it
+    (a metastore). The oracle computes the same per-nation aggregate
+    from the raw tables — co-location must not change a single row.
+    """
+    import tempfile
+    import uuid as _u
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    sfx = _u.uuid4().hex[:8]
+    base = tempfile.mkdtemp(prefix="sparketl-bucket-")
+    (
+        o.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "orders"))
+        .mode("overwrite")
+        .saveAsTable(f"bkt_orders_{sfx}")
+    )
+    (
+        c.write.bucketBy(8, "c_custkey")
+        .option("path", os.path.join(base, "customer"))
+        .mode("overwrite")
+        .saveAsTable(f"bkt_customer_{sfx}")
+    )
+    # the merge hint keeps the demonstration honest at fixture scale:
+    # without it AQE broadcast-joins the small customer side (also
+    # fine, but bucketing never engages); at 100 TB neither side
+    # broadcasts and the SMJ path below is what actually runs. The
+    # executed plan shows Bucketed: true scans feeding SortMergeJoin
+    # with NO Exchange below the join.
+    bo = spark.table(f"bkt_orders_{sfx}").hint("merge")
+    bc = spark.table(f"bkt_customer_{sfx}")
+    out = (
+        bo.join(bc, bo.o_custkey == bc.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(12,2)") * 100).cast(
+                    "decimal(20,0)"
+                )
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+    import atexit
+
+    atexit.register(shutil.rmtree, base, True)
+    return out

@@ -5231,3 +5231,35 @@ def _inc_topk_oracle() -> str:
 
 EXT_QUERIES["ext_156_incremental_topk"] = q_ext_156_incremental_topk
 EXT_ORACLES["ext_156_incremental_topk"] = _inc_topk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_157/158 (r11): storage-layout techniques — partition-pruned scan
+# and bucketed shuffle-free join, both checksum-verified row-faithful.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_157_partitioned_scan,
+    q_ext_158_bucketed_join,
+)
+
+EXT_QUERIES["ext_157_partitioned_scan"] = q_ext_157_partitioned_scan
+EXT_ORACLES["ext_157_partitioned_scan"] = """
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM((doc_id * 2654435761) % 4294967296) AS BIGINT)
+             AS id_checksum
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source
+"""
+
+EXT_QUERIES["ext_158_bucketed_join"] = q_ext_158_bucketed_join
+EXT_ORACLES["ext_158_bucketed_join"] = """
+    SELECT c_nationkey,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS DECIMAL(20,0))) AS BIGINT) AS revenue_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey ORDER BY c_nationkey
+"""

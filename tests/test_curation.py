@@ -1202,3 +1202,27 @@ def test_roundtrip_sources_agree_with_parquet(spark):
     got_csv = [tuple(r) for r in q_ext_153_csv_source(spark, SF_SMOKE).collect()]
     got_orc = [tuple(r) for r in q_ext_154_orc_source(spark, SF_SMOKE).collect()]
     assert got_csv == want and got_orc == want and len(want) > 0
+
+
+def test_layout_entries_prune_and_colocate(spark):
+    """ext_157/158: the partitioned scan must carry a lang
+    PartitionFilter, and the bucketed join's executed plan must be a
+    SortMergeJoin over Bucketed: true scans with NO Exchange below the
+    join (the shuffle was paid at write time)."""
+    from sparketl.operators.curation import (
+        q_ext_157_partitioned_scan,
+        q_ext_158_bucketed_join,
+    )
+    from tests.conftest import SF_SMOKE
+
+    d1 = q_ext_157_partitioned_scan(spark, SF_SMOKE)
+    d1.collect()
+    p1 = d1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in p1 and "lang" in p1.split("PartitionFilters")[1][:80]
+
+    d2 = q_ext_158_bucketed_join(spark, SF_SMOKE)
+    d2.collect()
+    p2 = d2._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p2 and p2.count("Bucketed: true") >= 2
+    below_join = p2[p2.rindex("SortMergeJoin"):]
+    assert "Exchange" not in below_join, below_join[:500]

@@ -262,6 +262,8 @@ AUDITED = [
     "ext_154_orc_source",
     "ext_155_stream_upsert",
     "ext_156_incremental_topk",
+    "ext_157_partitioned_scan",
+    "ext_158_bucketed_join",
 ]
 
 
