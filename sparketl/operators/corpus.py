@@ -723,6 +723,20 @@ def bm25_topk(
     The reference has no retrieval surface (SQL_DATA_INTEGRATION_
     TOOL.py:273 ships every query to SQL Server); [EXT] scale suite.
     """
+    # terms are interpolated into generated column names and SQL
+    # expressions (Spark F.expr here, DuckDB literals in the oracle) —
+    # restrict to identifier-safe tokens so a quote/space/dash can
+    # neither break the expression nor inject into either engine
+    # (r12, advisor)
+    import re as _re
+
+    for t in terms:
+        if not _re.fullmatch(r"[a-z0-9_]+", t):
+            raise ValueError(
+                f"bm25_topk: term {t!r} is not identifier-safe "
+                f"(^[a-z0-9_]+$); whitespace-tokenized scoring cannot "
+                f"match multi-token or quoted terms anyway"
+            )
     tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
 
     # single-arg closure: a 2-arg lambda would make F.filter pass the

@@ -2676,8 +2676,16 @@ def q_ext_153_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce to the same per-(lang, source) checksum aggregate the oracle
     computes from the original parquet. quoteAll keeps empty strings
     quoted so they round-trip as empty, not NULL (the classic CSV
-    gotcha). At scale the CSV scan is splittable per file and the
-    explicit schema skips the inference pass entirely.
+    gotcha); a distinct unquoted ``\\N`` marker (written and read
+    symmetrically) keeps genuine NULLs NULL instead of collapsing
+    them to empty string (r12, advisor — a literal ``\\N`` text value
+    would alias to NULL, the documented boundary of the device).
+    ``multiLine`` on the read makes embedded newlines legal data
+    rather than a FAILFAST error (r12, advisor); the trade is that a
+    multiLine CSV file cannot be split WITHIN a file — at scale the
+    write side already emits one moderate file per task, so
+    parallelism comes from file count, the correct shape for quoted
+    text anyway. The explicit schema skips the inference pass.
 
     The reference ingests spreadsheet files only (tool:557 filter);
     CSV is the adjacent industrial format its users hold most often.
@@ -2691,6 +2699,7 @@ def q_ext_153_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .write.mode("overwrite")
         .option("header", True)
         .option("quoteAll", True)
+        .option("nullValue", "\\N")
         .csv(stage)
     )
     back = (
@@ -2700,6 +2709,8 @@ def q_ext_153_csv_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .option("header", True)
         .option("mode", "FAILFAST")
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
         .csv(stage)
     )
     out = _roundtrip_aggregate(back)
@@ -2959,11 +2970,21 @@ def q_ext_158_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tables are registered as external parquet tables (explicit
     ``path``) with unique names per invocation; bucket metadata lives
     in the session catalog, which is exactly where production keeps it
-    (a metastore). The oracle computes the same per-nation aggregate
+    (a metastore). Each invocation first DROPs any ``bkt_*`` tables a
+    previous invocation left behind and registers a best-effort atexit
+    DROP for its own pair, so a long bench/driver session never
+    accumulates catalog entries whose backing files have vanished
+    (r12, advisor). The oracle computes the same per-nation aggregate
     from the raw tables — co-location must not change a single row.
     """
     import tempfile
     import uuid as _u
+
+    # previous invocations' tables are never referenced again once
+    # their result frame is materialized — reclaim them up front
+    for t in spark.catalog.listTables():
+        if t.name.startswith(("bkt_orders_", "bkt_customer_")):
+            spark.sql(f"DROP TABLE IF EXISTS {t.name}")
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -3007,5 +3028,14 @@ def q_ext_158_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     import atexit
 
+    def _drop_bucket_tables() -> None:
+        try:
+            if not spark.sparkContext._jsc.sc().isStopped():
+                spark.sql(f"DROP TABLE IF EXISTS bkt_orders_{sfx}")
+                spark.sql(f"DROP TABLE IF EXISTS bkt_customer_{sfx}")
+        except Exception:
+            pass  # session already gone — the catalog died with it
+
+    atexit.register(_drop_bucket_tables)
     atexit.register(shutil.rmtree, base, True)
     return out

@@ -366,9 +366,18 @@ def connected_components_star(
     forest), so per-round cost is non-increasing. Convergence is
     detected by an (edge-count, xxhash64-sum) checksum — one tiny
     aggregate per round, order-independent, no driver-side edge
-    materialization. ``localCheckpoint`` truncates the per-round plan
-    the same way (and for the same reason) as ``dedup.dup_clusters``;
-    at cluster scale use ``checkpoint()`` to reliable storage.
+    materialization — and then CONFIRMED exactly (r12, advisor): the
+    checksum is probabilistic, so on checksum equality one extra
+    aggregate verifies the star-forest fixed point (every node carries
+    exactly one label); a collision that stopped a round early resumes
+    iterating instead of returning multi-labeled nodes. If
+    ``max_rounds`` is exhausted first the function RAISES — a
+    mid-iteration edge set can label one node with several components,
+    and a silent return would let a downstream left join duplicate
+    rows (the no-silent-caps rule). ``localCheckpoint`` truncates the
+    per-round plan the same way (and for the same reason) as
+    ``dedup.dup_clusters``; at cluster scale use ``checkpoint()`` to
+    reliable storage.
 
     Returns (node, component) for every node that appears in an edge;
     component = the minimum node id reachable. Isolated nodes never
@@ -393,8 +402,20 @@ def connected_components_star(
         ).first()
         return (row["n"], row["h"])
 
+    def _is_star_forest(df: DataFrame) -> bool:
+        # exact fixed-point confirmation: at the fixed point E is the
+        # (node -> component-min) star forest, i.e. every hi value
+        # carries exactly ONE lo. One tiny aggregate, no collect of
+        # edges — run only on checksum equality, so its cost is one
+        # job at the end, not per round.
+        row = df.groupBy("hi").agg(F.count(F.lit(1)).alias("n")).agg(
+            F.coalesce(F.max("n"), F.lit(1)).alias("mx")
+        ).first()
+        return row["mx"] <= 1
+
     prev = _checksum(E)
     rounds = 0
+    converged = False
     for _ in range(max_rounds):
         # large-star: group over BOTH orientations; emit (v, m) for the
         # strictly-larger neighbors only (each undirected edge is
@@ -434,9 +455,18 @@ def connected_components_star(
         E = small.localCheckpoint(eager=False)
         rounds += 1
         cur = _checksum(E)
-        if cur == prev:
+        if cur == prev and _is_star_forest(E):
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star: no star-forest fixed point after "
+            f"{rounds} rounds (max_rounds={max_rounds}); returning now could "
+            f"label one node with multiple components — raise max_rounds "
+            f"(each round halves tree height, so 30 covers graphs up to "
+            f"~2^30 nodes; exhaustion means pathological input or a bug)"
+        )
     labels = (
         E.select(F.col("hi").alias("node"), F.col("lo").alias("component"))
         .union(E.select(F.col("lo").alias("node"), F.col("lo").alias("component")))

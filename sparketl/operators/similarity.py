@@ -574,6 +574,15 @@ def pq_adc_topk(
     No reference analogue (SQL_DATA_INTEGRATION_TOOL.py:273 has no
     vector surface); [EXT] ANN suite alongside ext_03.
     """
+    if n_iters < 1:
+        # codes only exist after at least one assignment round — the
+        # residue-class init is a CENTROID seed, not an encoding
+        # (r12, advisor: n_iters=0 used to crash with a None join)
+        raise ValueError(
+            f"pq_adc_topk: n_iters must be >= 1 (got {n_iters}); the "
+            f"residue-class init seeds the codebooks but vectors are "
+            f"only encoded by the first assignment round"
+        )
     cells = (
         _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
         .withColumn("s", F.expr(f"CAST(d div {sub_dim} AS INT)"))

@@ -312,6 +312,19 @@ def test_bm25_hand_computed(spark):
     assert out[0]["doc_id"] == 3
 
 
+def test_bm25_rejects_non_identifier_terms(spark):
+    """r12 (advisor): terms flow into generated SQL on both engines —
+    anything outside ^[a-z0-9_]+$ must raise, not break the expression."""
+    import pytest
+
+    from sparketl.operators.corpus import bm25_topk
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    for bad in ("it's", "two words", "semi;colon", 'quo"te', "da-sh", ""):
+        with pytest.raises(ValueError, match="identifier-safe"):
+            bm25_topk(docs, terms=(bad,))
+
+
 def test_ctfidf_discriminative_terms_rank_first(spark):
     """A term exclusive to one class must outrank the shared filler in
     that class; the exact ppm score follows the integer formula."""

@@ -1180,6 +1180,48 @@ def test_csv_failfast_rejects_malformed_and_permissive_accounts(spark, tmp_path)
     assert {r["doc_id"] for r in clean} == {1, 2}
 
 
+def test_csv_roundtrip_survives_newlines_and_nulls(spark, tmp_path):
+    """r12 (advisor): ext_153's exact write/read option pairing must
+    round-trip embedded newlines (multiLine), embedded quotes, NULL
+    text (the \\N marker) and empty-but-not-NULL strings (quoteAll)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "line one\nline two", "en", "s0", 17),
+        (2, None, "en", "s0", 0),
+        (3, "", "fr", "s1", 0),
+        (4, 'quote " inside', "fr", "s1", 14),
+        (5, "plain", "de", "s2", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    stage = str(tmp_path / "csvstage")
+    (
+        df.write.mode("overwrite")
+        .option("header", True)
+        .option("quoteAll", True)
+        .option("nullValue", "\\N")
+        .csv(stage)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        )
+        .option("header", True)
+        .option("mode", "FAILFAST")
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .csv(stage)
+    )
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == {i: t for i, t, *_ in rows}
+    # NULL stayed NULL and empty stayed empty — the aggregate ext_153
+    # hashes distinguishes them via sum(length(text)) vs n_docs
+    assert got[2] is None and got[3] == ""
+    assert back.where(F.col("text").isNull()).count() == 1
+
+
 def test_roundtrip_sources_agree_with_parquet(spark):
     """ext_153/154: the CSV and ORC round trips must produce the exact
     checksum aggregate the parquet table produces directly."""

@@ -396,6 +396,18 @@ def test_pq_adc_separates_constructed_clusters(spark):
     assert hits >= 0.9 * len(out) and len(out) == 36, (hits, len(out))
 
 
+def test_pq_adc_rejects_zero_iters(spark, emb):
+    """r12 (advisor): n_iters=0 has no encoding (codes only exist after
+    the first assignment round) — explicit ValueError, not a None-join
+    AttributeError."""
+    import pytest
+
+    from sparketl.operators.similarity import pq_adc_topk
+
+    with pytest.raises(ValueError, match="n_iters"):
+        pq_adc_topk(emb, emb.limit(2), n_iters=0)
+
+
 def test_pq_adc_deterministic_and_well_formed(spark, emb):
     """Bit-exact under repartitioning (the whole point of the integer
     Lloyd devices), self-pairs excluded, ranks dense per query, ADC

@@ -183,6 +183,21 @@ def test_cc_star_matches_min_label_propagation(spark):
     assert star[9] == 1 and star[22] == 20 and star[41] == 40
 
 
+def test_cc_star_raises_loudly_when_rounds_exhausted(spark):
+    """r12 (advisor): exhausting max_rounds mid-iteration must RAISE,
+    not return a possibly multi-labeled edge set that a downstream
+    left join would silently duplicate."""
+    import pytest
+
+    from sparketl.operators.scaleops import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="max_rounds"):
+        connected_components_star(edges, max_rounds=1)
+
+
 def test_cc_star_empty_and_self_loops(spark):
     from sparketl.operators.scaleops import connected_components_star
 
