@@ -2,10 +2,10 @@
 
 Hash-dependent queries use the portable md5-h60 family (phash.py)
 wherever an oracle is wanted — MinHash/simhash/band buckets replay
-engine-exact in DuckDB since r9. The few remaining rows-only entries
-(hyperplane ANN, BPE's iterative argmax, approx sketches, Python-side
-image hashing) are listed in tests/test_entry_contract.py's
-ROWS_ONLY_ALLOWED with a pytest semantic check each.
+engine-exact in DuckDB since r9. Since r12 EVERY registry entry is
+oracle-checked (tests/test_entry_contract.py's ROWS_ONLY_ALLOWED is
+empty; the GK sketch, the last rows-only slot, consolidated into the
+oracled ext_147 histogram sketch and stays public API).
 """
 
 from __future__ import annotations

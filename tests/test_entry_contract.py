@@ -14,15 +14,15 @@ def test_entry_returns_rows(spark):
 # hash/centroid/streaming-state formulations). Every one must carry a
 # pytest semantic check instead. Anything else missing an oracle is a
 # registration bug.
-ROWS_ONLY_ALLOWED = {
-    # the GK quantile sketch is inherently partitioning-dependent —
-    # the ONE remaining rows-only entry. ext_16_heavy_hitters left
-    # this set in r10 (exact-threshold twin became the entry);
-    # ext_69/ext_74 left in r11: the 8-step merge loop unrolled as a
-    # DuckDB CTE chain with the delimiter-wrapped replace() merge
-    # device, so both BPE entries are now full-oracle.
-    "ext_09_approx_quantiles",
-}
+# EMPTY since r12: every registry entry is oracle-checked.
+# History: ext_16_heavy_hitters left in r10 (exact-threshold twin
+# became the entry); ext_69/ext_74 left in r11 (unrolled-CTE BPE
+# oracles); ext_09_approx_quantiles — the GK sketch, inherently
+# partitioning-dependent — consolidated out in r12: the oracled
+# sketch-quantile slot is ext_147_histogram_quantiles, and the GK
+# function stays public API with its error-bound pytest
+# (relational.approx_quantiles_vs_exact).
+ROWS_ONLY_ALLOWED: set[str] = set()
 
 
 def test_every_oracle_has_a_query():

@@ -67,6 +67,32 @@ def test_fullsweep_exemptions_are_exactly_the_declared_set():
         assert "Spark side" in reason
 
 
+def test_fullsweep_stamps_match_live_code():
+    """r12 (judge task 4): every swept verdict is pinned to the code
+    state it vouched for — the stamp hashes the entry's implementing
+    module file + its oracle SQL. Editing either after the sweep makes
+    this fail until the entry is re-swept (``--only`` re-runs merge a
+    fresh stamp)."""
+    from tools.full_sweep import entry_stamp
+
+    art = _latest_artifact()
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    stale = {}
+    for name, v in art["sweep"].items():
+        if name not in qs:
+            continue  # registry-membership test reports this
+        want = entry_stamp(qs[name], oracles.get(name))
+        got = v.get("stamp")
+        if got != want:
+            stale[name] = (got, want)
+    assert not stale, (
+        f"{len(stale)} swept verdicts predate code/oracle changes — "
+        f"re-sweep with tools/full_sweep.py --only "
+        f"{' '.join(sorted(stale)[:8])}{' ...' if len(stale) > 8 else ''}"
+    )
+
+
 def test_fullsweep_rows_only_matches_allowlist():
     art = _latest_artifact()
     rows_only = {

@@ -183,10 +183,13 @@ def test_scd2_intervals_known_history(spark):
 
 
 def test_approx_quantiles_bounded(spark):
-    import __spark_entry__ as entrymod
+    """The GK sketch stays public API after its r12 registry
+    consolidation (ext_147 carries the oracled sketch-quantile slot);
+    this bound is its standing semantic check."""
     from tests.conftest import SF_SMOKE
 
-    fn = entrymod.queries()["ext_09_approx_quantiles"]
+    from sparketl.operators.relational import approx_quantiles_vs_exact as fn
+
     for r in fn(spark, SF_SMOKE).collect():
         assert abs(r["approx_median"] - r["exact_median"]) <= 0.01 * r["exact_median"]
         assert abs(r["approx_p95"] - r["exact_p95"]) <= 0.01 * r["exact_p95"]

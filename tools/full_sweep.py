@@ -29,10 +29,20 @@ Usage: python tools/full_sweep.py [--round N] [--skip-sf01]
 the round's existing artifact — the incremental path for entries
 added after a full sweep (the staleness pytest still guarantees the
 merged artifact covers the whole registry).
+
+Since r12 (judge task 4) every per-entry verdict carries a ``stamp``:
+a hash of the entry's implementing module FILE plus its oracle SQL
+text at sweep time. ``--only`` merges keep old entries' stamps, and
+``tests/test_fullsweep_artifact.py`` recomputes the stamps against
+the live tree — so a verdict recorded before a later code change to
+its implementing module (or its oracle) fails CI until that entry is
+re-swept. A verdict can no longer predate the code it vouches for.
 """
 
 from __future__ import annotations
 
+import hashlib
+import inspect
 import json
 import os
 import sys
@@ -105,6 +115,25 @@ SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
 
+def entry_stamp(fn, oracle_sql: str | None) -> str:
+    """Code-state stamp for one registry entry (r12, judge task 4):
+    sha256 over (a) the full bytes of the source FILE defining the
+    entry callable — helpers overwhelmingly live in the same module,
+    so editing the module invalidates every entry it implements — and
+    (b) the entry's oracle SQL text, which pins the DuckDB side too.
+    16 hex chars is plenty for change detection (not security)."""
+    f = fn
+    while hasattr(f, "func"):  # unwrap functools.partial chains
+        f = f.func
+    src = inspect.getsourcefile(inspect.unwrap(f))
+    h = hashlib.sha256()
+    with open(src, "rb") as fh:
+        h.update(fh.read())
+    h.update(b"\x00oracle\x00")
+    h.update((oracle_sql or "<rows-only>").encode("utf-8"))
+    return h.hexdigest()[:16]
+
+
 def _connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLE_NAMES:
@@ -169,11 +198,19 @@ def main() -> int:
     if only and os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
             sweep = json.load(f)["sweep"]
+        # entries consolidated out of the registry since the last
+        # sweep leave the artifact too (the staleness pytest pins
+        # artifact membership == live registry in both directions)
+        live = set(entrymod.queries())
+        sweep = {n: v for n, v in sweep.items() if n in live}
     t0 = time.monotonic()
     con1 = _connect(SF001)
     for i, (name, fn) in enumerate(qs.items(), 1):
         s = _check(spark, con1, fn, oracles.get(name), SF001)
-        sweep[name] = {"sf0.01": s}
+        sweep[name] = {
+            "sf0.01": s,
+            "stamp": entry_stamp(fn, oracles.get(name)),
+        }
         print(f"[{i}/{len(qs)}] sf0.01 {s:9s} {name}", flush=True)
     con1.close()
 
