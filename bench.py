@@ -165,6 +165,7 @@ HEADLINE = [
     "ext_156_incremental_topk",
     "ext_157_partitioned_scan",
     "ext_158_bucketed_join",
+    "ext_159_ivfadc",
 ]
 
 

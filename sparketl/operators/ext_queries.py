@@ -5263,3 +5263,163 @@ EXT_ORACLES["ext_158_bucketed_join"] = """
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_nationkey ORDER BY c_nationkey
 """
+
+
+# ---------------------------------------------------------------------------
+# ext_159 (r12): IVFADC — the composed Jégou serving system (coarse IVF
+# cells × residual PQ × asymmetric distance). Full bit-for-bit replay.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import q_ext_159_ivfadc  # noqa: E402
+
+
+def _ivfadc_oracle() -> str:
+    """Replays the composed index bit for bit: the coarse stage is
+    _ann_ivf_oracle's integer Lloyd, the residual-PQ stage is
+    _pq_adc_oracle's keyed by (s, c) over rm = m*1000 - cq (micro
+    units; pcq = SUM(rm) // n with no extra scaling, matching the
+    Spark side), the ADC table is built per (query, probed cell), and
+    the scan joins codes+home against it. Every constant comes from
+    the Python signature / module knobs via inspect."""
+    import inspect
+
+    from sparketl.operators.similarity import (
+        ANN_K,
+        ANN_QUERY_SLICE,
+        IVFADC_COARSE_ITERS,
+        IVFADC_PQ_ITERS,
+        ivfadc_topk,
+    )
+
+    p = inspect.signature(ivfadc_topk).parameters
+    n_cells = p["n_cells"].default
+    nprobe = p["nprobe"].default
+    n_sub = p["n_sub"].default  # noqa: F841 — implied by sub_dim over dim
+    sub_dim = p["sub_dim"].default
+    n_codes = p["n_codes"].default
+    k = ANN_K
+    ci = IVFADC_COARSE_ITERS
+    pi = IVFADC_PQ_ITERS
+    dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
+    cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+    pdist = "CAST(SUM((rm - pcq) * (rm - pcq)) AS BIGINT)"
+    pcent = "CAST(SUM(rm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)"
+
+    coarse = []
+    for i in range(ci):
+        coarse.append(f"""c{i} AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{i} USING (vec_id) GROUP BY c, d
+    ), d{i + 1} AS (
+      SELECT cells.vec_id, c{i}.c, {dist} AS dist
+      FROM cells JOIN c{i} USING (d) GROUP BY 1, 2
+    ), a{i + 1} AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d{i + 1} JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1}
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    )""")
+    coarse_sql = ", ".join(coarse)
+
+    pq = []
+    for i in range(pi):
+        pq.append(f"""pd{i + 1} AS (
+      SELECT res.vec_id, p{i}.s, p{i}.c, {pdist} AS dist
+      FROM res JOIN p{i} USING (s, d) GROUP BY 1, 2, 3
+    ), codes{i + 1} AS (
+      SELECT vec_id, s, MIN(c) AS c
+      FROM pd{i + 1} JOIN (SELECT vec_id, s, MIN(dist) AS md
+                           FROM pd{i + 1} GROUP BY vec_id, s) x
+           USING (vec_id, s)
+      WHERE dist = md GROUP BY vec_id, s
+    ), p{i + 1} AS (
+      SELECT s, c, d, {pcent} AS pcq
+      FROM res JOIN codes{i + 1} USING (vec_id, s) GROUP BY s, c, d
+    )""")
+    pq_sql = ", ".join(pq)
+
+    return f"""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), un AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM v
+    ), uz AS (
+      SELECT vec_id,
+             unnest(range(0, len(u))) AS d0,
+             unnest(u) AS uf
+      FROM un
+    ), cells AS (
+      SELECT vec_id, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uz
+    ), a0 AS (
+      SELECT vec_id, CAST(vec_id % {n_cells} AS INT) AS c FROM embeddings
+    ), {coarse_sql}, fcc AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{ci} USING (vec_id) GROUP BY c, d
+    ), fd AS (
+      SELECT cells.vec_id, fcc.c, {dist} AS dist
+      FROM cells JOIN fcc USING (d) GROUP BY 1, 2
+    ), home AS (
+      SELECT vec_id, MIN(c) AS cell
+      FROM fd JOIN (SELECT vec_id, MIN(dist) AS md FROM fd
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), res AS (
+      SELECT cells.vec_id, home.cell,
+             CAST(cells.d // {sub_dim} AS INT) AS s, cells.d,
+             CAST(cells.m * 1000 - fcc.cq AS BIGINT) AS rm
+      FROM cells
+      JOIN home USING (vec_id)
+      JOIN fcc ON fcc.c = home.cell AND fcc.d = cells.d
+    ), p0 AS (
+      SELECT s, CAST(vec_id % {n_codes} AS INT) AS c, d, {pcent} AS pcq
+      FROM res GROUP BY s, CAST(vec_id % {n_codes} AS INT), d
+    ), {pq_sql}, dq AS (
+      SELECT cells.vec_id, fcc.c, {dist} AS dist
+      FROM cells JOIN fcc USING (d)
+      WHERE cells.vec_id < {ANN_QUERY_SLICE} GROUP BY 1, 2
+    ), probes AS (
+      SELECT vec_id AS qid, c AS cell FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, c) AS pr
+        FROM dq
+      ) WHERE pr <= {nprobe}
+    ), qres AS (
+      SELECT probes.qid, probes.cell,
+             CAST(cells.d // {sub_dim} AS INT) AS s, cells.d,
+             CAST(cells.m * 1000 - fcc.cq AS BIGINT) AS rm
+      FROM cells
+      JOIN probes ON cells.vec_id = probes.qid
+      JOIN fcc ON fcc.c = probes.cell AND fcc.d = cells.d
+    ), dtab AS (
+      SELECT qres.qid, qres.cell, p{pi}.s, p{pi}.c, {pdist} AS dist
+      FROM qres JOIN p{pi} USING (s, d)
+      GROUP BY 1, 2, 3, 4
+    ), adc AS (
+      SELECT dtab.qid AS query_id, codes{pi}.vec_id AS neighbor_id,
+             CAST(SUM(dist) AS BIGINT) AS adc_dist
+      FROM codes{pi}
+      JOIN home ON codes{pi}.vec_id = home.vec_id
+      JOIN dtab ON dtab.cell = home.cell
+               AND dtab.s = codes{pi}.s AND dtab.c = codes{pi}.c
+      WHERE codes{pi}.vec_id <> dtab.qid
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_dist FROM (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist, neighbor_id)
+                  AS INT) AS rank,
+             adc_dist
+      FROM adc
+    ) WHERE rank <= {k}
+    ORDER BY query_id, rank
+"""
+
+
+EXT_QUERIES["ext_159_ivfadc"] = q_ext_159_ivfadc
+EXT_ORACLES["ext_159_ivfadc"] = _ivfadc_oracle()

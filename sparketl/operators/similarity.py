@@ -660,6 +660,210 @@ def q_ext_151_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_159: IVFADC — the composed Jégou serving system (coarse IVF cells
+# × residual product quantization × asymmetric distance)
+# ---------------------------------------------------------------------------
+
+IVFADC_COARSE_ITERS = 1  # q_ext_159's coarse-quantizer Lloyd rounds
+IVFADC_PQ_ITERS = 1  # q_ext_159's per-subspace residual-PQ rounds
+
+
+def ivfadc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    coarse_iters: int = IVFADC_COARSE_ITERS,
+    pq_iters: int = IVFADC_PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC — the actual serving system of Jégou et al. 2011 (TPAMI,
+    "Product Quantization for Nearest Neighbor Search" §IV): a coarse
+    IVF quantizer decides WHICH cells to scan (ext_03's pruning), and
+    per-subspace product quantization of the RESIDUAL x − q1(x) decides
+    how cheaply to score what's scanned (ext_151's compression). This
+    is the canonical 100 TB ANN shape: the index holds one small int
+    cell id + n_sub byte codes per vector (here 16 codes ≈ 16 B vs 256
+    B of floats), a query touches ~nprobe/n_cells of the codes, and
+    raw vectors are never re-read at query time.
+
+    Residual encoding is what makes the composition better than
+    PQ-alone: within a cell the residuals are centered near zero, so
+    the same codebook budget spends its precision on local structure
+    (Jégou §IV.A). The PQ codebooks are trained on residuals and
+    SHARED across cells (the paper's memory-efficient variant); the
+    ADC lookup table is built per (query, probed cell) because the
+    query's residual differs per cell.
+
+    Engine-exact, the ext_03/ext_151 device family: milli-quantized
+    unit cells, residue-class inits folded into the first centroid
+    aggregate, integer centroids (Σ div n), exact-bigint squared
+    distances, struct-min ties. Residuals rm = m·1000 − cq live in
+    micro units; PQ centroids pcq = Σrm div n stay micro (no extra
+    ×1000 — the coarse step already scaled); worst-case ADC sum is
+    n_sub·sub_dim·(2·10⁶)² ≈ 2.6·10¹⁴, inside int64. DuckDB replays
+    every step bit for bit.
+
+    Plan shape: training is (coarse_iters + pq_iters + 2) rounds of
+    groupBy + broadcast-join over the exploded cell frame (pinned
+    once); the codes and home tables are the only per-vector state;
+    the ADC table is queries×nprobe×n_sub×n_codes rows — broadcast;
+    the scan is ONE equi-join on (cell, s, code) + a map-combinable
+    sum. No collects, no windows over corpus-sized frames.
+
+    No reference analogue (SQL_DATA_INTEGRATION_TOOL.py:273 has no
+    vector surface); [EXT] ANN suite — composes ext_03 + ext_151.
+    """
+    if coarse_iters < 1 or pq_iters < 1:
+        raise ValueError(
+            f"ivfadc_topk: coarse_iters and pq_iters must be >= 1 "
+            f"(got {coarse_iters}, {pq_iters}); the residue-class inits "
+            f"seed centroids, but cells/codes only exist after the "
+            f"first assignment round of each stage"
+        )
+    cells = _milli_unit_cells(
+        spread(corpus), id_col, "vid", vec_col
+    ).localCheckpoint(eager=True)  # feeds every round of both stages
+
+    # ---- stage 1: coarse quantizer (ext_03's integer Lloyd) ----
+    def _coarse_cents(grouped) -> DataFrame:
+        return grouped.agg(
+            F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
+        ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
+
+    def _coarse_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
+        pid = pts.columns[0]
+        return (
+            pts.join(F.broadcast(cents), "d")
+            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
+            .groupBy(pid, "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+
+    ccent = _coarse_cents(
+        cells.groupBy(F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "d")
+    )
+    for _ in range(coarse_iters):
+        cassign = (
+            _coarse_dists(ccent, cells.select("vid", "d", "m"))
+            .groupBy("vid")
+            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            .select("vid", F.col("mn.c").alias("c"))
+        )
+        ccent = _coarse_cents(cells.join(cassign, "vid").groupBy("c", "d"))
+    ccent = ccent.localCheckpoint(eager=True)  # home + q-residual consumer
+    home = (
+        _coarse_dists(ccent, cells.select("vid", "d", "m"))
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "c")).alias("mn"))
+        .select("vid", F.col("mn.c").alias("cell"))
+    )
+
+    # ---- stage 2: residual PQ (ext_151's devices, on rm not m) ----
+    # (cell, d)-keyed centroid view so both residual joins are plain
+    # using-joins — no ambiguous column refs
+    ccent_r = ccent.select(F.col("c").alias("cell"), "d", "cq")
+    res = (
+        cells.join(home, "vid")
+        .join(F.broadcast(ccent_r), ["cell", "d"])
+        .select(
+            "vid",
+            "cell",
+            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
+            "d",
+            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
+        )
+        .localCheckpoint(eager=True)  # feeds every PQ round + encoding
+    )
+
+    def _pq_cents(grouped) -> DataFrame:
+        return grouped.agg(
+            F.sum("rm").alias("sr"), F.count(F.lit(1)).alias("n")
+        ).select("s", "c", "d", F.expr("sr div n").alias("pcq"))
+
+    def _pq_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
+        pid = pts.columns[0]
+        return (
+            pts.join(F.broadcast(cents), ["s", "d"])
+            .withColumn("dx", F.col("rm") - F.col("pcq"))
+            .groupBy(pid, "s", "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+
+    pcent = _pq_cents(
+        res.groupBy(
+            "s", F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"), "d"
+        )
+    )
+    codes = None
+    for _ in range(pq_iters):
+        codes = (
+            _pq_dists(pcent, res.select("vid", "s", "d", "rm"))
+            .groupBy("vid", "s")
+            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            .select("vid", "s", F.col("mn.c").alias("c"))
+        )
+        pcent = _pq_cents(res.join(codes, ["vid", "s"]).groupBy("s", "c", "d"))
+    pcent = pcent.localCheckpoint(eager=True)  # dtab consumer below
+
+    # ---- query side: probes, per-cell residuals, ADC tables ----
+    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col)
+    wq = W.partitionBy("qid").orderBy("dist", "c")
+    probes = (
+        _coarse_dists(ccent, q_cells.select("qid", "d", "m"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("qid", F.col("c").alias("cell"))
+    )
+    qres = (
+        q_cells.join(probes, "qid")
+        .join(F.broadcast(ccent_r), ["cell", "d"])
+        .select(
+            "qid",
+            "cell",
+            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
+            "d",
+            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
+        )
+    )
+    dtab = (
+        qres.join(F.broadcast(pcent), ["s", "d"])
+        .withColumn("dx", F.col("rm") - F.col("pcq"))
+        .groupBy("qid", "cell", "s", "c")
+        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+    )
+    adc = (
+        codes.join(home, "vid")
+        .join(F.broadcast(dtab), ["cell", "s", "c"])
+        .where(F.col("vid") != F.col("qid"))
+        .groupBy("qid", "vid")
+        .agg(F.sum("dist").alias("adc_dist"))
+    )
+    w = W.partitionBy("qid").orderBy("adc_dist", "vid")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("vid").alias("neighbor_id"),
+            "rank",
+            "adc_dist",
+        )
+    )
+
+
+def q_ext_159_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
+    return ivfadc_topk(emb, queries, k=ANN_K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
 # ext_152: Matryoshka truncation-recall report — how much ANN quality
 # survives cutting the embedding to its leading dims
 # ---------------------------------------------------------------------------
