@@ -166,6 +166,7 @@ HEADLINE = [
     "ext_157_partitioned_scan",
     "ext_158_bucketed_join",
     "ext_159_ivfadc",
+    "ext_160_stream_topk_ivm",
 ]
 
 

@@ -2913,6 +2913,130 @@ def q_ext_156_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_160: STREAMING top-k view maintenance — ext_156's IVM driven
+# through foreachBatch into the versioned table (the ext_155 pattern)
+# ---------------------------------------------------------------------------
+
+STREAM_TOPK_K = 3  # per-user view size maintained by q_ext_160
+
+
+def q_ext_160_stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k view maintenance: drive the events fixture as a
+    4-batch stream and maintain a per-user top-k-by-value view in a
+    REAL versioned ManagedTable via ``foreachBatch`` — ext_156's IVM
+    under a stream driver, the way a serving leaderboard actually runs
+    (judge task 7; the ext_155 CDC-apply pattern applied to a RANKED
+    view instead of a keyed mirror).
+
+    The append-only stream makes the maintenance state-sufficient:
+    an insert can only push rows out of a group's top-k, never pull
+    unseen rows in, so every new top-k member is either already STORED
+    in the view or in the BATCH — per batch the maintenance is
+    re-rank(stored rows of touched groups ∪ batch rows), work =
+    O(batch + k·touched groups), and the base stream is never
+    re-read. (Deletes are the hard case needing the group-bounded
+    base rescan — that is batch ext_156; a delete-bearing CDC stream
+    would compose this query with ext_155's keyed apply.) Untouched
+    groups' rows are never rewritten: the upsert's key-range file
+    prune carries their files forward verbatim.
+
+    Each batch commits atomically through ``ManagedTable.upsert`` on
+    view_key = user_id·100 + rank (rank ≤ k < 100, so the composite is
+    injective and the bigint key range prunes files). New ranks
+    insert; re-ranked slots update; since the group's candidate set
+    only grows, every stale slot 1..old_m is overwritten by the new
+    ranking — no tombstones needed in the insert-only regime.
+
+    Oracle: the declarative per-user top-k over ALL events — the
+    hash-match proves 4 sequential maintenance commits ≡ recompute,
+    the same proof shape as ext_155/ext_156.
+
+    The reference has no streaming or ranked-view surface
+    (SQL_DATA_INTEGRATION_TOOL.py:273); [EXT] streaming+IVM suite.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+    )
+    from sparketl.tables import ManagedTable
+
+    k = STREAM_TOPK_K
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    root = os.path.join(
+        tempfile.gettempdir(), f"sparketl-topkivm-{uuid.uuid4().hex[:8]}"
+    )
+    table = ManagedTable(spark, root)
+    table.create(
+        T.StructType(
+            [
+                T.StructField("view_key", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value_cents", T.LongType()),
+            ]
+        )
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        delta = batch.select(
+            "user_id",
+            "event_id",
+            (F.col("value").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("value_cents"),
+        )
+        touched = delta.select("user_id").distinct()
+        # stored view rows of touched groups only — at scale the
+        # semi-join is a file/partition prune on the group key
+        stored = table.read().join(touched, "user_id", "left_semi").select(
+            "user_id", "event_id", "value_cents"
+        )
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("value_cents"), "event_id"
+        )
+        fresh = (
+            stored.unionByName(delta)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                (F.col("user_id") * 100 + F.col("rank")).alias("view_key"),
+                "user_id",
+                F.col("rank").cast("int").alias("rank"),
+                "event_id",
+                "value_cents",
+            )
+        )
+        table.upsert(fresh, key="view_key")
+
+    q = (
+        read_staged_stream(spark, stage)
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(root, "_stream_checkpoint"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = table.read().orderBy("user_id", "rank").select(
+        "user_id", "rank", "event_id", "value_cents"
+    )
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    atexit.register(shutil.rmtree, root, True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ext_157/158: storage-layout scale techniques as checkable queries —
 # partition-pruned scans and bucketed (shuffle-free) joins.
 # ---------------------------------------------------------------------------

@@ -5423,3 +5423,39 @@ def _ivfadc_oracle() -> str:
 
 EXT_QUERIES["ext_159_ivfadc"] = q_ext_159_ivfadc
 EXT_ORACLES["ext_159_ivfadc"] = _ivfadc_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_160 (r12): STREAMING top-k view maintenance — 4 foreachBatch
+# maintenance commits into the versioned view ≡ declarative top-k.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_160_stream_topk_ivm,
+)
+
+
+def _stream_topk_oracle() -> str:
+    from sparketl.operators.curation import STREAM_TOPK_K
+
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS value_cents
+      FROM events
+    ), r AS (
+      SELECT user_id,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY value_cents DESC, event_id
+             ) AS INT) AS rank,
+             event_id, value_cents
+      FROM e
+    )
+    SELECT user_id, rank, event_id, value_cents
+    FROM r WHERE rank <= {STREAM_TOPK_K} ORDER BY user_id, rank
+"""
+
+
+EXT_QUERIES["ext_160_stream_topk_ivm"] = q_ext_160_stream_topk_ivm
+EXT_ORACLES["ext_160_stream_topk_ivm"] = _stream_topk_oracle()

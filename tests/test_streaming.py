@@ -817,3 +817,45 @@ def test_stream_upsert_commits_per_batch_and_is_deterministic(spark):
     # one row per user, latest event wins
     users = [r[0] for r in a]
     assert len(users) == len(set(users))
+
+
+def test_stream_topk_ivm_equals_batch_topk(spark):
+    """ext_160 stream≡batch: 4 foreachBatch maintenance commits into
+    the versioned view must equal the ONE-shot declarative top-k over
+    the same events (the IVM ≡ recompute proof, judge task 7)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.curation import (
+        STREAM_TOPK_K,
+        q_ext_160_stream_topk_ivm,
+    )
+    from tests.conftest import SF_SMOKE
+
+    got = [
+        tuple(r) for r in q_ext_160_stream_topk_ivm(spark, SF_SMOKE).collect()
+    ]
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id",
+        "event_id",
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.desc("value_cents"), "event_id")
+    want = [
+        tuple(r)
+        for r in ev.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= STREAM_TOPK_K)
+        .select("user_id", "rank", "event_id", "value_cents")
+        .orderBy("user_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+    # every group carries a dense rank prefix 1..m
+    by_user: dict = {}
+    for u, rank, *_ in got:
+        by_user.setdefault(u, []).append(rank)
+    for ranks in by_user.values():
+        assert ranks == list(range(1, len(ranks) + 1))
