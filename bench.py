@@ -167,6 +167,7 @@ HEADLINE = [
     "ext_158_bucketed_join",
     "ext_159_ivfadc",
     "ext_160_stream_topk_ivm",
+    "ext_161_zorder_skipping",
 ]
 
 

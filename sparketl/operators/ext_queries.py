@@ -5459,3 +5459,33 @@ def _stream_topk_oracle() -> str:
 
 EXT_QUERIES["ext_160_stream_topk_ivm"] = q_ext_160_stream_topk_ivm
 EXT_ORACLES["ext_160_stream_topk_ivm"] = _stream_topk_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_161 (r12): Z-order compaction + two-predicate manifest skipping —
+# the query RAISES unless the 2-column predicate prunes a strict subset
+# of files; the checksum aggregate proves pruning never changed a row.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_161_zorder_skipping,
+)
+
+EXT_QUERIES["ext_161_zorder_skipping"] = q_ext_161_zorder_skipping
+EXT_ORACLES["ext_161_zorder_skipping"] = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS total_cents
+      FROM orders
+    )
+    SELECT o_custkey % 8 AS bucket,
+           COUNT(*) AS n_orders,
+           CAST(SUM(total_cents) AS BIGINT) AS sum_cents,
+           CAST(SUM((o_orderkey * 2654435761) % 4294967296) AS BIGINT)
+             AS id_checksum
+    FROM o
+    WHERE o_custkey >= 50 AND o_custkey <= 250
+      AND total_cents >= 5000000 AND total_cents <= 15000000
+    GROUP BY o_custkey % 8 ORDER BY bucket
+"""
