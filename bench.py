@@ -168,6 +168,7 @@ HEADLINE = [
     "ext_159_ivfadc",
     "ext_160_stream_topk_ivm",
     "ext_161_zorder_skipping",
+    "ext_164_quantile_bands",
 ]
 
 

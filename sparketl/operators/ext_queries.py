@@ -5489,3 +5489,68 @@ EXT_ORACLES["ext_161_zorder_skipping"] = """
       AND total_cents >= 5000000 AND total_cents <= 15000000
     GROUP BY o_custkey % 8 ORDER BY bucket
 """
+
+
+# ---------------------------------------------------------------------------
+# ext_164 (r12): grouped, shard-mergeable quantile bands — ext_147's
+# deterministic histogram sketch per group, bucket-for-bucket replay.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.quantiles import q_ext_164_quantile_bands  # noqa: E402
+
+
+def _quantile_bands_oracle() -> str:
+    import inspect as _inspect
+
+    from sparketl.operators.quantiles import grouped_quantile_bands
+
+    sig = _inspect.signature(grouped_quantile_bands)
+    b = sig.parameters["n_buckets"].default
+    g = sig.parameters["group_col"].default
+    v = sig.parameters["value_col"].default
+    quantiles = sig.parameters["quantiles"].default
+    vals = ", ".join(f"({p}, {n}, {d})" for p, n, d in quantiles)
+    return f"""
+    WITH v AS (
+      SELECT {g} AS g,
+             CAST(CAST({v} AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+      FROM events WHERE {v} IS NOT NULL
+    ), bnd AS (
+      SELECT g, MIN(c) AS lo, MAX(c) AS hi, CAST(COUNT(*) AS BIGINT) AS n
+      FROM v GROUP BY g
+    ), h AS (
+      SELECT v.g,
+             least({b - 1}, ((c - lo) * {b}) // (hi - lo + 1))
+               AS bucket_idx,
+             CAST(COUNT(*) AS BIGINT) AS n_in_bucket
+      FROM v JOIN bnd USING (g) GROUP BY 1, 2
+    ), cumt AS (
+      SELECT g, bucket_idx, n_in_bucket,
+             CAST(SUM(n_in_bucket) OVER (
+               PARTITION BY g ORDER BY bucket_idx) AS BIGINT)
+               AS cum_count
+      FROM h
+    ), q(q_permille, q_num, q_den) AS (VALUES {vals}),
+    t AS (
+      SELECT g, q_permille, (q_num * n + q_den - 1) // q_den
+               AS target_rank,
+             lo, hi
+      FROM q, bnd
+    ), s AS (
+      SELECT t.g, q_permille, target_rank, MIN(bucket_idx) AS bucket_idx
+      FROM t JOIN cumt ON cumt.g = t.g AND cum_count >= target_rank
+      GROUP BY 1, 2, 3
+    )
+    SELECT s.g AS group_key, s.q_permille, s.target_rank, s.bucket_idx,
+           t.lo + (s.bucket_idx * (t.hi - t.lo + 1)) // {b} AS est_cents,
+           (t.hi - t.lo + 1 + {b - 1}) // {b} AS bucket_width_cents,
+           cumt.n_in_bucket, cumt.cum_count
+    FROM s
+    JOIN t ON t.g = s.g AND t.q_permille = s.q_permille
+    JOIN cumt ON cumt.g = s.g AND cumt.bucket_idx = s.bucket_idx
+    ORDER BY group_key, s.q_permille
+"""
+
+
+EXT_QUERIES["ext_164_quantile_bands"] = q_ext_164_quantile_bands
+EXT_ORACLES["ext_164_quantile_bands"] = _quantile_bands_oracle()

@@ -842,3 +842,142 @@ def q_ext_147_histogram_quantiles(spark, sf_dir: str) -> DataFrame:
     from sparketl.io import load_table
 
     return histogram_quantile_sketch(load_table(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# ext_164 (r12): grouped, shard-MERGEABLE quantile bands from the
+# deterministic histogram sketch — ext_147 per group, with the
+# mergeability claim demonstrated (pane histograms sum) in pytest.
+# ---------------------------------------------------------------------------
+
+
+def grouped_cents(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(g, c): the group key plus the value in exact integer cents —
+    the shared first projection of the grouped-sketch family."""
+    return df.select(
+        F.col(group_col).alias("g"),
+        F.expr(
+            f"CAST(CAST({value_col} AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    ).where("c IS NOT NULL")
+
+
+def grouped_bounds(vals: DataFrame) -> DataFrame:
+    """(g, lo, hi, n): exact per-group min/max/count — one
+    map-combinable aggregate; defines the shared bucket edges every
+    shard of a group must use for its histogram to be mergeable."""
+    return vals.groupBy("g").agg(
+        F.min("c").alias("lo"), F.max("c").alias("hi"), F.count("c").alias("n")
+    )
+
+
+def grouped_histogram(
+    vals: DataFrame, bounds: DataFrame, n_buckets: int = HIST_SKETCH_BUCKETS
+) -> DataFrame:
+    """(g, bucket_idx, n_in_bucket) under the given shared bounds.
+    Bucket assignment is pure integer arithmetic, so histograms built
+    on DISJOINT row sets of one group under the SAME bounds merge by
+    summing counts — the property the pane-merge pytest pins."""
+    return (
+        vals.join(F.broadcast(bounds), "g")
+        .select(
+            "g",
+            F.expr(
+                f"least({n_buckets - 1}, "
+                f"((c - lo) * {n_buckets}) div (hi - lo + 1))"
+            ).alias("bucket_idx"),
+        )
+        .groupBy("g", "bucket_idx")
+        .agg(F.count(F.lit(1)).alias("n_in_bucket"))
+    )
+
+
+def grouped_quantile_bands(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    n_buckets: int = HIST_SKETCH_BUCKETS,
+    quantiles: tuple = HIST_SKETCH_QUANTILES,
+) -> DataFrame:
+    """Per-GROUP quantile bands from the deterministic equi-width
+    histogram sketch — ext_147 grouped (the monitoring shape: one
+    p50/p90/p99 band per event type / source / tenant), with the same
+    three properties that made ext_147 fully oracle-able: order-free
+    (integer bucket assignment), shard-MERGEABLE (per-shard histograms
+    under the group's shared bounds sum — demonstrated by the
+    pane-merge pytest, which ext_147 asserted but never exercised),
+    and exact-integer output end to end.
+
+    Scale shape: pass 1 is a per-group 3-value aggregate (broadcast —
+    group cardinality is type/tenant-sized, not data-sized); pass 2
+    shuffles ≤ n_buckets counters per (group, partition) with map-side
+    combine; the selection windows run over ≤ n_buckets rows PER GROUP
+    (partitioned, bounded state — never data-sized). At 100 TB the
+    per-shard histograms are what you'd persist hourly and fold into
+    daily/weekly bands without re-reading values — the sketch algebra
+    ext_147's docstring promises, here exposed as composable
+    ``grouped_histogram`` + band selection.
+
+    The reference has no sketch surface (tool:273 ships SQL to the
+    server); [EXT] scale suite, composing the ext_147 device.
+    """
+    vals = grouped_cents(df, group_col, value_col)
+    bounds = grouped_bounds(vals)
+    hist = grouped_histogram(vals, bounds, n_buckets)
+    return bands_from_histogram(hist, bounds, n_buckets, quantiles)
+
+
+def bands_from_histogram(
+    hist: DataFrame,
+    bounds: DataFrame,
+    n_buckets: int = HIST_SKETCH_BUCKETS,
+    quantiles: tuple = HIST_SKETCH_QUANTILES,
+) -> DataFrame:
+    """Band selection from a (possibly shard-MERGED) grouped histogram:
+    the second half of ``grouped_quantile_bands``, split out so the
+    pane-merge pytest can sum per-shard histograms and run the
+    identical selection — the persisted-sketch fold path at scale."""
+    w = Window.partitionBy("g").orderBy("bucket_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.withColumn("cum_count", F.sum("n_in_bucket").over(w))
+    spark = hist.sparkSession
+    qdf = spark.createDataFrame(
+        list(quantiles), "q_permille int, q_num long, q_den long"
+    )
+    targets = qdf.crossJoin(F.broadcast(bounds)).withColumn(
+        "target_rank", F.expr("(q_num * n + q_den - 1) div q_den")
+    )
+    return (
+        targets.join(
+            F.broadcast(cum),
+            (F.col("cum_count") >= F.col("target_rank"))
+            & (targets.g == cum.g),
+        )
+        .drop(cum.g)
+        .groupBy("g", "q_permille", "target_rank", "lo", "hi")
+        .agg(F.min(F.struct("bucket_idx", "n_in_bucket", "cum_count")).alias("s"))
+        .select(
+            F.col("g").alias("group_key"),
+            "q_permille",
+            "target_rank",
+            F.col("s.bucket_idx").alias("bucket_idx"),
+            F.expr(
+                f"lo + (s.bucket_idx * (hi - lo + 1)) div {n_buckets}"
+            ).alias("est_cents"),
+            F.expr(
+                f"(hi - lo + 1 + {n_buckets - 1}) div {n_buckets}"
+            ).alias("bucket_width_cents"),
+            F.col("s.n_in_bucket").alias("n_in_bucket"),
+            F.col("s.cum_count").alias("cum_count"),
+        )
+        .orderBy("group_key", "q_permille")
+    )
+
+
+def q_ext_164_quantile_bands(spark, sf_dir: str) -> DataFrame:
+    from sparketl.io import load_table
+
+    return grouped_quantile_bands(load_table(spark, sf_dir, "events"))

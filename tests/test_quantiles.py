@@ -430,3 +430,82 @@ def test_histogram_sketch_error_bound_and_merge(spark):
     ha, hb, hfull = hist(a), hist(b), hist(li)
     merged = {k: ha.get(k, 0) + hb.get(k, 0) for k in set(ha) | set(hb)}
     assert merged == hfull
+
+
+def test_grouped_quantile_bands_pane_merge_equals_direct(spark):
+    """ext_164: the shard-mergeability claim, exercised end to end —
+    per-half grouped histograms under the group's SHARED bounds sum
+    into the full histogram, and band selection on the MERGED
+    histogram equals the direct computation row for row (the
+    persisted-sketch fold at 100 TB: hourly histograms sum into daily
+    bands without re-reading values)."""
+    from pyspark.sql import functions as F
+
+    from sparketl.io import load_table
+    from sparketl.operators.quantiles import (
+        bands_from_histogram,
+        grouped_bounds,
+        grouped_cents,
+        grouped_histogram,
+        grouped_quantile_bands,
+    )
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    direct = [
+        tuple(r) for r in grouped_quantile_bands(ev).collect()
+    ]
+
+    vals = grouped_cents(ev, "event_type", "value")
+    bounds = grouped_bounds(vals)  # SHARED edges — the merge contract
+    a = grouped_histogram(
+        vals.where(F.col("c") % 2 == 0), bounds
+    )
+    b = grouped_histogram(
+        vals.where(F.col("c") % 2 != 0), bounds
+    )
+    merged = (
+        a.unionByName(b)
+        .groupBy("g", "bucket_idx")
+        .agg(F.sum("n_in_bucket").alias("n_in_bucket"))
+    )
+    folded = [
+        tuple(r) for r in bands_from_histogram(merged, bounds).collect()
+    ]
+    assert folded == direct and len(direct) > 0
+
+
+def test_grouped_quantile_bands_error_bound(spark):
+    """Each band estimate must sit within one bucket width of the
+    exact per-group percentile (the ext_147 bound, per group)."""
+    from sparketl.io import load_table
+    from sparketl.operators.quantiles import grouped_quantile_bands
+    from tests.conftest import SF_SMOKE
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    got = grouped_quantile_bands(ev).collect()
+    import duckdb
+
+    from sparketl.io import table_path
+
+    con = duckdb.connect()
+    exact = {}
+    for g, q5, q9, q99 in con.execute(
+        f"""
+        SELECT event_type,
+               CAST(quantile_disc(c, 0.5) AS BIGINT),
+               CAST(quantile_disc(c, 0.9) AS BIGINT),
+               CAST(quantile_disc(c, 0.99) AS BIGINT)
+        FROM (SELECT event_type,
+                     CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+              FROM read_parquet('{table_path(SF_SMOKE, "events")}'))
+        GROUP BY event_type
+        """
+    ).fetchall():
+        exact[(g, 500)], exact[(g, 900)], exact[(g, 990)] = q5, q9, q99
+    assert len(got) > 0
+    for r in got:
+        true = exact[(r["group_key"], r["q_permille"])]
+        assert (
+            r["est_cents"] <= true < r["est_cents"] + r["bucket_width_cents"]
+        ), (r["group_key"], r["q_permille"], true, tuple(r))
