@@ -169,6 +169,7 @@ HEADLINE = [
     "ext_160_stream_topk_ivm",
     "ext_161_zorder_skipping",
     "ext_164_quantile_bands",
+    "ext_163_ivf_maintenance",
 ]
 
 

@@ -5554,3 +5554,120 @@ def _quantile_bands_oracle() -> str:
 
 EXT_QUERIES["ext_164_quantile_bands"] = q_ext_164_quantile_bands
 EXT_ORACLES["ext_164_quantile_bands"] = _quantile_bands_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_163 (r12): IVF index maintenance — frozen-centroid assignment of
+# new arrivals + the occupancy/error retrain-trigger report.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import (  # noqa: E402
+    q_ext_163_ivf_maintenance,
+)
+
+
+def _ivf_maintenance_oracle() -> str:
+    import inspect
+
+    from sparketl.operators.similarity import (
+        IVF_MAINT_COARSE_ITERS,
+        ivf_maintenance_report,
+    )
+
+    p = inspect.signature(ivf_maintenance_report).parameters
+    n_cells = p["n_cells"].default
+    ci = IVF_MAINT_COARSE_ITERS
+    dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
+    cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+
+    rounds = []
+    for i in range(ci):
+        rounds.append(f"""c{i} AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{i} USING (vec_id) GROUP BY c, d
+    ), d{i + 1} AS (
+      SELECT cells.vec_id, c{i}.c, {dist} AS dist
+      FROM cells JOIN c{i} USING (d) GROUP BY 1, 2
+    ), a{i + 1} AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d{i + 1} JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1}
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    )""")
+    train = ", ".join(rounds)
+
+    # both sides' argmin carries the winning DISTANCE too (MIN over the
+    # md join), matching the Spark struct-min
+    return f"""
+    WITH vb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ), un AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vb
+    ), uz AS (
+      SELECT vec_id, unnest(range(0, len(u))) AS d0, unnest(u) AS uf
+      FROM un
+    ), cells AS (
+      SELECT vec_id, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uz
+    ), a0 AS (
+      SELECT vec_id, CAST(vec_id % {n_cells} AS INT) AS c
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ), {train}, fcc AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{ci} USING (vec_id) GROUP BY c, d
+    ), fb AS (
+      SELECT cells.vec_id, fcc.c, {dist} AS dist
+      FROM cells JOIN fcc USING (d) GROUP BY 1, 2
+    ), home AS (
+      SELECT vec_id, MIN(c) AS cell, MIN(dist) AS dist
+      FROM fb JOIN (SELECT vec_id, MIN(dist) AS md FROM fb
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), vd AS (
+      SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), und AS (
+      SELECT did,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vd
+    ), uzd AS (
+      SELECT did, unnest(range(0, len(u))) AS d0, unnest(u) AS uf
+      FROM und
+    ), dcells AS (
+      SELECT did, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uzd
+    ), fd AS (
+      SELECT dcells.did, fcc.c, {dist} AS dist
+      FROM dcells JOIN fcc USING (d) GROUP BY 1, 2
+    ), dassign AS (
+      SELECT did, MIN(c) AS cell, MIN(dist) AS dist
+      FROM fd JOIN (SELECT did, MIN(dist) AS md FROM fd
+                    GROUP BY did) x USING (did)
+      WHERE dist = md GROUP BY did
+    ), bstat AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base,
+             CAST(SUM(dist) AS BIGINT) AS sum_base_dist
+      FROM home GROUP BY cell
+    ), dstat AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_delta,
+             CAST(SUM(dist) AS BIGINT) AS sum_delta_dist
+      FROM dassign GROUP BY cell
+    )
+    SELECT bstat.cell, n_base,
+           COALESCE(n_delta, 0) AS n_delta,
+           sum_base_dist // n_base AS base_err,
+           COALESCE(sum_delta_dist, 0)
+             // GREATEST(COALESCE(n_delta, 0), 1) AS delta_err,
+           (1000 * COALESCE(n_delta, 0)) // n_base AS growth_permille
+    FROM bstat LEFT JOIN dstat USING (cell)
+    ORDER BY bstat.cell
+"""
+
+
+EXT_QUERIES["ext_163_ivf_maintenance"] = q_ext_163_ivf_maintenance
+EXT_ORACLES["ext_163_ivf_maintenance"] = _ivf_maintenance_oracle()

@@ -864,6 +864,137 @@ def q_ext_159_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_163: IVF index MAINTENANCE — assign new arrivals to the frozen
+# quantizer and report the retrain triggers (the index lifecycle)
+# ---------------------------------------------------------------------------
+
+IVF_MAINT_COARSE_ITERS = 1  # q_ext_163's base-training Lloyd rounds
+
+
+def ivf_maintenance_report(
+    base: DataFrame,
+    delta: DataFrame,
+    n_cells: int = 16,
+    coarse_iters: int = IVF_MAINT_COARSE_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF index lifecycle: at 100 TB you do NOT retrain the coarse
+    quantizer per ingest batch — new vectors are assigned to the
+    FROZEN centroids (one broadcast join + argmin, exactly the cost of
+    a query's cell probe), and a maintenance report decides WHEN a
+    retrain is actually due. This is the operational half every
+    IVF/IVFADC deployment runs (FAISS `add` vs `train`); ext_03/159
+    build the index, this maintains it.
+
+    Per cell the report carries the two retrain triggers:
+
+    - occupancy drift: ``n_base`` vs ``n_delta`` (and
+      ``growth_permille``) — skewed growth means the frozen
+      partitioning no longer balances scan cost;
+    - quantization-error drift: ``base_err`` vs ``delta_err`` (mean
+      exact-bigint squared distance to the assigned centroid, the
+      Lloyd objective) — rising delta error means the new data's
+      distribution has moved off the trained centroids and probes
+      will scan the wrong cells.
+
+    Engine-exact: the base training replays ext_03's integer Lloyd;
+    both assignments use the same exact-bigint distance argmin
+    (struct-min ties); mean errors are truncated integer division.
+    Cells the delta never touches report ``n_delta = 0`` via a left
+    join (never dropped — an emptying cell is itself a signal).
+
+    Plan shape: training cost is the ext_03 shape on the base ONCE;
+    maintenance cost per batch is |delta|·n_cells distance rows
+    against a BROADCAST centroid frame, then a map-combinable argmin +
+    aggregate. No retrain, no corpus rescan, no collects.
+
+    No reference analogue (tool:273 has no vector surface); [EXT] ANN
+    suite — the maintenance companion to ext_03/ext_151/ext_159.
+    """
+    if coarse_iters < 1:
+        raise ValueError(
+            f"ivf_maintenance_report: coarse_iters must be >= 1 "
+            f"(got {coarse_iters})"
+        )
+    cells = _milli_unit_cells(
+        spread(base), id_col, "vid", vec_col
+    ).localCheckpoint(eager=True)
+
+    def _cents(grouped) -> DataFrame:
+        return grouped.agg(
+            F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
+        ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
+
+    def _dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
+        pid = pts.columns[0]
+        return (
+            pts.join(F.broadcast(cents), "d")
+            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
+            .groupBy(pid, "c")
+            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        )
+
+    def _argmin(dists: DataFrame) -> DataFrame:
+        pid = dists.columns[0]
+        return (
+            dists.groupBy(pid)
+            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            .select(
+                pid,
+                F.col("mn.c").alias("cell"),
+                F.col("mn.dist").alias("dist"),
+            )
+        )
+
+    ccent = _cents(
+        cells.groupBy(F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "d")
+    )
+    for _ in range(coarse_iters):
+        assign = _argmin(_dists(ccent, cells.select("vid", "d", "m"))).select(
+            "vid", F.col("cell").alias("c")
+        )
+        ccent = _cents(cells.join(assign, "vid").groupBy("c", "d"))
+    ccent = ccent.localCheckpoint(eager=True)  # frozen: base + delta reuse
+
+    home_base = _argmin(_dists(ccent, cells.select("vid", "d", "m")))
+    d_cells = _milli_unit_cells(spread(delta), id_col, "did", vec_col)
+    assign_delta = _argmin(_dists(ccent, d_cells.select("did", "d", "m")))
+
+    b = home_base.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum("dist").alias("sum_base_dist"),
+    )
+    d = assign_delta.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_delta"),
+        F.sum("dist").alias("sum_delta_dist"),
+    )
+    return (
+        b.join(d, "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            F.expr("sum_base_dist div n_base").alias("base_err"),
+            F.expr(
+                "coalesce(sum_delta_dist, 0) div greatest(coalesce(n_delta, 0), 1)"
+            ).alias("delta_err"),
+            F.expr("(1000 * coalesce(n_delta, 0)) div n_base").alias(
+                "growth_permille"
+            ),
+        )
+        .orderBy("cell")
+    )
+
+
+def q_ext_163_ivf_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)  # the trained index
+    delta = emb.filter(F.col("vec_id") % 5 == 0)  # new arrivals
+    return ivf_maintenance_report(base, delta)
+
+
+# ---------------------------------------------------------------------------
 # ext_152: Matryoshka truncation-recall report — how much ANN quality
 # survives cutting the embedding to its leading dims
 # ---------------------------------------------------------------------------

@@ -496,6 +496,53 @@ def test_ivfadc_rejects_zero_iters(spark, emb):
         ivfadc_topk(emb, emb.limit(2), pq_iters=0)
 
 
+def test_ivf_maintenance_detects_distribution_drift(spark):
+    """ext_163's retrain triggers on constructed data: base = two
+    tight clusters (cells train onto them), delta = a THIRD cluster
+    the index never saw. The drifted arrivals must land with
+    quantization error far above every base cell's, and the no-drift
+    control (delta from the SAME clusters) must not fire."""
+    from sparketl.operators.similarity import ivf_maintenance_report
+
+    def cluster(cid, n, base_id, step=2):
+        # id STEP of 2 keeps each cluster on one residue class mod 2,
+        # so the deterministic residue init already seeds the true
+        # split (at scale the trainer runs enough Lloyd rounds to
+        # escape a symmetric init; the fixture pins the frozen-index
+        # semantics, not trainer escape velocity)
+        rows = []
+        for i in range(n):
+            vec = [
+                0.9 if d in (2 * cid, 2 * cid + 1)
+                else 0.002 * ((i * 5 + d * 3) % 4)
+                for d in range(8)
+            ]
+            rows.append((base_id + step * i, vec))
+        return rows
+
+    schema = "vec_id long, embedding array<float>"
+    base = spark.createDataFrame(
+        cluster(0, 12, 0) + cluster(1, 12, 101), schema
+    )
+    drifted = spark.createDataFrame(cluster(3, 8, 200), schema)
+    same = spark.createDataFrame(
+        cluster(0, 4, 300) + cluster(1, 4, 401), schema
+    )
+    rep_drift = ivf_maintenance_report(base, drifted, n_cells=2).collect()
+    max_base = max(r["base_err"] for r in rep_drift)
+    hit = [r for r in rep_drift if r["n_delta"] > 0]
+    assert hit and max(r["delta_err"] for r in hit) > 5 * max_base
+    rep_same = ivf_maintenance_report(base, same, n_cells=2).collect()
+    for r in rep_same:
+        if r["n_delta"] > 0:
+            assert r["delta_err"] <= 2 * max(
+                x["base_err"] for x in rep_same
+            ), tuple(r)
+    # occupancy accounting is exact
+    assert sum(r["n_delta"] for r in rep_drift) == 8
+    assert sum(r["n_base"] for r in rep_drift) == 24
+
+
 def test_pq_adc_rejects_zero_iters(spark, emb):
     """r12 (advisor): n_iters=0 has no encoding (codes only exist after
     the first assignment round) — explicit ValueError, not a None-join
