@@ -170,6 +170,7 @@ HEADLINE = [
     "ext_161_zorder_skipping",
     "ext_164_quantile_bands",
     "ext_163_ivf_maintenance",
+    "ext_162_pca_whitening",
 ]
 
 

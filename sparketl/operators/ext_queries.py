@@ -2742,7 +2742,11 @@ EXT_QUERIES["ext_99_pca_top_component"] = q_ext_99_pca_top_component
 # vector spans the DATA's positions (as the Python side derives dim
 # from the covariance rows) — no inlined 64/100/2^20 literals to
 # drift (r10 advisor finding).
-def _pca_oracle() -> str:
+def _pca_cte_prefix() -> str:
+    """Shared recursive-CTE replay of the integer power iteration,
+    through the sign-fixed vector ``fin(pos, v)`` — used by both the
+    ext_99 loadings oracle and the ext_162 whitening-scores oracle
+    (r12), so the two can never drift apart."""
     import inspect
 
     from sparketl.operators.similarity import _PCA_SCALE, pca_top_component
@@ -2806,7 +2810,14 @@ def _pca_oracle() -> str:
       FROM fin0 WHERE v <> 0 ORDER BY pos LIMIT 1
     ), fin AS (
       SELECT pos, v * sg AS v FROM fin0, sgn
-    ), w2 AS (
+    )"""
+
+
+def _pca_oracle() -> str:
+    from sparketl.operators.similarity import _PCA_SCALE
+
+    s = _PCA_SCALE
+    return _pca_cte_prefix() + f""", w2 AS (
       SELECT cs.i AS pos, SUM(cs.c * fin.v) AS w
       FROM cs JOIN fin ON cs.j = fin.pos GROUP BY cs.i
     ), ray AS (
@@ -5671,3 +5682,39 @@ def _ivf_maintenance_oracle() -> str:
 
 EXT_QUERIES["ext_163_ivf_maintenance"] = q_ext_163_ivf_maintenance
 EXT_ORACLES["ext_163_ivf_maintenance"] = _ivf_maintenance_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_162 (r12): PCA whitening scores — per-label aggregates of the
+# exact-integer projection on the learned top component.
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import (  # noqa: E402
+    q_ext_162_pca_whitening,
+)
+
+
+def _pca_whitening_oracle() -> str:
+    from sparketl.operators.similarity import _PCA_PROJ_DIV
+
+    return _pca_cte_prefix() + f""", mq AS (
+      SELECT pos, CAST(SUM(vn) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mq
+      FROM en GROUP BY pos
+    ), proj AS (
+      SELECT en.vec_id,
+             CAST(SUM((vn - mq) * fin.v) // {_PCA_PROJ_DIV} AS BIGINT)
+               AS score_q
+      FROM en JOIN mq USING (pos) JOIN fin ON fin.pos = en.pos
+      GROUP BY en.vec_id
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(score_q) AS BIGINT) AS sum_score,
+           CAST(SUM(score_q * score_q) AS BIGINT) AS sum_score_sq
+    FROM proj JOIN embeddings USING (vec_id)
+    GROUP BY label ORDER BY label
+"""
+
+
+EXT_QUERIES["ext_162_pca_whitening"] = q_ext_162_pca_whitening
+EXT_ORACLES["ext_162_pca_whitening"] = _pca_whitening_oracle()

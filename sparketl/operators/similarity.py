@@ -1190,6 +1190,41 @@ def _tdiv(a: int, b: int) -> int:
     return q if a >= 0 else -q
 
 
+def _pca_integer_loadings(
+    emb: DataFrame, vec_col: str = "embedding", n_iters: int = 100
+) -> tuple[list[int], list[list[int]], int, int, int]:
+    """The exact-integer heart of :func:`pca_top_component`, split out
+    (r12) so ext_162's whitening scores share the SAME signed loading
+    vector the oracle replays: returns (v, c, cmax, n_vecs, dim) where
+    ``v`` is the sign-fixed integer eigenvector after ``n_iters``
+    power-iteration rounds over the 2^20-scaled covariance ``c``.
+    Driver work is dim²-sized (the IVF-centroid allowance); everything
+    corpus-sized stays in :func:`embedding_covariance`."""
+    rows = embedding_covariance(emb, vec_col=vec_col).collect()
+    dim = max(r["pos_j"] for r in rows) + 1
+    n_vecs = max(r["n_vecs"] for r in rows)
+    a = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        a[r["pos_i"]][r["pos_j"]] = r["sum_nano"]
+        a[r["pos_j"]][r["pos_i"]] = r["sum_nano"]
+    s = _PCA_SCALE
+    cmax = max(abs(a[i][j]) for i in range(dim) for j in range(dim))
+    c = [[_tdiv(a[i][j] * s, cmax) for j in range(dim)] for i in range(dim)]
+    v = [s] * dim
+    for _ in range(n_iters):
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        wmax = max(abs(x) for x in w)
+        g = max(1, wmax // s)
+        v = [_tdiv(x, g) for x in w]
+    # sign convention: first nonzero loading positive
+    for x in v:
+        if x != 0:
+            if x < 0:
+                v = [-y for y in v]
+            break
+    return v, c, cmax, n_vecs, dim
+
+
 def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int = 100) -> DataFrame:
     """Leading principal component of the embedding corpus: power
     iteration on the dim×dim covariance from
@@ -1216,28 +1251,8 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int =
 
     Output: one row per component position — (pos, loading, eigenvalue
     explained variance); loadings form a unit vector."""
-    rows = embedding_covariance(emb, vec_col=vec_col).collect()
-    dim = max(r["pos_j"] for r in rows) + 1
-    n_vecs = max(r["n_vecs"] for r in rows)
-    a = [[0] * dim for _ in range(dim)]
-    for r in rows:
-        a[r["pos_i"]][r["pos_j"]] = r["sum_nano"]
-        a[r["pos_j"]][r["pos_i"]] = r["sum_nano"]
+    v, c, cmax, n_vecs, dim = _pca_integer_loadings(emb, vec_col, n_iters)
     s = _PCA_SCALE
-    cmax = max(abs(a[i][j]) for i in range(dim) for j in range(dim))
-    c = [[_tdiv(a[i][j] * s, cmax) for j in range(dim)] for i in range(dim)]
-    v = [s] * dim
-    for _ in range(n_iters):
-        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
-        wmax = max(abs(x) for x in w)
-        g = max(1, wmax // s)
-        v = [_tdiv(x, g) for x in w]
-    # sign convention: first nonzero loading positive
-    for x in v:
-        if x != 0:
-            if x < 0:
-                v = [-y for y in v]
-            break
     # Rayleigh quotient over the sign-fixed vector, quantized exactly
     # as the oracle does: r1 = Σ v_i·(w_i div 2^20), r2 = Σ v_i²
     w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
@@ -1257,6 +1272,84 @@ def pca_top_component(emb: DataFrame, vec_col: str = "embedding", n_iters: int =
 
 def q_ext_99_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca_top_component(load_table(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# ext_162: PCA whitening scores — per-vector projection on the learned
+# top component, aggregated per label (the drift-axis report)
+# ---------------------------------------------------------------------------
+
+_PCA_PROJ_DIV = 1 << 36  # projection requantization (see magnitude note)
+
+
+def pca_whitening_scores(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label first-component score report — the missing half of
+    the PCA pair: ext_99 learns WHAT the dominant axis is (loadings),
+    this scores every vector ALONG it and aggregates per label. The
+    scores are exactly what whitening/deflation subtracts (x −
+    proj·v₁), what embedding-drift monitoring charts per source, and
+    what axis-bias audits compare across labels (a label whose score
+    distribution sits off-center is separable along the corpus's own
+    dominant direction — the pre-clustering check SemDeDup-style
+    pipelines run before trusting cosine structure).
+
+    Engine-exact end to end: the signed INTEGER loading vector v comes
+    from the same power iteration the ext_99 oracle replays
+    (:func:`_pca_integer_loadings`); components quantize to bigint
+    nanos (floor(x·10⁹)); centering uses the integer mean Σvn div n;
+    proj = Σ_pos (vn − mq)·v_pos is an exact bigint sum (≤ 64 ·
+    2·10⁹ · 2²⁰ ≈ 1.3·10¹⁷ < 2⁶³) requantized ONCE by div 2³⁶ —
+    score_q ≤ ~2·10⁶, so Σscore_q² stays inside int64 up to ~10⁶
+    vectors (sf1; past that raise the shift — documented boundary,
+    the bm25 precedent).
+
+    Scale shape: the corpus-sized work is ONE posexplode + two
+    broadcast joins (dim-sized mean + loading frames) + a
+    map-combinable per-vector sum, then a label-sized aggregate. The
+    dim²-driver eigen step is the ext_99/IVF-centroid allowance.
+
+    No reference analogue (tool:273 has no vector surface); [EXT]
+    embedding-analytics suite alongside ext_98/ext_99/ext_60.
+    """
+    v, *_ = _pca_integer_loadings(emb, vec_col)
+    spark = emb.sparkSession
+    vdf = spark.createDataFrame(
+        [(i, int(x)) for i, x in enumerate(v)], "pos int, lv long"
+    )
+    en = spread(emb).select(
+        "vec_id",
+        F.col(label_col).alias("label"),
+        F.posexplode(vec_col).alias("pos", "comp"),
+    ).select(
+        "vec_id",
+        "label",
+        "pos",
+        F.expr("CAST(FLOOR(CAST(comp AS DOUBLE) * 1e9) AS BIGINT)").alias("vn"),
+    )
+    mq = en.groupBy("pos").agg(F.expr("sum(vn) div count(*)").alias("mq"))
+    proj = (
+        en.join(F.broadcast(mq), "pos")
+        .join(F.broadcast(vdf), "pos")
+        .groupBy("vec_id", "label")
+        .agg(
+            F.expr(f"sum((vn - mq) * lv) div {_PCA_PROJ_DIV}").alias("score_q")
+        )
+    )
+    return (
+        proj.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("score_q").alias("sum_score"),
+            F.sum(F.expr("score_q * score_q")).alias("sum_score_sq"),
+        )
+        .orderBy("label")
+    )
+
+
+def q_ext_162_pca_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pca_whitening_scores(load_table(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

@@ -496,6 +496,35 @@ def test_ivfadc_rejects_zero_iters(spark, emb):
         ivfadc_topk(emb, emb.limit(2), pq_iters=0)
 
 
+def test_pca_whitening_scores_separate_axis_labels(spark):
+    """ext_162 on constructed data: vectors of label 'hi' sit at +1 on
+    the dominant axis (dim 0), label 'lo' at −1, label 'mid' near the
+    center — the per-label score sums must order lo < mid < hi with
+    mid near zero, and the whole report must be bit-exact under
+    repartitioning (the integer devices)."""
+    from sparketl.operators.similarity import pca_whitening_scores
+
+    rows = []
+    for i in range(10):
+        eps = 0.001 * (i % 3)
+        rows.append((i, "hi", [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, "lo", [-1.0, 0.0, eps, 0.0]))
+        rows.append((200 + i, "mid", [0.0, eps, eps, 0.01 * (i % 2)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    got = {r["label"]: r for r in pca_whitening_scores(emb).collect()}
+    assert set(got) == {"hi", "lo", "mid"}
+    assert got["lo"]["sum_score"] < got["mid"]["sum_score"] < got["hi"]["sum_score"]
+    # the center label's spread along the axis is tiny vs the poles
+    assert got["mid"]["sum_score_sq"] * 100 < got["hi"]["sum_score_sq"]
+    again = {
+        r["label"]: tuple(r)
+        for r in pca_whitening_scores(emb.repartition(5)).collect()
+    }
+    assert again == {k: tuple(v) for k, v in got.items()}
+
+
 def test_ivf_maintenance_detects_distribution_drift(spark):
     """ext_163's retrain triggers on constructed data: base = two
     tight clusters (cells train onto them), delta = a THIRD cluster
