@@ -28,10 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # 50-entry window; counted carefully this time) — followed by the
 # full 42-entry round-6-stale cohort, computed from
 # CORRECTNESS_r01..r11 as every live registry entry whose latest
-# driver verdict is round 6; (b) the new round-12 entries (IVFADC,
-# streaming top-k IVM, Z-order compact multi-column skipping, PCA
-# whitening). 43 + 7 = 50 exactly. After this window no entry's
-# latest driver verdict is older than round 7.
+# driver verdict is round 6; (b) the six new round-12 entries
+# (IVFADC, streaming top-k IVM, Z-order two-predicate skipping, PCA
+# whitening, IVF maintenance, grouped quantile bands). 43 + 6 = 49;
+# slot 50 falls to the first r11 entry below (ext_157 — extra
+# coverage, no displacement). After this window no entry's latest
+# driver verdict is older than round 7.
 #
 # Previous (round-11) rotation note, kept for the audit trail:
 # the driver checks the FIRST 50
@@ -96,14 +98,13 @@ _FRONT = [
     "tierc_tsql_funcs",
     "tierc_tsql_funcs2",
     "tierc_tsql_top",
-    # ---- (b) new in round 12 (7 slots; window closes at 50) ----
+    # ---- (b) new in round 12 (6 entries; ext_157 takes slot 50) ----
     "ext_159_ivfadc",
     "ext_160_stream_topk_ivm",
     "ext_161_zorder_skipping",
     "ext_162_pca_whitening",
-    "ext_163_shard_manifest",
+    "ext_163_ivf_maintenance",
     "ext_164_quantile_bands",
-    "ext_165_anchor_docs",
     # ---- end of the round-12 driver window ----
     # r11 window below (audit trail / stable ordering for the rest)
     "ext_157_partitioned_scan",

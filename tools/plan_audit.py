@@ -88,6 +88,12 @@ BROADCAST_SCALAR_OK = {
     # df) into the map-only per-document score projection
     "ext_150_ctfidf",  # one-row n_classes broadcast into the
     # (class, token) score frame
+    "ext_164_quantile_bands",  # the 3-row quantile-rational frame
+    # crossed with the group-sized bounds frame (groups × 3 constant
+    # rows), and the ≤256-rows-per-group cumulative histogram joined
+    # by (group, cum >= target) — both frames bounded by group
+    # cardinality × bucket count, never data-sized (the ext_147
+    # selection shape, per group)
 }
 
 AUDITED = [
@@ -264,6 +270,12 @@ AUDITED = [
     "ext_156_incremental_topk",
     "ext_157_partitioned_scan",
     "ext_158_bucketed_join",
+    "ext_159_ivfadc",
+    "ext_160_stream_topk_ivm",
+    "ext_161_zorder_skipping",
+    "ext_162_pca_whitening",
+    "ext_163_ivf_maintenance",
+    "ext_164_quantile_bands",
 ]
 
 
