@@ -9,10 +9,14 @@ driver collect — measures the distributed plan, not toPandas).
 
 Since r11 the record carries a calibration anchor: a FIXED
 scan→broadcast-join→decimal-agg→window job timed (median of 3) before
-(``anchor_sec``) and after (``anchor_post_sec``) the suite, plus
-``anchored_top10`` (per-query median ÷ anchor). Cross-round
-comparisons should read the anchored ratios — an anchor move means
-the sandbox moved, not the code.
+(``anchor_sec``) and after (``anchor_post_sec``) the suite. Since r12
+the anchor also INTERLEAVES every ~20 query slots (``anchor_series``)
+and every sample normalizes by its nearest-in-time anchor —
+``anchored_top10`` is the median of those ratios, immune to mid-suite
+load spikes the bracketing anchors cannot see; the scaling slopes
+divide both SF sides by a per-round anchor for the same reason.
+Cross-round comparisons should read the anchored ratios — an anchor
+move means the sandbox moved, not the code.
 """
 
 from __future__ import annotations
@@ -289,17 +293,39 @@ def main() -> None:
     # 2× regression gate) noise-prone. Interleaving spreads transient
     # machine load across all queries instead of one.
     n_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
-    samples: dict[str, list[float]] = {}
+    samples: dict[str, list[tuple[float, float]]] = {}
     global_windows: dict[str, int] = {}
+    # r12 (judge task 2a, the verdict's own alternative): the pre/post
+    # anchors bracket the suite but cannot see a MID-suite sandbox
+    # spike (r12 observed one: ext_69 27 s in-suite vs 3.3 s isolated
+    # while both bracketing anchors looked sane). Interleave the fixed
+    # anchor job every ~20 query slots and normalize each sample by
+    # the NEAREST-in-time anchor — a load spike then inflates numerator
+    # and denominator together and cancels in the ratio.
+    anchor_series: list[tuple[float, float]] = list(
+        zip([time.monotonic()] * len(anchor_pre), anchor_pre)
+    )
+    _slot = [0]
+
+    def _maybe_anchor() -> None:
+        _slot[0] += 1
+        if _slot[0] % 20 == 0:
+            t0 = time.monotonic()
+            _anchor_job(spark)
+            anchor_series.append((t0, time.monotonic() - t0))
+
+    def _anchor_at(t: float) -> float:
+        return min(anchor_series, key=lambda a: abs(a[0] - t))[1]
 
     def _sample(name: str, rnd: int) -> None:
         fn = qs.get(name)
         if fn is None:
             return
+        _maybe_anchor()
         t0 = time.monotonic()
         df = fn(spark, SF_DIR)
         df.write.mode("overwrite").format("noop").save()
-        samples.setdefault(name, []).append(time.monotonic() - t0)
+        samples.setdefault(name, []).append((t0, time.monotonic() - t0))
         if rnd == 0:
             n_gw = count_unpartitioned_windows(df)
             if n_gw:
@@ -322,17 +348,27 @@ def main() -> None:
         mid = len(s) // 2
         return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
+    def _durs(xs: list[tuple[float, float]]) -> list[float]:
+        return [d for _, d in xs]
+
     # Sub-second queries sit at the scheduling-noise floor where a
     # median of 3 still drifts 1.3-1.6× round-over-round; give them
     # extra interleaved rounds so their medians come from ≥5 samples.
     extra_rounds = int(os.environ.get("SPARK_GRAFT_BENCH_SUBSEC_ROUNDS", "2"))
-    subsec = [n for n, xs in samples.items() if median(xs) < 1.0]
+    subsec = [n for n, xs in samples.items() if median(_durs(xs)) < 1.0]
     for rnd in range(extra_rounds):
         for name in subsec:
             _sample(name, n_rounds + rnd)
 
-    timings = {name: round(median(xs), 3) for name, xs in samples.items()}
+    timings = {name: round(median(_durs(xs)), 3) for name, xs in samples.items()}
     total = round(sum(timings.values()), 3)
+    # anchor-normalized medians: each sample ÷ its nearest-in-time
+    # interleaved anchor — the load-spike-immune per-query cost.
+    # Cross-round comparisons should read THESE (in anchor units).
+    anchored = {
+        name: round(median([d / _anchor_at(t) for t, d in xs]), 2)
+        for name, xs in samples.items()
+    }
 
     # Post-suite anchor re-run: same fixed job after the full suite —
     # the pre/post delta is suite-state drag on a constant workload.
@@ -373,6 +409,12 @@ def main() -> None:
         small_samples: dict[str, list[float]] = {}
         requiet_samples: dict[str, list[float]] = {}
         for _rnd in range(3):
+            # one anchor per slope round: both SF sides of this round
+            # divide by it, so a sandbox swing during the slope block
+            # cancels instead of manufacturing a flag (r12)
+            t0 = time.monotonic()
+            _anchor_job(spark)
+            a_r = time.monotonic() - t0
             for name in top10:
                 fn = qs.get(name)
                 if fn is None:
@@ -380,12 +422,12 @@ def main() -> None:
                 t0 = time.monotonic()
                 fn(spark, small_dir).write.mode("overwrite").format("noop").save()
                 small_samples.setdefault(name, []).append(
-                    time.monotonic() - t0
+                    (time.monotonic() - t0) / a_r
                 )
                 t0 = time.monotonic()
                 fn(spark, SF_DIR).write.mode("overwrite").format("noop").save()
                 requiet_samples.setdefault(name, []).append(
-                    time.monotonic() - t0
+                    (time.monotonic() - t0) / a_r
                 )
         for name in top10:
             if name not in small_samples:
@@ -395,8 +437,9 @@ def main() -> None:
             slope = hi / lo if lo > 0 else float("inf")
             suite_hi = timings[name]
             slope_note[name] = (
-                f"{round(lo, 2)}->{round(hi, 2)}s ({round(slope, 1)}x for 10x "
-                f"data; in-suite median {round(suite_hi, 2)}s)"
+                f"{round(lo, 2)}->{round(hi, 2)} anchor-units "
+                f"({round(slope, 1)}x for 10x data; in-suite median "
+                f"{round(suite_hi, 2)}s, anchored {anchored.get(name)})"
             )
             if slope > 3.0:
                 slope_flags.append(name)
@@ -415,15 +458,18 @@ def main() -> None:
                 "sf": sf_val,
                 "anchor_sec": anchor_sec,
                 "anchor_post_sec": anchor_post_sec,
+                # nearest-interleaved-anchor-normalized medians (r12):
+                # load-spike-immune; THE cross-round comparison series
                 "anchored_top10": {
-                    n: round(timings[n] / anchor_sec, 2)
+                    n: anchored[n]
                     for n, _ in sorted(
                         timings.items(), key=lambda kv: -kv[1]
                     )[:10]
                 },
+                "anchor_series": [round(d, 3) for _, d in anchor_series],
                 "global_window_queries": global_windows,
                 "notes": {
-                    "calibration_anchor": "r11 (judge task 3): a FIXED scan->broadcast-join->decimal-agg->partitioned-window job is timed median-of-3 before (anchor_sec) and after (anchor_post_sec) the suite. Compare rounds via anchored_top10 (median/anchor_sec): an anchor move is sandbox drift affecting everything, a steady anchor with one query moving is a real regression; anchor_post vs anchor_pre isolates suite-state drag on a constant workload",
+                    "calibration_anchor": "r11 (judge task 3): a FIXED scan->broadcast-join->decimal-agg->partitioned-window job is timed median-of-3 before (anchor_sec) and after (anchor_post_sec) the suite. r12 (judge task 2a): the anchor additionally INTERLEAVES every ~20 query slots (anchor_series) and each sample normalizes by its nearest-in-time anchor -> anchored_top10 is now the per-query median of those RATIOS, immune to mid-suite load spikes the bracketing anchors cannot see (observed r12: a mid-suite spike inflated ext_69 to 27s in-suite vs 3.3s isolated while both bracketing anchors looked sane). Compare rounds via anchored_top10; raw seconds stay in queries",
                     # r7: the r6 radix-quantile slowdowns were clawed
                     # back by the ADAPTIVE descent (finish pass once
                     # every bucket <= 2^16 rows), cum0 checkpointing,
@@ -448,7 +494,8 @@ def main() -> None:
                     "ext_152_matryoshka": "r11 (new): one broadcast pair join, all truncation levels in one explode -> one window pass; ~1.1s warm",
                     "radix_scaling_slope": "r9 static note, superseded by the live scaling_slope_top10 below: per-pass JOB OVERHEAD dominates and the scan term is linear map-combinable work, vs the percentile() buffer whose EXECUTOR MEMORY grows linearly with group size (the 100 TB OOM the r6 swap removed)",
                     "ext_84_copurchase": "r12 (judge task 3): the r11 >3x slope flag was the ASYMMETRIC measurement, not the plan. Data shape measured at both SFs: pair volume Sigma C(basket,2) = 119,239 (sf0.01) -> 1,199,575 (sf0.1) - 10.06x for 10x data, exactly linear in orders (max basket 13->17, bounded by the data model); symmetric interleaved median-of-3 in one quiet session: 1.80 -> 3.49s = 1.93x slope, well inside the overhead-dominated regime. The basket-keyed pair join scales linearly as designed",
-                    "scaling_slope_method": "r12 (judge task 2b): SYMMETRIC — the sf0.01 denominator and the SF_DIR numerator are both median-of-3 re-timings interleaved in the same post-suite window, so a sandbox swing hits both sides equally; the in-suite medians remain in `queries` and are quoted per-entry for comparison. A slope of ~10x would be honest linearity; <3x means per-job overhead still dominates; the 3x gate marks the transition out of the overhead regime, and any flag still needs a named cause",
+                    "ext_85_decile_binning_r12": "the r12 pre-normalization run flagged ext_85 again (4.67->16.7s requiet slope) in a suite whose sandbox was measurably degraded (anchor 1.56s pre vs r11's 0.67s post; a mid-suite spike put ext_69 at 27s in-suite vs 3.3s isolated, fresh session, same tree). Isolated fresh-session median at sf0.1: 4.2s - consistent with the r10/r11 3.4-3.9s isolated record. The r12 per-round anchor normalization exists precisely to stop this class of phantom flag; read the anchored slope",
+                    "scaling_slope_method": "r12 (judge task 2b): SYMMETRIC and ANCHOR-NORMALIZED — the sf0.01 denominator and the SF_DIR numerator are median-of-3 re-timings interleaved in the same post-suite window, each divided by that round's fresh anchor run, so a sandbox swing cancels on both sides and across rounds; the in-suite medians remain in `queries` and are quoted per-entry. A slope of ~10x would be honest linearity; <3x means per-job overhead still dominates; the 3x gate marks the transition out of the overhead regime, and any flag still needs a named cause",
                     "scaling_slope_top10": slope_note,
                     "scaling_slope_flags": (
                         slope_flags
@@ -479,6 +526,12 @@ def main() -> None:
                 "sf": sf_val,
                 "anchor_sec": anchor_sec,
                 "anchor_post_sec": anchor_post_sec,
+                "anchored_top10": {
+                    n: anchored[n]
+                    for n, _ in sorted(
+                        timings.items(), key=lambda kv: -kv[1]
+                    )[:10]
+                },
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
                 "timings": vector,
