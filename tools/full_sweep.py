@@ -194,10 +194,13 @@ def main() -> int:
         qs = {n: qs[n] for n in only}
 
     sweep: dict[str, dict[str, str]] = {}
+    history: list[dict] = []
     out_path = os.path.join(REPO, f"FULLSWEEP_r{rnd}.json")
     if only and os.path.exists(out_path):
         with open(out_path, encoding="utf-8") as f:
-            sweep = json.load(f)["sweep"]
+            prev = json.load(f)
+        sweep = prev["sweep"]
+        history = prev.get("runs", [])
         # entries consolidated out of the registry since the last
         # sweep leave the artifact too (the staleness pytest pins
         # artifact membership == live registry in both directions)
@@ -232,9 +235,21 @@ def main() -> int:
             out[k] = out.get(k, 0) + 1
         return out
 
+    # per-invocation provenance (r12 — the r11 verdict noted a merge's
+    # elapsed_sec was indistinguishable from a full sweep's): every
+    # run appends its mode, entry count and elapsed time, so a reader
+    # sees exactly how the artifact accumulated.
+    history.append(
+        {
+            "mode": "only-merge" if only else "full",
+            "n_run": len(qs),
+            "elapsed_sec": round(time.monotonic() - t0, 1),
+        }
+    )
     artifact = {
         "round": rnd,
         "generated_by": "tools/full_sweep.py",
+        "runs": history,
         "elapsed_sec": round(time.monotonic() - t0, 1),
         "registry_size": registry_size,
         "n_oracles": len(oracles),
