@@ -38,6 +38,22 @@ def test_rows_only_set_is_exactly_the_allowlist():
     assert set(qs) - set(oracles) == ROWS_ONLY_ALLOWED
 
 
+def test_front_window_names_all_resolve():
+    """Every name in the driver-window ordering must be a live registry
+    entry (r12: the r11 rotation silently dropped ext_75 at position
+    51, and placeholder names for unbuilt entries would silently
+    shrink the window — both are one dead string away; this makes a
+    dead string a test failure instead)."""
+    qs = entrymod.queries()
+    dead = [n for n in entrymod._FRONT if n not in qs]
+    assert not dead, f"_FRONT names not in the registry: {dead}"
+    # the driver checks the FIRST 50 — the whole declared front must
+    # actually fit the window it claims to occupy
+    window = list(qs)[:50]
+    declared = entrymod._FRONT[:50]
+    assert window[: len(declared)] == declared[: len(window)]
+
+
 def test_queries_run_at_smoke_scale(spark):
     from tests.conftest import SF_SMOKE
 
