@@ -21,7 +21,20 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_flagship_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
-# Round-12 rotation (judge task 1): the driver checks the FIRST 50
+# Round-13 rotation (r12 verdict task 1): the driver checks the FIRST
+# 50 entries in iteration order. Window layout: (a) the FULL 44-entry
+# round-7-stale cohort — recomputed from CORRECTNESS_r01..r12 as every
+# live registry entry whose latest driver verdict is round 7 (census:
+# r7x44, r8x42, r9x42, r10x48, r11x49, r12x50; zero never-verified);
+# (b) the new round-13 entries (IVFADC frozen-codebook `add` path,
+# delete-bearing CDC -> ranked-view maintenance); (c) the remaining
+# slots fall to the alphabetically-first round-8-stale entries (extra
+# coverage, no displacement). After this window no live entry's latest
+# driver verdict is older than round 8 — the r12 verdict's done
+# criterion.
+#
+# Previous (round-12) rotation note, kept for the audit trail:
+# the driver checks the FIRST 50
 # entries in iteration order. Window layout: (a) ext_75_substring_dup
 # FIRST — the entry the r11 rotation cut off at position 51 (sections
 # (a)+(b) summed to 51, so the last (b) entry fell outside the
@@ -54,6 +67,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry's latest driver verdict is older than round 6, and the
 # FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
+    # ---- round-13 window: (a) the 44-entry round-7-stale cohort ----
+    "agg_07_quantiles",
+    "ext_100_ttl_dedup",
+    "ext_101_stream_ttl_dedup",
+    "ext_102_weighted_interp",
+    "ext_103_stream_left_join",
+    "ext_104_grouped_ols",
+    "ext_105_stream_sliding",
+    "ext_106_dsir_selection",
+    "ext_107_ewma",
+    "ext_108_jl_projection",
+    "ext_109_zorder",
+    "ext_110_jsonl_source",
+    "ext_111_jsonl_stream",
+    "ext_112_changepoint",
+    "ext_113_weighted_sample",
+    "ext_114_sequence_packing",
+    "ext_115_source_kl",
+    "ext_116_leakage_safe_folds",
+    "ext_118_grouped_anova",
+    "ext_119_chi2_independence",
+    "ext_120_temperature_mixture",
+    "ext_121_sorted_neighborhood",
+    "ext_122_benford_audit",
+    "ext_123_mannwhitney",
+    "ext_124_ks_test",
+    "ext_125_concentration",
+    "ext_126_attribution",
+    "ext_127_conversion_lag",
+    "ext_128_stream_attribution",
+    "ext_129_lexical_diversity",
+    "ext_21_collocations",
+    "ext_31_outliers",
+    "ext_97_spearman",
+    "ext_98_embedding_covariance",
+    "tierc_pivot_sql",
+    "tierc_promo_qty_suppliers",
+    "tierc_recursive_spine",
+    "tierc_same_year_revenue",
+    "tierc_sql_udf",
+    "tierc_tsql_funcs3",
+    "tierc_tsql_funcs4",
+    "tierc_tsql_funcs5",
+    "tierc_value_concentration",
+    "tierc_variant_props",
+    # ---- (b) new in round 13 ----
+    "ext_165_ivfadc_add",
+    "ext_166_cdc_ranked_view",
+    # ---- (c) alphabetically-first round-8-stale fillers ----
+    "agg_02_value_counts",
+    "agg_06_pivot",
+    "ext_09_hll_ndv",
+    "ext_130_welch_ttest",
+    # ---- end of the round-13 driver window ----
+    # r12 window below (audit trail / stable ordering for the rest)
     # ---- round-12 window: (a) the 43 stale entries (r5×1 + r6×42) ----
     "ext_75_substring_dup",
     "ext_02_canonical_docs",

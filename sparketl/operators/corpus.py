@@ -731,12 +731,24 @@ def bm25_topk(
     import re as _re
 
     for t in terms:
-        if not _re.fullmatch(r"[a-z0-9_]+", t):
+        # mixed/upper case is identifier-safe for both engines and
+        # matches real uppercase tokens (the tf test is case-sensitive),
+        # so it is allowed (r12 advisor loosened the original [a-z0-9_]
+        # guard); whitespace-tokenized scoring cannot match multi-token
+        # or quoted terms anyway
+        if not _re.fullmatch(r"[A-Za-z0-9_]+", t):
             raise ValueError(
                 f"bm25_topk: term {t!r} is not identifier-safe "
-                f"(^[a-z0-9_]+$); whitespace-tokenized scoring cannot "
-                f"match multi-token or quoted terms anyway"
+                f"(^[A-Za-z0-9_]+$)"
             )
+    lowered = [t.lower() for t in terms]
+    if len(set(lowered)) != len(lowered):
+        # generated tf_/df_/s_ column names differ only by case for
+        # such pairs, which Spark's default case-insensitive resolver
+        # treats as ambiguous
+        raise ValueError(
+            f"bm25_topk: terms {terms!r} collide case-insensitively"
+        )
     tk = docs.select("doc_id", F.split("text", " ").alias("tk"))
 
     # single-arg closure: a 2-arg lambda would make F.filter pass the

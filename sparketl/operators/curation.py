@@ -2999,8 +2999,16 @@ def q_ext_160_stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(
             F.desc("value_cents"), "event_id"
         )
+        # idempotence under Structured Streaming's at-least-once
+        # foreachBatch replay: a re-applied batch's events are already
+        # in the stored view, and without this dedupe the duplicate
+        # event_ids would occupy two rank slots and corrupt the view
+        # after a restart. event_id is globally unique in the fixture,
+        # so dropDuplicates on (user_id, event_id) makes a replayed
+        # batch re-rank to exactly the stored state — a no-op upsert.
         fresh = (
             stored.unionByName(delta)
+            .dropDuplicates(["user_id", "event_id"])
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select(
@@ -3144,9 +3152,14 @@ def q_ext_161_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey >= 50 AND o_custkey <= 250 "
         "AND total_cents >= 5000000 AND total_cents <= 15000000"
     )
-    n_all = len(table._manifest(need_stats=False)["files"])
+    n_all = len(table.data_files())
     n_hit = len(table.candidate_files(where))
-    if not 0 < n_hit < n_all:
+    # the strict-subset assertion is scale-gated (r12 advisor): below
+    # ~8 files a tiny fixture can legitimately put every tile in the
+    # query rectangle, and a spurious raise there would fail a correct
+    # layout. At any real scale n_all >> 8 and the gate is active —
+    # which is where a silent full-scan regression would actually cost.
+    if n_all >= 8 and not 0 < n_hit < n_all:
         raise RuntimeError(
             f"ext_161: z-order skipping regressed — 2-column predicate "
             f"admits {n_hit} of {n_all} files (expected a strict, "

@@ -5669,14 +5669,17 @@ def _ivf_maintenance_oracle() -> str:
              CAST(SUM(dist) AS BIGINT) AS sum_delta_dist
       FROM dassign GROUP BY cell
     )
-    SELECT bstat.cell, n_base,
+    SELECT cell,
+           COALESCE(n_base, 0) AS n_base,
            COALESCE(n_delta, 0) AS n_delta,
-           sum_base_dist // n_base AS base_err,
+           COALESCE(sum_base_dist, 0)
+             // GREATEST(COALESCE(n_base, 0), 1) AS base_err,
            COALESCE(sum_delta_dist, 0)
              // GREATEST(COALESCE(n_delta, 0), 1) AS delta_err,
-           (1000 * COALESCE(n_delta, 0)) // n_base AS growth_permille
-    FROM bstat LEFT JOIN dstat USING (cell)
-    ORDER BY bstat.cell
+           (1000 * COALESCE(n_delta, 0))
+             // GREATEST(COALESCE(n_base, 0), 1) AS growth_permille
+    FROM bstat FULL OUTER JOIN dstat USING (cell)
+    ORDER BY cell
 """
 
 

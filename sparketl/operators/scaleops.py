@@ -338,6 +338,40 @@ def _canonical_edges(edges: DataFrame) -> DataFrame:
     )
 
 
+def _is_star_forest(df: DataFrame) -> bool:
+    """Exact star-forest fixed-point confirmation for a canonical
+    (hi, lo) edge set: every hi carries exactly ONE lo, AND the hi-set
+    is disjoint from the lo-set.
+
+    Single-labeling alone is NOT sufficient — a mid-convergence chain
+    state such as E={(2,1),(3,2)} labels each hi once, yet node 2
+    appears as both a labeled member (hi) and another node's label
+    (lo), so returning it would yield inconsistent components
+    (3 -> 2 while 2 -> 1). Together the two conditions are exactly the
+    star forest: disjointness forces every tree to height 1, so each
+    lo is its component's minimum and each hi maps straight to it.
+    Two tiny jobs (one aggregate + one semi-join probe that
+    short-circuits on the first overlap) — callers run this only on
+    checksum equality, so the cost lands once at the end, not per
+    round.
+    """
+    row = (
+        df.groupBy("hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.coalesce(F.max("n"), F.lit(1)).alias("mx"))
+        .first()
+    )
+    if row["mx"] > 1:
+        return False
+    overlap = (
+        df.select(F.col("hi").alias("node"))
+        .join(df.select(F.col("lo").alias("node")), "node", "left_semi")
+        .limit(1)
+        .count()
+    )
+    return overlap == 0
+
+
 def connected_components_star(
     edges: DataFrame, max_rounds: int = 30, return_rounds: bool = False
 ):
@@ -401,17 +435,6 @@ def connected_components_star(
             ).alias("h"),
         ).first()
         return (row["n"], row["h"])
-
-    def _is_star_forest(df: DataFrame) -> bool:
-        # exact fixed-point confirmation: at the fixed point E is the
-        # (node -> component-min) star forest, i.e. every hi value
-        # carries exactly ONE lo. One tiny aggregate, no collect of
-        # edges — run only on checksum equality, so its cost is one
-        # job at the end, not per round.
-        row = df.groupBy("hi").agg(F.count(F.lit(1)).alias("n")).agg(
-            F.coalesce(F.max("n"), F.lit(1)).alias("mx")
-        ).first()
-        return row["mx"] <= 1
 
     prev = _checksum(E)
     rounds = 0

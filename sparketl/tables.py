@@ -673,6 +673,14 @@ class ManagedTable:
         df = self.spark.read.schema(schema).parquet(*files)
         return df.filter(where) if where else df
 
+    def data_files(self, version: int | None = None) -> list[str]:
+        """Public accessor for the snapshot's data-file list (the
+        denominator of any skipping claim). ``candidate_files(where)``
+        over ``data_files()`` is the manifest-level selectivity a
+        layout query can assert on without reaching into the private
+        ``_manifest`` structure (r12 advisor)."""
+        return list(self._manifest(version, need_stats=False)["files"])
+
     def candidate_files(self, where: str | None, version: int | None = None) -> list[str]:
         """Manifest files that might contain rows matching ``where`` —
         AND-of-comparisons prune on footer min/max stats (numeric

@@ -314,7 +314,12 @@ def test_bm25_hand_computed(spark):
 
 def test_bm25_rejects_non_identifier_terms(spark):
     """r12 (advisor): terms flow into generated SQL on both engines —
-    anything outside ^[a-z0-9_]+$ must raise, not break the expression."""
+    anything outside ^[A-Za-z0-9_]+$ must raise, not break the
+    expression. Mixed/upper case is identifier-safe and allowed (r13,
+    advisor follow-up): the tf test is case-sensitive, so an uppercase
+    term scores real uppercase tokens — but two terms colliding
+    case-insensitively would generate ambiguous column names under
+    Spark's default resolver and must raise."""
     import pytest
 
     from sparketl.operators.corpus import bm25_topk
@@ -323,6 +328,13 @@ def test_bm25_rejects_non_identifier_terms(spark):
     for bad in ("it's", "two words", "semi;colon", 'quo"te', "da-sh", ""):
         with pytest.raises(ValueError, match="identifier-safe"):
             bm25_topk(docs, terms=(bad,))
+    with pytest.raises(ValueError, match="case-insensitively"):
+        bm25_topk(docs, terms=("Hash", "hash"))
+    cased = spark.createDataFrame(
+        [(1, "Hash Hash b c"), (2, "hash b c d")], "doc_id long, text string"
+    )
+    out = bm25_topk(cased, terms=("Hash",), k=5).collect()
+    assert [r["doc_id"] for r in out] == [1]  # only the uppercase doc scores
 
 
 def test_ctfidf_discriminative_terms_rank_first(spark):

@@ -198,6 +198,23 @@ def test_cc_star_raises_loudly_when_rounds_exhausted(spark):
         connected_components_star(edges, max_rounds=1)
 
 
+def test_star_forest_check_rejects_chain_state(spark):
+    """r13 (r12 advisor): single-labeling alone passes a
+    mid-convergence chain state (E={(2,1),(3,2)} labels each hi once,
+    but node 2 is both hi and lo), so a checksum collision there would
+    return inconsistent components. The fixed-point check must also
+    require hi-set disjoint from lo-set — exactly the star forest."""
+    from sparketl.operators.scaleops import _is_star_forest
+
+    def edges(pairs):
+        return spark.createDataFrame(pairs, "hi long, lo long")
+
+    assert not _is_star_forest(edges([(2, 1), (3, 2)]))  # chain
+    assert not _is_star_forest(edges([(3, 1), (3, 2)]))  # double label
+    assert _is_star_forest(edges([(2, 1), (3, 1), (5, 4)]))  # star forest
+    assert _is_star_forest(edges([]).limit(0))  # vacuous
+
+
 def test_cc_star_empty_and_self_loops(spark):
     from sparketl.operators.scaleops import connected_components_star
 
