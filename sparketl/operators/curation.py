@@ -3045,6 +3045,251 @@ def q_ext_160_stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_166: DELETE-bearing CDC stream -> ranked-view maintenance — the
+# composition ext_160's docstring defers: keyed deletes/upserts applied
+# to the base (the ext_155 MERGE device), then touched groups re-ranked
+# from the base with the group-bounded rescan (the ext_156 device),
+# both through foreachBatch into versioned ManagedTables.
+# ---------------------------------------------------------------------------
+
+CDC_TOPK_K = 3  # per-user ranked-view size maintained by q_ext_166
+CDC_DEL_MOD = 9  # event_id % MOD == 0 marks a record as a DELETE command
+CDC_DEL_OFFSET = 40  # a delete record targets key event_id - OFFSET
+
+
+def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> None:
+    """One delete-bearing CDC micro-batch applied to the (base, view)
+    ManagedTable pair — the foreachBatch body of q_ext_166, extracted
+    so the stream≡batch pytest can drive constructed batches (incl. a
+    delete of a current top-k member) through the exact production
+    path. ``batch`` carries the raw event shape (user_id, event_id,
+    ts, value); op derivation, within-batch CDC ordering, the base
+    MERGE, the group-bounded rescan and the stale-slot retirement all
+    live here. Replay-idempotent (see q_ext_166's docstring)."""
+    ev = batch.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        (F.col("value").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("value_cents"),
+    )
+    is_del = F.col("event_id") % CDC_DEL_MOD == 0
+    cdc = ev.select(
+        F.when(is_del, F.col("event_id") - CDC_DEL_OFFSET)
+        .otherwise(F.col("event_id"))
+        .alias("key_id"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("upsert")).alias(
+            "op"
+        ),
+        F.col("event_id").alias("rec_id"),
+        "user_id",
+        "ts_us",
+        "value_cents",
+    )
+    # within-batch CDC ordering: last op per key in (ts_us, rec_id)
+    # order — replayed batches and upsert-then-delete sequences
+    # resolve identically to the declarative global order
+    wk = Window.partitionBy("key_id").orderBy(
+        F.desc("ts_us"), F.desc("rec_id")
+    )
+    last = (
+        cdc.withColumn("_rn", F.row_number().over(wk))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("key_id").alias("event_id"),
+            "op",
+            "user_id",
+            "ts_us",
+            "value_cents",
+        )
+        .localCheckpoint(eager=True)  # 3 consumers below
+    )
+    # groups touched by deletes = the TARGET rows' groups (the
+    # delete record's own user_id is the deleter, not the deletee)
+    del_groups = (
+        base.read()
+        .join(
+            last.filter(F.col("op") == "delete").select("event_id"),
+            "event_id",
+            "left_semi",
+        )
+        .select("user_id")
+    )
+    touched = (
+        last.filter(F.col("op") == "upsert")
+        .select("user_id")
+        .union(del_groups)
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed after the base merge
+    )
+    (
+        base.merge(last, "target.event_id = source.event_id")
+        .when_matched_delete("source.op = 'delete'")
+        .when_matched_update(
+            {
+                "user_id": "source.user_id",
+                "ts_us": "source.ts_us",
+                "value_cents": "source.value_cents",
+            },
+            "source.op = 'upsert'",
+        )
+        .when_not_matched_insert(condition="source.op = 'upsert'")
+        .execute()
+    )
+    # group-bounded rescan of the POST-merge base (ext_156): only
+    # touched groups re-rank; untouched view files carry forward
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("value_cents"), "event_id"
+    )
+    fresh = (
+        base.read()
+        .join(touched, "user_id", "left_semi")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            (F.col("user_id") * 100 + F.col("rank")).alias("view_key"),
+            "user_id",
+            F.col("rank").cast("int").alias("rank"),
+            "event_id",
+            "value_cents",
+        )
+        .localCheckpoint(eager=True)  # stale diff + merge source
+    )
+    stale = (
+        view.read()
+        .join(touched, "user_id", "left_semi")
+        .select("view_key")
+        .join(fresh.select("view_key"), "view_key", "left_anti")
+    )
+    src = fresh.withColumn("op", F.lit("upsert")).unionByName(
+        stale.withColumn("op", F.lit("delete")),
+        allowMissingColumns=True,
+    )
+    (
+        view.merge(src, "target.view_key = source.view_key")
+        .when_matched_delete("source.op = 'delete'")
+        .when_matched_update(
+            {
+                "user_id": "source.user_id",
+                "rank": "source.rank",
+                "event_id": "source.event_id",
+                "value_cents": "source.value_cents",
+            },
+            "source.op = 'upsert'",
+        )
+        .when_not_matched_insert(condition="source.op = 'upsert'")
+        .execute()
+    )
+
+
+def q_ext_166_cdc_ranked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-bearing CDC stream maintaining a per-user top-k view
+    (r12 verdict task 5): the events fixture is reinterpreted as a CDC
+    log — records with ``event_id % 9 == 0`` are DELETE commands
+    targeting key ``event_id - 40`` (an earlier arrival, possibly a
+    CURRENT top-k member), everything else upserts itself — and driven
+    as a 4-batch stream through ``foreachBatch`` into TWO versioned
+    ManagedTables:
+
+    1. BASE (keyed row mirror): per batch, resolve the last op per key
+       in (ts_us, record_id) order — the within-batch half of CDC
+       ordering; time-range staging gives the cross-batch half — and
+       apply it as ONE atomic MERGE (matched+delete, matched+update,
+       not-matched+insert), file-pruned on the key range. This is
+       ext_155's device extended with the DELETE action.
+    2. VIEW (per-user top-k by value): deletes are the case stored
+       top-k state cannot answer — a removed member's replacement
+       lives OUTSIDE the stored k rows — so the view re-ranks ONLY the
+       touched groups from the post-merge base (ext_156's
+       group-bounded rescan; a semi-join prune at scale), carries
+       every untouched group's files forward verbatim, and retires
+       stale rank slots (a group shrinking below its stored m) through
+       the same MERGE's delete clause. One atomic view commit per
+       batch.
+
+    Work per batch = O(batch + Σ size of touched groups + k·touched) —
+    never a base rescan of untouched groups, never a view rewrite of
+    untouched files. Replay-idempotent: re-applying a batch finds its
+    upserts matched (same values), its deletes already gone, and the
+    rescan reproduces the stored ranking — both merges are no-ops.
+
+    Oracle: the declarative top-k over the post-CDC snapshot — alive =
+    upsert exists and no LATER delete in (ts_us, event_id) order — so
+    the hash-match proves 4 sequential delete-bearing maintenance
+    commits ≡ recompute, the ext_155/156/160 proof shape closed over
+    deletes.
+
+    The reference applies keyed worksheet updates row-by-row
+    (tool:282-312) with no delete or ranking surface; [EXT]
+    streaming+IVM suite.
+    """
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from sparketl.streaming.stateful import (
+        read_staged_stream,
+        stage_event_chunks,
+    )
+    from sparketl.tables import ManagedTable
+
+    k = CDC_TOPK_K
+    stage = stage_event_chunks(spark, sf_dir, n_chunks=4)
+    root = os.path.join(
+        tempfile.gettempdir(), f"sparketl-cdcrank-{uuid.uuid4().hex[:8]}"
+    )
+    base = ManagedTable(spark, os.path.join(root, "base"))
+    base.create(
+        T.StructType(
+            [
+                T.StructField("event_id", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("ts_us", T.LongType()),
+                T.StructField("value_cents", T.LongType()),
+            ]
+        )
+    )
+    view = ManagedTable(spark, os.path.join(root, "view"))
+    view.create(
+        T.StructType(
+            [
+                T.StructField("view_key", T.LongType()),
+                T.StructField("user_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("event_id", T.LongType()),
+                T.StructField("value_cents", T.LongType()),
+            ]
+        )
+    )
+
+    def apply_batch(batch: DataFrame, _batch_id: int) -> None:
+        cdc_rank_apply_batch(base, view, batch, k=k)
+
+    q = (
+        read_staged_stream(spark, stage)
+        .writeStream.foreachBatch(apply_batch)
+        .option(
+            "checkpointLocation",
+            os.path.join(root, "_stream_checkpoint"),
+        )
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = view.read().orderBy("user_id", "rank").select(
+        "user_id", "rank", "event_id", "value_cents"
+    )
+    import atexit
+
+    atexit.register(shutil.rmtree, stage, True)
+    atexit.register(shutil.rmtree, root, True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # ext_157/158: storage-layout scale techniques as checkable queries —
 # partition-pruned scans and bucketed (shuffle-free) joins.
 # ---------------------------------------------------------------------------

@@ -5721,3 +5721,247 @@ def _pca_whitening_oracle() -> str:
 
 EXT_QUERIES["ext_162_pca_whitening"] = q_ext_162_pca_whitening
 EXT_ORACLES["ext_162_pca_whitening"] = _pca_whitening_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_165 (r13): IVFADC `add` — frozen-codebook encoding of new arrivals
+# plus the per-cell code-distribution drift report (completes the FAISS
+# train/add lifecycle: ext_159 trains+serves, ext_163 maintains the
+# coarse level, this encodes deltas into BOTH frozen quantizers).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.similarity import q_ext_165_ivfadc_add  # noqa: E402
+
+
+def _ivfadc_add_oracle() -> str:
+    """Replays the add path bit for bit: the training prefix is
+    _ivfadc_oracle's coarse + residual-PQ Lloyd restricted to the base
+    split (vec_id % 5 <> 0), the delta encoding is one frozen coarse
+    argmin + one frozen per-subspace code argmin (no retrain CTEs at
+    all — the frozen-ness is structural in the SQL), and the drift is
+    exact integer permille arithmetic over the fixed (cell, s, c)
+    grid. Every constant comes from the Python signature via inspect
+    (the r10 rule)."""
+    import inspect
+
+    from sparketl.operators.similarity import (
+        IVFADC_COARSE_ITERS,
+        IVFADC_PQ_ITERS,
+        ivfadc_add_report,
+    )
+
+    p = inspect.signature(ivfadc_add_report).parameters
+    n_cells = p["n_cells"].default
+    n_sub = p["n_sub"].default
+    sub_dim = p["sub_dim"].default
+    n_codes = p["n_codes"].default
+    ci = IVFADC_COARSE_ITERS
+    pi = IVFADC_PQ_ITERS
+    dist = "CAST(SUM((m * 1000 - cq) * (m * 1000 - cq)) AS BIGINT)"
+    cent = "(1000 * CAST(SUM(m) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)"
+    pdist = "CAST(SUM((rm - pcq) * (rm - pcq)) AS BIGINT)"
+    pcent = "CAST(SUM(rm) AS BIGINT) // CAST(COUNT(*) AS BIGINT)"
+
+    coarse = []
+    for i in range(ci):
+        coarse.append(f"""c{i} AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{i} USING (vec_id) GROUP BY c, d
+    ), d{i + 1} AS (
+      SELECT cells.vec_id, c{i}.c, {dist} AS dist
+      FROM cells JOIN c{i} USING (d) GROUP BY 1, 2
+    ), a{i + 1} AS (
+      SELECT vec_id, MIN(c) AS c
+      FROM d{i + 1} JOIN (SELECT vec_id, MIN(dist) AS md FROM d{i + 1}
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    )""")
+    coarse_sql = ", ".join(coarse)
+
+    pq = []
+    for i in range(pi):
+        pq.append(f"""pd{i + 1} AS (
+      SELECT res.vec_id, p{i}.s, p{i}.c, {pdist} AS dist
+      FROM res JOIN p{i} USING (s, d) GROUP BY 1, 2, 3
+    ), codes{i + 1} AS (
+      SELECT vec_id, s, MIN(c) AS c
+      FROM pd{i + 1} JOIN (SELECT vec_id, s, MIN(dist) AS md
+                           FROM pd{i + 1} GROUP BY vec_id, s) x
+           USING (vec_id, s)
+      WHERE dist = md GROUP BY vec_id, s
+    ), p{i + 1} AS (
+      SELECT s, c, d, {pcent} AS pcq
+      FROM res JOIN codes{i + 1} USING (vec_id, s) GROUP BY s, c, d
+    )""")
+    pq_sql = ", ".join(pq)
+
+    return f"""
+    WITH vb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ), un AS (
+      SELECT vec_id,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vb
+    ), uz AS (
+      SELECT vec_id, unnest(range(0, len(u))) AS d0, unnest(u) AS uf
+      FROM un
+    ), cells AS (
+      SELECT vec_id, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uz
+    ), a0 AS (
+      SELECT vec_id, CAST(vec_id % {n_cells} AS INT) AS c
+      FROM embeddings WHERE vec_id % 5 <> 0
+    ), {coarse_sql}, fcc AS (
+      SELECT c, d, {cent} AS cq
+      FROM cells JOIN a{ci} USING (vec_id) GROUP BY c, d
+    ), fd AS (
+      SELECT cells.vec_id, fcc.c, {dist} AS dist
+      FROM cells JOIN fcc USING (d) GROUP BY 1, 2
+    ), home AS (
+      SELECT vec_id, MIN(c) AS cell
+      FROM fd JOIN (SELECT vec_id, MIN(dist) AS md FROM fd
+                    GROUP BY vec_id) x USING (vec_id)
+      WHERE dist = md GROUP BY vec_id
+    ), res AS (
+      SELECT cells.vec_id, home.cell,
+             CAST(cells.d // {sub_dim} AS INT) AS s, cells.d,
+             CAST(cells.m * 1000 - fcc.cq AS BIGINT) AS rm
+      FROM cells
+      JOIN home USING (vec_id)
+      JOIN fcc ON fcc.c = home.cell AND fcc.d = cells.d
+    ), p0 AS (
+      SELECT s, CAST(vec_id % {n_codes} AS INT) AS c, d, {pcent} AS pcq
+      FROM res GROUP BY s, CAST(vec_id % {n_codes} AS INT), d
+    ), {pq_sql}, vd AS (
+      SELECT vec_id AS did, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id % 5 = 0
+    ), und AS (
+      SELECT did,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS u
+      FROM vd
+    ), uzd AS (
+      SELECT did, unnest(range(0, len(u))) AS d0, unnest(u) AS uf
+      FROM und
+    ), dcells AS (
+      SELECT did, CAST(d0 AS INT) AS d,
+             CAST(FLOOR(uf * 1000.0) AS BIGINT) AS m
+      FROM uzd
+    ), dfd AS (
+      SELECT dcells.did, fcc.c, {dist} AS dist
+      FROM dcells JOIN fcc USING (d) GROUP BY 1, 2
+    ), dhome AS (
+      SELECT did, MIN(c) AS cell
+      FROM dfd JOIN (SELECT did, MIN(dist) AS md FROM dfd
+                     GROUP BY did) x USING (did)
+      WHERE dist = md GROUP BY did
+    ), dres AS (
+      SELECT dcells.did, dhome.cell,
+             CAST(dcells.d // {sub_dim} AS INT) AS s, dcells.d,
+             CAST(dcells.m * 1000 - fcc.cq AS BIGINT) AS rm
+      FROM dcells
+      JOIN dhome USING (did)
+      JOIN fcc ON fcc.c = dhome.cell AND fcc.d = dcells.d
+    ), dpd AS (
+      SELECT dres.did, p{pi}.s, p{pi}.c, {pdist} AS dist
+      FROM dres JOIN p{pi} USING (s, d) GROUP BY 1, 2, 3
+    ), dcodes AS (
+      SELECT did, s, MIN(c) AS c
+      FROM dpd JOIN (SELECT did, s, MIN(dist) AS md
+                     FROM dpd GROUP BY did, s) x USING (did, s)
+      WHERE dist = md GROUP BY did, s
+    ), occ AS (
+      SELECT cell,
+             CAST(COALESCE(nb, 0) AS BIGINT) AS n_base,
+             CAST(COALESCE(nd, 0) AS BIGINT) AS n_delta
+      FROM (SELECT cell, COUNT(*) AS nb FROM home GROUP BY cell) b
+      FULL OUTER JOIN (SELECT cell, COUNT(*) AS nd FROM dhome
+                       GROUP BY cell) d USING (cell)
+    ), histb AS (
+      SELECT home.cell, codes{pi}.s, codes{pi}.c,
+             CAST(COUNT(*) AS BIGINT) AS cnt_b
+      FROM codes{pi} JOIN home USING (vec_id)
+      GROUP BY 1, 2, 3
+    ), histd AS (
+      SELECT dhome.cell, dcodes.s, dcodes.c,
+             CAST(COUNT(*) AS BIGINT) AS cnt_d
+      FROM dcodes JOIN dhome USING (did)
+      GROUP BY 1, 2, 3
+    ), grid AS (
+      SELECT cell, s, c,
+             COALESCE(cnt_b, 0) AS cnt_b,
+             COALESCE(cnt_d, 0) AS cnt_d
+      FROM histb FULL OUTER JOIN histd USING (cell, s, c)
+    ), drift AS (
+      SELECT grid.cell,
+             CAST(SUM(ABS((1000 * cnt_b) // GREATEST(n_base, 1)
+                        - (1000 * cnt_d) // GREATEST(n_delta, 1)))
+                  // {n_sub} AS BIGINT) AS raw_drift
+      FROM grid JOIN occ USING (cell)
+      GROUP BY grid.cell
+    )
+    SELECT occ.cell, n_base, n_delta,
+           (1000 * n_delta) // GREATEST(n_base, 1) AS growth_permille,
+           CASE WHEN n_base = 0 OR n_delta = 0 THEN CAST(0 AS BIGINT)
+                ELSE COALESCE(raw_drift, CAST(0 AS BIGINT)) END
+             AS code_drift_permille
+    FROM occ LEFT JOIN drift ON drift.cell = occ.cell
+    ORDER BY occ.cell
+"""
+
+
+EXT_QUERIES["ext_165_ivfadc_add"] = q_ext_165_ivfadc_add
+EXT_ORACLES["ext_165_ivfadc_add"] = _ivfadc_add_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ext_166 (r13): delete-bearing CDC stream -> ranked-view maintenance —
+# oracle recomputes the declarative top-k over the post-CDC snapshot
+# (alive = upsert exists with no LATER delete in (ts_us, event_id)
+# order), proving 4 sequential delete-bearing maintenance commits ≡
+# recompute. Constants come from the curation module (the r10 rule).
+# ---------------------------------------------------------------------------
+
+from sparketl.operators.curation import (  # noqa: E402
+    q_ext_166_cdc_ranked_view,
+)
+
+
+def _cdc_ranked_view_oracle() -> str:
+    from sparketl.operators.curation import (
+        CDC_DEL_MOD,
+        CDC_DEL_OFFSET,
+        CDC_TOPK_K,
+    )
+
+    return f"""
+    WITH e AS (
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+             CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+               AS value_cents
+      FROM events
+    ), alive AS (
+      SELECT k.user_id, k.event_id, k.value_cents
+      FROM e k
+      LEFT JOIN e d
+        ON d.event_id = k.event_id + {CDC_DEL_OFFSET}
+       AND d.event_id % {CDC_DEL_MOD} = 0
+       AND (d.ts_us > k.ts_us
+            OR (d.ts_us = k.ts_us AND d.event_id > k.event_id))
+      WHERE k.event_id % {CDC_DEL_MOD} <> 0 AND d.event_id IS NULL
+    ), r AS (
+      SELECT user_id, event_id, value_cents,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY value_cents DESC, event_id) AS INT) AS rank
+      FROM alive
+    )
+    SELECT user_id, rank, event_id, value_cents
+    FROM r WHERE rank <= {CDC_TOPK_K}
+    ORDER BY user_id, rank
+"""
+
+
+EXT_QUERIES["ext_166_cdc_ranked_view"] = q_ext_166_cdc_ranked_view
+EXT_ORACLES["ext_166_cdc_ranked_view"] = _cdc_ranked_view_oracle()

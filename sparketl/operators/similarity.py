@@ -719,9 +719,67 @@ def ivfadc_topk(
     No reference analogue (SQL_DATA_INTEGRATION_TOOL.py:273 has no
     vector surface); [EXT] ANN suite — composes ext_03 + ext_151.
     """
+    idx = _ivfadc_train(
+        corpus, n_cells, sub_dim, n_codes, coarse_iters, pq_iters,
+        vec_col, id_col,
+    )
+    return _ivfadc_serve(idx, queries, k, nprobe, sub_dim, vec_col, id_col)
+
+
+def _ivfadc_coarse_cents(grouped) -> DataFrame:
+    return grouped.agg(
+        F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
+    ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
+
+
+def _ivfadc_coarse_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
+    pid = pts.columns[0]
+    return (
+        pts.join(F.broadcast(cents), "d")
+        .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
+        .groupBy(pid, "c")
+        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+    )
+
+
+def _ivfadc_pq_cents(grouped) -> DataFrame:
+    return grouped.agg(
+        F.sum("rm").alias("sr"), F.count(F.lit(1)).alias("n")
+    ).select("s", "c", "d", F.expr("sr div n").alias("pcq"))
+
+
+def _ivfadc_pq_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
+    pid = pts.columns[0]
+    return (
+        pts.join(F.broadcast(cents), ["s", "d"])
+        .withColumn("dx", F.col("rm") - F.col("pcq"))
+        .groupBy(pid, "s", "c")
+        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+    )
+
+
+def _ivfadc_train(
+    corpus: DataFrame,
+    n_cells: int,
+    sub_dim: int,
+    n_codes: int,
+    coarse_iters: int,
+    pq_iters: int,
+    vec_col: str,
+    id_col: str,
+) -> dict:
+    """The TRAIN half of the IVFADC lifecycle (FAISS ``train``): learn
+    the coarse centroids and residual-PQ codebooks, and produce the
+    trained corpus's own index rows. Returns the frozen index as a
+    dict: ``ccent`` (coarse centroids, (c, d, cq)), ``ccent_r`` (the
+    same keyed (cell, d) for residual joins), ``pcent`` (PQ codebooks,
+    (s, c, d, pcq)), ``home`` ((vid, cell)) and ``codes``
+    ((vid, s, c)) for the training vectors. ``_ivfadc_encode`` adds
+    new vectors against this frozen state; ``_ivfadc_serve`` answers
+    queries over any (home, codes) rows."""
     if coarse_iters < 1 or pq_iters < 1:
         raise ValueError(
-            f"ivfadc_topk: coarse_iters and pq_iters must be >= 1 "
+            f"ivfadc: coarse_iters and pq_iters must be >= 1 "
             f"(got {coarse_iters}, {pq_iters}); the residue-class inits "
             f"seed centroids, but cells/codes only exist after the "
             f"first assignment round of each stage"
@@ -731,34 +789,20 @@ def ivfadc_topk(
     ).localCheckpoint(eager=True)  # feeds every round of both stages
 
     # ---- stage 1: coarse quantizer (ext_03's integer Lloyd) ----
-    def _coarse_cents(grouped) -> DataFrame:
-        return grouped.agg(
-            F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
-        ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
-
-    def _coarse_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
-        pid = pts.columns[0]
-        return (
-            pts.join(F.broadcast(cents), "d")
-            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
-            .groupBy(pid, "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-        )
-
-    ccent = _coarse_cents(
+    ccent = _ivfadc_coarse_cents(
         cells.groupBy(F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "d")
     )
     for _ in range(coarse_iters):
         cassign = (
-            _coarse_dists(ccent, cells.select("vid", "d", "m"))
+            _ivfadc_coarse_dists(ccent, cells.select("vid", "d", "m"))
             .groupBy("vid")
             .agg(F.min(F.struct("dist", "c")).alias("mn"))
             .select("vid", F.col("mn.c").alias("c"))
         )
-        ccent = _coarse_cents(cells.join(cassign, "vid").groupBy("c", "d"))
+        ccent = _ivfadc_coarse_cents(cells.join(cassign, "vid").groupBy("c", "d"))
     ccent = ccent.localCheckpoint(eager=True)  # home + q-residual consumer
     home = (
-        _coarse_dists(ccent, cells.select("vid", "d", "m"))
+        _ivfadc_coarse_dists(ccent, cells.select("vid", "d", "m"))
         .groupBy("vid")
         .agg(F.min(F.struct("dist", "c")).alias("mn"))
         .select("vid", F.col("mn.c").alias("cell"))
@@ -780,22 +824,7 @@ def ivfadc_topk(
         )
         .localCheckpoint(eager=True)  # feeds every PQ round + encoding
     )
-
-    def _pq_cents(grouped) -> DataFrame:
-        return grouped.agg(
-            F.sum("rm").alias("sr"), F.count(F.lit(1)).alias("n")
-        ).select("s", "c", "d", F.expr("sr div n").alias("pcq"))
-
-    def _pq_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
-        pid = pts.columns[0]
-        return (
-            pts.join(F.broadcast(cents), ["s", "d"])
-            .withColumn("dx", F.col("rm") - F.col("pcq"))
-            .groupBy(pid, "s", "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-        )
-
-    pcent = _pq_cents(
+    pcent = _ivfadc_pq_cents(
         res.groupBy(
             "s", F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"), "d"
         )
@@ -803,19 +832,86 @@ def ivfadc_topk(
     codes = None
     for _ in range(pq_iters):
         codes = (
-            _pq_dists(pcent, res.select("vid", "s", "d", "rm"))
+            _ivfadc_pq_dists(pcent, res.select("vid", "s", "d", "rm"))
             .groupBy("vid", "s")
             .agg(F.min(F.struct("dist", "c")).alias("mn"))
             .select("vid", "s", F.col("mn.c").alias("c"))
         )
-        pcent = _pq_cents(res.join(codes, ["vid", "s"]).groupBy("s", "c", "d"))
-    pcent = pcent.localCheckpoint(eager=True)  # dtab consumer below
+        pcent = _ivfadc_pq_cents(res.join(codes, ["vid", "s"]).groupBy("s", "c", "d"))
+    pcent = pcent.localCheckpoint(eager=True)  # dtab + encode consumer
+    return {
+        "ccent": ccent,
+        "ccent_r": ccent_r,
+        "pcent": pcent,
+        "home": home,
+        "codes": codes,
+    }
 
-    # ---- query side: probes, per-cell residuals, ADC tables ----
+
+def _ivfadc_encode(
+    idx: dict,
+    vectors: DataFrame,
+    sub_dim: int,
+    vec_col: str,
+    id_col: str,
+) -> dict:
+    """The ADD half of the IVFADC lifecycle (FAISS ``add``): encode new
+    arrivals against the FROZEN index — nearest frozen coarse centroid
+    (one broadcast join + argmin, a query probe's cost), residual
+    against that cell, per-subspace argmin against the frozen PQ
+    codebooks. NO retrain of either quantizer: at 100 TB vectors
+    append daily and both codebooks stay fixed between scheduled
+    retrains (ext_163's triggers decide when). Returns {"home",
+    "codes"} rows for the new vectors, union-compatible with the
+    trained index's — ``_ivfadc_serve`` scans both identically."""
+    cells = _milli_unit_cells(spread(vectors), id_col, "vid", vec_col)
+    home = (
+        _ivfadc_coarse_dists(idx["ccent"], cells.select("vid", "d", "m"))
+        .groupBy("vid")
+        .agg(F.min(F.struct("dist", "c")).alias("mn"))
+        .select("vid", F.col("mn.c").alias("cell"))
+    )
+    res = (
+        cells.join(home, "vid")
+        .join(F.broadcast(idx["ccent_r"]), ["cell", "d"])
+        .select(
+            "vid",
+            "cell",
+            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
+            "d",
+            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
+        )
+    )
+    codes = (
+        _ivfadc_pq_dists(idx["pcent"], res.select("vid", "s", "d", "rm"))
+        .groupBy("vid", "s")
+        .agg(F.min(F.struct("dist", "c")).alias("mn"))
+        .select("vid", "s", F.col("mn.c").alias("c"))
+    )
+    return {"home": home, "codes": codes}
+
+
+def _ivfadc_serve(
+    idx: dict,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    sub_dim: int,
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The SEARCH half: probe the nprobe nearest coarse cells, build
+    the per-(query, cell) ADC table against the frozen codebooks, scan
+    the index rows in ``idx['home']``/``idx['codes']`` with one
+    equi-join. Works identically over trained-only or trained+added
+    index rows — the serving path never knows which vectors were
+    ``train``ed and which were ``add``ed."""
+    ccent, ccent_r, pcent = idx["ccent"], idx["ccent_r"], idx["pcent"]
+    home, codes = idx["home"], idx["codes"]
     q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col)
     wq = W.partitionBy("qid").orderBy("dist", "c")
     probes = (
-        _coarse_dists(ccent, q_cells.select("qid", "d", "m"))
+        _ivfadc_coarse_dists(ccent, q_cells.select("qid", "d", "m"))
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= nprobe)
         .select("qid", F.col("c").alias("cell"))
@@ -861,6 +957,170 @@ def q_ext_159_ivfadc(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_QUERY_SLICE)
     return ivfadc_topk(emb, queries, k=ANN_K).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# ext_165: IVFADC `add` — encode new arrivals against BOTH frozen
+# quantizers (coarse centroids AND residual-PQ codebooks), completing
+# the FAISS train/add lifecycle ext_163 started at the coarse level
+# ---------------------------------------------------------------------------
+
+
+def ivfadc_add_report(
+    base: DataFrame,
+    delta: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    coarse_iters: int = IVFADC_COARSE_ITERS,
+    pq_iters: int = IVFADC_PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVFADC ``add`` path + drift report (r12 verdict task 4): train
+    the full composed index on ``base`` ONCE (coarse + residual PQ,
+    exactly ext_159's trainer), then encode ``delta`` arrivals against
+    the FROZEN state — nearest frozen coarse centroid, residual
+    against that cell, per-subspace argmin code against the frozen PQ
+    codebooks. Neither quantizer retrains: this is FAISS's
+    ``index.add()`` on an IVFADC index, the operation a 100 TB corpus
+    runs daily between scheduled retrains (per-batch cost = two
+    broadcast joins + two argmin aggregates over |delta| rows — a
+    query probe's shape, never a corpus rescan).
+
+    The report extends ext_163's occupancy/growth triggers down to the
+    CODE level, per cell:
+
+    - ``n_base`` / ``n_delta`` / ``growth_permille`` — coarse
+      occupancy drift (ext_163's trigger, here under the serving
+      index's own constants);
+    - ``code_drift_permille`` — mean per-subspace L1 distance between
+      the base and delta CODE distributions, in permille (0..2000):
+      ``(Σ_{s,c} |1000·cnt_b(c,s) div n_b − 1000·cnt_d(c,s) div n_d|)
+      div n_sub``. Rising code drift with calm occupancy means the
+      residual geometry moved off the frozen codebooks — ADC error
+      grows even though the cells still balance — which is the
+      retrain trigger occupancy alone cannot see.
+
+    Cells empty on either side join FULL outer (the ext_163 r12
+    lesson) and report ``code_drift_permille = 0`` — with no
+    distribution on one side there is no code-level evidence; the
+    occupancy columns (n_base = 0 or n_delta = 0 with the clamped
+    growth divisor) already carry that alarm.
+
+    All-integer arithmetic over a fixed (cell, s, c) grid — exact,
+    partition-order-free, replayed bit for bit by the DuckDB oracle.
+
+    No reference analogue (SQL_DATA_INTEGRATION_TOOL.py:273 has no
+    vector surface); [EXT] ANN suite — completes ext_159 (train/serve)
+    + ext_163 (coarse maintenance).
+    """
+    idx = _ivfadc_train(
+        base, n_cells, sub_dim, n_codes, coarse_iters, pq_iters,
+        vec_col, id_col,
+    )
+    add = _ivfadc_encode(idx, delta, sub_dim, vec_col, id_col)
+
+    def _occ(home: DataFrame, n_name: str) -> DataFrame:
+        return home.groupBy("cell").agg(F.count(F.lit(1)).alias(n_name))
+
+    def _hist(part: dict, cnt_name: str) -> DataFrame:
+        return (
+            part["codes"]
+            .join(part["home"], "vid")
+            .groupBy("cell", "s", "c")
+            .agg(F.count(F.lit(1)).alias(cnt_name))
+        )
+
+    occ = _occ(idx["home"], "n_base").join(
+        _occ(add["home"], "n_delta"), "cell", "full_outer"
+    ).select(
+        "cell",
+        F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+    )
+    grid = (
+        _hist(idx, "cnt_b")
+        .join(_hist(add, "cnt_d"), ["cell", "s", "c"], "full_outer")
+        .select(
+            "cell",
+            "s",
+            "c",
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+            F.coalesce("cnt_d", F.lit(0)).alias("cnt_d"),
+        )
+    )
+    drift = (
+        grid.join(F.broadcast(occ), "cell")
+        .withColumn(
+            "l1",
+            F.expr(
+                "abs((1000 * cnt_b) div greatest(n_base, 1)"
+                " - (1000 * cnt_d) div greatest(n_delta, 1))"
+            ),
+        )
+        .groupBy("cell")
+        .agg(F.expr(f"sum(l1) div {n_sub}").alias("raw_drift"))
+    )
+    return (
+        occ.join(drift, "cell", "left")
+        .select(
+            "cell",
+            "n_base",
+            "n_delta",
+            F.expr(
+                "(1000 * n_delta) div greatest(n_base, 1)"
+            ).alias("growth_permille"),
+            F.expr(
+                "CASE WHEN n_base = 0 OR n_delta = 0 THEN CAST(0 AS BIGINT)"
+                " ELSE coalesce(raw_drift, CAST(0 AS BIGINT)) END"
+            ).alias("code_drift_permille"),
+        )
+        .orderBy("cell")
+    )
+
+
+def ivfadc_topk_frozen_add(
+    base: DataFrame,
+    delta: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 16,
+    sub_dim: int = 4,
+    n_codes: int = 16,
+    coarse_iters: int = IVFADC_COARSE_ITERS,
+    pq_iters: int = IVFADC_PQ_ITERS,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Serve queries over a base-trained index PLUS frozen-encoded
+    delta arrivals — the add-then-search composition (train on
+    yesterday's corpus, add today's batch, search everything). The
+    serving path is byte-identical to ext_159's; only the index rows
+    differ: delta vectors enter via ``_ivfadc_encode`` (frozen
+    codebooks), so they are retrievable without any retrain."""
+    idx = _ivfadc_train(
+        base, n_cells, sub_dim, n_codes, coarse_iters, pq_iters,
+        vec_col, id_col,
+    )
+    add = _ivfadc_encode(idx, delta, sub_dim, vec_col, id_col)
+    merged = {
+        **idx,
+        "home": idx["home"].unionByName(add["home"]),
+        "codes": idx["codes"].unionByName(add["codes"]),
+    }
+    return _ivfadc_serve(merged, queries, k, nprobe, sub_dim, vec_col, id_col)
+
+
+def q_ext_165_ivfadc_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)  # the trained index
+    delta = emb.filter(F.col("vec_id") % 5 == 0)  # new arrivals
+    return ivfadc_add_report(base, delta)
 
 
 # ---------------------------------------------------------------------------

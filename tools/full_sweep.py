@@ -115,20 +115,82 @@ SF001 = "/root/testdata/sf0.01"
 SF01 = "/root/testdata/sf0.1"
 
 
+_DEPS_CACHE: dict[str, tuple[str, ...]] = {}
+
+
+def _sparketl_closure(src_path: str) -> tuple[str, ...]:
+    """Transitive closure of sparketl module FILES reachable from
+    ``src_path`` via import statements anywhere in the file (top-level
+    AND function-local — entries routinely import ManagedTable inside
+    the query function). AST-walked and memoized; returns sorted repo-
+    relative paths so the stamp is stable across machines."""
+    if src_path in _DEPS_CACHE:
+        return _DEPS_CACHE[src_path]
+    import ast
+    import importlib.util
+
+    def module_file(modname: str) -> str | None:
+        if not (modname == "sparketl" or modname.startswith("sparketl.")):
+            return None
+        try:
+            spec = importlib.util.find_spec(modname)
+        except (ImportError, ValueError):
+            return None
+        return spec.origin if spec and spec.origin else None
+
+    closure: set[str] = set()
+    stack = [src_path]
+    while stack:
+        path = stack.pop()
+        if path in closure:
+            continue
+        closure.add(path)
+        try:
+            tree = ast.parse(open(path, "rb").read())
+        except SyntaxError:  # pragma: no cover — never on our own tree
+            continue
+        names: set[str] = set()
+        for node in ast.walk(tree):
+            if isinstance(node, ast.Import):
+                names.update(a.name for a in node.names)
+            elif isinstance(node, ast.ImportFrom) and node.module:
+                if node.level == 0:
+                    names.add(node.module)
+                    # `from sparketl.operators import ext_queries`
+                    names.update(
+                        f"{node.module}.{a.name}" for a in node.names
+                    )
+        for n in names:
+            f = module_file(n)
+            if f and f not in closure:
+                stack.append(f)
+    rel = tuple(
+        sorted(os.path.relpath(p, REPO) for p in closure)
+    )
+    _DEPS_CACHE[src_path] = rel
+    return rel
+
+
 def entry_stamp(fn, oracle_sql: str | None) -> str:
-    """Code-state stamp for one registry entry (r12, judge task 4):
-    sha256 over (a) the full bytes of the source FILE defining the
-    entry callable — helpers overwhelmingly live in the same module,
-    so editing the module invalidates every entry it implements — and
-    (b) the entry's oracle SQL text, which pins the DuckDB side too.
-    16 hex chars is plenty for change detection (not security)."""
+    """Code-state stamp for one registry entry (r12, judge task 4;
+    r13, advisor): sha256 over (a) the full bytes of the source FILE
+    defining the entry callable, (b) the full bytes of every sparketl
+    module TRANSITIVELY imported from it (top-level or function-local
+    — so shared infrastructure like tables.py, streaming/stateful.py
+    and io.py invalidates the entries built on it, closing the r12
+    stamp's cross-module hole), and (c) the entry's oracle SQL text,
+    which pins the DuckDB side too. 16 hex chars is plenty for change
+    detection (not security)."""
     f = fn
     while hasattr(f, "func"):  # unwrap functools.partial chains
         f = f.func
     src = inspect.getsourcefile(inspect.unwrap(f))
     h = hashlib.sha256()
-    with open(src, "rb") as fh:
-        h.update(fh.read())
+    for rel in _sparketl_closure(src):
+        h.update(rel.encode("utf-8"))
+        h.update(b"\x00")
+        with open(os.path.join(REPO, rel), "rb") as fh:
+            h.update(fh.read())
     h.update(b"\x00oracle\x00")
     h.update((oracle_sql or "<rows-only>").encode("utf-8"))
     return h.hexdigest()[:16]
