@@ -180,6 +180,8 @@ HEADLINE = [
     "ext_164_quantile_bands",
     "ext_163_ivf_maintenance",
     "ext_162_pca_whitening",
+    "ext_165_ivfadc_add",
+    "ext_166_cdc_ranked_view",
 ]
 
 

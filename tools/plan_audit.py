@@ -276,6 +276,8 @@ AUDITED = [
     "ext_162_pca_whitening",
     "ext_163_ivf_maintenance",
     "ext_164_quantile_bands",
+    "ext_165_ivfadc_add",
+    "ext_166_cdc_ranked_view",
 ]
 
 

@@ -260,12 +260,17 @@ def main() -> int:
         "(ext_132) now report their full shuffle/scan/spill bytes",
         "instead of the final job only.",
         "",
-        "Reading the big ratios: ext_151/ext_159's denominators are the",
-        "RAW embedding file bytes, but Lloyd training shuffles the",
-        "EXPLODED (vector × subspace × code) distance frame — per round",
-        "that is O(n·n_sub·n_codes) narrow rows with map-side combine,",
-        "the canonical distributed-Lloyd shape; relative to the exploded",
-        "frame the shuffle is ~n_codes/dim ≈ 0.25×. ext_84's 1.4× is",
+        "Reading the big ratios: ext_151/ext_159/ext_165's denominators",
+        "are the RAW embedding file bytes, but Lloyd training shuffles",
+        "the EXPLODED (vector × subspace × code) distance frame — per",
+        "round that is O(n·n_sub·n_codes) narrow rows with map-side",
+        "combine, the canonical distributed-Lloyd shape; relative to the",
+        "exploded frame the shuffle is ~n_codes/dim ≈ 0.25× (ext_165",
+        "additionally totals its checkpointed training plans, so its",
+        "ratio is the WHOLE train+add pipeline, not the final job).",
+        "ext_132's now-total ratio is the customer co-purchase pair",
+        "frame (Σ basket², measured linear in orders) feeding three",
+        "consumers through one checkpointed exchange. ext_84's 1.4× is",
         "the basket-keyed pair join — linear in orders (see bench",
         "notes). ext_157/161 read a staged table they first write, so",
         "scan bytes include the round-trip staging. Connected",
