@@ -79,12 +79,17 @@ QUADRATIC_ORACLE_EXEMPT = {
     "ext_14_passage_dedup": (
         "oracle: passage-level self-join over every (doc, passage) "
         "pair. Spark side: passage-hash groupBy (map-combinable, no "
-        "pairs materialized); sf0.1-green in Spark."
+        "pairs materialized); hypothesis pytest asserts row-for-row "
+        "equality with the brute-force first-occurrence replay on "
+        "arbitrary collision-forced corpora (r13); sf0.1-green in "
+        "Spark."
     ),
     "ext_37_containment": (
         "oracle: containment self-join over full shingle sets. Spark "
-        "side: prefix-filtered AllPairs join bounded by document "
-        "frequency; sf0.1-green in Spark."
+        "side: inverted-index equi-join bounded by document "
+        "frequency; hypothesis pytest asserts pair-for-pair equality "
+        "with the brute-force all-pairs scorer incl. the tie-broken "
+        "top-k cut (r13); sf0.1-green in Spark."
     ),
     "ext_52_prefix_jaccard": (
         "oracle: exact all-pairs Jaccard >= 0.8 via shingle "
