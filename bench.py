@@ -575,12 +575,17 @@ def main() -> None:
                 # full interleaved anchor series (r13, judge task 8):
                 # constant-job timings across the whole run, so
                 # normalization quality is auditable from the artifact
-                # of record without rerunning
-                "anchor_series": [round(d, 3) for _, d in anchor_series],
+                # of record without rerunning. 2-decimal precision in
+                # the compact line: centisecond resolution is ample
+                # for auditing a >=0.7 s job and buys back bytes for
+                # named slowest-query slots under the ~1.9 KB cap
+                "anchor_series": [round(d, 2) for _, d in anchor_series],
                 "scaling_slope_flags": slope_flags,
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
-                "timings": vector,
+                "timings": [
+                    round(t, 2) if t is not None else None for t in vector
+                ],
             }
         )
         if len(compact) < 1900 or top_n == 0:
