@@ -333,3 +333,109 @@ def test_containment_topk_matches_brute_force(spark, texts):
         for r in shingle_containment_topk(docs, n=3, k=10).collect()
     ]
     assert got == _brute_containment_topk(texts, n=3, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Model-based MERGE property: ManagedTable's MergeBuilder now carries
+# ext_166's delete-bearing CDC apply, so the clause semantics get a
+# dict-model equivalence check over ARBITRARY op sequences — matched
+# delete/update, not-matched insert, negative keys (exercising the
+# numeric key-range prune), multi-batch interleavings.
+# ---------------------------------------------------------------------------
+
+
+def _mk_kv_table(spark, tmp_path, name):
+    from pyspark.sql import types as T
+
+    from sparketl.tables import ManagedTable
+
+    t = ManagedTable(spark, str(tmp_path / name))
+    t.create(
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("v", T.LongType()),
+            ]
+        )
+    )
+    return t
+
+
+_batches_strategy = st.lists(
+    st.dictionaries(
+        st.integers(min_value=-20, max_value=20),  # keys (negatives: prune)
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(batches=_batches_strategy)
+@settings(max_examples=8, deadline=None)
+def test_merge_clauses_match_dict_model(spark, tmp_path_factory, batches):
+    """MERGE with matched-delete / matched-update / not-matched-insert
+    applied over arbitrary multi-batch op sequences ≡ the obvious dict
+    model: delete removes the key if present (no-op otherwise), upsert
+    inserts-or-replaces. One source row per key per batch (the CDC
+    last-op shape ext_166 feeds it)."""
+    tmp = tmp_path_factory.mktemp("mergemodel")
+    t = _mk_kv_table(spark, tmp, "t")
+    model = {}
+    for batch in batches:
+        src = spark.createDataFrame(
+            [(k, v, op) for k, (op, v) in batch.items()],
+            "k long, v long, op string",
+        )
+        (
+            t.merge(src, "target.k = source.k")
+            .when_matched_delete("source.op = 'delete'")
+            .when_matched_update({"v": "source.v"}, "source.op = 'upsert'")
+            .when_not_matched_insert(condition="source.op = 'upsert'")
+            .execute()
+        )
+        for k, (op, v) in batch.items():
+            if op == "delete":
+                model.pop(k, None)
+            else:
+                model[k] = v
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model  # after EVERY commit, not just the last
+
+
+@given(batches=_batches_strategy)
+@settings(max_examples=6, deadline=None)
+def test_merge_by_source_delete_matches_dict_model(
+    spark, tmp_path_factory, batches
+):
+    """WHEN NOT MATCHED BY SOURCE DELETE (the T-SQL sync shape): after
+    each batch the table holds exactly the source's upserted keys —
+    target rows absent from the source are swept. The clause disables
+    key-range pruning (it must see every file), so this also covers the
+    unpruned rewrite path."""
+    tmp = tmp_path_factory.mktemp("mergesync")
+    t = _mk_kv_table(spark, tmp, "t")
+    model = {}
+    for batch in batches:
+        src = spark.createDataFrame(
+            [(k, v, op) for k, (op, v) in batch.items()],
+            "k long, v long, op string",
+        )
+        (
+            t.merge(src, "target.k = source.k")
+            .when_matched_update({"v": "source.v"}, "source.op = 'upsert'")
+            .when_matched_delete("source.op = 'delete'")
+            .when_not_matched_insert(condition="source.op = 'upsert'")
+            .when_not_matched_by_source_delete()
+            .execute()
+        )
+        # matched deletes and the by-source sweep together leave only
+        # the batch's upserted keys, regardless of prior state
+        model = {k: v for k, (op, v) in batch.items() if op == "upsert"}
+        got = {r["k"]: r["v"] for r in t.read().collect()}
+        assert got == model
