@@ -439,3 +439,87 @@ def test_merge_by_source_delete_matches_dict_model(
         model = {k: v for k, (op, v) in batch.items() if op == "upsert"}
         got = {r["k"]: r["v"] for r in t.read().collect()}
         assert got == model
+
+
+# ---------------------------------------------------------------------------
+# CDC ranked-view property: arbitrary op sequences through the exact
+# production batch path ≡ a sequential Python model — the constructed
+# scenarios above generalized to ANY interleaving of inserts, re-upserts,
+# effective and no-op deletes, including delete-before-insert races.
+# ---------------------------------------------------------------------------
+
+_cdc_batches_strategy = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),   # user_id
+            st.integers(min_value=1, max_value=60),  # event_id (op derives)
+            st.integers(min_value=0, max_value=99),  # whole-dollar value
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=_cdc_batches_strategy)
+@settings(max_examples=6, deadline=None)
+def test_cdc_ranked_view_matches_sequential_model(
+    spark, tmp_path_factory, batches
+):
+    """After EVERY batch, the base table equals the sequential CDC
+    model (within-batch last op per key in (ts, rec_id) order; delete
+    removes if present, upsert inserts-or-replaces) and the view table
+    equals the declarative per-user top-k over that base — for
+    arbitrary generated batches, where hypothesis freely produces
+    duplicate keys, deletes of never-inserted or already-deleted
+    targets, re-upserts of deleted keys, and same-batch
+    upsert+delete collisions."""
+    from sparketl.operators.curation import (
+        CDC_DEL_MOD,
+        CDC_DEL_OFFSET,
+        cdc_rank_apply_batch,
+    )
+
+    tmp = tmp_path_factory.mktemp("cdcmodel")
+    base_t, view_t = _mk_cdc_tables(spark, tmp)
+    k = 3
+    base_model = {}  # key -> (user_id, ts_us, value_cents)
+    for rows in batches:
+        cdc_rank_apply_batch(base_t, view_t, _batch(spark, rows), k=k)
+        # model: last op per key within the batch by (ts, rec_id);
+        # _batch derives ts from event_id, so rec_id ordering suffices
+        last = {}
+        for uid, eid, val in rows:
+            if eid % CDC_DEL_MOD == 0:
+                key, op = eid - CDC_DEL_OFFSET, "delete"
+            else:
+                key, op = eid, "upsert"
+            if key not in last or eid > last[key][0]:
+                last[key] = (eid, op, uid, val)
+        for key, (eid, op, uid, val) in last.items():
+            if op == "delete":
+                base_model.pop(key, None)
+            else:
+                base_model[key] = (uid, eid, 100 * val)
+        got_base = {
+            r["event_id"]: (r["user_id"], r["event_id"], r["value_cents"])
+            for r in base_t.read().collect()
+        }
+        assert {
+            key: (u, key, c) for key, (u, e, c) in base_model.items()
+        } == got_base
+        # declarative top-k per user over the model base
+        by_user = {}
+        for key, (uid, _eid, cents) in base_model.items():
+            by_user.setdefault(uid, []).append((-cents, key))
+        want_view = set()
+        for uid, items in by_user.items():
+            for rank, (_negc, key) in enumerate(sorted(items)[:k], start=1):
+                want_view.add((uid, rank, key, base_model[key][2]))
+        got_view = {
+            (r["user_id"], r["rank"], r["event_id"], r["value_cents"])
+            for r in view_t.read().collect()
+        }
+        assert got_view == want_view
