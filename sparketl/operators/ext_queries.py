@@ -5736,9 +5736,10 @@ from sparketl.operators.similarity import q_ext_165_ivfadc_add  # noqa: E402
 def _ivfadc_add_oracle() -> str:
     """Replays the add path bit for bit: the training prefix is
     _ivfadc_oracle's coarse + residual-PQ Lloyd restricted to the base
-    split (vec_id % 5 <> 0), the delta encoding is one frozen coarse
-    argmin + one frozen per-subspace code argmin (no retrain CTEs at
-    all — the frozen-ness is structural in the SQL), and the drift is
+    split (vec_id % 5 <> 0), BOTH sides re-encode against the FINAL
+    codebooks p{{pi}} (bcodes/dcodes — one frozen coarse argmin + one
+    frozen per-subspace code argmin each; no retrain CTEs at all, the
+    frozen-ness is structural in the SQL), and the drift is
     exact integer permille arithmetic over the fixed (cell, s, c)
     grid. Every constant comes from the Python signature via inspect
     (the r10 rule)."""
@@ -5871,6 +5872,14 @@ def _ivfadc_add_oracle() -> str:
       FROM dpd JOIN (SELECT did, s, MIN(dist) AS md
                      FROM dpd GROUP BY did, s) x USING (did, s)
       WHERE dist = md GROUP BY did, s
+    ), bpd AS (
+      SELECT res.vec_id, p{pi}.s, p{pi}.c, {pdist} AS dist
+      FROM res JOIN p{pi} USING (s, d) GROUP BY 1, 2, 3
+    ), bcodes AS (
+      SELECT vec_id, s, MIN(c) AS c
+      FROM bpd JOIN (SELECT vec_id, s, MIN(dist) AS md
+                     FROM bpd GROUP BY vec_id, s) x USING (vec_id, s)
+      WHERE dist = md GROUP BY vec_id, s
     ), occ AS (
       SELECT cell,
              CAST(COALESCE(nb, 0) AS BIGINT) AS n_base,
@@ -5879,9 +5888,9 @@ def _ivfadc_add_oracle() -> str:
       FULL OUTER JOIN (SELECT cell, COUNT(*) AS nd FROM dhome
                        GROUP BY cell) d USING (cell)
     ), histb AS (
-      SELECT home.cell, codes{pi}.s, codes{pi}.c,
+      SELECT home.cell, bcodes.s, bcodes.c,
              CAST(COUNT(*) AS BIGINT) AS cnt_b
-      FROM codes{pi} JOIN home USING (vec_id)
+      FROM bcodes JOIN home USING (vec_id)
       GROUP BY 1, 2, 3
     ), histd AS (
       SELECT dhome.cell, dcodes.s, dcodes.c,

@@ -999,7 +999,13 @@ def ivfadc_add_report(
     - ``code_drift_permille`` — mean per-subspace L1 distance between
       the base and delta CODE distributions, in permille (0..2000):
       ``(Σ_{s,c} |1000·cnt_b(c,s) div n_b − 1000·cnt_d(c,s) div n_d|)
-      div n_sub``. Rising code drift with calm occupancy means the
+      div n_sub``. BOTH sides are encoded against the FINAL frozen
+      codebooks (the FAISS shape — after train(), add() encodes every
+      vector including the training set): the trainer's
+      last-assignment codes lag the final codebooks by one Lloyd
+      step, and histogramming them against final-codebook delta
+      codes would contaminate the drift with the training update
+      itself. Rising code drift with calm occupancy means the
       residual geometry moved off the frozen codebooks — ADC error
       grows even though the cells still balance — which is the
       retrain trigger occupancy alone cannot see.
@@ -1021,6 +1027,14 @@ def ivfadc_add_report(
         base, n_cells, sub_dim, n_codes, coarse_iters, pq_iters,
         vec_col, id_col,
     )
+    # BOTH sides re-encode against the FINAL frozen codebooks (the
+    # FAISS shape: after train(), add() encodes every vector — base
+    # included — against the finished quantizers). The trainer's
+    # last-assignment codes lag the final codebooks by one Lloyd step,
+    # so histogramming them against delta codes quantized under the
+    # final codebooks would contaminate code_drift_permille with the
+    # training update itself, not data drift (r13).
+    benc = _ivfadc_encode(idx, base, sub_dim, vec_col, id_col)
     add = _ivfadc_encode(idx, delta, sub_dim, vec_col, id_col)
 
     def _occ(home: DataFrame, n_name: str) -> DataFrame:
@@ -1034,7 +1048,7 @@ def ivfadc_add_report(
             .agg(F.count(F.lit(1)).alias(cnt_name))
         )
 
-    occ = _occ(idx["home"], "n_base").join(
+    occ = _occ(benc["home"], "n_base").join(
         _occ(add["home"], "n_delta"), "cell", "full_outer"
     ).select(
         "cell",
@@ -1042,7 +1056,7 @@ def ivfadc_add_report(
         F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
     )
     grid = (
-        _hist(idx, "cnt_b")
+        _hist(benc, "cnt_b")
         .join(_hist(add, "cnt_d"), ["cell", "s", "c"], "full_outer")
         .select(
             "cell",
@@ -1101,17 +1115,21 @@ def ivfadc_topk_frozen_add(
     delta arrivals — the add-then-search composition (train on
     yesterday's corpus, add today's batch, search everything). The
     serving path is byte-identical to ext_159's; only the index rows
-    differ: delta vectors enter via ``_ivfadc_encode`` (frozen
-    codebooks), so they are retrievable without any retrain."""
+    differ: base AND delta vectors enter via ``_ivfadc_encode`` against
+    the final frozen codebooks (FAISS encodes everything at add time;
+    see ivfadc_add_report on why the trainer's last-assignment codes
+    are not reused), so added vectors are retrievable without any
+    retrain."""
     idx = _ivfadc_train(
         base, n_cells, sub_dim, n_codes, coarse_iters, pq_iters,
         vec_col, id_col,
     )
+    benc = _ivfadc_encode(idx, base, sub_dim, vec_col, id_col)
     add = _ivfadc_encode(idx, delta, sub_dim, vec_col, id_col)
     merged = {
         **idx,
-        "home": idx["home"].unionByName(add["home"]),
-        "codes": idx["codes"].unionByName(add["codes"]),
+        "home": benc["home"].unionByName(add["home"]),
+        "codes": benc["codes"].unionByName(add["codes"]),
     }
     return _ivfadc_serve(merged, queries, k, nprobe, sub_dim, vec_col, id_col)
 

@@ -142,10 +142,11 @@ def test_ivfadc_frozen_add_recall_vs_rebuilt(spark):
     frozen-codebook `add` path are retrieved by the ext_159 serving
     path with recall (vs exact cosine ground truth) >= the
     fully-rebuilt index at equal candidates (same k, same nprobe).
-    Measured on the fixture: frozen 24/80 true positives (5 on added
+    Measured on the fixture: frozen 26/80 true positives (5 on added
     vectors) vs rebuilt 21/80 (3) — the frozen index even wins here
-    because the base-only trainer sees a cleaner split; the assertion
-    is the >=, not the win."""
+    because the base-only trainer sees a cleaner split and the
+    symmetric final-codebook re-encode removes the trainer's
+    one-step-stale codes; the assertion is the >=, not the win."""
     from sparketl.operators.similarity import (
         ivfadc_topk,
         ivfadc_topk_frozen_add,
