@@ -3055,6 +3055,10 @@ def q_ext_160_stream_topk_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_TOPK_K = 3  # per-user ranked-view size maintained by q_ext_166
 CDC_DEL_MOD = 9  # event_id % MOD == 0 marks a record as a DELETE command
 CDC_DEL_OFFSET = 40  # a delete record targets key event_id - OFFSET
+# above this many distinct batch keys/groups the per-batch IN-list prune
+# string would be degenerate; fall back to a distributed semi-join (the
+# prune is an optimization — both paths return identical rows)
+CDC_INLIST_MAX = 100_000
 
 
 def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> None:
@@ -3105,21 +3109,36 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         )
         .localCheckpoint(eager=True)  # 3 consumers below
     )
-    # groups touched by deletes = the TARGET rows' groups (the
-    # delete record's own user_id is the deleter, not the deletee)
-    del_groups = (
-        base.read()
-        .join(
-            last.filter(F.col("op") == "delete").select("event_id"),
-            "event_id",
-            "left_semi",
-        )
-        .select("user_id")
+    # pre-merge groups of ALL last-op keys — not just delete targets.
+    # A delete retires rows in the TARGET row's group (the delete
+    # record's own user_id is the deleter, not the deletee), and an
+    # upsert that MOVES a key to a different user must re-rank the OLD
+    # group too, or its stale view row survives pointing at a row that
+    # migrated (CDC row migration; the r13 property test's falsifying
+    # example). The lookup reads the base through the manifest IN-list
+    # prune (tables.py candidate_files): the batch's key set is small
+    # and known, so only files whose event_id footer range admits a
+    # batch key are scanned — the same files the MERGE below will
+    # rewrite — never the full base.
+    keys = sorted(
+        r["event_id"] for r in last.select("event_id").distinct().collect()
     )
+    if not keys:
+        return
+    if len(keys) <= CDC_INLIST_MAX:
+        pre_groups = base.read(
+            where="event_id IN (%s)" % ",".join(str(e) for e in keys)
+        ).select("user_id")
+    else:  # degenerate giant batch: distributed semi-join, no IN string
+        pre_groups = (
+            base.read()
+            .join(last.select("event_id"), "event_id", "left_semi")
+            .select("user_id")
+        )
     touched = (
         last.filter(F.col("op") == "upsert")
         .select("user_id")
-        .union(del_groups)
+        .union(pre_groups)
         .distinct()
         .localCheckpoint(eager=True)  # consumed after the base merge
     )
@@ -3138,13 +3157,27 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         .execute()
     )
     # group-bounded rescan of the POST-merge base (ext_156): only
-    # touched groups re-rank; untouched view files carry forward
+    # touched groups re-rank; untouched view files carry forward. The
+    # touched-user set is batch-bounded, so the rescan (and the stale
+    # view lookup below) also goes through the IN-list manifest prune:
+    # when the base is kept group-clustered (q_ext_166 z-orders it by
+    # (user_id, event_id) at the OPTIMIZE cadence) the footer stats
+    # make "O(touched groups)" a FILE bound, not just a row bound.
+    users = sorted(r["user_id"] for r in touched.collect())
+    if not users:
+        return
+    if len(users) <= CDC_INLIST_MAX:
+        in_users = "user_id IN (%s)" % ",".join(str(u) for u in users)
+        rescan = base.read(where=in_users)
+        stale_lookup = view.read(where=in_users)
+    else:
+        rescan = base.read().join(touched, "user_id", "left_semi")
+        stale_lookup = view.read().join(touched, "user_id", "left_semi")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value_cents"), "event_id"
     )
     fresh = (
-        base.read()
-        .join(touched, "user_id", "left_semi")
+        rescan
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(
@@ -3157,8 +3190,7 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         .localCheckpoint(eager=True)  # stale diff + merge source
     )
     stale = (
-        view.read()
-        .join(touched, "user_id", "left_semi")
+        stale_lookup
         .select("view_key")
         .join(fresh.select("view_key"), "view_key", "left_anti")
     )
@@ -3265,6 +3297,20 @@ def q_ext_166_cdc_ranked_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def apply_batch(batch: DataFrame, _batch_id: int) -> None:
         cdc_rank_apply_batch(base, view, batch, k=k)
+        # OPTIMIZE cadence (every 2nd batch here; amortized in
+        # production): z-order the base by (user_id, event_id) so BOTH
+        # per-batch read paths become file prunes via footer tiles —
+        # the touched-group rescan on user_id (the leading dimension)
+        # and the key lookups/MERGE range prune on event_id (the
+        # trailing one; a linear sort would serve only its leading
+        # column). This is what makes the "semi-join = file prune at
+        # scale" claim physically true, not just logical: data-
+        # preserving, so replay idempotence and the oracle are
+        # untouched.
+        if _batch_id % 2 == 1:
+            base.compact(
+                target_partitions=8, zorder_by=["user_id", "event_id"]
+            )
 
     q = (
         read_staged_stream(spark, stage)

@@ -970,7 +970,6 @@ def ivfadc_add_report(
     base: DataFrame,
     delta: DataFrame,
     n_cells: int = 16,
-    nprobe: int = 4,
     n_sub: int = 16,
     sub_dim: int = 4,
     n_codes: int = 16,
@@ -1103,7 +1102,6 @@ def ivfadc_topk_frozen_add(
     k: int = 10,
     n_cells: int = 16,
     nprobe: int = 4,
-    n_sub: int = 16,
     sub_dim: int = 4,
     n_codes: int = 16,
     coarse_iters: int = IVFADC_COARSE_ITERS,
