@@ -67,7 +67,61 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry's latest driver verdict is older than round 6, and the
 # FULLSWEEP_r11.json artifact covers the whole registry anyway.
 _FRONT = [
-    # ---- round-13 window: (a) the 44-entry round-7-stale cohort ----
+    # ---- round-14 window: (a) the 38-entry round-8-stale cohort ----
+    "ext_131_autocorr",
+    "ext_133_kmeans",
+    "ext_135_trailing_window",
+    "ext_137_auc",
+    "ext_138_stream_enrich",
+    "ext_140_retention",
+    "ext_141_funnel",
+    "ext_17_quantize",
+    "ext_20_winsorize",
+    "ext_27_transitions",
+    "ext_28_cdf",
+    "ext_29_fuzzy_join",
+    "ext_32_unpivot",
+    "ext_33_props_numbers",
+    "ext_34_trigram_lm",
+    "ext_35_chunk_overlap",
+    "ext_36_bag_dedup",
+    "ext_37_containment",
+    "ext_39_bloom_join",
+    "ext_40_hash_sample",
+    "ext_41_pagerank",
+    "ext_42_window_suite",
+    "ext_43_moment_stats",
+    "ext_44_exact_percentiles",
+    "ext_52_prefix_jaccard",
+    "ext_55_countmin",
+    "ext_59_quality_buckets",
+    "ext_60_embedding_outliers",
+    "ext_95_interevent_gaps",
+    "prof_01_table_profile",
+    "tierc_acct_screening",
+    "tierc_asof_sql",
+    "tierc_cross_apply",
+    "tierc_custdist",
+    "tierc_groupby_all",
+    "tierc_outer_apply",
+    "tierc_tsql_funcs6",
+    "tierc_unpivot_sql",
+    # ---- (b) new in round 14 ----
+    "ext_167_unigram_lm",
+    "ext_168_unigram_encode",
+    # ---- (c) alphabetically-first round-9-stale fillers ----
+    "agg_01_group_sum",
+    "agg_03_count_avg",
+    "agg_04_distinct",
+    "agg_04_having",
+    "agg_05_cube",
+    "agg_05_grouping_sets",
+    "agg_05_rollup",
+    "agg_05_stats",
+    "ext_02_simhash",
+    "ext_03_cosine_topk",
+    # ---- end of the round-14 driver window ----
+    # earlier windows below (audit trail / stable ordering)
     "agg_07_quantiles",
     "ext_100_ttl_dedup",
     "ext_101_stream_ttl_dedup",
@@ -112,17 +166,12 @@ _FRONT = [
     "tierc_tsql_funcs5",
     "tierc_value_concentration",
     "tierc_variant_props",
-    # ---- (b) new in round 13 ----
     "ext_165_ivfadc_add",
     "ext_166_cdc_ranked_view",
-    # ---- (c) alphabetically-first round-8-stale fillers ----
     "agg_02_value_counts",
     "agg_06_pivot",
     "ext_09_hll_ndv",
     "ext_130_welch_ttest",
-    # ---- end of the round-13 driver window ----
-    # r12 window below (audit trail / stable ordering for the rest)
-    # ---- round-12 window: (a) the 43 stale entries (r5×1 + r6×42) ----
     "ext_75_substring_dup",
     "ext_02_canonical_docs",
     "ext_02_dup_clusters",
@@ -166,15 +215,12 @@ _FRONT = [
     "tierc_tsql_funcs",
     "tierc_tsql_funcs2",
     "tierc_tsql_top",
-    # ---- (b) new in round 12 (6 entries; ext_157 takes slot 50) ----
     "ext_159_ivfadc",
     "ext_160_stream_topk_ivm",
     "ext_161_zorder_skipping",
     "ext_162_pca_whitening",
     "ext_163_ivf_maintenance",
     "ext_164_quantile_bands",
-    # ---- end of the round-12 driver window ----
-    # r11 window below (audit trail / stable ordering for the rest)
     "ext_157_partitioned_scan",
     "ext_158_bucketed_join",
     "ext_156_incremental_topk",
@@ -195,7 +241,6 @@ _FRONT = [
     "ext_69_bpe_merges",
     "ext_74_bpe_encode",
     "ext_146_incremental_ndv",
-    # (b) the r11 round-5-stale cohort (minus names promoted above)
     "prj_04_stringify",
     "set_intersect_except",
     "set_union",

@@ -1978,6 +1978,201 @@ def _bpe_merges_oracle() -> str:
 EXT_QUERIES["ext_69_bpe_merges"] = q_ext_69_bpe_merges
 EXT_ORACLES["ext_69_bpe_merges"] = _bpe_merges_oracle()
 
+
+def _unigram_ctes() -> tuple[str, int]:
+    """Unrolled unigram-LM training CTE chain for the ext_167/ext_168
+    oracles — the BPE (_bpe_train_ctes) pattern applied to the
+    SentencePiece-shaped trainer: substring seed counts → top-V vocab
+    → per-round (piece-cost map → per-word Viterbi DP via list_reduce
+    folds → usage counts → prune/clamp → micro-nat costs). The DP is
+    the EXACT bigint computation the engine's aggregate() fold runs
+    (forward min-cost table, then backward reconstruction choosing
+    the SMALLEST cost-achieving piece length — the shared tie rule),
+    so Viterbi paths, not just costs, replay identically. Every
+    constant derives from pipeline_ops' module knobs (r10 rule)."""
+    from sparketl.operators.pipeline_ops import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_PRUNE_MIN,
+        UNIGRAM_SEED_MIN,
+        UNIGRAM_SEED_TOP,
+        UNIGRAM_UNK_COST,
+    )
+
+    L = UNIGRAM_MAX_PIECE
+
+    def pcost(p: str, l: str) -> str:
+        return (
+            f"coalesce(map_extract(m, substring(w, "
+            f"CAST(({p}) - ({l}) + 1 AS BIGINT), CAST({l} AS BIGINT)))[1], "
+            f"CAST({UNIGRAM_UNK_COST} AS BIGINT))"
+        )
+
+    cst = (
+        "list_reduce(list_prepend([CAST(0 AS BIGINT)], "
+        "list_transform(range(1, CAST(length(w) + 1 AS BIGINT)), "
+        "i -> [CAST(i AS BIGINT)])), "
+        "(acc, x) -> list_append(acc, list_aggregate(list_transform("
+        f"range(1, CAST(least({L}, x[1]) + 1 AS BIGINT)), "
+        f"l -> acc[CAST(x[1] - l + 1 AS INT)] + {pcost('x[1]', 'l')}), "
+        "'min')))"
+    )
+    # per-position cost-achieving edge length, as a PLAIN transform
+    # (no fold): steps[p] = smallest l with cst[p-l] + cost(piece) =
+    # cst[p]. The backward Viterbi walk is then ROW-LEVEL recursion
+    # (WITH RECURSIVE), not a list fold: DuckDB 1.0's list_reduce
+    # misaligns row-dependent column references (the init list and
+    # lambda-captured columns read a NEIGHBORING row's values inside
+    # a multi-row vector — found r14, correct when the same row is
+    # filtered standalone), so no fold here may capture columns. The
+    # recursive walk terminates because p strictly decreases to 0,
+    # and a Viterbi path never revisits a position, so UNION dedup
+    # is lossless.
+    chosen = (
+        f"list_filter(list_transform(range(1, CAST(least({L}, p) + 1 "
+        "AS BIGINT)), "
+        f"l -> CASE WHEN cst[CAST(p - l + 1 AS INT)] + "
+        f"{pcost('p', 'l')} = cst[CAST(p + 1 AS INT)] "
+        "THEN l ELSE 0 END), y -> y > 0)[1]"
+    )
+    steps = (
+        "list_transform(range(1, CAST(length(w) + 1 AS BIGINT)), "
+        f"p -> {chosen})"
+    )
+    cost_dev = (
+        "CAST(FLOOR(ln(CAST(t.tot AS DOUBLE) / CAST(freq AS DOUBLE))"
+        " * 1000000.0) AS BIGINT)"
+    )
+    parts = [
+        f"""
+    words AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY w
+    ), subs AS MATERIALIZED (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS freq FROM (
+        SELECT n, unnest(flatten(list_transform(
+          range(1, CAST(length(w) + 1 AS BIGINT)),
+          i -> list_transform(
+            range(i, CAST(i + least({L}, length(w) - i + 1) AS BIGINT)),
+            j -> substring(w, CAST(i AS BIGINT),
+                           CAST(j - i + 1 AS BIGINT)))))) AS piece
+        FROM words) GROUP BY piece
+    ), v0 AS MATERIALIZED (
+      SELECT piece, freq FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, freq FROM (
+        SELECT piece, freq FROM subs
+        WHERE length(piece) >= 2 AND freq >= {UNIGRAM_SEED_MIN}
+        ORDER BY freq DESC, piece LIMIT {UNIGRAM_SEED_TOP})
+    ), c0 AS MATERIALIZED (
+      SELECT piece, freq, {cost_dev} AS cost_micro
+      FROM v0, (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM v0) t
+    )"""
+    ]
+    for r in range(1, UNIGRAM_EM_ROUNDS + 1):
+        parts.append(
+            f""", m{r} AS MATERIALIZED (
+      SELECT map(list(piece ORDER BY piece),
+                 list(cost_micro ORDER BY piece)) AS m FROM c{r - 1}
+    ), segA{r} AS MATERIALIZED (
+      SELECT w, n, {cst} AS cst FROM words, m{r}
+    ), segB{r} AS MATERIALIZED (
+      SELECT w, n, {steps} AS steps FROM segA{r}, m{r}
+    ), walk{r} AS (
+      SELECT w, CAST(length(w) AS BIGINT) AS p FROM segB{r}
+      UNION
+      SELECT wk.w, wk.p - s.steps[CAST(wk.p AS INT)] AS p
+      FROM walk{r} wk JOIN segB{r} s USING (w) WHERE wk.p > 0
+    ), used{r} AS MATERIALIZED (
+      SELECT piece, CAST(SUM(n) AS BIGINT) AS used FROM (
+        SELECT s.n,
+               substring(s.w,
+                 CAST(wk.p - s.steps[CAST(wk.p AS INT)] + 1 AS BIGINT),
+                 CAST(s.steps[CAST(wk.p AS INT)] AS BIGINT)) AS piece
+        FROM walk{r} wk JOIN segB{r} s USING (w) WHERE wk.p > 0)
+      GROUP BY piece
+    ), v{r} AS MATERIALIZED (
+      SELECT piece, used AS freq FROM used{r}
+      WHERE length(piece) >= 2 AND used >= {UNIGRAM_PRUNE_MIN}
+      UNION ALL
+      SELECT c.piece,
+             CAST(greatest(coalesce(u.used, 0), 1) AS BIGINT) AS freq
+      FROM (SELECT piece FROM c{r - 1} WHERE length(piece) = 1) c
+      LEFT JOIN used{r} u USING (piece)
+    ), c{r} AS MATERIALIZED (
+      SELECT piece, freq, {cost_dev} AS cost_micro
+      FROM v{r}, (SELECT CAST(SUM(freq) AS BIGINT) AS tot FROM v{r}) t
+    )"""
+        )
+    # the apply half: segment every word under the FINAL costs and
+    # carry per-word piece counts (len of the reconstruction lens)
+    R = UNIGRAM_EM_ROUNDS
+    parts.append(
+        f""", mf AS MATERIALIZED (
+      SELECT map(list(piece ORDER BY piece),
+                 list(cost_micro ORDER BY piece)) AS m FROM c{R}
+    ), fsegA AS MATERIALIZED (
+      SELECT w, {cst} AS cst FROM words, mf
+    ), fsegB AS MATERIALIZED (
+      SELECT w, {steps} AS steps FROM fsegA, mf
+    ), fwalk AS (
+      SELECT w, CAST(length(w) AS BIGINT) AS p FROM fsegB
+      UNION
+      SELECT wk.w, wk.p - s.steps[CAST(wk.p AS INT)] AS p
+      FROM fwalk wk JOIN fsegB s USING (w) WHERE wk.p > 0
+    ), wseg AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS np
+      FROM fwalk WHERE p > 0 GROUP BY w
+    )"""
+    )
+    return "".join(parts), UNIGRAM_EM_ROUNDS
+
+
+def _unigram_train_oracle() -> str:
+    ctes, rounds = _unigram_ctes()
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT piece, CAST(length(piece) AS BIGINT) AS n_chars, freq,
+           cost_micro
+    FROM c{rounds}
+    ORDER BY freq DESC, piece
+"""
+
+
+def _unigram_encode_oracle() -> str:
+    ctes, _rounds = _unigram_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    toks AS (
+      SELECT doc_id, w
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents)
+      WHERE w <> ''
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(np) AS BIGINT) AS n_pieces,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           CAST((1000 * CAST(SUM(np) AS BIGINT))
+                // CAST(SUM(length(w)) AS BIGINT) AS BIGINT)
+             AS pieces_per_kchar
+    FROM toks JOIN wseg USING (w)
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
+from sparketl.operators.pipeline_ops import (  # noqa: E402
+    q_ext_167_unigram_lm,
+    q_ext_168_unigram_encode,
+)
+
+EXT_QUERIES["ext_167_unigram_lm"] = q_ext_167_unigram_lm
+EXT_ORACLES["ext_167_unigram_lm"] = _unigram_train_oracle()
+EXT_QUERIES["ext_168_unigram_encode"] = q_ext_168_unigram_encode
+EXT_ORACLES["ext_168_unigram_encode"] = _unigram_encode_oracle()
+
 from sparketl.operators.multimodal import q_ext_mm_audio  # noqa: E402
 
 EXT_QUERIES["ext_mm_audio"] = q_ext_mm_audio

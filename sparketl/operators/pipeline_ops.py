@@ -764,6 +764,253 @@ def q_ext_69_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ext_167/ext_168: unigram-LM tokenizer (SentencePiece shape) — the
+# second of the two tokenizer families real pipelines train (Kudo
+# 2018): seed a substring vocabulary, hard-EM (Viterbi) rounds that
+# re-estimate piece frequencies and prune unused pieces, then encode
+# with the trained pieces. BPE (ext_69/74) grows a vocab bottom-up by
+# merges; unigram starts big and PRUNES top-down under a piece
+# language model.
+# ---------------------------------------------------------------------------
+
+UNIGRAM_MAX_PIECE = 4  # L: longest candidate piece, in chars
+UNIGRAM_SEED_TOP = 24  # multi-char seed pieces kept (by freq desc, piece)
+UNIGRAM_SEED_MIN = 2  # min corpus occurrences for a multi-char seed
+UNIGRAM_PRUNE_MIN = 2  # EM prune: multi-char pieces below this drop out
+UNIGRAM_EM_ROUNDS = 2  # hard-EM (Viterbi) re-estimation rounds
+UNIGRAM_UNK_COST = 10**12  # unreachable when every single char is in vocab
+
+
+def _unigram_pcost(p: str, l: str) -> str:
+    """Spark SQL: micro-nat cost of piece w[p-l+1 .. p] under map
+    column ``m`` (UNK if absent — unreachable while chars are kept)."""
+    return (
+        f"coalesce(element_at(m, substring(w, ({p}) - ({l}) + 1, {l})), "
+        f"CAST({UNIGRAM_UNK_COST} AS BIGINT))"
+    )
+
+
+def _unigram_chosen_l(p: str) -> str:
+    """Spark SQL: the piece length ending the Viterbi path at position
+    ``p`` — the SMALLEST l whose edge cost achieves cst[p] (the
+    deterministic tie rule both engines share)."""
+    L = UNIGRAM_MAX_PIECE
+    return (
+        f"element_at(filter(transform(sequence(1, least({L}, {p})), "
+        f"l -> IF(element_at(cst, ({p}) - l + 1) + {_unigram_pcost(p, 'l')} "
+        f"= element_at(cst, ({p}) + 1), l, 0)), x -> x > 0), 1)"
+    )
+
+
+# forward Viterbi costs: cst[i+1] = min total micro-nat cost of
+# segmenting the prefix w[1..i] (cst[1] = 0). One JVM-side fold per
+# word — no UDF, no shuffle, whole-stage codegen.
+_UNIGRAM_CST = (
+    "aggregate(sequence(1, length(w)), array(CAST(0 AS BIGINT)), "
+    "(acc, i) -> array_append(acc, array_min(transform("
+    f"sequence(1, least({UNIGRAM_MAX_PIECE}, i)), "
+    f"l -> element_at(acc, i - l + 1) + {_unigram_pcost('i', 'l')}))))"
+)
+_UNIGRAM_POS = "(length(w) - coalesce(aggregate(ls, 0, (x, y) -> x + y), 0))"
+# backward reconstruction: piece lengths popped off the end of the
+# word, each the cost-achieving edge at the current position
+_UNIGRAM_BL = (
+    "aggregate(sequence(1, length(w)), CAST(array() AS array<int>), "
+    f"(ls, s) -> IF({_UNIGRAM_POS} = 0, ls, "
+    f"array_append(ls, {_unigram_chosen_l(_UNIGRAM_POS)})))"
+)
+# back-lens -> piece strings (backward order; counting is order-free)
+_UNIGRAM_PIECES = (
+    "transform(sequence(1, size(bl)), k -> "
+    "substring(w, length(w) - aggregate(slice(bl, 1, k), 0, (x, y) -> x + y) + 1, "
+    "element_at(bl, k)))"
+)
+# every substring of w with length 1..L, one element per occurrence
+_UNIGRAM_SUBS = (
+    "flatten(transform(sequence(1, length(w)), "
+    f"i -> transform(sequence(i, least(i + {UNIGRAM_MAX_PIECE} - 1, length(w))), "
+    "j -> substring(w, i, j - i + 1))))"
+)
+
+
+def _unigram_cost_micro(vocab: DataFrame) -> DataFrame:
+    """Piece cost = ⌊10⁶·ln(total/freq)⌋ — the single-ln micro-nat
+    device of ext_106/129/149: floats enter through exactly one ln()
+    of an exact integer quotient, floored to bigint, so both engines
+    agree bit-for-bit."""
+    total = vocab.agg(F.sum("freq").alias("tot"))
+    return vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "freq",
+        F.expr(
+            "CAST(FLOOR(ln(CAST(tot AS DOUBLE) / CAST(freq AS DOUBLE))"
+            " * 1000000.0) AS BIGINT)"
+        ).alias("cost_micro"),
+    )
+
+
+def _unigram_viterbi_counts(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """Hard E-step: Viterbi-segment every DISTINCT word under the
+    current piece costs and return occurrence-weighted piece counts.
+    The piece table rides as a broadcast one-row map — the same few-MB
+    vocabulary a production tokenizer worker holds — so segmentation
+    is map-only over the distinct-word table (vocabulary-sized,
+    ~10⁵–10⁷ rows at 100 TB, never the corpus)."""
+    m = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost_micro"))
+        ).alias("m")
+    )
+    return (
+        words.crossJoin(F.broadcast(m))
+        .withColumn("cst", F.expr(_UNIGRAM_CST))
+        .withColumn("bl", F.expr(_UNIGRAM_BL))
+        .select("n", F.explode(F.expr(_UNIGRAM_PIECES)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("used"))
+    )
+
+
+def unigram_lm_train(docs: DataFrame) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece shape, hard-EM
+    variant): seed = all substrings up to ``UNIGRAM_MAX_PIECE`` chars
+    (every single char kept unconditionally so segmentation is total;
+    multi-char pieces need ``UNIGRAM_SEED_MIN`` occurrences and only
+    the top ``UNIGRAM_SEED_TOP`` by (freq DESC, piece) survive), then
+    ``UNIGRAM_EM_ROUNDS`` Viterbi-EM rounds: E-step re-segments every
+    distinct word under the current piece costs (min total cost;
+    ties choose the shortest final piece — a deterministic rule both
+    engines replay identically), M-step re-estimates piece frequency
+    from occurrence-weighted Viterbi usage, drops multi-char pieces
+    used fewer than ``UNIGRAM_PRUNE_MIN`` times, clamps never-used
+    chars to freq 1, and recomputes costs.
+
+    Integer-exact: piece costs are micro-nats via one floored ln() of
+    an exact integer quotient (the ext_106/149 device); the DP then
+    runs entirely in bigint, so Viterbi paths — not just costs — are
+    engine-portable.
+
+    Scale shape: the ONLY corpus-sized op is the initial word count
+    (map-combinable). Seeding, EM and the output are vocabulary-sized;
+    each E-step is a broadcast-map fold over distinct words (no
+    shuffle beyond the piece-count aggregate). Mirrors how real
+    distributed SentencePiece training sharades the corpus: word
+    frequencies in, piece table out.
+
+    The reference has no tokenizer surface (every query ships to SQL
+    Server, tool:273); [EXT] LLM-pipeline suite, the BPE (ext_69)
+    sibling."""
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # consumed once per EM round
+    )
+    subs = (
+        words.select("n", F.explode(F.expr(_UNIGRAM_SUBS)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("freq"))
+    )
+    chars0 = subs.filter(F.length("piece") == 1)
+    # top-V seed selection as TakeOrderedAndProject (no global window)
+    multi0 = (
+        subs.filter(
+            (F.length("piece") >= 2) & (F.col("freq") >= UNIGRAM_SEED_MIN)
+        )
+        .orderBy(F.desc("freq"), "piece")
+        .limit(UNIGRAM_SEED_TOP)
+    )
+    vocab = _unigram_cost_micro(chars0.unionByName(multi0)).localCheckpoint(
+        eager=True
+    )
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        used = _unigram_viterbi_counts(words, vocab)
+        multi = (
+            used.filter(F.length("piece") >= 2)
+            .filter(F.col("used") >= UNIGRAM_PRUNE_MIN)
+            .select("piece", F.col("used").alias("freq"))
+        )
+        chars = (
+            vocab.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(used, "piece", "left")
+            .select(
+                "piece",
+                F.greatest(F.coalesce("used", F.lit(0)), F.lit(1)).alias(
+                    "freq"
+                ),
+            )
+        )
+        vocab = _unigram_cost_micro(chars.unionByName(multi)).localCheckpoint(
+            eager=True
+        )
+    return vocab.select(
+        "piece",
+        F.length("piece").cast("long").alias("n_chars"),
+        "freq",
+        "cost_micro",
+    ).orderBy(F.desc("freq"), "piece")
+
+
+def unigram_encode_stats(docs: DataFrame) -> DataFrame:
+    """Apply the trained unigram-LM pieces: Viterbi-encode every
+    document and report per-doc token/piece/char counts plus the
+    compression ratio — the coverage check a pipeline runs before
+    committing to a tokenizer. Per-doc piece counts pin the actual
+    segmentations (a different Viterbi path changes n_pieces), so the
+    oracle hash is segmentation-sensitive.
+
+    Scale: train is vocabulary-sized (see unigram_lm_train); encode
+    segments DISTINCT words once under the broadcast piece map, then
+    broadcast-joins the per-word piece counts back onto the exploded
+    token stream — the corpus-sized work is one explode + one per-doc
+    aggregate, both map-combinable/shuffle-light."""
+    vocab = unigram_lm_train(docs)
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost_micro"))
+        ).alias("m")
+    )
+    word_np = (
+        words.crossJoin(F.broadcast(m))
+        .withColumn("cst", F.expr(_UNIGRAM_CST))
+        .withColumn("bl", F.expr(_UNIGRAM_BL))
+        .select("w", F.size("bl").cast("long").alias("np"))
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).where(F.col("w") != "")
+    return (
+        toks.join(F.broadcast(word_np), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+            F.sum(F.length("w").cast("long")).alias("n_chars"),
+        )
+        .withColumn(
+            "pieces_per_kchar", F.expr("(1000 * n_pieces) div n_chars")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def q_ext_167_unigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_lm_train(load_table(spark, sf_dir, "documents"))
+
+
+def q_ext_168_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return unigram_encode_stats(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
 # ext_120: temperature-based source sampling weights (w_s ∝ p_s^α)
 # ---------------------------------------------------------------------------
 

@@ -134,3 +134,143 @@ def test_zorder_in_list_prune_strict_subset(spark, tmp_path):
             tuple(r) for r in base.read().filter(where).collect()
         )
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# ext_167/168: unigram-LM tokenizer vs a pure-Python reference
+# implementation (the ext_69 BPE anchor pattern) — seed, hard-EM
+# pruning rounds, Viterbi encode, all integer micro-nat arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def _py_unigram_train(texts):
+    """Pure-Python reference of unigram_lm_train: same seed rules,
+    same ⌊10⁶·ln(total/freq)⌋ costs, same Viterbi tie rule (min cost,
+    shortest final piece), same prune/clamp M-step."""
+    import math
+
+    from sparketl.operators.pipeline_ops import (
+        UNIGRAM_EM_ROUNDS,
+        UNIGRAM_MAX_PIECE,
+        UNIGRAM_PRUNE_MIN,
+        UNIGRAM_SEED_MIN,
+        UNIGRAM_SEED_TOP,
+        UNIGRAM_UNK_COST,
+    )
+
+    words = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                words[w] = words.get(w, 0) + 1
+    subs = {}
+    for w, n in words.items():
+        for i in range(len(w)):
+            for j in range(i + 1, min(i + UNIGRAM_MAX_PIECE, len(w)) + 1):
+                p = w[i:j]
+                subs[p] = subs.get(p, 0) + n
+    chars = {p: f for p, f in subs.items() if len(p) == 1}
+    multi = sorted(
+        (
+            (p, f)
+            for p, f in subs.items()
+            if len(p) >= 2 and f >= UNIGRAM_SEED_MIN
+        ),
+        key=lambda x: (-x[1], x[0]),
+    )[:UNIGRAM_SEED_TOP]
+    vocab = dict(chars)
+    vocab.update(dict(multi))
+
+    def costs(v):
+        tot = sum(v.values())
+        return {
+            p: math.floor(math.log(tot / f) * 1000000.0)
+            for p, f in v.items()
+        }
+
+    def viterbi(w, c):
+        n = len(w)
+        cst = [0] + [None] * n
+        for i in range(1, n + 1):
+            cst[i] = min(
+                cst[i - l] + c.get(w[i - l : i], UNIGRAM_UNK_COST)
+                for l in range(1, min(UNIGRAM_MAX_PIECE, i) + 1)
+            )
+        pieces, p = [], n
+        while p > 0:
+            for l in range(1, min(UNIGRAM_MAX_PIECE, p) + 1):
+                if (
+                    cst[p - l] + c.get(w[p - l : p], UNIGRAM_UNK_COST)
+                    == cst[p]
+                ):
+                    pieces.append(w[p - l : p])
+                    p -= l
+                    break
+        return pieces
+
+    for _ in range(UNIGRAM_EM_ROUNDS):
+        c = costs(vocab)
+        used = {}
+        for w, n in words.items():
+            for p in viterbi(w, c):
+                used[p] = used.get(p, 0) + n
+        new = {
+            p: f
+            for p, f in used.items()
+            if len(p) >= 2 and f >= UNIGRAM_PRUNE_MIN
+        }
+        for p in vocab:
+            if len(p) == 1:
+                new[p] = max(used.get(p, 0), 1)
+        vocab = new
+    c = costs(vocab)
+    return {p: (f, c[p]) for p, f in vocab.items()}, words, viterbi, c
+
+
+_UNIGRAM_TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+    "the quick onyx goblin jumps over the lazy dwarf",
+    "jinxed wizards pluck ivy from the big quilt",
+    "the five boxing wizards jump quickly over the dog",
+    "quick zephyrs blow vexing daft jim over the box",
+]
+
+
+def test_unigram_lm_train_matches_python_reference(spark):
+    from sparketl.operators.pipeline_ops import unigram_lm_train
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_UNIGRAM_TEXTS)], "doc_id long, text string"
+    )
+    got = {
+        r["piece"]: (r["freq"], r["cost_micro"])
+        for r in unigram_lm_train(docs).collect()
+    }
+    want, _, _, _ = _py_unigram_train(_UNIGRAM_TEXTS)
+    assert got == want
+
+
+def test_unigram_encode_matches_python_reference(spark):
+    from sparketl.operators.pipeline_ops import unigram_encode_stats
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_UNIGRAM_TEXTS)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["n_pieces"],
+            r["n_chars"],
+            r["pieces_per_kchar"],
+        )
+        for r in unigram_encode_stats(docs).collect()
+    }
+    _, _, viterbi, c = _py_unigram_train(_UNIGRAM_TEXTS)
+    want = {}
+    for i, t in enumerate(_UNIGRAM_TEXTS):
+        toks = [w for w in t.split(" ") if w]
+        np_ = sum(len(viterbi(w, c)) for w in toks)
+        nc = sum(len(w) for w in toks)
+        want[i] = (len(toks), np_, nc, (1000 * np_) // nc)
+    assert got == want
