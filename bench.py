@@ -31,7 +31,8 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO_DIR)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -421,13 +422,14 @@ def main() -> None:
     slope_note: dict[str, str] = {}
     slope_flags: list[str] = []
     raw_slope_flags: list[str] = []
+    top10: list[str] = []
+    small_samples: dict[str, list[tuple[float, float]]] = {}
+    requiet_samples: dict[str, list[tuple[float, float]]] = {}
     small_dir = os.path.join(os.path.dirname(SF_DIR.rstrip("/")), "sf0.01")
     if os.path.isdir(small_dir) and os.path.abspath(small_dir) != os.path.abspath(
         SF_DIR
     ):
         top10 = [n for n, _ in sorted(timings.items(), key=lambda kv: -kv[1])[:10]]
-        small_samples: dict[str, list[tuple[float, float]]] = {}
-        requiet_samples: dict[str, list[tuple[float, float]]] = {}
         _slope_slot = [0]
 
         def _slope_anchor(force: bool = False) -> None:
@@ -478,8 +480,108 @@ def main() -> None:
                 slope_flags.append(name)
             if raw_slope > 3.0:
                 raw_slope_flags.append(name)
+
+    # r14 (judge task 6): isolated re-times for the 5 largest raw
+    # in-suite outliers, read straight off the slope block's
+    # post-suite SYMMETRIC re-timing (median-of-3, nearest-anchor
+    # normalized — the same samples, no extra runs). The artifact of
+    # record now self-labels environment spikes: an in-suite median
+    # >= 2x its isolated twin is sandbox load, not code (r13's 26.9 s
+    # ext_85 vs 4.6 s isolated needed a judge re-time to prove that).
+    isolated_top5: dict[str, dict] = {}
+    env_flags: list[str] = []
+    for name in top10[:5]:
+        if name not in requiet_samples:
+            continue
+        iso_raw = median(_durs(requiet_samples[name]))
+        iso_anch = median(
+            [d / _anchor_at(t) for t, d in requiet_samples[name]]
+        )
+        env = iso_raw > 0 and timings[name] >= 2.0 * iso_raw
+        isolated_top5[name] = {
+            "sec": round(iso_raw, 2),
+            "anchored": round(iso_anch, 2),
+            "in_suite_sec": round(timings[name], 2),
+            "environment_spike": env,
+        }
+        if env:
+            env_flags.append(name)
+
+    # r14 (judge task 7): cross-round anchored regression guard — any
+    # query whose anchored median moved >2x vs the previous round's
+    # artifact gets flagged WITH a named cause: a code change (its
+    # FULLSWEEP stamp moved), an environment spike (the isolated
+    # re-time above sits within 2x of the previous round), or
+    # "unexplained" (a real regression to investigate).
+    rr_flags: dict[str, str] = {}
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    try:
+        import glob as _glob
+        import re as _re
+
+        benches = {}
+        for p in _glob.glob(os.path.join(REPO_DIR, "BENCH_r*.json")):
+            m = _re.search(r"BENCH_r(\d+)\.json$", p)
+            if m:
+                benches[int(m.group(1))] = p
+        if benches:
+            prev_round = max(benches)
+            with open(benches[prev_round]) as fh:
+                prev = json.load(fh)
+            parsed = prev.get("parsed") or {}
+            # only compare like-for-like scale factors
+            prev_anch = (
+                (parsed.get("anchored_top10") or {})
+                if parsed.get("sf") == sf_val
+                else {}
+            )
+            prev_stamps = {}
+            sweep_path = os.path.join(
+                REPO_DIR, f"FULLSWEEP_r{prev_round}.json"
+            )
+            if os.path.exists(sweep_path):
+                with open(sweep_path) as fh:
+                    prev_stamps = {
+                        k: v.get("stamp")
+                        for k, v in json.load(fh).get("sweep", {}).items()
+                    }
+            oracles = entrymod.oracle_sql()
+            for name, pa in prev_anch.items():
+                ca = anchored.get(name)
+                if ca is None or pa <= 0 or ca <= 0:
+                    continue
+                ratio = max(ca / pa, pa / ca)
+                if ratio <= 2.0:
+                    continue
+                causes = []
+                try:
+                    from tools.full_sweep import entry_stamp as _stamp
+
+                    live = _stamp(qs[name], oracles.get(name))
+                    if prev_stamps.get(name) and live != prev_stamps[name]:
+                        causes.append(
+                            f"code changed (stamp {prev_stamps[name][:8]}"
+                            f"->{live[:8]})"
+                        )
+                except Exception:  # noqa: BLE001 — stamp is best-effort
+                    pass
+                if name in isolated_top5:
+                    iso = isolated_top5[name]["anchored"]
+                    if iso > 0 and max(iso / pa, pa / iso) <= 2.0:
+                        causes.append(
+                            f"environment (isolated re-time {iso} "
+                            f"anchor-units within 2x of r{prev_round}'s "
+                            f"{pa})"
+                        )
+                if not causes:
+                    causes.append("unexplained — investigate")
+                rr_flags[name] = (
+                    f"r{prev_round} {pa} -> {ca} anchored "
+                    f"({round(ratio, 1)}x); " + "; ".join(causes)
+                )
+    except Exception as exc:  # noqa: BLE001 — the guard must not kill bench
+        rr_flags["_error"] = f"guard failed: {exc}"
     # Verbose record first (full named timings + prose notes) for
     # anyone reading complete stdout; the driver's ~2 KB tail capture
     # only retains the LAST line, so a compact line follows.
@@ -503,7 +605,12 @@ def main() -> None:
                 },
                 "anchor_series": [round(d, 3) for _, d in anchor_series],
                 "global_window_queries": global_windows,
+                "isolated_top5": isolated_top5,
+                "environment_flags": env_flags,
+                "round_over_round_flags": rr_flags,
                 "notes": {
+                    "isolated_top5": "r14 (judge task 6): post-suite median-of-3 re-times of the 5 largest raw in-suite outliers, nearest-anchor normalized (the slope block's symmetric samples). environment_spike=true marks an in-suite median >= 2x its isolated twin — sandbox load, not code; read `sec` as the query's honest cost",
+                    "round_over_round_flags": "r14 (judge task 7): anchored medians vs the previous round's artifact; >2x movement is flagged with a named cause — code change (FULLSWEEP stamp moved), environment (isolated re-time within 2x of previous), or unexplained. Empty = no >2x anchored movement",
                     "calibration_anchor": "r11 (judge task 3): a FIXED scan->broadcast-join->decimal-agg->partitioned-window job is timed median-of-3 before (anchor_sec) and after (anchor_post_sec) the suite. r12 (judge task 2a): the anchor additionally INTERLEAVES every ~20 query slots (anchor_series) and each sample normalizes by its nearest-in-time anchor -> anchored_top10 is now the per-query median of those RATIOS, immune to mid-suite load spikes the bracketing anchors cannot see (observed r12: a mid-suite spike inflated ext_69 to 27s in-suite vs 3.3s isolated while both bracketing anchors looked sane). Compare rounds via anchored_top10; raw seconds stay in queries",
                     # r7: the r6 radix-quantile slowdowns were clawed
                     # back by the ADAPTIVE descent (finish pass once
@@ -581,6 +688,15 @@ def main() -> None:
                 # named slowest-query slots under the ~1.9 KB cap
                 "anchor_series": [round(d, 2) for _, d in anchor_series],
                 "scaling_slope_flags": slope_flags,
+                # r14: [isolated sec, isolated anchored, in-suite sec]
+                # per top-5 raw outlier; env flags name any in-suite
+                # number >= 2x its isolated twin (sandbox, not code)
+                "isolated_top5": {
+                    n: [v["sec"], v["anchored"], v["in_suite_sec"]]
+                    for n, v in isolated_top5.items()
+                },
+                "environment_flags": env_flags,
+                "round_over_round_flags": rr_flags,
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
                 "timings": [

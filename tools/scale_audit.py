@@ -71,6 +71,102 @@ AUDITED = [
     "ext_165_ivfadc_add",
 ]
 
+# Streaming/foreachBatch entries (r14, judge task 4): their work runs
+# as MANY micro-batch jobs — merges, rescans, maintenance writes —
+# none of which the result DataFrame's executed plan covers. For
+# these the audit scopes the session's SQL status store (the same
+# data a QueryExecutionListener would see, incl. write jobs) to the
+# drive and totals every execution's metrics by name.
+STREAM_AUDITED = [
+    "ext_155_stream_upsert",
+    "ext_160_stream_topk_ivm",
+    "ext_166_cdc_ranked_view",
+]
+
+_SIZE_UNITS = {
+    "B": 1,
+    "KiB": 1024,
+    "MiB": 1024**2,
+    "GiB": 1024**3,
+    "TiB": 1024**4,
+    "EiB": 1024**6,
+}
+
+
+def _parse_metric_value(text: str) -> int | None:
+    """Parse a formatted SQLMetric string from the status store into
+    an integer (bytes for size metrics, count for sums). Size values
+    are unit-rounded by Spark's formatter ('210.8 KiB'), so totals
+    carry ~0.05-unit rounding — fine for ratio accounting. Multi-line
+    'total (min, med, max)' forms carry the total on line 2."""
+    line = text.strip().splitlines()
+    if not line:
+        return None
+    s = line[1] if line[0].startswith("total (") and len(line) > 1 else line[0]
+    s = s.split(" (", 1)[0].strip()
+    parts = s.split()
+    try:
+        if len(parts) == 2 and parts[1] in _SIZE_UNITS:
+            return int(float(parts[0]) * _SIZE_UNITS[parts[1]])
+        if len(parts) == 1:
+            return int(parts[0].replace(",", ""))
+    except ValueError:
+        return None
+    return None
+
+
+_STREAM_KEYS = {
+    "size of files read": "scan_bytes",
+    "number of files read": "scan_files",
+    "shuffle bytes written": "shuffle_bytes",
+    "spill size": "spill_bytes",
+}
+
+
+def collect_status_store_metrics(
+    spark, from_execution_id: int, acc: dict[str, int]
+) -> int:
+    """Total scan/shuffle/spill over EVERY SQL execution with id >=
+    ``from_execution_id`` — the micro-batch jobs a foreachBatch drive
+    ran, including MERGE/compact write jobs invisible to any single
+    DataFrame's plan. Dedups shared accumulators (ReusedExchange) by
+    accumulator id across the whole scope. Returns the number of
+    executions harvested."""
+    ss = spark._jsparkSession.sharedState().statusStore()
+    lst = ss.executionsList()
+    seen_acc: set[int] = set()
+    n_execs = 0
+    for i in range(lst.size()):
+        e = lst.apply(i)
+        if e.executionId() < from_execution_id:
+            continue
+        n_execs += 1
+        vals = ss.executionMetrics(e.executionId())
+        it = e.metrics().iterator()
+        while it.hasNext():
+            m = it.next()
+            bucket = _STREAM_KEYS.get(m.name())
+            if bucket is None:
+                continue
+            mid = m.accumulatorId()
+            if mid in seen_acc:
+                continue
+            seen_acc.add(mid)
+            opt = vals.get(mid)
+            if not opt.isDefined():
+                continue
+            val = _parse_metric_value(opt.get())
+            if val is not None:
+                acc[bucket] += val
+    return n_execs
+
+
+def _next_execution_id(spark) -> int:
+    ss = spark._jsparkSession.sharedState().statusStore()
+    lst = ss.executionsList()
+    n = lst.size()
+    return lst.apply(n - 1).executionId() + 1 if n else 0
+
 # metric key -> accumulator bucket
 KEYS = {
     "filesSize": "scan_bytes",
@@ -179,15 +275,20 @@ def main() -> int:
     spills = []
     _CDF.localCheckpoint = _capturing_lc
     try:
-        for name in AUDITED:
+        for name in AUDITED + STREAM_AUDITED:
             fn = qs.get(name)
             if fn is None:
                 continue
             captured.clear()
+            is_stream = name in STREAM_AUDITED
+            mark = _next_execution_id(spark) if is_stream else 0
+            t_build = time.monotonic()
             df = fn(spark, sf_dir)
             t0 = time.monotonic()
             out_rows = len(df.collect())  # finalize AQE on this df
-            elapsed = time.monotonic() - t0
+            # a foreachBatch entry does its real work inside fn (the
+            # stream drive), so its wall clock starts there
+            elapsed = time.monotonic() - (t_build if is_stream else t0)
             acc: dict[str, int] = {
                 "scan_bytes": 0,
                 "shuffle_bytes": 0,
@@ -196,10 +297,18 @@ def main() -> int:
                 "scan_rows": 0,
             }
             seen: set[int] = set()
-            collect_metrics(df._jdf.queryExecution().executedPlan(), acc, seen)
-            n_ckpt = len(captured)
-            for qe in captured:
-                collect_metrics(qe.executedPlan(), acc, seen)
+            if is_stream:
+                # total over every micro-batch execution of the drive
+                # (scoped status store — merges, rescans, maintenance
+                # writes included); n_ckpt reports executions harvested
+                n_ckpt = collect_status_store_metrics(spark, mark, acc)
+            else:
+                collect_metrics(
+                    df._jdf.queryExecution().executedPlan(), acc, seen
+                )
+                n_ckpt = len(captured)
+                for qe in captured:
+                    collect_metrics(qe.executedPlan(), acc, seen)
             partial = acc["scan_bytes"] == 0
             ratio = (
                 acc["shuffle_bytes"] / acc["scan_bytes"]
@@ -259,6 +368,19 @@ def main() -> int:
         "radix-quantile family (ext_44/86) and graph clustering",
         "(ext_132) now report their full shuffle/scan/spill bytes",
         "instead of the final job only.",
+        "",
+        "Streaming/foreachBatch rows (ext_155/160/166 — r14, judge",
+        "task 4): their work runs as many micro-batch executions (the",
+        "staging write, per-batch MERGEs, group-bounded rescans,",
+        "OPTIMIZE compactions, maintenance writes), so the audit scopes",
+        "the session's SQL status store to the drive and totals every",
+        "execution's `size of files read` / `shuffle bytes written` /",
+        "`spill size` by accumulator id — the same view a JVM",
+        "QueryExecutionListener gets, write jobs included. For these",
+        "rows `ckpt plans` = executions harvested, `scan rows` is not",
+        "broken out (the store keys metrics by display name), byte",
+        "totals carry the store's ~0.05-unit display rounding, and",
+        "`sec` covers the whole drive, not just the final read.",
         "",
         "Reading the big ratios: ext_151/ext_159/ext_165's denominators",
         "are the RAW embedding file bytes, but Lloyd training shuffles",
