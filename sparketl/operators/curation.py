@@ -3126,15 +3126,19 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
     if not keys:
         return
     if len(keys) <= CDC_INLIST_MAX:
-        pre_groups = base.read(
-            where="event_id IN (%s)" % ",".join(str(e) for e in keys)
-        ).select("user_id")
-    else:  # degenerate giant batch: distributed semi-join, no IN string
-        pre_groups = (
-            base.read()
-            .join(last.select("event_id"), "event_id", "left_semi")
-            .select("user_id")
+        # prune_only: the IN string buys the manifest file prune (cheap,
+        # linear compile) but NOT a 25k-literal Catalyst predicate (2-10 s
+        # of parse/analysis per read at sf0.1 — r14 measurement); row
+        # exactness comes from the broadcast semi-join either way
+        pre_scan = base.read(
+            where="event_id IN (%s)" % ",".join(str(e) for e in keys),
+            prune_only=True,
         )
+    else:  # degenerate giant batch: the IN string itself would be the cost
+        pre_scan = base.read()
+    pre_groups = pre_scan.join(
+        last.select("event_id"), "event_id", "left_semi"
+    ).select("user_id")
     touched = (
         last.filter(F.col("op") == "upsert")
         .select("user_id")
@@ -3168,11 +3172,13 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         return
     if len(users) <= CDC_INLIST_MAX:
         in_users = "user_id IN (%s)" % ",".join(str(u) for u in users)
-        rescan = base.read(where=in_users)
-        stale_lookup = view.read(where=in_users)
+        base_scan = base.read(where=in_users, prune_only=True)
+        view_scan = view.read(where=in_users, prune_only=True)
     else:
-        rescan = base.read().join(touched, "user_id", "left_semi")
-        stale_lookup = view.read().join(touched, "user_id", "left_semi")
+        base_scan = base.read()
+        view_scan = view.read()
+    rescan = base_scan.join(touched, "user_id", "left_semi")
+    stale_lookup = view_scan.join(touched, "user_id", "left_semi")
     w = Window.partitionBy("user_id").orderBy(
         F.desc("value_cents"), "event_id"
     )

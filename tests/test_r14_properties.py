@@ -48,9 +48,9 @@ def test_cdc_batch_reads_prune_files(spark, tmp_path):
     recorded = []
     orig_read = base.read
 
-    def spy(version=None, where=None):
+    def spy(version=None, where=None, prune_only=False):
         recorded.append(where)
-        return orig_read(version=version, where=where)
+        return orig_read(version=version, where=where, prune_only=prune_only)
 
     base.read = spy
     t0 = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -134,6 +134,15 @@ def test_zorder_in_list_prune_strict_subset(spark, tmp_path):
             tuple(r) for r in base.read().filter(where).collect()
         )
         assert got == want
+        # prune_only returns the surviving files' SUPERSET: the exact
+        # rows re-filtered out of it, never a row lost to pruning
+        sup = sorted(
+            tuple(r)
+            for r in base.read(where=where, prune_only=True)
+            .filter(where)
+            .collect()
+        )
+        assert sup == want
 
 
 # ---------------------------------------------------------------------------

@@ -278,6 +278,8 @@ AUDITED = [
     "ext_164_quantile_bands",
     "ext_165_ivfadc_add",
     "ext_166_cdc_ranked_view",
+    "ext_167_unigram_lm",
+    "ext_168_unigram_encode",
 ]
 
 
