@@ -3139,15 +3139,30 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
     pre_groups = pre_scan.join(
         last.select("event_id"), "event_id", "left_semi"
     ).select("user_id")
-    touched = (
-        last.filter(F.col("op") == "upsert")
+    # ONE job computes the touched-group set and collects it (r14):
+    # the collected list then becomes a literal one-column frame, which
+    # is immune to the base MERGE below by construction (the previous
+    # shape paid a localCheckpoint job AND a collect for the same
+    # guarantee) and broadcast-joins everywhere it is consumed.
+    users = sorted(
+        r["user_id"]
+        for r in last.filter(F.col("op") == "upsert")
         .select("user_id")
         .union(pre_groups)
         .distinct()
-        .localCheckpoint(eager=True)  # consumed after the base merge
+        .collect()
     )
     (
-        base.merge(last, "target.event_id = source.event_id")
+        # source_is_unique: `last` keeps exactly one row per event_id
+        # (row_number == 1 over the per-key window above), so the
+        # duplicate-match validation pass is provably redundant (r14).
+        # key_bounds: `keys` IS the collected distinct source key set.
+        base.merge(
+            last,
+            "target.event_id = source.event_id",
+            source_is_unique=True,
+            key_bounds=(keys[0], keys[-1]),
+        )
         .when_matched_delete("source.op = 'delete'")
         .when_matched_update(
             {
@@ -3167,9 +3182,12 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
     # when the base is kept group-clustered (q_ext_166 z-orders it by
     # (user_id, event_id) at the OPTIMIZE cadence) the footer stats
     # make "O(touched groups)" a FILE bound, not just a row bound.
-    users = sorted(r["user_id"] for r in touched.collect())
     if not users:
         return
+    spark = batch.sparkSession
+    touched = F.broadcast(
+        spark.createDataFrame([(u,) for u in users], "user_id long")
+    )
     if len(users) <= CDC_INLIST_MAX:
         in_users = "user_id IN (%s)" % ",".join(str(u) for u in users)
         base_scan = base.read(where=in_users, prune_only=True)
@@ -3205,7 +3223,18 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         allowMissingColumns=True,
     )
     (
-        view.merge(src, "target.view_key = source.view_key")
+        # source_is_unique: fresh holds one row per view_key (row_number
+        # ranks are unique within a user) and stale is anti-joined
+        # against fresh's view_keys — the union cannot repeat a key (r14).
+        # key_bounds: every source view_key is user·100 + rank with
+        # user ∈ the collected touched set and 1 ≤ rank ≤ k < 100, so
+        # [min_user·100 + 1, max_user·100 + 99] is a guaranteed superset.
+        view.merge(
+            src,
+            "target.view_key = source.view_key",
+            source_is_unique=True,
+            key_bounds=(users[0] * 100 + 1, users[-1] * 100 + 99),
+        )
         .when_matched_delete("source.op = 'delete'")
         .when_matched_update(
             {

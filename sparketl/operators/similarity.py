@@ -338,6 +338,74 @@ def _milli_unit_cells(
     )
 
 
+def _milli_unit_arr(
+    vecs: DataFrame, id_col: str, out_id: str, vec_col: str = "embedding"
+) -> DataFrame:
+    """(out_id, marr) — the milli-quantized unit vector as ONE array
+    row: element-for-element the same bigints ``_milli_unit_cells``
+    explodes (identical double tree: element / correctly-rounded sqrt
+    norm, then floor×1000), kept packed so distance/argmin passes run
+    as map-only array expressions instead of a ×n_cells exploded
+    broadcast join + two shuffles (r14, guide §8: move the decision
+    math to small packed rows; only genuine aggregations shuffle)."""
+    return _unit(vecs, vec_col).select(
+        F.col(id_col).alias(out_id),
+        F.expr("transform(_unit, x -> CAST(FLOOR(x * 1000.0) AS BIGINT))").alias(
+            "marr"
+        ),
+    )
+
+
+def _pack_cents(
+    cents: DataFrame, c_col: str = "c", v_col: str = "cq", out_col: str = "ccents"
+) -> DataFrame:
+    """Pack a (c, d, v) centroid frame into a ONE-ROW frame holding
+    ``array<struct<c, cqarr>>`` sorted by c, each ``cqarr`` ordered by
+    d — the broadcastable shape the map-only argmin consumes. k×dim
+    integers: tiny at any scale (the guide's 'decide with small rows').
+    Never inlined as a literal (the r11 Catalyst-blowup rule): it stays
+    a DataFrame and reaches the scan via one broadcast."""
+    return (
+        cents.groupBy(c_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", F.col(v_col)))).alias("_p")
+        )
+        .select(
+            F.col(c_col).alias("c"),
+            F.expr(f"transform(_p, x -> x.{v_col})").alias("cqarr"),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("c", "cqarr"))).alias(out_col))
+    )
+
+
+# exact bigint squared distance of a packed milli vector to one packed
+# centroid: Σ_d (m·1000 − cq)² — the identical arithmetic the exploded
+# join + sum computed, now one codegen'd array expression per row
+_ARR_DIST = (
+    "aggregate(zip_with(marr, ct.cqarr, (m, cq) -> "
+    "(m * CAST(1000 AS BIGINT) - cq) * (m * CAST(1000 AS BIGINT) - cq)), "
+    "CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+)
+
+# nearest cell id: argmin over cells with ties on the smaller c —
+# array_min over struct(dist, c) is the same lexicographic order as
+# the previous min(struct(dist, c)) aggregate
+_CELL_ARGMIN = (
+    f"array_min(transform(ccents, ct -> struct({_ARR_DIST} AS dist, "
+    "ct.c AS c))).c"
+)
+
+
+def _probe_cells_expr(nprobe: int) -> str:
+    """The nprobe nearest cells, nearest first — identical selection to
+    row_number() over (dist, c) ≤ nprobe (array_sort on struct(dist, c)
+    is the same order), computed per query row with no shuffle."""
+    return (
+        f"transform(slice(array_sort(transform(ccents, ct -> "
+        f"struct({_ARR_DIST} AS dist, ct.c AS c))), 1, {nprobe}), x -> x.c)"
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -367,56 +435,52 @@ def ann_ivf_topk(
     k×dim literal inlining (the centroid-literal analysis blowup the
     old collect-based trainer worked around with a broadcast join).
     """
-    # the cell frame feeds every training round plus the final home
-    # assignment — pin it so the normalize+explode pass runs once (a
-    # production pipeline persists the milli-cell table between
-    # training and indexing the same way)
-    cells = _milli_unit_cells(spread(corpus), id_col, "vid", vec_col).localCheckpoint(
+    # the packed milli-vector frame feeds every training round plus the
+    # final home assignment — pin it so the normalize pass runs once (a
+    # production pipeline persists the milli-vector table between
+    # training and indexing the same way). r14: packed arrays replace
+    # the exploded (vid, d, m) cell frame — each Lloyd round is now ONE
+    # genuine aggregation shuffle (centroid sums) instead of three (the
+    # ×n_cells exploded distance join's partial agg, the per-vid
+    # argmin, and the cells⋈assign re-join); assignment itself is
+    # map-only against the broadcast packed centroids. Identical
+    # integer arithmetic, identical tie-breaks (see _ARR_DIST /
+    # _CELL_ARGMIN) — proven by the unchanged oracle hash.
+    vecs = _milli_unit_arr(spread(corpus), id_col, "vid", vec_col).localCheckpoint(
         eager=True
     )
-    assign = spread(corpus).select(
-        F.col(id_col).alias("vid"),
-        (F.col(id_col) % F.lit(n_cells)).cast("int").alias("c"),
-    )
 
-    def centroids(a: DataFrame) -> DataFrame:
+    def centroids_of(assigned: DataFrame) -> DataFrame:
         return (
-            cells.join(a, "vid")
+            assigned.select("c", F.posexplode("marr").alias("d", "m"))
             .groupBy("c", "d")
             .agg(F.sum("m").alias("s"), F.count(F.lit(1)).alias("n"))
             .select("c", "d", F.expr("(1000 * s) div n").alias("cq"))
         )
 
-    def dists_to(cents: DataFrame, pts: DataFrame) -> DataFrame:
-        return (
-            pts.join(F.broadcast(cents), "d")
-            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
-            .groupBy(pts.columns[0], "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-        )
-
-    for _ in range(n_iters):
-        dists = dists_to(centroids(assign), cells)
-        assign = (
-            dists.groupBy("vid")
-            .agg(F.min(F.struct("dist", "c")).alias("mn"))
-            .select("vid", F.col("mn.c").alias("c"))
-        )
-
-    cents = centroids(assign).localCheckpoint(eager=True)  # 2 consumers
-    home = (
-        dists_to(cents, cells)
-        .groupBy("vid")
-        .agg(F.min(F.struct("dist", "c")).alias("mn"))
-        .select(F.col("vid").alias("neighbor_id"), F.col("mn.c").alias("cell"))
+    assigned = vecs.select(
+        "vid", (F.col("vid") % F.lit(n_cells)).cast("int").alias("c"), "marr"
     )
-    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col)
-    wq = W.partitionBy("qid").orderBy("dist", "c")
-    probes = (
-        dists_to(cents, q_cells)
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select(F.col("qid").alias("query_id"), F.col("c").alias("cell"))
+    for _ in range(n_iters):
+        packed = _pack_cents(centroids_of(assigned))
+        assigned = vecs.crossJoin(F.broadcast(packed)).select(
+            "vid", F.expr(_CELL_ARGMIN).alias("c"), "marr"
+        )
+
+    cents = _pack_cents(centroids_of(assigned)).localCheckpoint(
+        eager=True
+    )  # 2 consumers
+    home = vecs.crossJoin(F.broadcast(cents)).select(
+        F.col("vid").alias("neighbor_id"),
+        F.expr(_CELL_ARGMIN).alias("cell"),
+    )
+    q_vecs = _milli_unit_arr(queries, id_col, "qid", vec_col)
+    probes = q_vecs.crossJoin(F.broadcast(cents)).select(
+        F.col("qid").alias("query_id"),
+        # explode_outer: the probe array is non-empty by construction
+        # (cells exist); plain explode would admit the
+        # InferFiltersFromGenerate pushdown (the r10 perf rule)
+        F.explode_outer(F.expr(_probe_cells_expr(nprobe))).alias("cell"),
     )
     c_vecs = _unit(spread(corpus), vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("c_vec")
@@ -583,9 +647,17 @@ def pq_adc_topk(
             f"residue-class init seeds the codebooks but vectors are "
             f"only encoded by the first assignment round"
         )
-    cells = (
-        _milli_unit_cells(spread(corpus), id_col, "vid", vec_col)
-        .withColumn("s", F.expr(f"CAST(d div {sub_dim} AS INT)"))
+    # r14 shape (see _ivfadc_train): packed milli arrays + broadcast
+    # packed codebooks — code assignment and the query distance table
+    # are map-only array expressions; the only shuffles are the
+    # genuine per-(s, c, d) centroid aggregations. rmarr = m·1000 keeps
+    # (m·1000 − cq)² literally the same bigint as the exploded join's
+    # dx² — the oracle replays it unchanged.
+    vecs = (
+        _milli_unit_arr(spread(corpus), id_col, "vid", vec_col)
+        .withColumn(
+            "rmarr", F.expr("transform(marr, m -> m * CAST(1000 AS BIGINT))")
+        )
         .localCheckpoint(eager=True)  # feeds every round + encoding
     )
 
@@ -594,44 +666,48 @@ def pq_adc_topk(
             F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
         ).select("s", "c", "d", F.expr("(1000 * sm) div n").alias("cq"))
 
-    def centroids(a: DataFrame) -> DataFrame:
-        return _agg_centroids(cells.join(a, ["vid", "s"]).groupBy("s", "c", "d"))
-
-    def dists_to(cents: DataFrame, pts: DataFrame) -> DataFrame:
-        pid = pts.columns[0]
-        return (
-            pts.join(F.broadcast(cents), ["s", "d"])
-            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
-            .groupBy(pid, "s", "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-        )
-
     # residue-class init folds INTO the first centroid aggregate —
-    # c = vid % n_codes is a map-side expression on the cells frame,
+    # c = vid % n_codes is a map-side expression on the vector frame,
     # so round 0 skips materializing and shuffle-joining a synthetic
     # (vid, s, c) assignment (same integers the oracle's a0 CTE joins)
     cent = _agg_centroids(
-        cells.groupBy(
-            "s",
+        vecs.select(
+            "vid",
             F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"),
-            "d",
+            F.posexplode("marr").alias("d", "m"),
         )
+        .select(F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"), "c", "d", "m")
+        .groupBy("s", "c", "d")
     )
-    assign = None
+    coded = None
     for _ in range(n_iters):
-        dists = dists_to(cent, cells.select("vid", "s", "d", "m"))
-        assign = (
-            dists.groupBy("vid", "s")
-            .agg(F.min(F.struct("dist", "c")).alias("mn"))
-            .select("vid", "s", F.col("mn.c").alias("c"))
+        coded = vecs.crossJoin(F.broadcast(_pack_pq(cent, v_col="cq"))).select(
+            "vid", "marr", F.expr(_pq_code_arr(sub_dim)).alias("carr")
         )
-        cent = centroids(assign)
-    codes = assign  # (vid, s, c): the compressed representation
+        cent = _agg_centroids(
+            coded.select("vid", "carr", F.posexplode("marr").alias("d", "m"))
+            .select(
+                F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
+                F.expr(f"carr[d div {sub_dim}]").alias("c"),
+                "d",
+                "m",
+            )
+            .groupBy("s", "c", "d")
+        )
+    # (vid, s, c): the compressed representation
+    codes = coded.select("vid", F.posexplode("carr").alias("s", "c"))
 
-    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col).withColumn(
-        "s", F.expr(f"CAST(d div {sub_dim} AS INT)")
+    dtab = (
+        _milli_unit_arr(queries, id_col, "qid", vec_col)
+        .withColumn(
+            "rmarr", F.expr("transform(marr, m -> m * CAST(1000 AS BIGINT))")
+        )
+        .crossJoin(F.broadcast(_pack_pq(cent, v_col="cq")))
+        .select(
+            "qid", F.explode_outer(F.expr(_adc_tab_expr(sub_dim))).alias("e")
+        )
+        .select("qid", "e.s", "e.c", "e.dist")
     )
-    dtab = dists_to(cent, q_cells.select("qid", "s", "d", "m"))
     adc = (
         codes.join(F.broadcast(dtab), ["s", "c"])
         .where(F.col("vid") != F.col("qid"))
@@ -732,29 +808,59 @@ def _ivfadc_coarse_cents(grouped) -> DataFrame:
     ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
 
 
-def _ivfadc_coarse_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
-    pid = pts.columns[0]
-    return (
-        pts.join(F.broadcast(cents), "d")
-        .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
-        .groupBy(pid, "c")
-        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-    )
-
-
 def _ivfadc_pq_cents(grouped) -> DataFrame:
     return grouped.agg(
         F.sum("rm").alias("sr"), F.count(F.lit(1)).alias("n")
     ).select("s", "c", "d", F.expr("sr div n").alias("pcq"))
 
 
-def _ivfadc_pq_dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
-    pid = pts.columns[0]
+# residual against the assigned cell's packed centroid: rm_d = m_d·1000
+# − cq_d — the identical bigints the exploded (cell, d) join produced
+_RES_ARR = (
+    "zip_with(marr, filter(ccents, x -> x.c = cell)[0].cqarr, "
+    "(m, cq) -> m * CAST(1000 AS BIGINT) - cq)"
+)
+
+
+def _pack_pq(pcent: DataFrame, v_col: str = "pcq") -> DataFrame:
+    """Pack a (s, c, d, <v_col>) PQ codebook frame into a ONE-ROW frame
+    holding ``array<struct<s, c, parr>>`` (parr ordered by d within the
+    subspace) — n_sub×n_codes×sub_dim integers, broadcast to the
+    map-only code assignment."""
     return (
-        pts.join(F.broadcast(cents), ["s", "d"])
-        .withColumn("dx", F.col("rm") - F.col("pcq"))
-        .groupBy(pid, "s", "c")
-        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        pcent.groupBy("s", "c")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("d", F.col(v_col)))).alias("_p")
+        )
+        .select("s", "c", F.expr(f"transform(_p, x -> x.{v_col})").alias("parr"))
+        .agg(F.array_sort(F.collect_list(F.struct("s", "c", "parr"))).alias("pcents"))
+    )
+
+
+def _adc_tab_expr(sub_dim: int) -> str:
+    """Per-row ADC lookup table: for every packed (s, c) codebook entry
+    the exact bigint distance Σ_j (rm_{s·sub_dim+j} − p_j)² of the
+    row's residual/scaled vector ``rmarr`` — one struct array to
+    explode into the broadcastable (s, c, dist) table."""
+    return (
+        f"transform(pcents, p -> struct(p.s AS s, p.c AS c, "
+        f"aggregate(zip_with(slice(rmarr, p.s * {sub_dim} + 1, "
+        f"{sub_dim}), p.parr, (rm, pcq) -> (rm - pcq) * (rm - pcq)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist))"
+    )
+
+
+def _pq_code_arr(sub_dim: int) -> str:
+    """Per-row PQ assignment: for each subspace s, the argmin code over
+    the packed codebooks — carr[s] = argmin_c Σ_j (rm_{s·sub_dim+j} −
+    pcq_j)², ties to the smaller c (array_min on struct(dist, c), the
+    same order as the previous min(struct(dist, c)) aggregate)."""
+    return (
+        f"transform(sequence(0, CAST(size(rmarr) div {sub_dim} AS INT) - 1), "
+        f"sq -> array_min(transform(filter(pcents, p -> p.s = sq), "
+        f"p -> struct(aggregate(zip_with(slice(rmarr, sq * {sub_dim} + 1, "
+        f"{sub_dim}), p.parr, (rm, pcq) -> (rm - pcq) * (rm - pcq)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist, p.c AS c))).c)"
     )
 
 
@@ -771,12 +877,20 @@ def _ivfadc_train(
     """The TRAIN half of the IVFADC lifecycle (FAISS ``train``): learn
     the coarse centroids and residual-PQ codebooks, and produce the
     trained corpus's own index rows. Returns the frozen index as a
-    dict: ``ccent`` (coarse centroids, (c, d, cq)), ``ccent_r`` (the
-    same keyed (cell, d) for residual joins), ``pcent`` (PQ codebooks,
-    (s, c, d, pcq)), ``home`` ((vid, cell)) and ``codes``
-    ((vid, s, c)) for the training vectors. ``_ivfadc_encode`` adds
-    new vectors against this frozen state; ``_ivfadc_serve`` answers
-    queries over any (home, codes) rows."""
+    dict: ``ccent_pk`` (packed coarse centroids, one row of
+    array<struct<c, cqarr>>), ``pcent_pk`` (packed PQ codebooks, one
+    row of array<struct<s, c, parr>>), ``home`` ((vid, cell)) and
+    ``codes`` ((vid, s, c)) for the training vectors. ``_ivfadc_encode``
+    adds new vectors against this frozen state; ``_ivfadc_serve``
+    answers queries over any (home, codes) rows.
+
+    r14 shape: packed milli-vector arrays + broadcast packed codebooks
+    make every ASSIGNMENT (coarse and PQ) a map-only array expression;
+    the only shuffles left are the genuine centroid aggregations — one
+    per Lloyd round per stage instead of the previous three (exploded
+    ×n_cells/×n_codes distance join partial agg, per-vid argmin,
+    cells⋈assign re-join). Same integer arithmetic, same (dist, c)
+    tie-breaks — the oracle replays it bit for bit."""
     if coarse_iters < 1 or pq_iters < 1:
         raise ValueError(
             f"ivfadc: coarse_iters and pq_iters must be >= 1 "
@@ -784,65 +898,73 @@ def _ivfadc_train(
             f"seed centroids, but cells/codes only exist after the "
             f"first assignment round of each stage"
         )
-    cells = _milli_unit_cells(
+    vecs = _milli_unit_arr(
         spread(corpus), id_col, "vid", vec_col
     ).localCheckpoint(eager=True)  # feeds every round of both stages
 
-    # ---- stage 1: coarse quantizer (ext_03's integer Lloyd) ----
-    ccent = _ivfadc_coarse_cents(
-        cells.groupBy(F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "d")
-    )
-    for _ in range(coarse_iters):
-        cassign = (
-            _ivfadc_coarse_dists(ccent, cells.select("vid", "d", "m"))
-            .groupBy("vid")
-            .agg(F.min(F.struct("dist", "c")).alias("mn"))
-            .select("vid", F.col("mn.c").alias("c"))
+    def coarse_cents_of(assigned: DataFrame) -> DataFrame:
+        return _ivfadc_coarse_cents(
+            assigned.select("c", F.posexplode("marr").alias("d", "m")).groupBy(
+                "c", "d"
+            )
         )
-        ccent = _ivfadc_coarse_cents(cells.join(cassign, "vid").groupBy("c", "d"))
-    ccent = ccent.localCheckpoint(eager=True)  # home + q-residual consumer
-    home = (
-        _ivfadc_coarse_dists(ccent, cells.select("vid", "d", "m"))
-        .groupBy("vid")
-        .agg(F.min(F.struct("dist", "c")).alias("mn"))
-        .select("vid", F.col("mn.c").alias("cell"))
-    )
 
-    # ---- stage 2: residual PQ (ext_151's devices, on rm not m) ----
-    # (cell, d)-keyed centroid view so both residual joins are plain
-    # using-joins — no ambiguous column refs
-    ccent_r = ccent.select(F.col("c").alias("cell"), "d", "cq")
+    # ---- stage 1: coarse quantizer (ext_03's integer Lloyd) ----
+    assigned = vecs.select(
+        "vid", F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "marr"
+    )
+    ccent_pk = _pack_cents(coarse_cents_of(assigned))
+    for _ in range(coarse_iters):
+        assigned = vecs.crossJoin(F.broadcast(ccent_pk)).select(
+            "vid", F.expr(_CELL_ARGMIN).alias("c"), "marr"
+        )
+        ccent_pk = _pack_cents(coarse_cents_of(assigned))
+    ccent_pk = ccent_pk.localCheckpoint(eager=True)  # home/res + serve consumer
+    # final home assignment + residual in ONE map-only pass
     res = (
-        cells.join(home, "vid")
-        .join(F.broadcast(ccent_r), ["cell", "d"])
+        vecs.crossJoin(F.broadcast(ccent_pk))
         .select(
             "vid",
-            "cell",
-            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
-            "d",
-            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
+            F.expr(_CELL_ARGMIN).alias("cell"),
+            "marr",
+            "ccents",
         )
-        .localCheckpoint(eager=True)  # feeds every PQ round + encoding
+        .select("vid", "cell", F.expr(_RES_ARR).alias("rmarr"))
+        .localCheckpoint(eager=True)  # feeds every PQ round + home/codes
     )
+    home = res.select("vid", "cell")
+
+    # ---- stage 2: residual PQ (ext_151's devices, on rm not m) ----
     pcent = _ivfadc_pq_cents(
-        res.groupBy(
-            "s", F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"), "d"
+        res.select(
+            "vid", F.pmod(F.col("vid"), F.lit(n_codes)).cast("int").alias("c"),
+            F.posexplode("rmarr").alias("d", "rm"),
         )
+        .select("vid", F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"), "c", "d", "rm")
+        .groupBy("s", "c", "d")
     )
     codes = None
     for _ in range(pq_iters):
-        codes = (
-            _ivfadc_pq_dists(pcent, res.select("vid", "s", "d", "rm"))
-            .groupBy("vid", "s")
-            .agg(F.min(F.struct("dist", "c")).alias("mn"))
-            .select("vid", "s", F.col("mn.c").alias("c"))
+        coded = res.crossJoin(F.broadcast(_pack_pq(pcent))).select(
+            "vid", "rmarr", F.expr(_pq_code_arr(sub_dim)).alias("carr")
         )
-        pcent = _ivfadc_pq_cents(res.join(codes, ["vid", "s"]).groupBy("s", "c", "d"))
-    pcent = pcent.localCheckpoint(eager=True)  # dtab + encode consumer
+        codes = coded.select(
+            "vid", F.posexplode("carr").alias("s", "c")
+        )
+        pcent = _ivfadc_pq_cents(
+            coded.select("vid", "carr", F.posexplode("rmarr").alias("d", "rm"))
+            .select(
+                F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
+                F.expr(f"carr[d div {sub_dim}]").alias("c"),
+                "d",
+                "rm",
+            )
+            .groupBy("s", "c", "d")
+        )
+    pcent_pk = _pack_pq(pcent).localCheckpoint(eager=True)  # dtab + encode
     return {
-        "ccent": ccent,
-        "ccent_r": ccent_r,
-        "pcent": pcent,
+        "ccent_pk": ccent_pk,
+        "pcent_pk": pcent_pk,
         "home": home,
         "codes": codes,
     }
@@ -863,31 +985,23 @@ def _ivfadc_encode(
     append daily and both codebooks stay fixed between scheduled
     retrains (ext_163's triggers decide when). Returns {"home",
     "codes"} rows for the new vectors, union-compatible with the
-    trained index's — ``_ivfadc_serve`` scans both identically."""
-    cells = _milli_unit_cells(spread(vectors), id_col, "vid", vec_col)
-    home = (
-        _ivfadc_coarse_dists(idx["ccent"], cells.select("vid", "d", "m"))
-        .groupBy("vid")
-        .agg(F.min(F.struct("dist", "c")).alias("mn"))
-        .select("vid", F.col("mn.c").alias("cell"))
+    trained index's — ``_ivfadc_serve`` scans both identically.
+
+    r14: one map-only pass against the broadcast packed codebooks
+    (cell argmin + residual + per-subspace code argmin), then a single
+    explode for the codes rows — no exploded distance joins, no argmin
+    shuffles. Per-batch cost stays O(|delta|) rows touched once."""
+    vecs = _milli_unit_arr(spread(vectors), id_col, "vid", vec_col)
+    enc = (
+        vecs.crossJoin(F.broadcast(idx["ccent_pk"]))
+        .select("vid", F.expr(_CELL_ARGMIN).alias("cell"), "marr", "ccents")
+        .select("vid", "cell", F.expr(_RES_ARR).alias("rmarr"))
+        .crossJoin(F.broadcast(idx["pcent_pk"]))
+        .select("vid", "cell", F.expr(_pq_code_arr(sub_dim)).alias("carr"))
+        .localCheckpoint(eager=True)  # home + codes consumers
     )
-    res = (
-        cells.join(home, "vid")
-        .join(F.broadcast(idx["ccent_r"]), ["cell", "d"])
-        .select(
-            "vid",
-            "cell",
-            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
-            "d",
-            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
-        )
-    )
-    codes = (
-        _ivfadc_pq_dists(idx["pcent"], res.select("vid", "s", "d", "rm"))
-        .groupBy("vid", "s")
-        .agg(F.min(F.struct("dist", "c")).alias("mn"))
-        .select("vid", "s", F.col("mn.c").alias("c"))
-    )
+    home = enc.select("vid", "cell")
+    codes = enc.select("vid", F.posexplode("carr").alias("s", "c"))
     return {"home": home, "codes": codes}
 
 
@@ -905,33 +1019,47 @@ def _ivfadc_serve(
     the index rows in ``idx['home']``/``idx['codes']`` with one
     equi-join. Works identically over trained-only or trained+added
     index rows — the serving path never knows which vectors were
-    ``train``ed and which were ``add``ed."""
-    ccent, ccent_r, pcent = idx["ccent"], idx["ccent_r"], idx["pcent"]
+    ``train``ed and which were ``add``ed.
+
+    r14: the probe selection, per-probe query residual and the ADC
+    lookup table all compute map-only per query row against the
+    broadcast packed codebooks (the table is queries×nprobe×n_sub×
+    n_codes rows either way — it only EXPLODES at the end instead of
+    being assembled by two exploded joins + an aggregation); the scan
+    stays the one (cell, s, c) equi-join + map-combinable sum."""
     home, codes = idx["home"], idx["codes"]
-    q_cells = _milli_unit_cells(queries, id_col, "qid", vec_col)
-    wq = W.partitionBy("qid").orderBy("dist", "c")
-    probes = (
-        _ivfadc_coarse_dists(ccent, q_cells.select("qid", "d", "m"))
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= nprobe)
-        .select("qid", F.col("c").alias("cell"))
-    )
+    q_vecs = _milli_unit_arr(queries, id_col, "qid", vec_col)
+    # per query: the nprobe nearest cells (same (dist, c) order as the
+    # previous row_number window) each carrying the query's residual
+    # against THAT cell — one struct array, exploded once
     qres = (
-        q_cells.join(probes, "qid")
-        .join(F.broadcast(ccent_r), ["cell", "d"])
+        q_vecs.crossJoin(F.broadcast(idx["ccent_pk"]))
         .select(
             "qid",
-            "cell",
-            F.expr(f"CAST(d div {sub_dim} AS INT)").alias("s"),
-            "d",
-            (F.col("m") * F.lit(1000) - F.col("cq")).alias("rm"),
+            F.explode_outer(
+                F.expr(
+                    f"transform(slice(array_sort(transform(ccents, ct -> "
+                    f"struct({_ARR_DIST} AS dist, ct.c AS c))), 1, {nprobe}), "
+                    f"pr -> struct(pr.c AS cell, "
+                    f"zip_with(marr, filter(ccents, x -> x.c = pr.c)[0].cqarr, "
+                    f"(m, cq) -> m * CAST(1000 AS BIGINT) - cq) AS rmarr))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "qid",
+            F.col("p.cell").alias("cell"),
+            F.col("p.rmarr").alias("rmarr"),
         )
     )
     dtab = (
-        qres.join(F.broadcast(pcent), ["s", "d"])
-        .withColumn("dx", F.col("rm") - F.col("pcq"))
-        .groupBy("qid", "cell", "s", "c")
-        .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+        qres.crossJoin(F.broadcast(idx["pcent_pk"]))
+        .select(
+            "qid",
+            "cell",
+            F.explode_outer(F.expr(_adc_tab_expr(sub_dim))).alias("e"),
+        )
+        .select("qid", "cell", "e.s", "e.c", "e.dist")
     )
     adc = (
         codes.join(home, "vid")
@@ -1196,29 +1324,33 @@ def ivf_maintenance_report(
             f"ivf_maintenance_report: coarse_iters must be >= 1 "
             f"(got {coarse_iters})"
         )
-    cells = _milli_unit_cells(
+    # r14 shape (see _ivfadc_train): packed milli arrays + broadcast
+    # packed centroids — every assignment (training rounds, final base
+    # home, delta maintenance) is a map-only array argmin; only the
+    # centroid aggregations shuffle. Identical integers/tie-breaks.
+    vecs = _milli_unit_arr(
         spread(base), id_col, "vid", vec_col
     ).localCheckpoint(eager=True)
 
-    def _cents(grouped) -> DataFrame:
-        return grouped.agg(
-            F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n")
-        ).select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
-
-    def _dists(cents: DataFrame, pts: DataFrame) -> DataFrame:
-        pid = pts.columns[0]
+    def _cents_of(assigned: DataFrame) -> DataFrame:
         return (
-            pts.join(F.broadcast(cents), "d")
-            .withColumn("dx", F.col("m") * F.lit(1000) - F.col("cq"))
-            .groupBy(pid, "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
+            assigned.select("c", F.posexplode("marr").alias("d", "m"))
+            .groupBy("c", "d")
+            .agg(F.sum("m").alias("sm"), F.count(F.lit(1)).alias("n"))
+            .select("c", "d", F.expr("(1000 * sm) div n").alias("cq"))
         )
 
-    def _argmin(dists: DataFrame) -> DataFrame:
-        pid = dists.columns[0]
+    # nearest cell WITH its distance (the maintenance report needs the
+    # Lloyd objective, not just the label)
+    argmin_struct = (
+        f"array_min(transform(ccents, ct -> struct({_ARR_DIST} AS dist, "
+        "ct.c AS c)))"
+    )
+
+    def _home(pts: DataFrame, pid: str) -> DataFrame:
         return (
-            dists.groupBy(pid)
-            .agg(F.min(F.struct("dist", "c")).alias("mn"))
+            pts.crossJoin(F.broadcast(ccent_pk))
+            .select(pid, F.expr(argmin_struct).alias("mn"))
             .select(
                 pid,
                 F.col("mn.c").alias("cell"),
@@ -1226,19 +1358,20 @@ def ivf_maintenance_report(
             )
         )
 
-    ccent = _cents(
-        cells.groupBy(F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "d")
+    assigned = vecs.select(
+        "vid", F.pmod(F.col("vid"), F.lit(n_cells)).cast("int").alias("c"), "marr"
     )
+    ccent_pk = _pack_cents(_cents_of(assigned))
     for _ in range(coarse_iters):
-        assign = _argmin(_dists(ccent, cells.select("vid", "d", "m"))).select(
-            "vid", F.col("cell").alias("c")
+        assigned = vecs.crossJoin(F.broadcast(ccent_pk)).select(
+            "vid", F.expr(_CELL_ARGMIN).alias("c"), "marr"
         )
-        ccent = _cents(cells.join(assign, "vid").groupBy("c", "d"))
-    ccent = ccent.localCheckpoint(eager=True)  # frozen: base + delta reuse
+        ccent_pk = _pack_cents(_cents_of(assigned))
+    ccent_pk = ccent_pk.localCheckpoint(eager=True)  # frozen: base + delta
 
-    home_base = _argmin(_dists(ccent, cells.select("vid", "d", "m")))
-    d_cells = _milli_unit_cells(spread(delta), id_col, "did", vec_col)
-    assign_delta = _argmin(_dists(ccent, d_cells.select("did", "d", "m")))
+    home_base = _home(vecs, "vid")
+    d_vecs = _milli_unit_arr(spread(delta), id_col, "did", vec_col)
+    assign_delta = _home(d_vecs, "did")
 
     b = home_base.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_base"),
@@ -1747,44 +1880,37 @@ def kmeans_fixed(emb: DataFrame, k: int = 4, iters: int = 2) -> DataFrame:
     convergence loops would checkpoint the assignment between rounds
     exactly as ext_41's pagerank does.
     """
-    cells = emb.select(
+    # r14 shape (see _ivfadc_train): packed milli arrays + broadcast
+    # packed centroids — the per-vector argmin is a map-only array
+    # expression; only the per-(c, d) centroid aggregations shuffle.
+    # Identical integers and (dist, c) tie-breaks — unchanged oracle.
+    vecs = emb.select(
         "vec_id",
-        F.posexplode("embedding").alias("d", "xf"),
-    ).select(
-        "vec_id",
-        "d",
-        F.expr("CAST(FLOOR(CAST(xf AS DOUBLE) * 1000.0) AS BIGINT)").alias(
-            "x"
-        ),
-    )
-    assign = emb.select(
-        "vec_id", (F.col("vec_id") % F.lit(k)).cast("int").alias("c")
+        F.expr(
+            "transform(embedding, xf -> "
+            "CAST(FLOOR(CAST(xf AS DOUBLE) * 1000.0) AS BIGINT))"
+        ).alias("marr"),
     )
 
-    def centroids(a: DataFrame) -> DataFrame:
+    def centroids_of(a: DataFrame) -> DataFrame:
         return (
-            cells.join(a, "vec_id")
+            a.select("c", F.posexplode("marr").alias("d", "x"))
             .groupBy("c", "d")
             .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .select("c", "d", F.expr("(1000 * s) div n").alias("cq"))
         )
 
+    assigned = vecs.select(
+        "vec_id", (F.col("vec_id") % F.lit(k)).cast("int").alias("c"), "marr"
+    )
     for _ in range(iters):
-        cents = centroids(assign)
-        dists = (
-            cells.join(F.broadcast(cents), "d")
-            .withColumn("dx", F.col("x") * F.lit(1000) - F.col("cq"))
-            .groupBy("vec_id", "c")
-            .agg(F.sum(F.expr("dx * dx")).alias("dist"))
-        )
-        assign = (
-            dists.groupBy("vec_id")
-            .agg(F.min(F.struct("dist", "c")).alias("m"))
-            .select("vec_id", F.col("m.c").alias("c"))
+        cents_pk = _pack_cents(centroids_of(assigned))
+        assigned = vecs.crossJoin(F.broadcast(cents_pk)).select(
+            "vec_id", F.expr(_CELL_ARGMIN).alias("c"), "marr"
         )
 
-    final = centroids(assign)
-    sizes = assign.groupBy("c").agg(F.count(F.lit(1)).alias("n_members"))
+    final = centroids_of(assigned)
+    sizes = assigned.groupBy("c").agg(F.count(F.lit(1)).alias("n_members"))
     return (
         final.groupBy("c")
         .agg(

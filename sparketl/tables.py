@@ -1055,19 +1055,30 @@ class ManagedTable:
                 *[F.col(c).alias(f"_set_{c}") for c in set_columns],
             )
         )
-
-        bounds = src.agg(F.min("_k").alias("mn"), F.max("_k").alias("mx")).first()
+        # Materialize the deduped source ONCE: the broadcast gate, the
+        # key-range bounds and the rewrite join all consume it, and
+        # without the pin each would recompute the dedup window from
+        # the raw source — three full source passes per update (r14
+        # measurement). One job here, then count+bounds fold into one
+        # cheap aggregate over the pinned rows.
+        src = src.localCheckpoint(eager=True)
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("_k").alias("mn"),
+            F.max("_k").alias("mx"),
+        ).first()
         prune = None
         if (
-            bounds["mn"] is not None
-            and isinstance(bounds["mn"], (int, float))
-            and not isinstance(bounds["mn"], bool)
+            stats["mn"] is not None
+            and isinstance(stats["mn"], (int, float))
+            and not isinstance(stats["mn"], bool)
         ):
-            prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+            prune = f"{key} >= {stats['mn']} AND {key} <= {stats['mx']}"
+        small = stats["n"] <= _SMALL_SOURCE_ROWS
 
         def transform(target: DataFrame) -> DataFrame:
             merged = target.join(
-                F.broadcast(src) if _is_small(src) else src,
+                F.broadcast(src) if small else src,
                 target[key] == F.col("_k"),
                 "left",
             )
@@ -1126,18 +1137,23 @@ class ManagedTable:
             .filter(F.col("_rn") == 1)
             .select(*[F.col(c).alias(f"_s_{c}") for c in table_cols])
         )
-        src = F.broadcast(src) if _is_small(src) else src
-
-        bounds = src.agg(
-            F.min(f"_s_{key}").alias("mn"), F.max(f"_s_{key}").alias("mx")
+        # One materialization serves the broadcast gate, the bounds and
+        # the rewrite join (see keyed_update — same r14 fix).
+        src = src.localCheckpoint(eager=True)
+        stats = src.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(f"_s_{key}").alias("mn"),
+            F.max(f"_s_{key}").alias("mx"),
         ).first()
+        if stats["n"] <= _SMALL_SOURCE_ROWS:
+            src = F.broadcast(src)
         prune = None
         if (
-            bounds["mn"] is not None
-            and isinstance(bounds["mn"], (int, float))
-            and not isinstance(bounds["mn"], bool)
+            stats["mn"] is not None
+            and isinstance(stats["mn"], (int, float))
+            and not isinstance(stats["mn"], bool)
         ):
-            prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+            prune = f"{key} >= {stats['mn']} AND {key} <= {stats['mx']}"
 
         def transform(target: DataFrame) -> DataFrame:
             merged = target.join(src, target[key] == F.col(f"_s_{key}"), "full")
@@ -1153,7 +1169,13 @@ class ManagedTable:
 
         return self._pruned_rewrite(prune, transform, may_create_rows=True)
 
-    def merge(self, source: DataFrame, condition: str) -> "MergeBuilder":
+    def merge(
+        self,
+        source: DataFrame,
+        condition: str,
+        source_is_unique: bool = False,
+        key_bounds: tuple[float, float] | None = None,
+    ) -> "MergeBuilder":
         """General MERGE (T-SQL ``MERGE INTO`` / Delta ``merge``):
         returns a builder that accumulates WHEN clauses and executes
         them as ONE atomic copy-on-write commit. ``condition``
@@ -1165,8 +1187,26 @@ class ManagedTable:
         shapes, this covers the general statement — conditional
         clauses, DELETE actions, and T-SQL's WHEN NOT MATCHED BY
         SOURCE. See ``Engine.execute`` for the SQL-string front-end.
+
+        ``source_is_unique=True`` is the caller's proof that no target
+        row can match two source rows (e.g. the source was deduped to
+        one row per join key with ``row_number() = 1``); it skips the
+        duplicate-match validation pass — one fewer target-sized join
+        per MERGE (r14). Leave it False for arbitrary sources: the
+        check then runs, file-pruned to the candidate key range.
+
+        ``key_bounds=(lo, hi)``: a caller-guaranteed SUPERSET of the
+        source's join-key range (numeric single-key equality conditions
+        only). Skips the bounds aggregation job the file prune
+        otherwise runs over the source — callers that just collected
+        the key set (CDC appliers) already hold exact bounds. Sound
+        because a too-wide range only prunes fewer files; a range that
+        misses a source key would corrupt the rewrite, hence
+        caller-guaranteed.
         """
-        return MergeBuilder(self, source, condition)
+        return MergeBuilder(
+            self, source, condition, source_is_unique, key_bounds
+        )
 
     @staticmethod
     def _zorder_col(df: DataFrame, cols: list[str]):
@@ -1319,7 +1359,12 @@ class ManagedTable:
         )
 
 
-def _is_small(df: DataFrame, limit: int = 1_000_000) -> bool:
+# broadcast gate for MERGE/update sources (typically spreadsheet- or
+# micro-batch-sized); sources above this row count join distributed
+_SMALL_SOURCE_ROWS = 1_000_000
+
+
+def _is_small(df: DataFrame, limit: int = _SMALL_SOURCE_ROWS) -> bool:
     """Heuristic broadcast gate for the update source (typically a
     spreadsheet-sized batch)."""
     n = df.limit(limit + 1).count()
@@ -1624,10 +1669,19 @@ class MergeBuilder:
     a full rewrite (correctness over pruning).
     """
 
-    def __init__(self, table: ManagedTable, source: DataFrame, condition: str):
+    def __init__(
+        self,
+        table: ManagedTable,
+        source: DataFrame,
+        condition: str,
+        source_is_unique: bool = False,
+        key_bounds: tuple[float, float] | None = None,
+    ):
         self.table = table
         self.source = source
         self.condition = condition
+        self.source_is_unique = source_is_unique
+        self.key_bounds = key_bounds
         # (category, action, assignments, clause_condition)
         self._clauses: list[tuple[str, str, dict | None, str | None]] = []
 
@@ -1691,11 +1745,24 @@ class MergeBuilder:
                 if bad:
                     raise TableError(f"unknown columns in INSERT: {bad}")
 
-    def _check_duplicate_matches(self) -> None:
+    def _check_duplicate_matches(self, prune: str | None = None) -> None:
         """SQL Server rule: error when any WHEN MATCHED clause exists
-        and one target row is matched by multiple source rows."""
+        and one target row is matched by multiple source rows.
+
+        With a prunable equality condition the check reads only the
+        candidate files (r14): a matched target row must carry a key
+        inside the source's [min, max] range, and ``candidate_files``
+        is a superset of the files whose footer range admits such a
+        key — so non-candidate files cannot hold a matched row and the
+        duplicate count over the pruned read equals the full-scan
+        count. Previously this validation was an unpruned full pass
+        over the target per MERGE."""
         tgt = (
-            self.table.read()
+            (
+                self.table.read(where=prune, prune_only=True)
+                if prune
+                else self.table.read()
+            )
             .withColumn("_sparketl_tid", F.monotonically_increasing_id())
             .alias("target")
         )
@@ -1718,25 +1785,32 @@ class MergeBuilder:
         self._validate()
         has_matched = any(c[0] == "matched" for c in self._clauses)
         has_by_source = any(c[0] == "by_source" for c in self._clauses)
-        if has_matched:
-            self._check_duplicate_matches()
 
         # file pruning: single numeric-key equality AND no BY SOURCE
-        # clauses (those must see target rows in non-candidate files)
+        # clauses (those must see target rows in non-candidate files).
+        # Computed BEFORE the duplicate-match validation so the check
+        # can read only the candidate files (r14).
         prune = None
         m = self._EQ_COND.match(self.condition)
         if m is not None and not has_by_source:
             key = m.group(1) or m.group(4)
             src_key = m.group(2) or m.group(3)
-            bounds = self.source.agg(
-                F.min(src_key).alias("mn"), F.max(src_key).alias("mx")
-            ).first()
+            if self.key_bounds is not None:
+                mn, mx = self.key_bounds  # caller-guaranteed superset
+            else:
+                bounds = self.source.agg(
+                    F.min(src_key).alias("mn"), F.max(src_key).alias("mx")
+                ).first()
+                mn, mx = bounds["mn"], bounds["mx"]
             if (
-                bounds["mn"] is not None
-                and isinstance(bounds["mn"], (int, float))
-                and not isinstance(bounds["mn"], bool)
+                mn is not None
+                and isinstance(mn, (int, float))
+                and not isinstance(mn, bool)
             ):
-                prune = f"{key} >= {bounds['mn']} AND {key} <= {bounds['mx']}"
+                prune = f"{key} >= {mn} AND {key} <= {mx}"
+
+        if has_matched and not self.source_is_unique:
+            self._check_duplicate_matches(prune)
 
         table_cols = [f.name for f in self.table.schema().fields]
         clauses = list(self._clauses)
