@@ -659,6 +659,29 @@ def main() -> None:
     # bench.HEADLINE to recover names); the slowest queries keep
     # their full names inline for direct round-over-round reads.
     vector = [timings.get(name) for name in HEADLINE]
+    # r14 measurement-artifact fix: the r14-build additions
+    # (isolated_top5, round_over_round_flags) pushed the compact line
+    # to ~2.2 KB, so the top_n halving loop bottomed out at 0 and the
+    # driver-parsed line carried NO named slowest queries (and still
+    # exceeded the ~1.9 KB tail cap). The flags now ride in compact
+    # form (name -> "prev->cur xN.N" + a one-word cause) and, if the
+    # line still overflows after top_n reaches 0, the anchor series
+    # tail is elided — named query timings are the most valuable bytes
+    # and are shed LAST, not first.
+    rr_compact = {}
+    for name, msg in rr_flags.items():
+        cause = (
+            "code"
+            if "code changed" in msg
+            else "env"
+            if "environment" in msg
+            else "unexplained"
+            if "unexplained" in msg
+            else "error"
+        )
+        head = msg.split(" anchored", 1)[0]
+        rr_compact[name] = f"{head} {cause}"
+    anchor_compact = [round(d, 2) for _, d in anchor_series]
     top_n = 20
     while True:
         slowest = dict(
@@ -686,7 +709,7 @@ def main() -> None:
                 # the compact line: centisecond resolution is ample
                 # for auditing a >=0.7 s job and buys back bytes for
                 # named slowest-query slots under the ~1.9 KB cap
-                "anchor_series": [round(d, 2) for _, d in anchor_series],
+                "anchor_series": anchor_compact,
                 "scaling_slope_flags": slope_flags,
                 # r14: [isolated sec, isolated anchored, in-suite sec]
                 # per top-5 raw outlier; env flags name any in-suite
@@ -696,7 +719,7 @@ def main() -> None:
                     for n, v in isolated_top5.items()
                 },
                 "environment_flags": env_flags,
-                "round_over_round_flags": rr_flags,
+                "round_over_round_flags": rr_compact,
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
                 "timings": [
@@ -704,9 +727,18 @@ def main() -> None:
                 ],
             }
         )
-        if len(compact) < 1900 or top_n == 0:
+        if len(compact) < 1900:
             break
-        top_n //= 2
+        if top_n > 5:
+            top_n //= 2
+        elif len(anchor_compact) > 8:
+            # keep the bracketing anchors, elide the middle of the
+            # series (full series stays in the verbose record above)
+            anchor_compact = anchor_compact[:4] + anchor_compact[-4:]
+        elif top_n > 0:
+            top_n -= 1
+        else:
+            break
     print(compact)
     sys.stdout.flush()
 
