@@ -94,6 +94,22 @@ BROADCAST_SCALAR_OK = {
     # by (group, cum >= target) — both frames bounded by group
     # cardinality × bucket count, never data-sized (the ext_147
     # selection shape, per group)
+    # r14 packed-codebook attaches: the ANN family's Lloyd/PQ
+    # assignments are map-only array argmins against a ONE-ROW packed
+    # centroid/codebook frame (k×dim ints) crossJoin-broadcast onto the
+    # vector scan — the shape that replaced the ×n_cells exploded
+    # distance join + per-vid argmin shuffles (see similarity.py
+    # _pack_cents/_pack_pq). One broadcast row per attach, never
+    # data-sized.
+    "ext_03_ann_ivf",
+    "ext_133_kmeans",
+    "ext_151_pq_adc",
+    "ext_159_ivfadc",
+    "ext_163_ivf_maintenance",
+    "ext_168_unigram_encode",  # one-row piece→cost map broadcast onto
+    # the distinct-word frame for the Viterbi segmentation expression
+    # (the ext_149-style corpus-stats attach; r14-build entry first
+    # audited this round)
 }
 
 AUDITED = [
