@@ -668,22 +668,51 @@ def main() -> None:
     # line still overflows after top_n reaches 0, the anchor series
     # tail is elided — named query timings are the most valuable bytes
     # and are shed LAST, not first.
-    rr_compact = {}
-    for name, msg in rr_flags.items():
-        cause = (
-            "code"
-            if "code changed" in msg
-            else "env"
-            if "environment" in msg
-            else "unexplained"
-            if "unexplained" in msg
-            else "error"
+    def _rr_compact(terse: bool) -> dict:
+        out = {}
+        for name, msg in rr_flags.items():
+            cause = (
+                "code"
+                if "code changed" in msg
+                else "env"
+                if "environment" in msg
+                else "unexplained"
+                if "unexplained" in msg
+                else "error"
+            )
+            head = "" if terse else msg.split(" anchored", 1)[0] + " "
+            out[name] = f"{head}{cause}"
+        return out
+
+    full_anchors = [round(d, 2) for _, d in anchor_series]
+    iso_items = list(isolated_top5.items())
+    # shedding ladder: each level trades the least-valuable bytes first;
+    # named slowest-query timings (top_n) are shed LAST — they are the
+    # line's whole point. (top_n, n_anchors, n_iso, timings_decimals,
+    # terse_rr)
+    levels = [
+        (20, len(full_anchors), 5, 2, False),
+        (10, len(full_anchors), 5, 2, False),
+        (5, len(full_anchors), 5, 2, False),
+        (5, 8, 5, 2, False),
+        (5, 8, 3, 2, False),
+        (5, 8, 3, 1, False),
+        (5, 8, 3, 1, True),
+        (5, 2, 3, 1, True),
+        (4, 2, 2, 1, True),
+        (3, 2, 1, 1, True),
+        (2, 2, 0, 1, True),
+        (1, 2, 0, 1, True),
+        (0, 2, 0, 1, True),
+    ]
+    for top_n, n_anchors, n_iso, t_dec, terse in levels:
+        anchor_compact = (
+            full_anchors
+            if n_anchors >= len(full_anchors)
+            else full_anchors[: n_anchors // 2] + full_anchors[-(n_anchors - n_anchors // 2):]
         )
-        head = msg.split(" anchored", 1)[0]
-        rr_compact[name] = f"{head} {cause}"
-    anchor_compact = [round(d, 2) for _, d in anchor_series]
-    top_n = 20
-    while True:
+        rr_compact = _rr_compact(terse)
+        iso_compact = dict(iso_items[:n_iso])
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
         )
@@ -716,28 +745,19 @@ def main() -> None:
                 # number >= 2x its isolated twin (sandbox, not code)
                 "isolated_top5": {
                     n: [v["sec"], v["anchored"], v["in_suite_sec"]]
-                    for n, v in isolated_top5.items()
+                    for n, v in iso_compact.items()
                 },
                 "environment_flags": env_flags,
                 "round_over_round_flags": rr_compact,
                 "n_queries": len(timings),
                 "timings_order": "bench.HEADLINE",
                 "timings": [
-                    round(t, 2) if t is not None else None for t in vector
+                    round(t, t_dec) if t is not None else None
+                    for t in vector
                 ],
             }
         )
         if len(compact) < 1900:
-            break
-        if top_n > 5:
-            top_n //= 2
-        elif len(anchor_compact) > 8:
-            # keep the bracketing anchors, elide the middle of the
-            # series (full series stays in the verbose record above)
-            anchor_compact = anchor_compact[:4] + anchor_compact[-4:]
-        elif top_n > 0:
-            top_n -= 1
-        else:
             break
     print(compact)
     sys.stdout.flush()
