@@ -66,7 +66,78 @@ def entry(spark: SparkSession) -> DataFrame:
 # displacing this group entirely). After this window no
 # entry's latest driver verdict is older than round 6, and the
 # FULLSWEEP_r11.json artifact covers the whole registry anyway.
+# Round-15 rotation (r14 verdict task 8): the driver checks the FIRST
+# 50 entries in iteration order. Window layout: (a) the FULL 32-entry
+# round-9-stale cohort — recomputed from CORRECTNESS_r01..r14 as every
+# live registry entry whose latest driver verdict is round 9 (census:
+# r9x32, r10x48, r11x49, r12x50, r13x50, r14x50; zero never-verified);
+# (b) the 9 entries whose query paths this OPTIMIZATION round
+# restructured most deeply — the ManagedTable write/MERGE machinery
+# rewrite (driver-insert merges, write-job stats, capture) flows
+# through ext_155/160/166/87/19/156/161/109/79 — so the driver
+# re-proves them at sf0.1, not only the sf0.01 full sweep; (c) the
+# remaining 9 slots fall to the alphabetically-first round-10-stale
+# entries (several of which — ext_03_ann_ivf, ext_117, ext_145 — also
+# sit on code touched this round). After this window no live entry's
+# latest driver verdict is older than round 10. Duplicates with the
+# audit-trail sections below collapse on first occurrence (queries()
+# builds a dict).
 _FRONT = [
+    # ---- round-15 window: (a) the 32-entry round-9-stale cohort ----
+    "ext_03_embedding_near_dup",
+    "ext_04_lang_id",
+    "ext_04_quality",
+    "ext_04_text_stats",
+    "ext_04_token_count_bpe",
+    "ext_06_sessionize_stateful",
+    "ext_132_clustering",
+    "ext_136_image_neardup",
+    "ext_139_resample",
+    "ext_142_incremental_join",
+    "ext_143_epoch_shuffle",
+    "ext_144_hll_union",
+    "ext_45_histogram",
+    "ext_46_orphan_audit",
+    "ext_48_lm_score",
+    "ext_51_trend",
+    "tierc_disjunctive_revenue",
+    "tierc_forecast_revenue",
+    "tierc_lateral_topn",
+    "tierc_market_share",
+    "tierc_min_cost_supplier",
+    "tierc_priority_semijoin",
+    "tierc_product_profit",
+    "tierc_returned_items",
+    "tierc_scalar_funcs",
+    "tierc_small_qty_revenue",
+    "tierc_supplier_cnt",
+    "tierc_top_revenue_supplier",
+    "tierc_tsql_funcs7",
+    "tierc_tsql_pagination",
+    "tierc_volume_customers",
+    "tierc_waiting_orders",
+    # ---- (b) restructured-this-round table/streaming entries ----
+    "ext_155_stream_upsert",
+    "ext_160_stream_topk_ivm",
+    "ext_166_cdc_ranked_view",
+    "ext_87_incremental_view",
+    "ext_19_scd2",
+    "ext_156_incremental_topk",
+    "ext_161_zorder_skipping",
+    "ext_109_zorder",
+    "ext_79_snapshot_diff",
+    # ---- (c) alphabetically-first round-10-stale fillers ----
+    "ext_01_dedup_documents",
+    "ext_02_minhash_lsh",
+    "ext_03_ann_ivf",
+    "ext_03_ann_lsh",
+    "ext_04_token_counts",
+    "ext_08_stratified_sample",
+    "ext_117_incremental_lsh",
+    "ext_12_decontaminate",
+    "ext_145_stream_full_join",
+    # ---- end of the round-15 driver window ----
+    # earlier windows below (audit trail / stable ordering)
     # ---- round-14 window: (a) the 38-entry round-8-stale cohort ----
     "ext_131_autocorr",
     "ext_133_kmeans",

@@ -287,6 +287,17 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # r15: the ManagedTable write path runs through mapInArrow (stats
+    # fold inside the write job), so the Python-worker/Arrow lane is
+    # part of the shared machinery the warmup exists to warm — first
+    # use costs ~2 s of worker spawn that would otherwise land on
+    # whichever timed query hits a table first. Still no timed query
+    # pre-executed.
+    _ = (
+        spark.range(64)
+        .mapInArrow(lambda it: it, "id long")
+        .count()
+    )
 
     # Calibration anchor (r11): median of 3 runs of the fixed job,
     # taken right after warmup — the pre-suite baseline.
@@ -514,6 +525,8 @@ def main() -> None:
     # re-time above sits within 2x of the previous round), or
     # "unexplained" (a real regression to investigate).
     rr_flags: dict[str, str] = {}
+    rr_causes: dict[str, str] = {}  # structured cause per flag (r15)
+    prev_named: list[str] = []  # previous round's compact-line named set
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     try:
@@ -530,6 +543,13 @@ def main() -> None:
             with open(benches[prev_round]) as fh:
                 prev = json.load(fh)
             parsed = prev.get("parsed") or {}
+            # r15 (r14 verdict task 2): remember the previous round's
+            # NAMED query set — the compact line below names the union
+            # of this round's top-N and these, so a query that improved
+            # out of the top-N can never parse as "dropped_from_bench"
+            prev_named = [
+                n for n in (parsed.get("queries") or {}) if n in HEADLINE
+            ]
             # only compare like-for-like scale factors
             prev_anch = (
                 (parsed.get("anchored_top10") or {})
@@ -576,12 +596,22 @@ def main() -> None:
                         )
                 if not causes:
                     causes.append("unexplained — investigate")
+                # structured cause (r14 advisor): derived from the
+                # causes LIST, not substring-matched off the message
+                rr_causes[name] = (
+                    "code"
+                    if any(c.startswith("code changed") for c in causes)
+                    else "env"
+                    if any(c.startswith("environment") for c in causes)
+                    else "unexplained"
+                )
                 rr_flags[name] = (
                     f"r{prev_round} {pa} -> {ca} anchored "
                     f"({round(ratio, 1)}x); " + "; ".join(causes)
                 )
     except Exception as exc:  # noqa: BLE001 — the guard must not kill bench
         rr_flags["_error"] = f"guard failed: {exc}"
+        rr_causes["_error"] = "error"
     # Verbose record first (full named timings + prose notes) for
     # anyone reading complete stdout; the driver's ~2 KB tail capture
     # only retains the LAST line, so a compact line follows.
@@ -593,6 +623,11 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "cpus": int(os.environ["SPARK_GRAFT_CPUS"])
+                if os.environ.get("SPARK_GRAFT_CPUS")
+                else None,
+                "master": spark.sparkContext.master,
+                "default_parallelism": spark.sparkContext.defaultParallelism,
                 "anchor_sec": anchor_sec,
                 "anchor_post_sec": anchor_post_sec,
                 # nearest-interleaved-anchor-normalized medians (r12):
@@ -671,15 +706,13 @@ def main() -> None:
     def _rr_compact(terse: bool) -> dict:
         out = {}
         for name, msg in rr_flags.items():
-            cause = (
-                "code"
-                if "code changed" in msg
-                else "env"
-                if "environment" in msg
-                else "unexplained"
-                if "unexplained" in msg
-                else "error"
-            )
+            # cause from the structured map (r14 advisor: substring
+            # matching mislabeled '_error' entries whose exception text
+            # happened to contain 'environment'/'code changed')
+            cause = rr_causes.get(name, "error")
+            if name == "_error":
+                out[name] = "error"  # fixed short token, never the text
+                continue
             head = "" if terse else msg.split(" anchored", 1)[0] + " "
             out[name] = f"{head}{cause}"
         return out
@@ -705,10 +738,16 @@ def main() -> None:
         (1, 2, 0, 1, True),
         (0, 2, 0, 1, True),
     ]
+    sc = spark.sparkContext
+    env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
     for top_n, n_anchors, n_iso, t_dec, terse in levels:
+        elided = n_anchors < len(full_anchors)
         anchor_compact = (
             full_anchors
-            if n_anchors >= len(full_anchors)
+            if not elided
+            # head + tail halves, middle elided (marker below — r14
+            # advisor: a consumer could not tell a truncated series
+            # from a full one and might misalign samples)
             else full_anchors[: n_anchors // 2] + full_anchors[-(n_anchors - n_anchors // 2):]
         )
         rr_compact = _rr_compact(terse)
@@ -716,6 +755,13 @@ def main() -> None:
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:top_n]
         )
+        # r15 (r14 verdict task 2): always ALSO name the previous
+        # round's named set — additions-only, so a query that improved
+        # out of the top-N never parses as dropped_from_bench. These
+        # ride at every shed level (they are the cross-round contract).
+        for n in prev_named:
+            if n in timings:
+                slowest.setdefault(n, timings[n])
         compact = json.dumps(
             {
                 "metric": "headline_queries_total",
@@ -723,6 +769,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "sf": sf_val,
+                # effective parallelism (r14 verdict task 2: the driver
+                # could not prove $SPARK_GRAFT_CPUS took effect —
+                # suspect_cpus_ignored; these fields carry the proof)
+                "cpus": int(env_cpus) if env_cpus else None,
+                "master": sc.master,
+                "default_parallelism": sc.defaultParallelism,
                 "anchor_sec": anchor_sec,
                 "anchor_post_sec": anchor_post_sec,
                 "anchored_top10": {
@@ -739,6 +791,7 @@ def main() -> None:
                 # for auditing a >=0.7 s job and buys back bytes for
                 # named slowest-query slots under the ~1.9 KB cap
                 "anchor_series": anchor_compact,
+                "anchor_series_elided": elided,
                 "scaling_slope_flags": slope_flags,
                 # r14: [isolated sec, isolated anchored, in-suite sec]
                 # per top-5 raw outlier; env flags name any in-suite

@@ -42,6 +42,48 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """MurmurHash3 x86_32 of one 32-bit int — bit-exact with Spark's
+    ``hash()``/``HashPartitioning`` for an IntegerType column (Austin
+    Appleby's public-domain algorithm, the hashInt fast path). Pinned
+    against ``F.hash`` by pytest so ``exact_hash_partition_keys`` can
+    never silently drift from the engine."""
+    m = 0xFFFFFFFF
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & m
+
+    k1 = (x & m) * 0xCC9E2D51 & m
+    k1 = rotl(k1, 15)
+    k1 = (k1 * 0x1B873593) & m
+    h1 = (seed & m) ^ k1
+    h1 = rotl(h1, 13)
+    h1 = (h1 * 5 + 0xE6546B64) & m
+    h1 ^= 4  # total byte length
+    h1 ^= h1 >> 16
+    h1 = (h1 * 0x85EBCA6B) & m
+    h1 ^= h1 >> 13
+    h1 = (h1 * 0xC2B2AE35) & m
+    h1 ^= h1 >> 16
+    return h1 - (1 << 32) if h1 >= (1 << 31) else h1
+
+
+def exact_hash_partition_keys(n: int) -> list[int]:
+    """Small ints ``k_0..k_{n-1}`` with ``pmod(hash(k_i), n) == i`` —
+    tagging a row with ``k_c`` and ``repartition(n, tag)`` places it in
+    partition ``c`` EXACTLY, with no RangePartitioner sampling pass and
+    no hash-collision imbalance (guide §2.5: n distinct values hashed
+    into n partitions collide; these keys are chosen not to)."""
+    found: dict[int, int] = {}
+    i = 0
+    while len(found) < n:
+        p = _murmur3_int32(i) % n
+        if p not in found:
+            found[p] = i
+        i += 1
+    return [found[p] for p in range(n)]
+
+
 def normalize_events_ts(df: DataFrame) -> DataFrame:
     """Make ``events.ts`` a plain µs TimestampType regardless of how the
     session read the parquet TIMESTAMP(NANOS) column.

@@ -2533,9 +2533,6 @@ def incremental_minhash_dedup(
     old_b = banded_signatures(old_docs).localCheckpoint(eager=True)
     new_b = banded_signatures(new_docs).localCheckpoint(eager=True)
 
-    sh_new = shingles(new_docs)
-    sh_old = shingles(old_docs)
-
     def verified(cand, sh_a, sh_b):
         sa = sh_a.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
         sb = sh_b.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -2552,7 +2549,11 @@ def incremental_minhash_dedup(
             .select("doc_a", "doc_b")
         )
 
-    # new × old: candidate = shared band bucket; drop the new side
+    # new × old: candidate = shared band bucket; drop the new side.
+    # Unpinned: its two consumers (the corpus-side id prune's broadcast
+    # build and the verification join) evaluate within ONE action over
+    # the checkpointed band tables — cheaper than an eager pin job
+    # (r15 A/B: pinning cost ~0.5 s on the critical path).
     no = (
         new_b.alias("n")
         .join(
@@ -2564,6 +2565,21 @@ def incremental_minhash_dedup(
             F.col("n.doc_id").alias("doc_a"), F.col("o.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+    # CANDIDATE-PRUNED corpus-side verification (r15; r14 verdict task
+    # 4): exact-Jaccard shingles for the ACCEPTED CORPUS are computed
+    # only for documents that collide with the batch — the corpus is
+    # the side that is unbounded at 100 TB, so this turns a full corpus
+    # re-shingle per ingest into O(collisions). The BATCH side stays
+    # unpruned: it is trigger-bounded by definition, and the r15 A/B of
+    # the fully-pruned variant (both sides + a pinned nn pair set)
+    # measured 25% SLOWER at sf0.1 — two extra checkpoint jobs on the
+    # critical path bought nothing the batch's size didn't already cap
+    # (same verdict as r14's attempt, now with the measurement recorded).
+    ids_old = no.select(F.col("doc_b").alias("doc_id")).distinct()
+    sh_new = shingles(new_docs)
+    sh_old = shingles(
+        old_docs.join(F.broadcast(ids_old), "doc_id", "left_semi")
     )
     # consumed by three branches (two anti-joins + the accounting
     # join) — pin the tiny verified-drop set once
@@ -3070,6 +3086,11 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
     ts, value); op derivation, within-batch CDC ordering, the base
     MERGE, the group-bounded rescan and the stale-slot retirement all
     live here. Replay-idempotent (see q_ext_166's docstring)."""
+    if not 1 <= k < 100:
+        # view_key = user_id*100 + rank encodes the rank in two decimal
+        # digits; the [user*100+1, user*100+99] bounds below and the
+        # key encoding itself are wrong for k >= 100 (r14 verdict)
+        raise ValueError(f"cdc_rank_apply_batch requires 1 <= k < 100, got {k}")
     ev = batch.select(
         "user_id",
         "event_id",
@@ -3107,74 +3128,116 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
             "ts_us",
             "value_cents",
         )
-        .localCheckpoint(eager=True)  # 3 consumers below
     )
-    # pre-merge groups of ALL last-op keys — not just delete targets.
-    # A delete retires rows in the TARGET row's group (the delete
-    # record's own user_id is the deleter, not the deletee), and an
-    # upsert that MOVES a key to a different user must re-rank the OLD
-    # group too, or its stale view row survives pointing at a row that
-    # migrated (CDC row migration; the r13 property test's falsifying
-    # example). The lookup reads the base through the manifest IN-list
-    # prune (tables.py candidate_files): the batch's key set is small
-    # and known, so only files whose event_id footer range admits a
-    # batch key are scanned — the same files the MERGE below will
-    # rewrite — never the full base.
-    keys = sorted(
-        r["event_id"] for r in last.select("event_id").distinct().collect()
-    )
-    if not keys:
+    spark = batch.sparkSession
+    # ONE bounded job pulls the last-op set to the driver (`last` holds
+    # one row per key by construction, so row count == distinct keys).
+    # limit(MAX+1) bounds the collect BEFORE the threshold is known —
+    # the r14 shape collected every distinct key unconditionally, so a
+    # degenerate giant batch paid an unbounded driver collect before
+    # the CDC_INLIST_MAX guard could act (r14 verdict, item 4). The
+    # collected rows then serve THREE former jobs at once: the key set
+    # (IN-list prune + merge key_bounds), the upsert users, and —
+    # rebuilt as a literal broadcast frame — the MERGE source itself
+    # (no localCheckpoint job, no recompute).
+    rows = last.limit(CDC_INLIST_MAX + 1).collect()
+    if not rows:
         return
-    if len(keys) <= CDC_INLIST_MAX:
-        # prune_only: the IN string buys the manifest file prune (cheap,
-        # linear compile) but NOT a 25k-literal Catalyst predicate (2-10 s
-        # of parse/analysis per read at sf0.1 — r14 measurement); row
-        # exactness comes from the broadcast semi-join either way
-        pre_scan = base.read(
-            where="event_id IN (%s)" % ",".join(str(e) for e in keys),
-            prune_only=True,
-        )
-    else:  # degenerate giant batch: the IN string itself would be the cost
-        pre_scan = base.read()
-    pre_groups = pre_scan.join(
-        last.select("event_id"), "event_id", "left_semi"
-    ).select("user_id")
-    # ONE job computes the touched-group set and collects it (r14):
-    # the collected list then becomes a literal one-column frame, which
-    # is immune to the base MERGE below by construction (the previous
-    # shape paid a localCheckpoint job AND a collect for the same
-    # guarantee) and broadcast-joins everywhere it is consumed.
-    users = sorted(
-        r["user_id"]
-        for r in last.filter(F.col("op") == "upsert")
-        .select("user_id")
-        .union(pre_groups)
-        .distinct()
-        .collect()
+    merge_clauses = dict(
+        update={
+            "user_id": "source.user_id",
+            "ts_us": "source.ts_us",
+            "value_cents": "source.value_cents",
+        }
     )
-    (
+    if len(rows) <= CDC_INLIST_MAX:
+        keys = sorted(r["event_id"] for r in rows)
+        # plain literal (not pre-broadcast — the merge broadcasts it
+        # at the join itself)
+        src = spark.createDataFrame(rows, last.schema)
+        # pre-evaluated insert candidates (the rows ARE the source —
+        # `op == 'upsert'` is exactly the insert clause's condition and
+        # the clause is INSERT-by-name): lets the merge skip the
+        # clause-evaluation job entirely
+        ins_cand = [
+            {
+                "event_id": r["event_id"],
+                "user_id": r["user_id"],
+                "ts_us": r["ts_us"],
+                "value_cents": r["value_cents"],
+                "_sparketl_k": r["event_id"],
+            }
+            for r in rows
+            if r["op"] == "upsert"
+        ]
+        # The pre-merge groups of ALL last-op keys — not just delete
+        # targets — must re-rank: a delete retires rows in the TARGET
+        # row's group (the delete record's own user_id is the deleter,
+        # not the deletee), and an upsert that MOVES a key must re-rank
+        # the OLD group too (CDC row migration; the r13 property test's
+        # falsifying example). r14 paid a separate pre-merge lookup job
+        # for that set; it is now CAPTURED FROM THE MERGE's own
+        # candidate-file read (capture_matched): every matched target
+        # row's pre-image user_id rides back with the write job's
+        # metadata — matched rows ARE exactly the base rows whose
+        # event_id is a batch key, so the captured set equals the old
+        # lookup's, one job earlier.
+        #
         # source_is_unique: `last` keeps exactly one row per event_id
         # (row_number == 1 over the per-key window above), so the
         # duplicate-match validation pass is provably redundant (r14).
         # key_bounds: `keys` IS the collected distinct source key set.
-        base.merge(
-            last,
-            "target.event_id = source.event_id",
-            source_is_unique=True,
-            key_bounds=(keys[0], keys[-1]),
+        _, pre_users = (
+            base.merge(
+                src,
+                "target.event_id = source.event_id",
+                source_is_unique=True,
+                key_bounds=(keys[0], keys[-1]),
+            )
+            .when_matched_delete("source.op = 'delete'")
+            .when_matched_update(merge_clauses["update"], "source.op = 'upsert'")
+            .when_not_matched_insert(condition="source.op = 'upsert'")
+            # driver_inserts: broadcast-left rewrite + driver-side
+            # insert file — the per-batch base commit is map-only (r15)
+            .execute(
+                capture_matched="target.user_id",
+                driver_inserts=True,
+                insert_candidates=ins_cand,
+            )
         )
-        .when_matched_delete("source.op = 'delete'")
-        .when_matched_update(
-            {
-                "user_id": "source.user_id",
-                "ts_us": "source.ts_us",
-                "value_cents": "source.value_cents",
-            },
-            "source.op = 'upsert'",
+        users = sorted(
+            {r["user_id"] for r in rows if r["op"] == "upsert"}
+            | set(pre_users)
         )
-        .when_not_matched_insert(condition="source.op = 'upsert'")
-        .execute()
-    )
+    else:
+        # degenerate giant batch: never collect the full key set — the
+        # distributed path computes the touched groups with a pre-merge
+        # semi-join (pinned BEFORE the merge mutates the base) and the
+        # merge derives its own bounds from the source.
+        last = last.localCheckpoint(eager=True)
+        pre_groups = base.read().join(
+            last.select("event_id"), "event_id", "left_semi"
+        ).select("user_id")
+        users_df = (
+            last.filter(F.col("op") == "upsert")
+            .select("user_id")
+            .union(pre_groups)
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        keys = None
+        (
+            base.merge(
+                last,
+                "target.event_id = source.event_id",
+                source_is_unique=True,
+            )
+            .when_matched_delete("source.op = 'delete'")
+            .when_matched_update(merge_clauses["update"], "source.op = 'upsert'")
+            .when_not_matched_insert(condition="source.op = 'upsert'")
+            .execute()
+        )
+        users = None  # distributed rescan below joins users_df directly
     # group-bounded rescan of the POST-merge base (ext_156): only
     # touched groups re-rank; untouched view files carry forward. The
     # touched-user set is batch-bounded, so the rescan (and the stale
@@ -3182,19 +3245,25 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
     # when the base is kept group-clustered (q_ext_166 z-orders it by
     # (user_id, event_id) at the OPTIMIZE cadence) the footer stats
     # make "O(touched groups)" a FILE bound, not just a row bound.
-    if not users:
-        return
-    spark = batch.sparkSession
-    touched = F.broadcast(
-        spark.createDataFrame([(u,) for u in users], "user_id long")
-    )
-    if len(users) <= CDC_INLIST_MAX:
+    if users is not None:
+        if not users:
+            return
+        touched = F.broadcast(
+            spark.createDataFrame([(u,) for u in users], "user_id long")
+        )
         in_users = "user_id IN (%s)" % ",".join(str(u) for u in users)
         base_scan = base.read(where=in_users, prune_only=True)
         view_scan = view.read(where=in_users, prune_only=True)
+        # every source view_key below is user·100 + rank with user ∈
+        # the collected touched set and 1 ≤ rank ≤ k < 100 (asserted
+        # at entry), so this is a guaranteed superset of the bounds
+        view_bounds = (users[0] * 100 + 1, users[-1] * 100 + 99)
     else:
+        # giant-batch path: the touched set stayed distributed
+        touched = users_df
         base_scan = base.read()
         view_scan = view.read()
+        view_bounds = None  # merge derives bounds from the source
     rescan = base_scan.join(touched, "user_id", "left_semi")
     stale_lookup = view_scan.join(touched, "user_id", "left_semi")
     w = Window.partitionBy("user_id").orderBy(
@@ -3211,7 +3280,11 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
             "event_id",
             "value_cents",
         )
-        .localCheckpoint(eager=True)  # stale diff + merge source
+        # no localCheckpoint (r15): both consumers (the union side and
+        # the stale anti-join) evaluate INSIDE the single view-merge
+        # write job over pruned candidate files — recomputing that
+        # small window twice in one job is cheaper than a dedicated
+        # checkpoint job per micro-batch
     )
     stale = (
         stale_lookup
@@ -3226,14 +3299,11 @@ def cdc_rank_apply_batch(base, view, batch: DataFrame, k: int = CDC_TOPK_K) -> N
         # source_is_unique: fresh holds one row per view_key (row_number
         # ranks are unique within a user) and stale is anti-joined
         # against fresh's view_keys — the union cannot repeat a key (r14).
-        # key_bounds: every source view_key is user·100 + rank with
-        # user ∈ the collected touched set and 1 ≤ rank ≤ k < 100, so
-        # [min_user·100 + 1, max_user·100 + 99] is a guaranteed superset.
         view.merge(
             src,
             "target.view_key = source.view_key",
             source_is_unique=True,
-            key_bounds=(users[0] * 100 + 1, users[-1] * 100 + 99),
+            key_bounds=view_bounds,
         )
         .when_matched_delete("source.op = 'delete'")
         .when_matched_update(

@@ -168,28 +168,95 @@ def streaming_sessionize(
     )
 
 
+def _events_ts_bounds_us(sf_dir: str) -> tuple[int, int] | None:
+    """[min, max] of events.ts in epoch-µs from the parquet FOOTER
+    min/max — O(KB) driver metadata, no Spark job, no data scan. None
+    when the footer carries no usable ts statistics (caller falls back
+    to one aggregate job). The fixture stores ts as TIMESTAMP(NANOS);
+    both raw-int and datetime statistics shapes are handled."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from sparketl.io import table_path
+
+    path = table_path(sf_dir, "events")
+    if not os.path.isfile(path):
+        return None
+    md = pq.ParquetFile(path).metadata
+    names = {c: i for i, c in enumerate(md.schema.names)}
+    if "ts" not in names:
+        return None
+    lo = hi = None
+    for rg in range(md.num_row_groups):
+        st = md.row_group(rg).column(names["ts"]).statistics
+        if st is None or not st.has_min_max:
+            return None
+        mn, mx = st.min, st.max
+        if isinstance(mn, dt.datetime):
+            epoch = dt.datetime(1970, 1, 1, tzinfo=mn.tzinfo)
+            mn = int((mn - epoch).total_seconds() * 1_000_000)
+            mx = int((mx - epoch).total_seconds() * 1_000_000)
+        elif isinstance(mn, int):
+            mn, mx = mn // 1000, mx // 1000  # raw TIMESTAMP(NANOS) ints
+        else:
+            return None
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return (lo, hi) if lo is not None else None
+
+
 def stage_event_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Split the (time-ordered) events fixture into n time-ordered
     parquet files so maxFilesPerTrigger=1 yields real multi-batch
     streaming with cross-batch state.
 
-    Fully distributed: repartitionByRange on ts makes partition index ==
-    time-range order, so the executor-written part files ARE the chunks
-    — no driver-side materialization (the previous toPandas version was
-    a driver-memory bottleneck on a large events table). Files are then
-    renamed/mtime-stamped in range order because the file source
-    processes oldest-mtime first."""
+    Fully distributed and sampling-free (r15): chunk = uniform ts-range
+    bucket between the fixture's [min, max] ts — bounds come from the
+    parquet footer (no job) or, for sources without footer stats, ONE
+    column-pruned min/max aggregate — and rows reach their chunk's
+    partition through ``exact_hash_partition_keys`` (tag row with k_c,
+    hash-repartition: no RangePartitioner sampling pass over the data,
+    which at 100 TB was a full extra scan per staged stream; guide
+    §2.5's collision caveat is what the exact keys solve). Partition
+    index == chunk index == time order, so the executor-written part
+    files ARE the chunks. Files are then renamed/mtime-stamped in range
+    order because the file source processes oldest-mtime first.
+
+    Chunk boundaries differ from the old sampled repartitionByRange
+    split, but every staged consumer's declared result is batch-
+    boundary-independent (the stream≡batch invariant the pytests and
+    oracles check), so only job count changes, never answers."""
     stage = os.path.join(tempfile.gettempdir(), f"sparketl-chunks-{uuid.uuid4().hex[:8]}")
     raw = stage + "-raw"
+    from sparketl.io import exact_hash_partition_keys
+
+    ev = load_table(spark, sf_dir, "events")
+    bounds = _events_ts_bounds_us(sf_dir)
+    if bounds is None:
+        row = ev.agg(
+            F.min(F.unix_micros("ts")).alias("lo"),
+            F.max(F.unix_micros("ts")).alias("hi"),
+        ).first()
+        bounds = (row["lo"], row["hi"])
+    lo_us, hi_us = bounds
+    span = max(1, hi_us - lo_us + 1)
+    pkeys = exact_hash_partition_keys(n_chunks)
+    key_arr = F.array(*[F.lit(k).cast("int") for k in pkeys])
+    chunk = F.expr(
+        f"least({n_chunks - 1} , cast(((unix_micros(ts) - {lo_us}) "
+        f"* {n_chunks}) div {span} as int))"
+    )
     (
-        load_table(spark, sf_dir, "events")
-        .repartitionByRange(n_chunks, "ts", "event_id")
+        ev.withColumn("_ck", F.element_at(key_arr, chunk + F.lit(1)))
+        .repartition(n_chunks, "_ck")
         .sortWithinPartitions("ts", "event_id")
+        .drop("_ck")
         .write.mode("overwrite")
         .parquet(raw)
     )
     os.makedirs(stage, exist_ok=True)
-    # part-NNNNN index == repartitionByRange partition index == ts order
+    # part-NNNNN index == exact-keyed partition index == ts-range order
     parts = sorted(f for f in os.listdir(raw) if f.endswith(".parquet"))
     for i, fname in enumerate(parts):
         dst = os.path.join(stage, f"part-{i:04d}.parquet")

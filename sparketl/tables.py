@@ -197,6 +197,280 @@ def _bloom_might_contain(bloom_hex: str, value: str) -> bool:
     return all(bits[h >> 3] & (1 << (h & 7)) for h in _bloom_hashes(value))
 
 
+def _arrow_type_of(dt: T.DataType):
+    """Arrow type for a Spark type — the small closed set ManagedTable
+    schemas use. Raises for anything else; callers fall back to the
+    Spark-job write path."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.ShortType):
+        return pa.int16()
+    if isinstance(dt, T.ByteType):
+        return pa.int8()
+    if isinstance(dt, T.DoubleType):
+        return pa.float64()
+    if isinstance(dt, T.FloatType):
+        return pa.float32()
+    if isinstance(dt, T.StringType):
+        return pa.string()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.BinaryType):
+        return pa.binary()
+    if isinstance(dt, T.DateType):
+        return pa.date32()
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    raise TypeError(f"no local-write arrow mapping for {dt}")
+
+
+def _stats_of_values(schema: T.StructType, columns: dict) -> tuple[dict, dict]:
+    """NaN-aware min/max stats + Bloom bits over driver-held column
+    value lists — the same semantics ``_make_part_writer`` folds on
+    executors (Spark total order: max is NaN-sticky, min is the
+    smallest real unless all-NaN; all-null columns absent)."""
+    stats: dict = {}
+    blooms: dict = {}
+    for f in schema.fields:
+        vals = [v for v in columns[f.name] if v is not None]
+        if not vals:
+            continue
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            real = [v for v in vals if not math.isnan(v)]
+            if real:
+                mx = float("nan") if len(real) < len(vals) else max(real)
+                stats[f.name] = [min(real), mx]
+            else:
+                stats[f.name] = [float("nan"), float("nan")]
+        elif isinstance(
+            f.dataType, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            stats[f.name] = [int(min(vals)), int(max(vals))]
+        elif isinstance(f.dataType, T.StringType):
+            distinct = set(vals)
+            if len(distinct) <= _BLOOM_MAX_DISTINCT:
+                bits = bytearray(_BLOOM_M // 8)
+                for v in distinct:
+                    for h in _bloom_hashes(v):
+                        bits[h >> 3] |= 1 << (h & 7)
+                blooms[f.name] = bits.hex()
+    return stats, blooms
+
+
+# -- distributed write-side stats (r15) --------------------------------------
+# The per-file min/max stats and Bloom filters used to be computed by a
+# DRIVER read-back of every newly committed file (_collect_file_stats /
+# _collect_file_blooms): footer-only for numerics but a real column
+# read for the blooms — driver data work per commit, the §5 hazard the
+# r14 verdict deferred. They are now folded INSIDE the write job: each
+# task writes its own parquet file (pyarrow) and returns one tiny
+# (file, stats, blooms) row, so the driver only ever sees the metadata.
+# The driver read-back functions above remain as the fallback for
+# files that enter a manifest without passing through _write_data
+# (legacy tables, foreign files).
+
+
+def _make_part_writer(
+    out_dir: str, fields: list, capture: bool
+):
+    """Build the mapInArrow body for ``_write_data``: writes this
+    task's rows as ONE parquet file under ``out_dir`` and yields a
+    single metadata row ``(file, stats_json, blooms_json, cap_json)``.
+
+    Stats replicate ``_collect_file_stats``'s semantics from the DATA
+    (not the footer): numeric top-level columns only, min = smallest
+    real value (NaN only when all-NaN), max = NaN-sticky — Spark's
+    total order, the contract ``_file_might_match`` prunes under.
+    Blooms replicate ``_collect_file_blooms``: per low-cardinality
+    string column, the same md5 double-hash bits.
+
+    ``capture``: the input carries two trailing internal columns —
+    ``_sparketl_omit`` (row excluded from the file; MERGE deletes) and
+    ``_sparketl_cap`` (a value to report back; MERGE matched-row
+    pre-image) — stripped before writing; distinct non-null cap values
+    ride back in ``cap_json``. Bounded by the caller (micro-batch key
+    sets), never table-sized.
+    """
+    numeric = {
+        f.name
+        for f in fields
+        if isinstance(
+            f.dataType,
+            (
+                T.ByteType,
+                T.ShortType,
+                T.IntegerType,
+                T.LongType,
+                T.FloatType,
+                T.DoubleType,
+            ),
+        )
+    }
+    stringy = {f.name for f in fields if isinstance(f.dataType, T.StringType)}
+    floaty = {
+        f.name
+        for f in fields
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
+    names = [f.name for f in fields]
+
+    def write_part(batches):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        writer = None
+        path = None
+        tmp = None
+        buf: list = []
+        buf_bytes = 0
+        mins: dict = {}
+        maxs: dict = {}
+        saw_nan: set = set()
+        bloom_vals: dict = {c: set() for c in stringy}
+        bloom_dead: set = set()
+        cap_vals: set = set()
+
+        def flush():
+            nonlocal writer, buf, buf_bytes
+            if not buf:
+                return
+            tbl = pa.Table.from_batches(buf)
+            writer.write_table(tbl, row_group_size=max(1, tbl.num_rows))
+            buf = []
+            buf_bytes = 0
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            if capture:
+                cap_col = batch.column(batch.schema.get_field_index("_sparketl_cap"))
+                for v in cap_col.drop_null().to_pylist():
+                    # struct captures arrive as dicts — dedup via a
+                    # canonical JSON encoding (values are key-sized)
+                    cap_vals.add(json.dumps(v, sort_keys=True))
+                omit = batch.column(
+                    batch.schema.get_field_index("_sparketl_omit")
+                )
+                import pyarrow.compute as pc
+
+                keep = pc.fill_null(pc.invert(omit), True)
+                batch = batch.select(names).filter(keep)
+                if batch.num_rows == 0:
+                    continue
+            if writer is None:
+                fname = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+                path = os.path.join(out_dir, fname)
+                tmp = path + ".inprogress"
+                # float/double columns get NO footer statistics:
+                # pyarrow computes min/max IGNORING NaN, and Spark's
+                # row-group pushdown would then wrongly prune row
+                # groups whose only matching rows are NaN (NaN > lit is
+                # true under Spark's total order). The manifest-level
+                # stats computed below are NaN-aware and do the file
+                # skipping; int/string footer stats stay on for
+                # readers' row-group pruning.
+                stat_cols = [
+                    f2.name for f2 in fields if f2.name not in floaty
+                ]
+                writer = pq.ParquetWriter(
+                    tmp, batch.schema, write_statistics=stat_cols
+                )
+            # fold stats from the data itself (exact, footer-free)
+            for col in numeric:
+                arr = batch.column(batch.schema.get_field_index(col))
+                valid = arr.drop_null()
+                if len(valid) == 0:
+                    continue
+                vals = valid.to_numpy(zero_copy_only=False)
+                if col in floaty:
+                    import numpy as np
+
+                    nan_mask = np.isnan(vals)
+                    if nan_mask.any():
+                        saw_nan.add(col)
+                    real = vals[~nan_mask]
+                    if real.size == 0:
+                        continue
+                    lo, hi = float(real.min()), float(real.max())
+                else:
+                    lo, hi = int(vals.min()), int(vals.max())
+                mins[col] = lo if col not in mins else min(mins[col], lo)
+                maxs[col] = hi if col not in maxs else max(maxs[col], hi)
+            for col in list(bloom_vals):
+                if col in bloom_dead:
+                    continue
+                arr = batch.column(batch.schema.get_field_index(col))
+                s = bloom_vals[col]
+                for v in arr.drop_null().to_pylist():
+                    s.add(v)
+                if len(s) > _BLOOM_MAX_DISTINCT:
+                    bloom_dead.add(col)
+                    bloom_vals[col] = set()
+            buf.append(batch)
+            buf_bytes += batch.nbytes
+            if buf_bytes >= 128 << 20:
+                flush()
+        if writer is None and not cap_vals:
+            return
+        if writer is not None:
+            flush()
+            writer.close()
+            os.rename(tmp, path)
+        else:
+            # every row of this task was omitted (e.g. an all-delete
+            # MERGE partition): no file, but the captured pre-image
+            # values must still reach the driver
+            path = None
+        stats = {}
+        for col in mins:
+            lo = mins[col]
+            hi = float("nan") if col in saw_nan else maxs[col]
+            if isinstance(lo, float) or isinstance(hi, float):
+                stats[col] = [float(lo), float(hi)]
+            else:
+                stats[col] = [int(lo), int(hi)]
+        for col in saw_nan:
+            if col not in stats:  # all-NaN column: min is NaN too
+                stats[col] = [float("nan"), float("nan")]
+        blooms = {}
+        for col, vals in bloom_vals.items():
+            if col in bloom_dead or not vals:
+                continue
+            bits = bytearray(_BLOOM_M // 8)
+            for v in vals:
+                for h in _bloom_hashes(v):
+                    bits[h >> 3] |= 1 << (h & 7)
+            blooms[col] = bits.hex()
+        yield pa.RecordBatch.from_pylist(
+            [
+                {
+                    "file": path,
+                    "stats": json.dumps(stats),
+                    "blooms": json.dumps(blooms),
+                    "cap": "[%s]" % ",".join(sorted(cap_vals)) if capture else "[]",
+                }
+            ],
+            schema=pa.schema(
+                [
+                    ("file", pa.string()),
+                    ("stats", pa.string()),
+                    ("blooms", pa.string()),
+                    ("cap", pa.string()),
+                ]
+            ),
+        )
+
+    return write_part
+
+
 def _file_might_match(stats: dict, col: str, op: str, lit: float) -> bool:
     """Conservative: True unless the file's [min,max] interval proves no
     row can satisfy ``col op lit``. NULL rows never satisfy a
@@ -525,21 +799,28 @@ class ManagedTable:
         schema_json: str,
         properties: dict,
         base_version: int | None = None,
+        new_stats: dict | None = None,
     ) -> int:
         """Commit a new version on top of ``base_version`` (the version
         the caller's snapshot was read at). Raises ConcurrentWriteError
         if another writer published base_version+1 first — optimistic
         concurrency; ``append`` rebases and retries, rewrites surface
         the conflict. ``base_version=None`` keeps the legacy
-        last-writer-wins behavior for internal single-writer paths."""
+        last-writer-wins behavior for internal single-writer paths.
+
+        ``new_stats``: per-file ``{"s": stats, "b": blooms}`` computed
+        by the write job itself (``_write_data``) — the normal path
+        since r15; the driver-side footer/column read below is only the
+        fallback for files that entered the manifest without passing
+        through ``_write_data``."""
         if base_version is None:
             base_version = self._current_version() if self.exists() else 0
         new_v = base_version + 1
         os.makedirs(self._manifest_dir, exist_ok=True)
-        # footer min/max stats ride in the log (Delta-style data
-        # skipping); retained files carry their stats forward through
-        # the delta replay, only the newly ADDED files get a footer
-        # read — O(new files) metadata work per commit, no data scan.
+        # min/max stats ride in the log (Delta-style data skipping);
+        # retained files carry their stats forward through the delta
+        # replay; newly ADDED files bring their stats from the write
+        # job — O(new files) metadata per commit, no driver data scan.
         base_m = (
             self._manifest(base_version)
             if base_version >= 1
@@ -549,20 +830,27 @@ class ManagedTable:
         files_set = set(files)
         prev_stats = base_m["file_stats"]
         prev_blooms = base_m["file_blooms"]
+        new_stats = new_stats or {}
+
         # `get(f) is not None` (not truthiness): a file with no numeric
         # columns has stats {} which must still carry forward, or its
         # footer would be re-read on every subsequent commit
+        def _s(f: str):
+            if f in new_stats:
+                return new_stats[f]["s"]
+            if prev_stats.get(f) is not None:
+                return prev_stats[f]
+            return _collect_file_stats(f)
+
+        def _b(f: str):
+            if f in new_stats:
+                return new_stats[f]["b"]
+            if prev_blooms.get(f) is not None:
+                return prev_blooms[f]
+            return _collect_file_blooms(f)
+
         adds = {
-            f: {
-                "s": prev_stats[f]
-                if prev_stats.get(f) is not None
-                else _collect_file_stats(f),
-                "b": prev_blooms[f]
-                if prev_blooms.get(f) is not None
-                else _collect_file_blooms(f),
-            }
-            for f in files
-            if f not in base_set
+            f: {"s": _s(f), "b": _b(f)} for f in files if f not in base_set
         }
         manifest = {
             "version": new_v,
@@ -609,14 +897,123 @@ class ManagedTable:
                 pass
         return new_v
 
-    def _write_data(self, df: DataFrame) -> list[str]:
-        out = os.path.join(self.root, f"d-{uuid.uuid4().hex}")
-        df.write.mode("overwrite").parquet(out)
-        return sorted(
-            os.path.join(out, f)
-            for f in os.listdir(out)
-            if f.endswith(".parquet")
+    def _write_local_rows(
+        self, dicts: list[dict], schema: T.StructType
+    ) -> tuple[list[str], dict]:
+        """Write DRIVER-HELD rows (list of {col: value}) as one parquet
+        file with the same stats/bloom manifest metadata the
+        distributed writer produces. Used for the insert side of
+        small-source MERGEs: the rows were already collected for the
+        broadcast, so writing them here costs no Spark job at all —
+        O(batch) driver work, the same class as the broadcast itself.
+        Raises TypeError for types outside the supported mapping
+        (callers fall back to the Spark-job shape)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not dicts:
+            return [], {}
+        arrow_schema = pa.schema(
+            [(f.name, _arrow_type_of(f.dataType)) for f in schema.fields]
         )
+        tbl = pa.Table.from_pylist(dicts, schema=arrow_schema)
+        out = os.path.join(self.root, f"d-{uuid.uuid4().hex}")
+        os.makedirs(out, exist_ok=True)
+        path = os.path.join(out, f"part-local-{uuid.uuid4().hex}.parquet")
+        floaty = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+        ]
+        stat_cols = [f.name for f in schema.fields if f.name not in floaty]
+        pq.write_table(
+            tbl, path, write_statistics=stat_cols, row_group_size=max(1, len(dicts))
+        )
+        cols = {
+            f.name: [d.get(f.name) for d in dicts] for f in schema.fields
+        }
+        s, b = _stats_of_values(schema, cols)
+        return [path], {path: {"s": s, "b": b}}
+
+    def _write_data(
+        self, df: DataFrame, capture: bool = False
+    ) -> tuple[list[str], dict, list]:
+        """Write ``df`` as one parquet file per non-empty partition and
+        return ``(files, {file: {"s": stats, "b": blooms}}, captured)``.
+        The per-file min/max stats and Bloom bits are folded INSIDE the
+        write tasks (r15) — the commit path no longer reads any data
+        column on the driver; only the small metadata rows come back.
+        ``capture=True``: ``df`` carries the internal ``_sparketl_omit``
+        / ``_sparketl_cap`` columns (see ``_make_part_writer``); omitted
+        rows are excluded from the file and the distinct cap values are
+        returned — the mechanism MERGE uses to report matched-row
+        pre-images from the same single write job.
+
+        Writer dispatch (r15): schemas with a string column go through
+        the Arrow task writer — per-file Bloom bits need the column
+        data, which must never be read back on the driver. All-numeric
+        schemas (the hot CDC/IVM tables) use Spark's native parquet
+        writer — no Python boundary — with capture riding on a
+        ``df.observe(collect_set(...))`` inside the SAME job and the
+        numeric min/max coming from a driver FOOTER read (O(KB)
+        metadata per file, not a column read; Spark's footers are
+        NaN-aware per ``_collect_file_stats``)."""
+        out = os.path.join(self.root, f"d-{uuid.uuid4().hex}")
+        os.makedirs(out, exist_ok=True)
+        data_fields = [
+            f
+            for f in df.schema.fields
+            if f.name not in ("_sparketl_omit", "_sparketl_cap")
+        ]
+        if not any(
+            isinstance(f.dataType, (T.StringType, T.BinaryType))
+            for f in data_fields
+        ):
+            from pyspark.sql import Observation
+
+            captured: list = []
+            w = df
+            if capture:
+                obs = Observation()
+                w = df.observe(
+                    obs, F.collect_set(F.col("_sparketl_cap")).alias("cap")
+                ).filter(
+                    ~F.coalesce(F.col("_sparketl_omit"), F.lit(False))
+                ).drop("_sparketl_omit", "_sparketl_cap")
+            w.write.mode("overwrite").parquet(out)
+            files = sorted(
+                os.path.join(out, f)
+                for f in os.listdir(out)
+                if f.endswith(".parquet")
+            )
+            adds = {
+                f: {"s": _collect_file_stats(f), "b": {}} for f in files
+            }
+            if capture:
+                captured = list(obs.get["cap"])
+            return files, adds, captured
+        fn = _make_part_writer(out, data_fields, capture)
+        rows = df.mapInArrow(
+            fn, "file string, stats string, blooms string, cap string"
+        ).collect()
+        files = sorted(r["file"] for r in rows if r["file"] is not None)
+        adds = {
+            r["file"]: {
+                "s": json.loads(r["stats"]),
+                "b": json.loads(r["blooms"]),
+            }
+            for r in rows
+            if r["file"] is not None
+        }
+        cap_seen: set = set()
+        captured: list = []
+        for r in rows:
+            for v in json.loads(r["cap"]):
+                k = json.dumps(v, sort_keys=True)
+                if k not in cap_seen:
+                    cap_seen.add(k)
+                    captured.append(v)
+        return files, adds, captured
 
     # -- DDL ----------------------------------------------------------------
     def create(self, schema: T.StructType, properties: dict | None = None) -> None:
@@ -934,7 +1331,7 @@ class ManagedTable:
         once regardless of retries; only the manifest attempt repeats."""
         target = T.StructType.fromJson(json.loads(self._manifest()["schema"]))
         aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
-        new_files = self._write_data(aligned)
+        new_files, new_stats, _ = self._write_data(aligned)
         last_err: Exception | None = None
         for _ in range(20):
             m = self._manifest()
@@ -945,6 +1342,7 @@ class ManagedTable:
                     m["schema"],
                     props,
                     base_version=m["version"],
+                    new_stats=new_stats,
                 )
             except ConcurrentWriteError as e:
                 last_err = e
@@ -956,14 +1354,23 @@ class ManagedTable:
         m = self._manifest()
         target = T.StructType.fromJson(json.loads(m["schema"]))
         aligned = df.select([F.col(f.name).cast(f.dataType) for f in target.fields])
-        new_files = self._write_data(aligned)
+        new_files, new_stats, _ = self._write_data(aligned)
         return self._commit(
-            new_files, m["schema"], m["properties"], base_version=m["version"]
+            new_files,
+            m["schema"],
+            m["properties"],
+            base_version=m["version"],
+            new_stats=new_stats,
         )
 
     def _pruned_rewrite(
-        self, prune_where: str | None, transform, may_create_rows: bool = False
-    ) -> int:
+        self,
+        prune_where: str | None,
+        transform,
+        may_create_rows: bool = False,
+        capture: bool = False,
+        extra_files=None,
+    ):
         """Copy-on-write that rewrites ONLY the files that might hold
         affected rows (footer-stat pruning via candidate_files); every
         other file carries into the new manifest untouched — the Delta
@@ -976,31 +1383,51 @@ class ManagedTable:
         from an EMPTY input (upsert's insert side) — then the transform
         runs and writes even with zero candidate files; delete/update
         transforms are row-filters, so zero candidates means a pure
-        metadata commit."""
+        metadata commit.
+
+        ``capture=True``: ``transform``'s output carries the internal
+        ``_sparketl_omit`` / ``_sparketl_cap`` columns (rows to exclude
+        from the written files; values to report back from the same
+        write job — see ``_write_data``); the return value becomes
+        ``(version, captured_values)``."""
         m = self._manifest()
         schema = T.StructType.fromJson(json.loads(m["schema"]))
         all_files = list(m["files"])
         cand = self.candidate_files(prune_where) if prune_where else all_files
         cand_set = set(cand)
         retained = [f for f in all_files if f not in cand_set]
+        captured: list = []
         if cand or may_create_rows:
             if cand:
                 df = self.spark.read.schema(schema).parquet(*cand)
             else:
                 df = self.spark.createDataFrame([], schema)
             out = transform(df)
-            aligned = out.select(
-                [F.col(f.name).cast(f.dataType) for f in schema.fields]
+            cols = [F.col(f.name).cast(f.dataType) for f in schema.fields]
+            if capture:
+                cols += [F.col("_sparketl_omit"), F.col("_sparketl_cap")]
+            aligned = out.select(cols)
+            new_files, new_stats, captured = self._write_data(
+                aligned, capture=capture
             )
-            new_files = self._write_data(aligned)
         else:
-            new_files = []
-        return self._commit(
+            new_files, new_stats = [], {}
+        if extra_files is not None:
+            # driver-side companion files for the SAME commit (the
+            # insert side of small-source MERGEs — see _write_local_rows);
+            # runs even with zero candidate files, where everything
+            # inserts and the Spark job was skipped entirely
+            xf, xs = extra_files(captured)
+            new_files = new_files + xf
+            new_stats = {**new_stats, **xs}
+        v = self._commit(
             retained + new_files,
             m["schema"],
             m["properties"],
             base_version=m["version"],
+            new_stats=new_stats,
         )
+        return (v, captured) if capture else v
 
     def keyed_update(
         self,
@@ -1055,26 +1482,36 @@ class ManagedTable:
                 *[F.col(c).alias(f"_set_{c}") for c in set_columns],
             )
         )
-        # Materialize the deduped source ONCE: the broadcast gate, the
-        # key-range bounds and the rewrite join all consume it, and
-        # without the pin each would recompute the dedup window from
-        # the raw source — three full source passes per update (r14
-        # measurement). One job here, then count+bounds fold into one
-        # cheap aggregate over the pinned rows.
-        src = src.localCheckpoint(eager=True)
-        stats = src.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("_k").alias("mn"),
-            F.max("_k").alias("mx"),
-        ).first()
+        # ONE bounded job for the common (micro-batch-sized) source:
+        # collect the deduped rows (they cross the driver anyway as a
+        # broadcast relation) and rebuild them as a literal broadcast
+        # frame — the r14 checkpoint + stats-agg jobs fold into this
+        # single collect. limit(N+1) bounds the collect by construction;
+        # a giant source truncates and falls back to the r14 shape
+        # (one checkpoint materialization, one cheap agg over it).
+        rows = src.limit(_DRIVER_SOURCE_ROWS + 1).collect()
+        if len(rows) <= _DRIVER_SOURCE_ROWS:
+            ks = [r["_k"] for r in rows]
+            mn = min(ks) if ks else None
+            mx = max(ks) if ks else None
+            small = True
+            src = self.spark.createDataFrame(rows, src.schema)
+        else:
+            src = src.localCheckpoint(eager=True)
+            stats = src.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("_k").alias("mn"),
+                F.max("_k").alias("mx"),
+            ).first()
+            mn, mx = stats["mn"], stats["mx"]
+            small = stats["n"] <= _SMALL_SOURCE_ROWS
         prune = None
         if (
-            stats["mn"] is not None
-            and isinstance(stats["mn"], (int, float))
-            and not isinstance(stats["mn"], bool)
+            mn is not None
+            and isinstance(mn, (int, float))
+            and not isinstance(mn, bool)
         ):
-            prune = f"{key} >= {stats['mn']} AND {key} <= {stats['mx']}"
-        small = stats["n"] <= _SMALL_SOURCE_ROWS
+            prune = f"{key} >= {mn} AND {key} <= {mx}"
 
         def transform(target: DataFrame) -> DataFrame:
             merged = target.join(
@@ -1130,30 +1567,108 @@ class ManagedTable:
             ordered = source.withColumn(
                 "_src_order", F.monotonically_increasing_id()
             )
+        schema = self.schema()
         w = W.partitionBy(key).orderBy(F.desc("_src_order"))
         src = (
             ordered.filter(F.col(key).isNotNull())
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
-            .select(*[F.col(c).alias(f"_s_{c}") for c in table_cols])
+            # cast to the table schema HERE (the rewrite's aligned
+            # select did it post-merge before; doing it pre-merge keeps
+            # the small and large paths' join semantics identical)
+            .select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f"_s_{f.name}")
+                    for f in schema.fields
+                ]
+            )
         )
-        # One materialization serves the broadcast gate, the bounds and
-        # the rewrite join (see keyed_update — same r14 fix).
+        # ONE bounded job for the common (micro-batch-sized) source:
+        # pull the deduped rows to the driver — they would cross the
+        # driver anyway as a broadcast relation. The rewrite then needs
+        # NO shuffle at all: matched rows rewrite via a broadcast LEFT
+        # join over the candidate files only (a full-outer join cannot
+        # broadcast and forced a 2-exchange sort-merge join per commit —
+        # r15 measurement), the matched keys are CAPTURED from that same
+        # write job, and the unmatched source rows — already on the
+        # driver — are written as one local parquet file in the SAME
+        # commit (O(batch) driver work, the class the broadcast already
+        # pays). limit(N+1) bounds the collect by construction; a giant
+        # source truncates and falls back to the r14 full-join shape.
+        key_t = next(f.dataType for f in schema.fields if f.name == key)
+        small_ok = isinstance(
+            key_t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.StringType)
+        )
+        try:
+            for f in schema.fields:
+                _arrow_type_of(f.dataType)
+        except TypeError:
+            small_ok = False
+        rows = src.limit(_DRIVER_SOURCE_ROWS + 1).collect() if small_ok else []
+        if small_ok and len(rows) <= _DRIVER_SOURCE_ROWS:
+            keys = [r[f"_s_{key}"] for r in rows]
+            mn = min(keys) if keys else None
+            mx = max(keys) if keys else None
+            src_lit = F.broadcast(self.spark.createDataFrame(rows, src.schema))
+            prune = None
+            if (
+                mn is not None
+                and isinstance(mn, (int, float))
+                and not isinstance(mn, bool)
+            ):
+                prune = f"{key} >= {mn} AND {key} <= {mx}"
+
+            def transform(target: DataFrame) -> DataFrame:
+                merged = target.join(
+                    src_lit, target[key] == F.col(f"_s_{key}"), "left"
+                )
+                # source-present ⇔ _s_<key> non-null (null keys were
+                # dropped) — a matched row takes the source value even
+                # when that value is NULL (coalesce would keep the
+                # stale target value)
+                matched = F.col(f"_s_{key}").isNotNull()
+                out_cols = [
+                    F.when(matched, F.col(f"_s_{c}")).otherwise(F.col(c)).alias(c)
+                    for c in table_cols
+                ]
+                return merged.select(
+                    *out_cols,
+                    F.lit(False).alias("_sparketl_omit"),
+                    F.when(matched, F.col(f"_s_{key}")).alias("_sparketl_cap"),
+                )
+
+            def extra_files(captured):
+                matched_keys = set(captured)
+                ins = [
+                    {c: r[f"_s_{c}"] for c in table_cols}
+                    for r in rows
+                    if r[f"_s_{key}"] not in matched_keys
+                ]
+                return self._write_local_rows(ins, schema)
+
+            v, _ = self._pruned_rewrite(
+                prune, transform, capture=True, extra_files=extra_files
+            )
+            return v
+
+        # large / exotic-typed source: the r14 shape — one checkpoint
+        # materialization, one cheap agg over it, full-outer rewrite
         src = src.localCheckpoint(eager=True)
         stats = src.agg(
             F.count(F.lit(1)).alias("n"),
             F.min(f"_s_{key}").alias("mn"),
             F.max(f"_s_{key}").alias("mx"),
         ).first()
-        if stats["n"] <= _SMALL_SOURCE_ROWS:
+        n, mn, mx = stats["n"], stats["mn"], stats["mx"]
+        if n <= _SMALL_SOURCE_ROWS:
             src = F.broadcast(src)
         prune = None
         if (
-            stats["mn"] is not None
-            and isinstance(stats["mn"], (int, float))
-            and not isinstance(stats["mn"], bool)
+            mn is not None
+            and isinstance(mn, (int, float))
+            and not isinstance(mn, bool)
         ):
-            prune = f"{key} >= {stats['mn']} AND {key} <= {stats['mx']}"
+            prune = f"{key} >= {mn} AND {key} <= {mx}"
 
         def transform(target: DataFrame) -> DataFrame:
             merged = target.join(src, target[key] == F.col(f"_s_{key}"), "full")
@@ -1208,23 +1723,61 @@ class ManagedTable:
             self, source, condition, source_is_unique, key_bounds
         )
 
+    def _zorder_bounds_from_manifest(self, cols: list[str]):
+        """Exact global [min, max] of the z-order columns folded from
+        the manifest's per-file stats — no data pass at all. None when
+        any live file lacks finite stats for either column (caller
+        falls back to the in-plan aggregate)."""
+        m = self._manifest()
+        if not m["files"]:
+            return None
+        out = []
+        for c in cols:
+            mn = mx = None
+            for f in m["files"]:
+                st = (m["file_stats"].get(f) or {}).get(c)
+                if not st:
+                    return None
+                lo, hi = st
+                if not all(
+                    isinstance(v, (int, float))
+                    and not isinstance(v, bool)
+                    and math.isfinite(v)
+                    for v in (lo, hi)
+                ):
+                    return None
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            out.append((float(mn), float(mx)))
+        return out
+
     @staticmethod
-    def _zorder_col(df: DataFrame, cols: list[str]):
+    def _zorder_col(df: DataFrame, cols: list[str], bounds_vals=None):
         """Morton (Z-order) key over exactly two numeric columns: each
         value min-max-scales to a 16-bit rank, then the bits interleave
         via the standard mask-spreading closed form — five bitwise ops
         per operand, all inside whole-stage codegen (no per-row loop).
-        Scaling bounds come from one tiny aggregate broadcast onto the
-        scan."""
+        Scaling bounds come from the manifest's per-file stats when the
+        caller has them (``bounds_vals`` — zero extra passes, r15) or
+        from one tiny aggregate broadcast onto the scan."""
         if len(cols) != 2:
             raise TableError("zorder_by takes exactly two columns")
         x, y = cols
-        bounds = df.agg(
-            F.min(F.col(x).cast("double")).alias("__xmn"),
-            F.max(F.col(x).cast("double")).alias("__xmx"),
-            F.min(F.col(y).cast("double")).alias("__ymn"),
-            F.max(F.col(y).cast("double")).alias("__ymx"),
-        )
+        if bounds_vals is not None:
+            (xmn, xmx), (ymn, ymx) = bounds_vals
+            bounds = df.sparkSession.range(1).select(
+                F.lit(xmn).alias("__xmn"),
+                F.lit(xmx).alias("__xmx"),
+                F.lit(ymn).alias("__ymn"),
+                F.lit(ymx).alias("__ymx"),
+            )
+        else:
+            bounds = df.agg(
+                F.min(F.col(x).cast("double")).alias("__xmn"),
+                F.max(F.col(x).cast("double")).alias("__xmx"),
+                F.min(F.col(y).cast("double")).alias("__ymn"),
+                F.max(F.col(y).cast("double")).alias("__ymx"),
+            )
 
         def rank16(col, mn, mx):
             span = F.when(F.col(mx) > F.col(mn), F.col(mx) - F.col(mn)).otherwise(
@@ -1274,13 +1827,23 @@ class ManagedTable:
                 1, df.sparkSession.sparkContext.defaultParallelism
             )
         if zorder_by:
-            # Z-order: range-partition + sort on the interleaved key so
-            # every file covers a small 2-D tile — footer min/max then
-            # prunes on BOTH columns (a linear sort prunes only its
-            # leading column; the trailing column's stats span every
-            # file).
+            # Z-order: partition + sort on the interleaved key so every
+            # file covers a small 2-D tile — footer min/max then prunes
+            # on BOTH columns (a linear sort prunes only its leading
+            # column; the trailing column's stats span every file).
+            # r15: scaling bounds fold from the manifest's per-file
+            # stats — no in-job bounds aggregate, one fewer pass over
+            # the table per compact. The equal-COUNT tile boundaries
+            # still come from repartitionByRange: an r15 A/B replacing
+            # it with uniform z-range slices + exact hash keys removed
+            # the sampling pass but collapsed 16 target tiles to 4 on
+            # clustered data (uniform z-RANGE ≠ equal-count), degrading
+            # exactly the footer-tile pruning the compact exists for —
+            # reverted; the sampler's extra key-column pass is the
+            # price of balanced tiles.
+            bounds_vals = self._zorder_bounds_from_manifest(zorder_by)
             df = (
-                self._zorder_col(df, zorder_by)
+                self._zorder_col(df, zorder_by, bounds_vals)
                 .repartitionByRange(target_partitions, "__zorder")
                 .sortWithinPartitions("__zorder")
                 .drop("__zorder")
@@ -1362,6 +1925,12 @@ class ManagedTable:
 # broadcast gate for MERGE/update sources (typically spreadsheet- or
 # micro-batch-sized); sources above this row count join distributed
 _SMALL_SOURCE_ROWS = 1_000_000
+
+# Sources up to this many (deduped) rows are pulled to the driver and
+# rebuilt as a literal broadcast frame — one bounded job replaces the
+# r14 checkpoint + stats-agg pair. Small enough that the collect is
+# never heavier than the broadcast those sources get anyway.
+_DRIVER_SOURCE_ROWS = 100_000
 
 
 def _is_small(df: DataFrame, limit: int = _SMALL_SOURCE_ROWS) -> bool:
@@ -1781,23 +2350,81 @@ class MergeBuilder:
                 "more than once (a target row matches multiple source rows)"
             )
 
-    def execute(self) -> int:
+    def execute(
+        self,
+        capture_matched: str | None = None,
+        driver_inserts: bool = False,
+        insert_candidates: list[dict] | None = None,
+    ):
+        """Run the MERGE as one atomic commit; returns the new version.
+
+        ``capture_matched``: a Spark SQL expression over ``target.``/
+        ``source.`` columns evaluated on every MATCHED row (pre-image
+        visible) during the MERGE's own candidate-file read — its
+        distinct values ride back from the write job and the return
+        value becomes ``(version, captured_values)``. This is how a CDC
+        applier learns the matched rows' OLD group keys without a
+        separate pre-merge lookup job (r15); requires at least one
+        WHEN MATCHED clause.
+
+        ``driver_inserts=True`` (r15): for a DRIVER-SIZED source (a
+        literal frame the caller built from collected micro-batch rows)
+        the full-outer rewrite join — which can never broadcast and
+        forces a 2-exchange sort-merge join of the candidate files per
+        commit — is replaced by a broadcast LEFT join (map-only over
+        candidate files): matched source keys are captured from the
+        write job, the single WHEN NOT MATCHED INSERT clause is
+        evaluated on the local source relation (no Spark job), and the
+        surviving insert rows are written driver-side into the SAME
+        commit. Requires a single-key equality condition and exactly
+        one insert clause; the source must be local-collectable.
+
+        ``insert_candidates``: caller-pre-evaluated insert rows for the
+        driver_inserts path — a list of ``{table_col: value, ...,
+        "_sparketl_k": source_key}`` dicts that MUST equal what the
+        single insert clause would produce for every source row whose
+        clause condition holds (callers that just built the source rows
+        can produce this trivially). Skips the clause-evaluation job a
+        generic expression needs."""
         self._validate()
         has_matched = any(c[0] == "matched" for c in self._clauses)
         has_by_source = any(c[0] == "by_source" for c in self._clauses)
+        if capture_matched is not None and not has_matched:
+            raise TableError(
+                "capture_matched requires a WHEN MATCHED clause"
+            )
 
         # file pruning: single numeric-key equality AND no BY SOURCE
         # clauses (those must see target rows in non-candidate files).
         # Computed BEFORE the duplicate-match validation so the check
         # can read only the candidate files (r14).
         prune = None
+        src_key = None
         m = self._EQ_COND.match(self.condition)
         if m is not None and not has_by_source:
             key = m.group(1) or m.group(4)
             src_key = m.group(2) or m.group(3)
+            mn = mx = None
             if self.key_bounds is not None:
-                mn, mx = self.key_bounds  # caller-guaranteed superset
-            else:
+                lo, hi = self.key_bounds  # caller-guaranteed superset
+                if (
+                    isinstance(lo, (int, float))
+                    and isinstance(hi, (int, float))
+                    and not isinstance(lo, bool)
+                    and not isinstance(hi, bool)
+                ):
+                    if lo > hi:
+                        # a swapped tuple would silently prune EVERY
+                        # candidate file (matched rows carried forward
+                        # untouched while inserts append) — the worst
+                        # failure mode, so it is an error, not a fallback
+                        raise TableError(
+                            f"key_bounds lower bound {lo} exceeds upper "
+                            f"bound {hi} — pass (lo, hi)"
+                        )
+                    mn, mx = lo, hi
+                # non-numeric bounds: fall through to computed bounds
+            if mn is None:
                 bounds = self.source.agg(
                     F.min(src_key).alias("mn"), F.max(src_key).alias("mx")
                 ).first()
@@ -1812,11 +2439,48 @@ class MergeBuilder:
         if has_matched and not self.source_is_unique:
             self._check_duplicate_matches(prune)
 
-        table_cols = [f.name for f in self.table.schema().fields]
+        table_schema = self.table.schema()
+        table_cols = [f.name for f in table_schema.fields]
         clauses = list(self._clauses)
         condition = self.condition
         source = self.source
         has_insert = any(c[1] == "insert" for c in clauses)
+        use_capture = capture_matched is not None or driver_inserts
+
+        ins_rows: list = []
+        if driver_inserts:
+            insert_clauses = [c for c in clauses if c[1] == "insert"]
+            if src_key is None:
+                raise TableError(
+                    "driver_inserts requires a single-key equality ON condition"
+                )
+            if len(insert_clauses) != 1:
+                raise TableError(
+                    "driver_inserts requires exactly one WHEN NOT MATCHED clause"
+                )
+            for f in table_schema.fields:
+                _arrow_type_of(f.dataType)  # raises for exotic types
+            if insert_candidates is not None:
+                # caller-pre-evaluated (no job)
+                ins_rows = insert_candidates
+            else:
+                # evaluate the insert clause with Spark on the (tiny,
+                # single-partition) source — one 1-task job; callers on
+                # a hot path pass insert_candidates instead
+                _, _, iassigns, icond = insert_clauses[0]
+                s = source.alias("source")
+                flt = s.filter(F.expr(icond)) if icond is not None else s
+                sel = []
+                for f in table_schema.fields:
+                    if iassigns is None:
+                        v = F.col(f"source.{f.name}")
+                    elif f.name in iassigns:
+                        v = F.expr(iassigns[f.name])
+                    else:
+                        v = F.lit(None)
+                    sel.append(v.cast(f.dataType).alias(f.name))
+                sel.append(F.col(f"source.{src_key}").alias("_sparketl_k"))
+                ins_rows = flt.select(sel).collect()
 
         def transform(target_df: DataFrame) -> DataFrame:
             tgt = (
@@ -1825,7 +2489,15 @@ class MergeBuilder:
                 .alias("target")
             )
             src = source.withColumn("_sparketl_s", F.lit(1)).alias("source")
-            how = "full" if has_insert else "left"
+            if driver_inserts:
+                # inserts are handled driver-side from the collected
+                # source; the join only needs matched rows → broadcast
+                # LEFT join, map-only over the candidate files (a full
+                # outer join can never broadcast)
+                src = F.broadcast(src)
+                how = "left"
+            else:
+                how = "full" if has_insert else "left"
             joined = tgt.join(src, F.expr(condition), how)
             t_here = F.col("target._sparketl_t").isNotNull()
             s_here = F.col("source._sparketl_s").isNotNull()
@@ -1852,7 +2524,28 @@ class MergeBuilder:
             ]
             keep = ~F.col("_sparketl_a").isin(delete_ids) if delete_ids else F.lit(True)
             keep = keep & (t_here | (F.col("_sparketl_a") != 0))
-            joined = joined.filter(keep)
+            if use_capture:
+                # dropped rows must still REACH the write job so their
+                # captured pre-image comes back: mark instead of filter
+                # (the writer excludes _sparketl_omit rows from the file)
+                if driver_inserts:
+                    cap_val = F.struct(
+                        F.col(f"source.{src_key}").alias("k"),
+                        (
+                            F.expr(capture_matched)
+                            if capture_matched is not None
+                            else F.lit(None).cast("string")
+                        ).alias("c"),
+                    )
+                else:
+                    cap_val = F.expr(capture_matched)
+                joined = joined.withColumn(
+                    "_sparketl_omit", ~keep
+                ).withColumn(
+                    "_sparketl_cap", F.when(t_here & s_here, cap_val)
+                )
+            else:
+                joined = joined.filter(keep)
             # output columns: per target column, CASE over fired clause
             out_cols = []
             for c in table_cols:
@@ -1873,11 +2566,17 @@ class MergeBuilder:
                             F.col("_sparketl_a") == i, val
                         ).otherwise(col)
                 out_cols.append(col.alias(c))
+            extra = (
+                [F.col("_sparketl_omit"), F.col("_sparketl_cap")]
+                if use_capture
+                else []
+            )
             projected = joined.select(
                 t_here.alias("_sparketl_th"),
                 F.col("_sparketl_a"),
                 F.col("target._sparketl_tid").alias("_sparketl_tid"),
                 *out_cols,
+                *extra,
             )
             if not has_matched:
                 # without matched clauses a target row matched by k
@@ -1894,8 +2593,42 @@ class MergeBuilder:
                     F.col("_sparketl_th") & (F.col("_sparketl_a") == 0)
                 ).dropDuplicates(["_sparketl_tid"])
                 projected = fired.unionByName(passthrough)
-            return projected.select(table_cols)
+            out_names = table_cols + (
+                ["_sparketl_omit", "_sparketl_cap"] if use_capture else []
+            )
+            return projected.select(out_names)
 
-        return self.table._pruned_rewrite(
-            prune, transform, may_create_rows=has_insert
+        cap_out: list = []
+
+        def extra_files(captured):
+            # driver-side insert file for the SAME commit: source rows
+            # whose key matched no target row (the captured set) insert
+            matched_keys = set()
+            for v in captured:
+                matched_keys.add(v["k"])
+                if v["c"] is not None:
+                    cap_out.append(v["c"])
+            ins = [
+                {c: r[c] for c in table_cols}
+                for r in ins_rows
+                if r["_sparketl_k"] not in matched_keys
+            ]
+            return self.table._write_local_rows(ins, table_schema)
+
+        res = self.table._pruned_rewrite(
+            prune,
+            transform,
+            may_create_rows=has_insert and not driver_inserts,
+            capture=use_capture,
+            extra_files=extra_files if driver_inserts else None,
         )
+        if not use_capture:
+            return res
+        v, captured = res
+        if driver_inserts:
+            # extra_files already split the struct captures
+            seen: set = set()
+            captured = [
+                c for c in cap_out if not (c in seen or seen.add(c))
+            ]
+        return (v, captured) if capture_matched is not None else v

@@ -32,17 +32,20 @@ def _seed_clustered_base(spark, base, n_users=20, per_user=20):
 
 
 def test_cdc_batch_reads_prune_files(spark, tmp_path):
-    """cdc_rank_apply_batch's three base/view reads go through the
-    IN-list manifest prune: on a group-clustered base every `where`
-    it issues admits a STRICT subset of the data files (files pruned,
-    not just rows filtered), and the maintained view still matches
-    the declarative top-k — pruning changes how much is scanned,
-    never what is returned."""
+    """cdc_rank_apply_batch's per-batch reads stay file-pruned: on a
+    group-clustered base the rescan/stale lookups issue `user_id IN`
+    reads that admit a STRICT subset of the data files, the base MERGE
+    (which since r15 ALSO carries the fused pre-image group lookup via
+    capture_matched — there is no separate `event_id IN` pre-scan job
+    any more) rewrites only a strict subset of files, and the
+    maintained view still matches the declarative top-k — pruning
+    changes how much is scanned, never what is returned."""
     from sparketl.operators.curation import cdc_rank_apply_batch
 
     base, view = _mk_cdc_tables(spark, tmp_path)
     _seed_clustered_base(spark, base)
-    n_all = len(base.data_files())
+    files_before = set(base.data_files())
+    n_all = len(files_before)
     assert n_all >= 8  # enough tiles for strictness to be meaningful
 
     recorded = []
@@ -68,15 +71,23 @@ def test_cdc_batch_reads_prune_files(spark, tmp_path):
     cdc_rank_apply_batch(base, view, batch, k=3)
     base.read = orig_read
 
-    key_wheres = [w for w in recorded if w and w.startswith("event_id IN")]
     user_wheres = [w for w in recorded if w and w.startswith("user_id IN")]
-    # both helper paths took the pruned read (the remaining where=None
-    # reads are MERGE-internal — its pruning lives at the rewrite
-    # layer, keyed on the source's [min,max], not in read(where))
-    assert key_wheres and user_wheres
-    for w in key_wheres + user_wheres:
+    # the rescan path took the pruned read; no read may be a bare full
+    # scan besides the MERGE-internal ones (whose pruning lives at the
+    # rewrite layer, keyed on the source's [min,max] — checked below)
+    assert user_wheres
+    for w in user_wheres:
         n_hit = len(base.candidate_files(w))
         assert 0 < n_hit < n_all, (w, n_hit, n_all)
+    # r15: the pre-merge group lookup is FUSED into the MERGE — no
+    # separate event_id IN pre-scan read remains
+    assert not any(w and w.startswith("event_id IN") for w in recorded)
+    # the MERGE's rewrite was file-pruned: most tiles carried forward
+    # untouched into the post-merge manifest (strict-subset rewrite)
+    files_after_merge = set(base.data_files())
+    carried = files_before & files_after_merge
+    rewritten = files_before - files_after_merge
+    assert rewritten and len(carried) > len(rewritten)
 
     # semantics unchanged by pruning: view rows for the touched groups
     # equal the declarative top-3 of the post-merge base

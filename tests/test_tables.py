@@ -573,56 +573,63 @@ def test_file_skipping_nan_rows_never_pruned_on_upper_ops(spark, tmp_path):
 
 
 def test_file_skipping_nan_in_later_row_group_not_pruned(spark, tmp_path):
-    """Regression: row-group stats must fold NaN-aware. A multi-row-group
-    file whose NaN rows sit in a LATER row group records real maxes in
-    the early groups; a plain ``max()`` fold keeps the real value
-    (``max(227.0, nan) == 227.0``), the pruner reads that as proof the
-    file is NaN-free, and ``v > <anything above file max>`` silently
-    drops the NaN rows (NaN > every literal in Spark). Symmetrically an
-    all-NaN FIRST row group makes a plain ``min()`` fold sticky-NaN and
-    breaks </<= prunes."""
+    """Regression: stats must fold NaN-aware. (a) The legacy FALLBACK
+    (``_collect_file_stats``, driver footer read for files that never
+    passed through ``_write_data``) must fold multi-row-group footer
+    stats under Spark's total order — a plain ``max()`` fold keeps the
+    real value (``max(227.0, nan) == 227.0``), the pruner reads that as
+    proof the file is NaN-free, and ``v > <anything above file max>``
+    silently drops the NaN rows. (b) The r15 WRITE-JOB stats path must
+    produce the same NaN-aware [real-min, NaN-max] for a NaN-tailed
+    file and keep the file + its NaN rows reachable through the prune."""
     import math
 
     from sparketl.tables import ManagedTable, _collect_file_stats
 
-    # tiny block size → parquet-mr closes a row group every ~100 rows
+    rows = [(i, float(i)) for i in range(280)] + [
+        (i, float("nan")) for i in range(280, 300)
+    ]
+    df = spark.createDataFrame(rows, "id long, v double").coalesce(1)
+
+    # (a) fallback fold over a SPARK-written multi-row-group footer
     old_block = spark.conf.get("parquet.block.size", None)
     spark.conf.set("parquet.block.size", "1024")
     try:
-        tbl = ManagedTable(spark, str(tmp_path / "t"))
-        rows = [(i, float(i)) for i in range(280)] + [
-            (i, float("nan")) for i in range(280, 300)
-        ]
-        df = spark.createDataFrame(rows, "id long, v double").coalesce(1)
-        tbl.create(df.schema)
-        tbl.append(df)
-
-        # the data file really has >1 row group, NaN only in the tail
-        import pyarrow.parquet as pq
-
-        (path,) = tbl.candidate_files(None)
-        md = pq.ParquetFile(path).metadata
-        assert md.num_row_groups > 1
-        first_rg = md.row_group(0).column(1).statistics
-        assert not math.isnan(first_rg.max)  # NaN is NOT in the first group
-
-        stats = _collect_file_stats(path)
-        assert math.isnan(stats["v"][1])  # folded max keeps the NaN
-        assert stats["v"][0] == 0.0  # folded min stays real
-
-        # the prune must keep the file and the NaN rows must come back
-        assert len(tbl.candidate_files("v > 200000")) == 1
-        assert {r["id"] for r in tbl.read(where="v > 200000").collect()} == set(
-            range(280, 300)
-        )
-        # = can no longer prune (NaN rows exist), < still prunes on real min
-        assert len(tbl.candidate_files("v = 1000000")) == 1
-        assert len(tbl.candidate_files("v < 0")) == 0
+        raw = str(tmp_path / "raw")
+        df.write.mode("overwrite").parquet(raw)
     finally:
         if old_block is None:
             spark.conf.unset("parquet.block.size")
         else:
             spark.conf.set("parquet.block.size", old_block)
+    import glob
+    import pyarrow.parquet as pq
+
+    (path,) = glob.glob(raw + "/*.parquet")
+    md = pq.ParquetFile(path).metadata
+    assert md.num_row_groups > 1
+    first_rg = md.row_group(0).column(1).statistics
+    assert not math.isnan(first_rg.max)  # NaN is NOT in the first group
+    stats = _collect_file_stats(path)
+    assert math.isnan(stats["v"][1])  # folded max keeps the NaN
+    assert stats["v"][0] == 0.0  # folded min stays real
+
+    # (b) write-job stats path: same NaN-aware file-level [min, max]
+    tbl = ManagedTable(spark, str(tmp_path / "t"))
+    tbl.create(df.schema)
+    tbl.append(df)
+    (f,) = tbl.candidate_files(None)
+    mstats = tbl._manifest()["file_stats"][f]
+    assert math.isnan(mstats["v"][1]) and mstats["v"][0] == 0.0
+
+    # the prune must keep the file and the NaN rows must come back
+    assert len(tbl.candidate_files("v > 200000")) == 1
+    assert {r["id"] for r in tbl.read(where="v > 200000").collect()} == set(
+        range(280, 300)
+    )
+    # = can no longer prune (NaN rows exist), < still prunes on real min
+    assert len(tbl.candidate_files("v = 1000000")) == 1
+    assert len(tbl.candidate_files("v < 0")) == 0
 
 
 def test_stat_folds_nan_totals_order():
